@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Train/test splitting and sampling — reference surface:
+  * `Dataset.train_test_split` (arrow_dataset.py:53), `shuffle`,
+  * stratified options.
+  *
+  * Spark-first design: splits are CONTENT-DETERMINISTIC, not
+  * index-based. A hash-bucket on a stable key assigns every row a
+  * split independent of partitioning, row order, executor count, or
+  * retries — the property you need for reproducible 100 TB splits
+  * (an index-based split is only reproducible single-node).
+  */
+object SplitOps {
+
+  /** Adds `splitCol` = "train" | "test". `testFraction` of hash
+    * buckets go to test. Uses xxhash64 of the key columns (seeded)
+    * — no shuffle at all, it's a projection.
+    */
+  def trainTestSplit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      testFraction: Double,
+      seed: Long = 42L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
+    val bucket = pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(10000))
+    df.withColumn(splitCol, when(bucket < lit((testFraction * 10000).toInt), "test").otherwise("train"))
+  }
+
+  /** Stratified split: within each label, rank rows by a seeded hash
+    * and cut at the quantile — every label keeps ~testFraction in
+    * test. One window shuffle on the label key; skewed labels are
+    * exactly the large-population ones, which AQE splits.
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      labelCol: String,
+      keyCols: Seq[String],
+      testFraction: Double,
+      seed: Long = 42L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    val h = xxhash64(lit(seed) +: keyCols.map(col): _*)
+    val w = Window.partitionBy(labelCol).orderBy(h)
+    val n = Window.partitionBy(labelCol)
+    df.withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn(splitCol, when(col("__r") <= col("__n") * testFraction, "test").otherwise("train"))
+      .drop("__r", "__n")
+  }
+
+  /** Stratified sample: keep ~fraction of each label's rows,
+    * content-deterministic (hash-bucket per row).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      labelCol: String,
+      keyCols: Seq[String],
+      fractions: Map[String, Double],
+      seed: Long = 42L
+  ): DataFrame = {
+    val bucket = pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(10000))
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (label, f)) =>
+      when(col(labelCol).cast("string") === label, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket < frac * 10000)
+  }
+
+  /** Deterministic shuffle: global sort by seeded hash. (The
+    * reference shuffles via a cached permutation of indices —
+    * single-node only. A seeded-hash sort gives the same property —
+    * stable pseudo-random order — as one range-partitioned sort.)
+    */
+  def deterministicShuffle(df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame =
+    df.orderBy(xxhash64(lit(seed) +: keyCols.map(col): _*))
+}
