@@ -16,6 +16,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // nanosecond parquet timestamps surface as long (epoch nanos);
+      // graft normalizes them via TimeOps.nanosToTimestamp
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

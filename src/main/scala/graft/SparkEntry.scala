@@ -1,13 +1,458 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators._
+import graft.sources.BioLoader
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle where the semantics are
+  * ANSI-SQL-expressible (floats rounded identically on both sides;
+  * every aggregate/computed column aliased identically).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Flagship: the reference's load path end-to-end — load fact
+    * table, broadcast-join sample metadata, encode labels, TSS
+    * normalize, summarize per label (biosets load_dataset analogue).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = BioLoader.load(spark, t(dir, "lineitem"))
+      .withColumnRenamed("l_orderkey", "samples")
+    val meta = BioLoader.load(spark, t(dir, "orders"))
+      .select(col("o_orderkey").as("samples"), col("o_orderstatus"), col("o_totalprice"))
+    val joined = MetadataOps.joinSampleMetadata(li, meta, "samples")
+    val labeled = LabelOps.classEncode(joined, "o_orderstatus")
+    val normed = NormalizeOps.tss(labeled, "samples", "l_quantity")
+    StatsOps.summarize(normed, Seq("encoded_labels"), "tss")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- L1/C1: load + filter + projection (pushdown) ----
+    "q_load_project" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "lineitem"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+    }),
+
+    // ---- C2/N8: grouped aggregation (TPC-H Q1 shape) ----
+    "q_agg" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "lineitem"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n")
+        )
+    }),
+
+    // ---- L2: sample-metadata left join, metadata-first order ----
+    "q_sample_meta_join" -> ((s, dir) => {
+      val data = BioLoader.load(s, t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val meta = BioLoader.load(s, t(dir, "orders"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      MetadataOps.joinSampleMetadata(data, meta, "l_orderkey")
+    }),
+
+    // ---- C3: broadcast dim-chain enrich join ----
+    "q_join_enrich" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders"))
+      val c = BioLoader.load(s, t(dir, "customer"))
+      val n = BioLoader.load(s, t(dir, "nation"))
+      val r = BioLoader.load(s, t(dir, "region"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderstatus"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- T1: class label encoding ----
+    "q_label_encode" -> ((s, dir) => {
+      LabelOps.classEncode(BioLoader.load(s, t(dir, "customer")), "c_mktsegment")
+        .select(col("c_custkey"), col("c_mktsegment"), col(LabelOps.TargetColumn).cast("long").as(LabelOps.TargetColumn))
+    }),
+
+    // ---- T2: binarization with missing policy ----
+    "q_binarize" -> ((s, dir) => {
+      LabelOps.binarize(
+        BioLoader.load(s, t(dir, "orders")),
+        "o_orderstatus",
+        LabelOps.BinarizeSpec(positive = Seq("F"), negative = Seq("O"))
+      ).select("o_orderkey", "o_orderstatus", LabelOps.TargetColumn)
+    }),
+
+    // ---- T4: deterministic train/test split ----
+    "q_train_test_split" -> ((s, dir) => {
+      val bucket = (col("o_orderkey") * 40503L) % 10000L
+      SplitOps.trainTestSplitWith(BioLoader.load(s, t(dir, "orders")), bucket, 0.2)
+        .select("o_orderkey", "split")
+    }),
+
+    // ---- R1: melt wide→long ----
+    "q_melt" -> ((s, dir) => {
+      ReshapeOps.melt(BioLoader.load(s, t(dir, "part")), Seq("p_partkey"), Seq("p_retailprice", "p_size"))
+    }),
+
+    // ---- R2: pivot long→wide ----
+    "q_pivot" -> ((s, dir) => {
+      val p = ReshapeOps.pivot(
+        BioLoader.load(s, t(dir, "lineitem")),
+        "l_orderkey", "l_returnflag", "l_quantity", Seq("A", "N", "R")
+      )
+      p.select(col("l_orderkey"), round(col("A"), 2).as("A"), round(col("N"), 2).as("N"), round(col("R"), 2).as("R"))
+    }),
+
+    // ---- R3: transpose (rows_are_features) ----
+    "q_transpose" -> ((s, dir) => {
+      ReshapeOps.transpose(BioLoader.load(s, t(dir, "region")), "r_name")
+    }),
+
+    // ---- L3: positional horizontal concat ----
+    "q_concat_cols" -> ((s, dir) => {
+      val cust = BioLoader.load(s, t(dir, "customer"))
+      ReshapeOps.concatColumns(
+        cust.select("c_custkey", "c_name"),
+        cust.select("c_acctbal", "c_mktsegment", "c_custkey").withColumnRenamed("c_custkey", "ck2"),
+        leftOrder = Seq("c_custkey"),
+        rightOrder = Seq("c_acctbal", "ck2")
+      )
+    }),
+
+    // ---- L7/C7: aligned union with null fill + source tag ----
+    "q_union_aligned" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders"))
+      ReshapeOps.unionTagged(Seq(
+        "a" -> o.select("o_orderkey", "o_totalprice"),
+        "b" -> o.select("o_orderkey", "o_orderstatus")
+      ))
+    }),
+
+    // ---- N1: TSS relative abundance ----
+    "q_tss" -> ((s, dir) => {
+      NormalizeOps.tss(BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("tss"), 6).as("tss"))
+    }),
+
+    // ---- N2: CLR ----
+    "q_clr" -> ((s, dir) => {
+      NormalizeOps.clr(BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_quantity")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("clr"), 6).as("clr"))
+    }),
+
+    // ---- N3: z-score per feature ----
+    "q_zscore" -> ((s, dir) => {
+      NormalizeOps.zscore(BioLoader.load(s, t(dir, "lineitem")), "l_partkey", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("zscore"), 6).as("zscore"))
+    }),
+
+    // ---- N4: min-max per feature ----
+    "q_minmax" -> ((s, dir) => {
+      NormalizeOps.minmax(BioLoader.load(s, t(dir, "lineitem")), "l_partkey", "l_extendedprice")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("minmax"), 6).as("minmax"))
+    }),
+
+    // ---- N6: zero-as-missing + group-mean imputation ----
+    "q_impute" -> ((s, dir) => {
+      val e = BioLoader.load(s, t(dir, "events")).withColumn("v", floor(col("value")))
+      val masked = FilterOps.zeroAsMissing(e, "v")
+      FilterOps.imputeGroupMean(masked, "event_type", "v", "v_imputed")
+        .select(col("event_id"), col("event_type"), round(col("v_imputed"), 6).as("v_imputed"))
+    }),
+
+    // ---- N7: prevalence filter ----
+    "q_prevalence" -> ((s, dir) => {
+      // restrict to a fixed feature subset so the prevalence fraction
+      // is scale-invariant (per-part order count stays ~constant
+      // while total orders grows with SF)
+      val li = BioLoader.load(s, t(dir, "lineitem")).filter(col("l_partkey") < 100)
+      FilterOps.prevalenceFilter(li, "l_orderkey", "l_partkey", "l_quantity", 0.005, exact = true)
+        .groupBy("l_partkey")
+        .agg(countDistinct("l_orderkey").as("n_samples"))
+    }),
+
+    // ---- C4: top-k per group ----
+    "q_topk_per_group" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders"))
+      val c = BioLoader.load(s, t(dir, "customer"))
+      val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      StatsOps.topKPerGroup(j, Seq("c_mktsegment"), "o_totalprice", "o_orderkey", 3)
+    }),
+
+    // ---- C9: describe ----
+    "q_describe" -> ((s, dir) => {
+      val d = StatsOps.describeAll(BioLoader.load(s, t(dir, "lineitem")), Seq("l_quantity", "l_extendedprice", "l_discount"))
+      d.select(col("column"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("min"), 6).as("min"), round(col("max"), 6).as("max"), round(col("stddev"), 6).as("stddev"))
+    }),
+
+    // ---- C5/C6: value counts ----
+    "q_value_counts" -> ((s, dir) => {
+      StatsOps.valueCounts(BioLoader.load(s, t(dir, "documents")), "lang")
+    }),
+
+    // ---- D1/X4: exact dedup groups via md5 content key ----
+    "q_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactGroups(BioLoader.load(s, t(dir, "documents")), "doc_id", md5(col("text")))
+    }),
+
+    // ---- D2: MinHash LSH near-dup pairs ----
+    "q_dedup_minhash" -> ((s, dir) => {
+      DedupOps.minhashLsh(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- D3: SimHash near-dup pairs ----
+    "q_dedup_simhash" -> ((s, dir) => {
+      DedupOps.simhash(BioLoader.load(s, t(dir, "documents")), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- D4: n-gram Jaccard similarity join ----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccard(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
+        shingleSize = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- D5: embedding near-dup ----
+    "q_embed_dedup" -> ((s, dir) => {
+      DedupOps.embeddingDedup(BioLoader.load(s, t(dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.3, nBits = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- S1/S3: brute-force cosine top-k ----
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings"))
+      KnnOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+    }),
+
+    // ---- S2: LSH ANN top-k ----
+    "q_knn_lsh" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings"))
+      KnnOps.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, nBits = 8)
+    }),
+
+    // ---- X1: language ID ----
+    "q_langid" -> ((s, dir) => {
+      TextOps.langId(BioLoader.load(s, t(dir, "documents")), "text")
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- X2: quality scoring ----
+    "q_quality" -> ((s, dir) => {
+      TextOps.qualityScore(BioLoader.load(s, t(dir, "documents")), "text")
+        .select("doc_id", "mean_word_len", "punct_density", "digit_density", "unique_ratio", "quality")
+    }),
+
+    // ---- X3: token counting ----
+    "q_tokens" -> ((s, dir) => {
+      TextOps.tokenCounts(BioLoader.load(s, t(dir, "documents")), "text")
+        .select(col("doc_id"), col("n_tokens_ws").cast("long").as("n_tokens_ws"))
+    }),
+
+    // ---- M2 (batch twin of the streaming agg): windowed events ----
+    "q_events_window" -> ((s, dir) => {
+      BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"), round(sum("value"), 2).as("sum_value"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_load_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sample_meta_join" ->
+      """SELECT l.l_orderkey, o.o_orderstatus, o.o_totalprice, l.l_linenumber, l.l_quantity
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT r_name, o_orderstatus, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderstatus""".stripMargin,
+
+    "q_label_encode" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS encoded_labels
+        |FROM customer""".stripMargin,
+
+    "q_binarize" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 WHEN o_orderstatus = 'O' THEN 0 ELSE -1 END AS encoded_labels
+        |FROM orders""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN (o_orderkey * 40503) % 10000 < 2000 THEN 'test' ELSE 'train' END AS split
+        |FROM orders""".stripMargin,
+
+    "q_melt" ->
+      """SELECT p_partkey, 'p_retailprice' AS variable, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_orderkey,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q_transpose" ->
+      """SELECT 'r_regionkey' AS sample,
+        |  CAST(sum(CASE WHEN r_name = 'AFRICA' THEN r_regionkey END) AS DOUBLE) AS "AFRICA",
+        |  CAST(sum(CASE WHEN r_name = 'AMERICA' THEN r_regionkey END) AS DOUBLE) AS "AMERICA",
+        |  CAST(sum(CASE WHEN r_name = 'ASIA' THEN r_regionkey END) AS DOUBLE) AS "ASIA",
+        |  CAST(sum(CASE WHEN r_name = 'EUROPE' THEN r_regionkey END) AS DOUBLE) AS "EUROPE",
+        |  CAST(sum(CASE WHEN r_name = 'MIDDLE EAST' THEN r_regionkey END) AS DOUBLE) AS "MIDDLE EAST"
+        |FROM region""".stripMargin,
+
+    "q_concat_cols" ->
+      """WITH l AS (
+        |  SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer
+        |), r AS (
+        |  SELECT c_acctbal, c_mktsegment, c_custkey AS ck2, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn FROM customer
+        |)
+        |SELECT r.c_acctbal, r.c_mktsegment, r.ck2, l.c_custkey, l.c_name
+        |FROM l JOIN r USING (rn)""".stripMargin,
+
+    "q_union_aligned" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus, 'a' AS source_split FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus, 'b' AS source_split FROM orders""".stripMargin,
+
+    "q_tss" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS tss
+        |FROM lineitem""".stripMargin,
+
+    "q_clr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(ln(l_quantity) - avg(ln(l_quantity)) OVER (PARTITION BY l_orderkey), 6) AS clr
+        |FROM lineitem""".stripMargin,
+
+    "q_zscore" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_partkey))
+        |        / nullif(stddev_samp(l_extendedprice) OVER (PARTITION BY l_partkey), 0), 6) AS zscore
+        |FROM lineitem""".stripMargin,
+
+    "q_minmax" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_partkey))
+        |        / nullif(max(l_extendedprice) OVER (PARTITION BY l_partkey)
+        |                 - min(l_extendedprice) OVER (PARTITION BY l_partkey), 0), 6) AS minmax
+        |FROM lineitem""".stripMargin,
+
+    "q_impute" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN floor(value) = 0 THEN NULL ELSE floor(value) END AS v
+        |  FROM events
+        |)
+        |SELECT event_id, event_type,
+        |  round(coalesce(v, avg(v) OVER (PARTITION BY event_type)), 6) AS v_imputed
+        |FROM e""".stripMargin,
+
+    "q_prevalence" ->
+      """SELECT l_partkey, count(DISTINCT l_orderkey) AS n_samples
+        |FROM lineitem
+        |WHERE l_partkey < 100 AND l_quantity IS NOT NULL AND l_quantity <> 0
+        |GROUP BY l_partkey
+        |HAVING count(DISTINCT l_orderkey) >= 0.005 * (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_partkey < 100 AND l_quantity IS NOT NULL AND l_quantity <> 0)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rank <= 3""".stripMargin,
+
+    "q_describe" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n, round(avg(l_quantity), 6) AS mean,
+        |  round(min(l_quantity), 6) AS min, round(max(l_quantity), 6) AS max, round(stddev_samp(l_quantity), 6) AS stddev
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice), round(avg(l_extendedprice), 6),
+        |  round(min(l_extendedprice), 6), round(max(l_extendedprice), 6), round(stddev_samp(l_extendedprice), 6)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount), round(avg(l_discount), 6),
+        |  round(min(l_discount), 6), round(max(l_discount), 6), round(stddev_samp(l_discount), 6)
+        |FROM lineitem""".stripMargin,
+
+    "q_value_counts" ->
+      """SELECT lang, count(*) AS count FROM documents GROUP BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks,
+        |    greatest(length(text), 1)::DOUBLE AS nchar
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, text, nchar, toks,
+        |    greatest(len(toks), 1)::DOUBLE AS ntok,
+        |    list_sum([length(x) FOR x IN toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nchar AS pd,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nchar AS dd,
+        |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS ur,
+        |    CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
+        |  FROM f
+        |)
+        |SELECT doc_id, round(mwl, 6) AS mean_word_len, round(pd, 6) AS punct_density,
+        |  round(dd, 6) AS digit_density, round(ur, 6) AS unique_ratio,
+        |  round(0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |    + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur, 6) AS quality
+        |FROM g""".stripMargin,
+
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens_ws
+        |FROM documents""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -56,7 +56,7 @@ object TextFunctions {
     */
   def lshBandKeys(signature: Column, rowsPerBand: Int): Column =
     transform(
-      sequence(lit(0), (size(signature) / rowsPerBand) - 1),
+      sequence(lit(0), floor(size(signature) / rowsPerBand).cast("int") - 1),
       b => xxhash64(b, slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)).cast("string"))
     )
 

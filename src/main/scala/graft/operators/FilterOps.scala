@@ -38,11 +38,13 @@ object FilterOps {
       sampleCol: String,
       featureCol: String,
       valueCol: String,
-      minFraction: Double
+      minFraction: Double,
+      exact: Boolean = false
   ): DataFrame = {
-    val totalSamples = df.select(approx_count_distinct(sampleCol)).first().getLong(0).max(1L)
-    val kept = df
-      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+    val observed = df.filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+    val totalAgg = if (exact) countDistinct(col(sampleCol)) else approx_count_distinct(sampleCol)
+    val totalSamples = observed.select(totalAgg).first().getLong(0).max(1L)
+    val kept = observed
       .groupBy(featureCol)
       .agg(countDistinct(sampleCol).as("__nsamp"))
       .filter(col("__nsamp") >= lit(minFraction * totalSamples))

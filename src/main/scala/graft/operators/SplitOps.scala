@@ -29,6 +29,21 @@ object SplitOps {
   ): DataFrame = {
     require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
     val bucket = pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(10000))
+    trainTestSplitWith(df, bucket, testFraction, splitCol)
+  }
+
+  /** Split on a caller-supplied bucket expression in [0,10000) —
+    * lets callers swap the hash (e.g. a portable multiplicative
+    * bucket when cross-engine reproducibility matters more than
+    * avalanche quality).
+    */
+  def trainTestSplitWith(
+      df: DataFrame,
+      bucket: org.apache.spark.sql.Column,
+      testFraction: Double,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
     df.withColumn(splitCol, when(bucket < lit((testFraction * 10000).toInt), "test").otherwise("train"))
   }
 

@@ -52,6 +52,19 @@ object BioLoader {
 
   def load(spark: SparkSession, path: String): DataFrame = load(spark, Seq(path))
 
+  /** Normalize an epoch-nanos long column (how nanosecond parquet
+    * timestamps surface under `nanosAsLong`) to a microsecond
+    * TimestampType. Integer division — no double round-trip, which
+    * would lose precision above 2^53 ns.
+    */
+  def nanosToTimestamp(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      case _ => df
+    }
+
   private def extensionOf(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val i = name.lastIndexOf('.')
