@@ -87,10 +87,18 @@ object TextFunctions {
   /** Rolling (polynomial) hash fingerprint of the full normalized
     * text — an order-sensitive content fingerprint (exact-dup key
     * that, unlike md5, can be computed incrementally/windowed).
+    *
+    * Double-modulus Rabin-Karp: ANSI mode (Spark 4 default) rejects
+    * wraparound multiplication, so each hash stays below a 32-bit
+    * prime (acc·base + c < 2^63 always) and the two streams are
+    * packed into one long.
     */
   def rollingHashFingerprint(text: Column, base: Long = 1000003L): Column = {
+    val p1 = 4294967291L // 2^32 - 5
+    val p2 = 4294967279L // 2^32 - 17
     val norm = regexp_replace(lower(text), "\\s+", " ")
     val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
-    aggregate(codes, lit(0L), (acc, c) => acc * base + c)
+    def roll(p: Long) = aggregate(codes, lit(0L), (acc, c) => pmod(acc * base + c, lit(p)))
+    shiftleft(roll(p1), 31).bitwiseXOR(roll(p2))
   }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+class DedupKnnTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer rules and plans"),
+    (5L, "numbers 12345 and punctuation!!! everywhere, truly: chaotic; text?")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per content key") {
+    val kept = DedupOps.exact(docs, "doc_id", md5(col("text")))
+    assert(kept.count() == 4)
+    assert(kept.filter($"doc_id" === 2).count() == 0)
+    val groups = DedupOps.exactGroups(docs, "doc_id", md5(col("text")))
+    assert(groups.filter($"n_copies" === 2).select("keep_id").as[Long].head() == 1L)
+  }
+
+  test("minhashLsh finds exact and near dup pairs, not unrelated ones") {
+    val pairs = DedupOps.minhashLsh(docs, "doc_id", "text", shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; dissimilar docs far") {
+    val pairs = DedupOps.simhash(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("ngramJaccard verifies exact jaccard on candidates") {
+    val pairs = DedupOps.ngramJaccard(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("jaccard bounds and behavior") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
+    val j = df.select(TF.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("embeddingDedup finds planted duplicate vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingDedup(vecs, "vec_id", "embedding", threshold = 0.99, nBits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = KnnOps.bruteForceTopK(vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", 2)
+    val ranked = out.orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(ranked.toSeq == Seq(2L, 3L))
+  }
+
+  test("lshTopK achieves full recall on a planted identical vector") {
+    val base = (1 to 50).map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 13.7 + d).toFloat)))
+    val vecs = (base :+ (99L, base.head._2)).toDF("vec_id", "embedding")
+    val out = KnnOps.lshTopK(vecs.filter($"vec_id" === 99), vecs, "vec_id", "embedding", 1, nBits = 6)
+    assert(out.select("neighbor_id").as[Long].head() == 1L)
+  }
+
+  test("langId spots obvious languages") {
+    val df = Seq(
+      (1, "the cat is on the mat and it is happy with this"),
+      (2, "el gato que se sienta en la casa es de la familia"),
+      (3, "xyzzy plugh qwop")
+    ).toDF("id", "text")
+    val out = TextOps.langId(df, "text").select("id", "lang_pred").as[(Int, String)].collect().toMap
+    assert(out(1) == "en" && out(2) == "es" && out(3) == "und")
+  }
+
+  test("quality scoring penalizes punctuation/digit-heavy short text") {
+    val out = TextOps.qualityScore(docs, "text")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(5L))
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("token counts: ws tokens and bpe-ish supertokens") {
+    val df = Seq("Hello, world! 42 times.").toDF("text")
+    val out = TextOps.tokenCounts(df, "text").select("n_tokens_ws", "n_tokens_bpeish").head()
+    assert(out.getInt(0) == 4) // hello world 42 times
+    assert(out.getInt(1) >= 7) // words + punctuation marks
+  }
+
+  test("fingerprint: equal text equal hash, different text different hash") {
+    val out = TextOps.fingerprint(docs, "text").select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(4L))
+  }
+
+  test("vector functions: cosine/dot/norm/hamming") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VF.dotProduct(col("a"), col("b")),
+      VF.l2Norm(col("a")),
+      VF.cosineSimilarity(col("a"), col("a")),
+      VF.hammingDistance(lit(0b1011L), lit(0b0010L))
+    ).head()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getInt(3) == 2)
+  }
+}

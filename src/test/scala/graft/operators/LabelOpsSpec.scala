@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LabelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classEncode assigns sorted dense codes, null → -1") {
+    val df = Seq(Some("b"), Some("a"), Some("c"), None, Some("b")).toDF("y")
+    val out = LabelOps.classEncode(df, "y").collect().map(r => (r.getAs[String]("y"), r.getInt(1)))
+    assert(out.toSeq == Seq(("b", 1), ("a", 0), ("c", 2), (null, -1), ("b", 1)))
+  }
+
+  test("classEncodeWith respects an explicit dictionary; unseen → -1") {
+    val df = Seq("x", "y", "z").toDF("y")
+    val out = LabelOps.classEncodeWith(df, "y", Seq("y", "x")).collect().map(_.getInt(1))
+    assert(out.toSeq == Seq(1, 0, -1))
+  }
+
+  test("binarize: both lists → missing -1") {
+    val df = Seq("pos", "neg", "other").toDF("y")
+    val spec = LabelOps.BinarizeSpec(positive = Seq("pos"), negative = Seq("neg"))
+    val out = LabelOps.binarize(df, "y", spec).collect().map(_.getInt(1))
+    assert(out.toSeq == Seq(1, 0, -1))
+  }
+
+  test("binarize: positives only → others 0; negatives only → others 1") {
+    val df = Seq("pos", "other").toDF("y")
+    val p = LabelOps.binarize(df, "y", LabelOps.BinarizeSpec(positive = Seq("pos"))).collect().map(_.getInt(1))
+    assert(p.toSeq == Seq(1, 0))
+    val n = LabelOps.binarize(df, "y", LabelOps.BinarizeSpec(negative = Seq("pos"))).collect().map(_.getInt(1))
+    assert(n.toSeq == Seq(0, 1))
+  }
+
+  test("labelDictionary is sorted and null-free") {
+    val df = Seq(Some("m"), None, Some("a"), Some("m")).toDF("y")
+    assert(LabelOps.labelDictionary(df, "y") == Seq("a", "m"))
+  }
+}

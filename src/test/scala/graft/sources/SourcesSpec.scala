@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.MetadataOps
+import org.apache.spark.sql.functions._
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- NPZ fixture construction (pure JVM, mirrors numpy save_npz) ----
+
+  private def npyBytes(descr: String, shape: Seq[Long], payload: Array[Byte]): Array[Byte] = {
+    val shapeStr = if (shape.isEmpty) "()" else if (shape.size == 1) s"(${shape.head},)" else shape.mkString("(", ", ", ")")
+    var header = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val total = 10 + header.length
+    val pad = (64 - (total + 1) % 64) % 64
+    header = header + " " * pad + "\n"
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.write(0x93); d.writeBytes("NUMPY"); d.write(1); d.write(0)
+    d.write(header.length & 0xff); d.write((header.length >> 8) & 0xff)
+    d.writeBytes(header)
+    d.write(payload)
+    out.toByteArray
+  }
+
+  private def le[T](width: Int, xs: Seq[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(xs.size * width).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach { x => width match { case 4 => bb.putInt(x.toInt); case 8 => bb.putLong(x) } }
+    bb.array()
+  }
+
+  private def leDoubles(xs: Seq[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(xs.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  private def writeNpz(path: String, members: Map[String, Array[Byte]]): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(path))
+    members.foreach { case (name, bytes) =>
+      z.putNextEntry(new ZipEntry(s"$name.npy")); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+  }
+
+  test("NpzReader parses a CSR matrix into COO triples") {
+    // matrix [[1.0, 0, 2.0], [0, 0, 3.0]]
+    val path = java.io.File.createTempFile("graft", ".npz").getAbsolutePath
+    writeNpz(path, Map(
+      "format" -> npyBytes("|S3", Nil, "csr".getBytes("ASCII")),
+      "shape" -> npyBytes("<i8", Seq(2), le(8, Seq(2L, 3L))),
+      "data" -> npyBytes("<f8", Seq(3), leDoubles(Seq(1.0, 2.0, 3.0))),
+      "indices" -> npyBytes("<i4", Seq(3), le(4, Seq(0L, 2L, 2L))),
+      "indptr" -> npyBytes("<i4", Seq(3), le(4, Seq(0L, 2L, 3L)))
+    ))
+    val df = NpzReader.read(spark, Seq(path))
+    val triples = df.select("row", "col", "value").as[(Long, Long, Double)].collect().toSet
+    assert(triples == Set((0L, 0L, 1.0), (0L, 2L, 2.0), (1L, 2L, 3.0)))
+  }
+
+  test("NpzReader parses a COO matrix") {
+    val path = java.io.File.createTempFile("graft", ".npz").getAbsolutePath
+    writeNpz(path, Map(
+      "format" -> npyBytes("|S3", Nil, "coo".getBytes("ASCII")),
+      "shape" -> npyBytes("<i8", Seq(2), le(8, Seq(2L, 2L))),
+      "data" -> npyBytes("<f4", Seq(2), {
+        val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putFloat(5.0f); bb.putFloat(7.0f); bb.array()
+      }),
+      "row" -> npyBytes("<i8", Seq(2), le(8, Seq(0L, 1L))),
+      "col" -> npyBytes("<i8", Seq(2), le(8, Seq(1L, 0L)))
+    ))
+    val df = NpzReader.read(spark, Seq(path))
+    val triples = df.select("row", "col", "value").as[(Long, Long, Double)].collect().toSet
+    assert(triples == Set((0L, 1L, 5.0), (1L, 0L, 7.0)))
+  }
+
+  test("BioLoader reads csv and tsv with headers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toFile.getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
+    val df = BioLoader.load(spark, s"$dir/a.csv")
+    assert(df.columns.toSeq == Seq("x", "y") && df.count() == 2)
+  }
+
+  test("ColumnInference resolves roles: explicit > default > pattern") {
+    val df = Seq((1, "b1", "healthy", 0.5, 0.7)).toDF("sample_id", "batch", "diagnosis", "otu1", "otu2")
+    val roles = ColumnInference.inferRoles(df, targetColumn = Some("diagnosis"))
+    assert(roles.sampleColumn.contains("sample_id"))
+    assert(roles.batchColumn.contains("batch"))
+    assert(roles.targetColumn.contains("diagnosis"))
+    assert(roles.dataColumns == Seq("otu1", "otu2"))
+  }
+
+  test("ColumnInference task typing: float → regression, string/int → classification") {
+    val df = Seq((0.5, "x", 3)).toDF("f", "s", "i")
+    assert(ColumnInference.inferTask(df, "f") == ColumnInference.Regression)
+    assert(ColumnInference.inferTask(df, "s") == ColumnInference.Classification)
+    assert(ColumnInference.inferTask(df, "i") == ColumnInference.Classification)
+  }
+
+  test("joinSampleMetadata: metadata wins collisions, metadata-first order") {
+    val data = Seq((1, 10.0, "stale"), (2, 20.0, "stale")).toDF("samples", "v", "site")
+    val meta = Seq((1, "fresh1", "b1"), (2, "fresh2", "b2")).toDF("samples", "site", "batch")
+    val out = MetadataOps.joinSampleMetadata(data, meta, "samples")
+    assert(out.columns.toSeq == Seq("samples", "site", "batch", "v"))
+    assert(out.filter($"samples" === 1).select("site").as[String].head() == "fresh1")
+  }
+
+  test("attachFeatureMetadata lands in StructField metadata and survives projection") {
+    val df = Seq((1.0, 2.0)).toDF("otu1", "otu2")
+    val annotated = MetadataOps.attachFeatureMetadata(df, Map("otu1" -> Map("taxonomy" -> "g__Akkermansia")))
+    val projected = annotated.select("otu1")
+    assert(MetadataOps.featureMetadataOf(projected, "otu1").getString("taxonomy") == "g__Akkermansia")
+  }
+}
