@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass hash expressions for dedup at scale.
+  *
+  * The composable `functions._` formulations (64 nested
+  * `aggregate`/`transform` calls per row) are semantically fine but
+  * allocate intermediate Catalyst arrays per hash per row — at
+  * billions of documents that's the hot path. These expressions do
+  * one tight JVM loop per row: hash each token once, then O(k)
+  * cheap long-mixes. `CodegenFallback` costs one virtual call per
+  * row; the loop body itself is branch-free JVM code, which is
+  * where the time goes.
+  */
+object HashExpressions {
+
+  private def mixLong(v: Long, seed: Long): Long = XXH64.hashLong(v, seed)
+
+  /** 64-bit SimHash over an array<string> of tokens: per-bit
+    * majority vote of per-token xxhash64 values.
+    */
+  case class SimHash64(child: Expression, seed: Long)
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          val h = XXH64.hashUTF8String(s, seed)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  /** MinHash signature + LSH banding fused into one pass.
+    *
+    * Input: array<long> of (already hashed) shingles — see
+    * [[ShingleHashes]]. Output: array<long> of
+    * numHashes/rowsPerBand band keys. The k hash family values per
+    * shingle are cheap long mixes of its base hash
+    * (h_i = xxh64(base, seed+i)), the standard seeded-family
+    * MinHash construction.
+    */
+  case class MinHashBandKeys(child: Expression, numHashes: Int, rowsPerBand: Int, seed: Long)
+      extends UnaryExpression
+      with CodegenFallback {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_band_keys"
+    override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys = copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val base = arr.getLong(i)
+          var k = 0
+          while (k < numHashes) {
+            val h = mixLong(base, seed + k)
+            if (h < sig(k)) sig(k) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+      val nBands = numHashes / rowsPerBand
+      val bands = new Array[Long](nBands)
+      var b = 0
+      while (b < nBands) {
+        var acc = 0x9e3779b97f4a7c15L + b
+        var r = b * rowsPerBand
+        while (r < (b + 1) * rowsPerBand) {
+          acc = mixLong(acc ^ sig(r), seed)
+          r += 1
+        }
+        bands(b) = acc
+        b += 1
+      }
+      new GenericArrayData(bands)
+    }
+  }
+
+  /** Word n-gram shingle HASHES straight from a token array — skips
+    * building shingle strings entirely (a shingle's hash is a mix
+    * chain over its tokens' hashes). Distinct-ified.
+    */
+  case class ShingleHashes(child: Expression, n: Int, seed: Long)
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes = copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val nTok = arr.numElements()
+      val tokHash = new Array[Long](nTok)
+      var i = 0
+      while (i < nTok) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          tokHash(i) = XXH64.hashUTF8String(s, seed)
+        }
+        i += 1
+      }
+      val count = math.max(nTok - n + 1, if (nTok > 0) 1 else 0)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+      var w = 0
+      while (w < count) {
+        var acc = seed
+        var j = w
+        val end = math.min(w + n, nTok)
+        while (j < end) { acc = mixLong(acc ^ tokHash(j), seed); j += 1 }
+        if (seen.add(acc)) out += acc
+        w += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  // ---- Column wrappers ----------------------------------------------------
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def simhash64Fast(tokens: Column, seed: Long = 17L): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens), seed))
+
+  def minhashBandKeys(shingles: Column, numHashes: Int = 64, rowsPerBand: Int = 4, seed: Long = 13L): Column =
+    ColumnBridge.column(MinHashBandKeys(ColumnBridge.expression(shingles), numHashes, rowsPerBand, seed))
+
+  def shingleHashes(tokens: Column, n: Int, seed: Long = 13L): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n, seed))
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,15 +31,16 @@ object DedupOps {
 
   /** MinHash+LSH near-dup candidate pairs.
     *
-    * shingle → minhash signature (numHashes) → band keys → explode
-    * → self-join on (band key) → distinct pairs → exact-Jaccard
-    * verify ≥ threshold.
+    * tokens → shingle hashes → fused minhash+band keys (single-pass
+    * Catalyst expression, [[HE.MinHashBandKeys]]) → explode →
+    * self-join on band key (IDS ONLY — shingle arrays never ride
+    * the candidate shuffle) → distinct pairs → re-attach shingle
+    * hashes → exact-Jaccard verify ≥ threshold.
     *
-    * Scale: the exploded table has n·bands small rows; the join
-    * shuffles only (band_key, id, shingles-hash), pairs are
-    * verified per-bucket. Huge buckets (degenerate keys, e.g. empty
-    * docs) are capped via `maxBucket` to bound worst-case pair
-    * blowup — the standard LSH skew guard.
+    * Scale: the exploded table has n·bands (id, band) rows; pairs
+    * are verified per-bucket. Degenerate buckets (empty docs,
+    * boilerplate) are capped via `maxBucket` — the standard LSH
+    * skew guard.
     */
   def minhashLsh(
       df: DataFrame,
@@ -52,19 +53,20 @@ object DedupOps {
       maxBucket: Int = 1000
   ): DataFrame = {
     val shingled = df
-      .select(col(idCol).as("id"), TF.wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"), HE.shingleHashes(TF.tokens(col(textCol)), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = shingled
-      .withColumn("band", explode(TF.lshBandKeys(TF.minhashSignature(col("sh"), numHashes), rowsPerBand)))
-    // skew guard: drop degenerate buckets
+      .select(col("id"), explode(HE.minhashBandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
     val bucketSizes = banded.groupBy("band").agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
     val pruned = banded.join(bucketSizes.select("band"), Seq("band"), "left_semi")
-    val a = pruned.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = pruned.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+    val cand = pruned.select(col("band"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .distinct()
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -82,7 +84,7 @@ object DedupOps {
       maxHamming: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), TF.simhash64(TF.tokens(col(textCol))).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), HE.simhash64Fast(TF.tokens(col(textCol))).as("sig"))
     val quarters = sigs.select(
       col("id"),
       col("sig"),
@@ -104,25 +106,33 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** n-gram Jaccard similarity join via shared-shingle candidate
-    * generation: pairs sharing ≥1 shingle, verified by exact
-    * Jaccard. Rare-shingle pruning (`maxShingleFreq`) removes
-    * stop-shingles that would otherwise create giant buckets.
+  /** n-gram Jaccard similarity join with PPJoin-style prefix
+    * filtering: under a global shingle ordering (by ascending
+    * corpus frequency), any pair with Jaccard ≥ t must share a
+    * shingle within each doc's first ⌊(1−t)·|d|⌋+1 shingles — so
+    * only those prefixes are indexed. On repetitive corpora this
+    * collapses the candidate count by orders of magnitude vs. a
+    * full inverted index.
     */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.5,
-      maxShingleFreq: Int = 500
+      threshold: Double = 0.5
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), TF.wordShingles(col(textCol), shingleSize).as("sh"))
-    val inverted = sh.select(col("id"), explode(col("sh")).as("g"))
-    val common = inverted.groupBy("g").agg(count(lit(1)).as("__f")).filter(col("__f") <= maxShingleFreq)
-    val pruned = inverted.join(common.select("g"), Seq("g"), "left_semi")
-    val cand = pruned.select(col("g"), col("id").as("id_a"))
-      .join(pruned.select(col("g"), col("id").as("id_b")), Seq("g"))
+    val sh = df.select(col(idCol).as("id"), HE.shingleHashes(TF.tokens(col(textCol)), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inverted = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
+    val freq = inverted.groupBy("g").agg(count(lit(1)).as("__f"))
+    val wOrd = Window.partitionBy("id").orderBy(col("__f"), col("g"))
+    val prefix = inverted
+      .join(freq, Seq("g"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
+      .select("g", "id")
+    val cand = prefix.select(col("g"), col("id").as("id_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
