@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value) — the streaming
+  * analogue of the reference's IterableDataset surface
+  * (reference: streaming.py; biosets streams batches of the same
+  * tables it loads statically).
+  *
+  * Batch/stream parity: each operator takes a DataFrame that may be
+  * batch (`spark.read`) or streaming (`spark.readStream`) — the
+  * logical plan is identical, which is how graft tests streaming
+  * semantics deterministically (run the same transform in batch =
+  * the query's oracle, then assert the streaming run converges to
+  * it).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark
+    * for state eviction. At scale the state store only holds open
+    * windows per (window, type) — closed windows emit and evict.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val withTs = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withTs
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long, total_value: Double)
+
+  /** Sessionization: contiguous activity per user with a gap
+    * timeout. Custom state machine via mapGroupsWithState — the
+    * Spark-native replacement for imperative per-entity loops; state
+    * is partitioned by user across executors, checkpointed, and
+    * evicted on timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
+          // deterministic in-group ordering (batch runs hand the whole
+          // group at once; streaming hands per-trigger slices)
+          val sorted = evts.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.lastSeen <= gapMs =>
+                cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1, totalValue = st.totalValue + e.value))
+              case Some(st) =>
+                closed += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None     => ()
+          }
+          closed.iterator
+      }
+  }
+
+  /** Flush any still-open sessions from a batch sessionize run —
+    * batch mode never times out, so the tail session per user is
+    * emitted here.
+    */
+  def sessionizeBatchComplete(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (userId: Long, evts: Iterator[Event]) =>
+        val sorted = evts.toSeq.sortBy(_.ts.getTime)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur: Option[SessionState] = None
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(st) if t - st.lastSeen <= gapMs =>
+              cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1, totalValue = st.totalValue + e.value))
+            case Some(st) =>
+              out += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach(st => out += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue))
+        out.iterator
+      }
+      .toDF()
+  }
+
+  /** File-source streaming read of an events directory with the
+    * static schema — the entry point for a real deployment
+    * (swap for Kafka by changing format only).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+}

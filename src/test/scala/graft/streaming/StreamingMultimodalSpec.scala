@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.multimodal.MultimodalOps
+import graft.sources.BioLoader
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDf = BioLoader.nanosToTimestamp(
+    BioLoader.load(spark, s"$sfDir/events.parquet"), "ts")
+
+  test("windowedCounts batch/stream parity: streaming run converges to the batch result") {
+    val batch = EventStreams.windowedCounts(eventsDf).orderBy("window_start", "event_type").collect()
+
+    // stream the same parquet dir through a file source
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
+    eventsDf.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_counts").orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize splits on gaps and flushes tails in batch mode") {
+    import EventStreams._
+    val base = 1700000000000L
+    val evts = Seq(
+      Event(1, new java.sql.Timestamp(base), 7L, "view", 1.0),
+      Event(2, new java.sql.Timestamp(base + 60000), 7L, "click", 2.0),
+      Event(3, new java.sql.Timestamp(base + 10000000), 7L, "view", 3.0), // new session
+      Event(4, new java.sql.Timestamp(base), 8L, "view", 5.0)
+    ).toDS()
+    val sessions = sessionizeBatchComplete(evts, gapMs = 30 * 60 * 1000L)
+      .orderBy("user_id", "start_ts").collect()
+    assert(sessions.length == 3)
+    val first = sessions(0)
+    assert(first.getLong(0) == 7L && first.getLong(3) == 2L && first.getDouble(4) == 3.0)
+    assert(sessions(1).getLong(3) == 1L)
+    assert(sessions(2).getLong(0) == 8L)
+  }
+
+  test("media frame: schema, stub decode determinism, frame sampling") {
+    val media = Seq((1L, "imagebytes-one".getBytes), (2L, "imagebytes-two".getBytes))
+      .toDF("id", "data")
+    val frame = MultimodalOps.asMediaFrame(media, "id", "data", "image/png")
+    assert(frame.schema("content").dataType.typeName == "binary")
+    assert(frame.select("meta.mime").as[String].head() == "image/png")
+
+    val feats = MultimodalOps.extractFeatures(frame, dim = 8)
+    val f = feats.orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(f.length == 2 && f(0).length == 8)
+    // deterministic: same content → same features
+    val feats2 = MultimodalOps.extractFeatures(frame, dim = 8)
+    assert(feats2.orderBy("media_id").select("features").as[Array[Float]].collect()(0).toSeq == f(0).toSeq)
+    assert(f(0).toSeq != f(1).toSeq)
+
+    val timed = frame.withColumn("meta", struct(
+      col("meta.mime"), col("meta.width"), col("meta.height"), lit(2500L).as("duration_ms")))
+    val frames = MultimodalOps.sampleFrames(timed, everyMs = 1000L)
+    assert(frames.filter($"media_id" === 1).count() == 3) // 0, 1000, 2000
+  }
+
+  test("flagship entry() runs end-to-end with rows") {
+    val out = graft.SparkEntry.entry(spark)
+    assert(out.count() > 0)
+  }
+}
