@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{TextFunctions => TF, TextStatsExpression => TSE}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,46 +21,35 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf", "für", "ist", "im")
   )
 
-  def langId(df: DataFrame, textCol: String, outputCol: String = "lang_pred"): DataFrame = {
-    val ts = TF.tokens(col(textCol))
-    val n = greatest(size(ts), lit(1)).cast("double")
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        (size(filter(ts, t => t.isInCollection(words))).cast("double") / n).as("score"),
-        lit(lang).as("lang")
-      )
-    }
-    val best = array_max(array(scored: _*))
-    df.withColumn(outputCol, when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")))
-  }
+  def langId(df: DataFrame, textCol: String, outputCol: String = "lang_pred"): DataFrame =
+    df.withColumn(outputCol, TSE.langIdScore(col(textCol), stopwords.toSeq.map { case (l, w) => (l, w.toSet) }))
 
   /** Quality features + a composite score in [0,1]: length band,
     * mean word length band, punctuation density, digit density,
     * repetition (unique-token ratio). Mirrors common LLM-corpus
     * quality filters (C4/Gopher-style rules).
+    *
+    * One fused [[TSE.textStats]] pass per row, expanded via
+    * `inline(array(...))` so the stats expression is evaluated
+    * exactly once (see TextStatsExpression scaladoc).
     */
   def qualityScore(df: DataFrame, textCol: String, outputCol: String = "quality"): DataFrame = {
-    val t = col(textCol)
-    val ts = TF.tokens(t)
-    val nTok = greatest(size(ts), lit(1)).cast("double")
-    val nChar = greatest(length(t), lit(1)).cast("double")
-    val meanWordLen = aggregate(ts, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
-    val punctDensity = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double") / nChar
-    val digitDensity = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") / nChar
-    val uniqueRatio = size(array_distinct(ts)).cast("double") / nTok
-    val lengthOk = (size(ts) >= 5 && size(ts) <= 100000).cast("int").cast("double")
-    val wordLenOk = (meanWordLen >= 2 && meanWordLen <= 12).cast("int").cast("double")
+    val withStats = df.select(col("*"), inline(array(TSE.textStats(col(textCol)))))
+    val lengthOk = (col("n_tokens") >= 5 && col("n_tokens") <= 100000).cast("int").cast("double")
+    val wordLenOk = (col("mean_word_len") >= 2 && col("mean_word_len") <= 12).cast("int").cast("double")
     val score =
       lit(0.3) * lengthOk +
         lit(0.2) * wordLenOk +
-        lit(0.2) * (lit(1.0) - least(punctDensity * 5, lit(1.0))) +
-        lit(0.1) * (lit(1.0) - least(digitDensity * 5, lit(1.0))) +
-        lit(0.2) * uniqueRatio
-    df.withColumn("mean_word_len", round(meanWordLen, 6))
-      .withColumn("punct_density", round(punctDensity, 6))
-      .withColumn("digit_density", round(digitDensity, 6))
-      .withColumn("unique_ratio", round(uniqueRatio, 6))
+        lit(0.2) * (lit(1.0) - least(col("punct_density") * 5, lit(1.0))) +
+        lit(0.1) * (lit(1.0) - least(col("digit_density") * 5, lit(1.0))) +
+        lit(0.2) * col("unique_ratio")
+    withStats
       .withColumn(outputCol, round(score, 6))
+      .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+      .withColumn("punct_density", round(col("punct_density"), 6))
+      .withColumn("digit_density", round(col("digit_density"), 6))
+      .withColumn("unique_ratio", round(col("unique_ratio"), 6))
+      .drop("n_tokens")
   }
 
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =

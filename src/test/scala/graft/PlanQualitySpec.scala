@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Guards on the PHYSICAL plans of the flagship queries — the
+  * scale contract: filters/projections reach the parquet scan,
+  * dimension joins broadcast, aggregations have a partial
+  * (map-side) phase, and the hot per-row paths stay inside
+  * whole-stage codegen.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_load_project pushes filter and prunes columns at the scan") {
+    val p = planOf(q("q_load_project"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+    // only the 4 referenced columns are read, not all 11
+    assert(p.contains("ReadSchema") && !p.contains("l_returnflag"), p)
+  }
+
+  test("sample-metadata join broadcasts the metadata side, never shuffles the fact side") {
+    val p = planOf(q("q_sample_meta_join"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dim-chain enrich join is all broadcasts") {
+    val p = planOf(q("q_join_enrich"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("grouped aggregation has a partial (map-side) phase") {
+    val p = planOf(q("q_agg"))
+    assert(p.split("HashAggregate").length >= 3, p) // partial + final
+  }
+
+  test("label encode is a pure projection — no join, no shuffle in the encode step") {
+    val p = planOf(q("q_label_encode"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("train/test split is shuffle-free") {
+    val p = planOf(q("q_train_test_split"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("prevalence filter semi-join broadcasts the kept-features side") {
+    val p = planOf(q("q_prevalence"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("per-row text analysis: no shuffle, stats expression evaluated exactly once per row") {
+    val p = planOf(q("q_quality"))
+    assert(!p.contains("Exchange"), p) // per-row scoring must not shuffle
+    // the fused text_stats expression appears once (in the Generate),
+    // not once per derived column
+    assert("text_stats".r.findAllIn(p).size == 1, p)
+  }
+}
