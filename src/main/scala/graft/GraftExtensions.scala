@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.HashExpressions.{MinHashBandKeys, ShingleHashes, SimHash64}
+import graft.functions.TextStatsExpression.TextStats
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's custom expressions.
+  *
+  * New sessions: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.GraftExtensions`.
+  * Existing sessions: `GraftExtensions.register(spark)`.
+  *
+  * {{{
+  *   SELECT simhash64(tokens),
+  *          minhash_band_keys(shingle_hashes(tokens, 5), 64, 4)
+  *   FROM docs
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head, 17L)
+    ),
+    (
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head, intArg(children(1), "n"), 13L)
+    ),
+    (
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (children: Seq[Expression]) =>
+        MinHashBandKeys(children.head, intArg(children(1), "numHashes"), intArg(children(2), "rowsPerBand"), 13L)
+    ),
+    (
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (children: Seq[Expression]) => TextStats(children.head)
+    )
+  )
+
+  /** Register into an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(id.funcName, builder, "scala_udf")
+    }
+}

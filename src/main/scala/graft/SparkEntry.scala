@@ -260,6 +260,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens_ws").cast("long").as("n_tokens_ws"))
     }),
 
+    // ---- C10: as-of (point-in-time) join ----
+    "q_asof_join" -> ((s, dir) => {
+      val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .select("event_id", "user_id", "ts")
+      val orders = BioLoader.load(s, t(dir, "orders"))
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("matched_price"))
+      AsofJoinOps.asofBackward(events, orders, "user_id", "ts", "o_orderdate", Seq("o_orderdate", "matched_price"))
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("matched_date"), col("matched_price"))
+    }),
+
     // ---- M2 (batch twin of the streaming agg): windowed events ----
     "q_events_window" -> ((s, dir) => {
       BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -449,6 +460,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens_ws
         |FROM documents""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS matched_price
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderdate AS matched_date, o.matched_price
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

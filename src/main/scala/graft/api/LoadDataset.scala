@@ -1,0 +1,140 @@
+package graft.api
+
+import graft.operators.{LabelOps, MetadataOps, ReshapeOps, SplitOps}
+import graft.sources.{BioLoader, ColumnInference}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
+
+/** The user-facing load path — graft's equivalent of the
+  * reference's `load_dataset(...)` (reference: load.py:58-253,
+  * biodata.py:538 BioData builder).
+  *
+  * What the reference does imperatively over Arrow tables, this
+  * declares as one Catalyst plan: multi-format read → broadcast
+  * sample-metadata join → feature-metadata schema annotation →
+  * role inference → label encode/binarize → (optional) transpose.
+  * Nothing materializes until the caller acts on the DataFrame.
+  */
+object LoadDataset {
+
+  /** Experiment type → (input feature type tag, storage dtype) —
+    * reference: packaged_modules/{metagenomics/otu.py,genomics/
+    * snp.py,proteomics/maldi.py} INPUT_FEATURE and
+    * features/omics.py dtypes.
+    */
+  val ExperimentFeatureTypes: Map[String, (String, String)] = Map(
+    "otu" -> ("Abundance", "long"),
+    "metagenomics" -> ("Abundance", "long"),
+    "snp" -> ("GenomicVariant", "byte"),
+    "genomics" -> ("GenomicVariant", "byte"),
+    "maldi" -> ("PeakIntensity", "float"),
+    "proteomics" -> ("PeakIntensity", "float"),
+    "rna" -> ("ReadCount", "long"),
+    "kmer" -> ("KmerCount", "long"),
+    "biodata" -> ("ValueWithMetadata", "double")
+  )
+
+  final case class Config(
+      dataFiles: Seq[String],
+      sampleMetadataFiles: Seq[String] = Nil,
+      featureMetadataFiles: Seq[String] = Nil,
+      experimentType: String = "biodata",
+      sampleColumn: Option[String] = None,
+      batchColumn: Option[String] = None,
+      targetColumn: Option[String] = None,
+      metadataColumns: Seq[String] = Nil,
+      labels: Seq[String] = Nil,
+      positiveLabels: Seq[String] = Nil,
+      negativeLabels: Seq[String] = Nil,
+      encodeLabels: Boolean = true,
+      rowsAreFeatures: Boolean = false,
+      columns: Seq[String] = Nil
+  )
+
+  final case class GraftDataset(
+      df: DataFrame,
+      roles: ColumnInference.Roles,
+      labelNames: Seq[String],
+      task: Option[ColumnInference.TaskType]
+  ) {
+    /** Deterministic hash-bucket split — Map(split name → frame). */
+    def trainTestSplit(testFraction: Double, seed: Long = 42L): Map[String, DataFrame] = {
+      val keys = roles.sampleColumn.map(Seq(_)).getOrElse(df.columns.toSeq)
+      val tagged = SplitOps.trainTestSplit(df, keys, testFraction, seed)
+      Map(
+        "train" -> tagged.filter(col("split") === "train").drop("split"),
+        "test" -> tagged.filter(col("split") === "test").drop("split")
+      )
+    }
+  }
+
+  def load(spark: SparkSession, config: Config): GraftDataset = {
+    var df = BioLoader.load(spark, config.dataFiles)
+    if (config.rowsAreFeatures) {
+      // reference biodata.py:180 rows_are_features: first column is
+      // the feature name axis in feature-major files
+      df = ReshapeOps.transpose(df, df.columns.head)
+    }
+    if (config.columns.nonEmpty) df = df.select(config.columns.map(col): _*)
+
+    // sample metadata: keyed broadcast join when a shared sample
+    // column exists; else positional concat (biodata.py:897-972)
+    if (config.sampleMetadataFiles.nonEmpty) {
+      val meta = BioLoader.load(spark, config.sampleMetadataFiles)
+      val metaRoles = ColumnInference.inferRoles(meta, config.sampleColumn)
+      val joinKey = metaRoles.sampleColumn.filter(df.columns.contains)
+      df = joinKey match {
+        case Some(k) => MetadataOps.joinSampleMetadata(df, meta, k)
+        case None =>
+          ReshapeOps.concatColumns(df, meta, df.columns.toSeq.take(1), meta.columns.toSeq.take(1))
+      }
+    }
+
+    // feature metadata → StructField.metadata annotation (the
+    // reference's feature_metadata table, biodata.py:707/1200)
+    if (config.featureMetadataFiles.nonEmpty) {
+      val fm = BioLoader.load(spark, config.featureMetadataFiles)
+      val nameCol = fm.columns.head
+      val kv = fm.collect().map { r =>
+        val name = Option(r.get(0)).map(_.toString).getOrElse("")
+        name -> fm.columns.tail.map(c => c -> Option(r.getAs[Any](c)).map(_.toString).getOrElse("")).toMap
+      }.toMap
+      df = MetadataOps.attachFeatureMetadata(df, kv)
+    }
+
+    val roles = ColumnInference.inferRoles(
+      df, config.sampleColumn, config.batchColumn, config.targetColumn, config.metadataColumns)
+
+    // tag data columns with the experiment's feature type
+    val (featType, _) = ExperimentFeatureTypes.getOrElse(config.experimentType, ("ValueWithMetadata", "double"))
+    if (roles.dataColumns.nonEmpty) {
+      val cols = df.schema.fields.map { f =>
+        if (roles.dataColumns.contains(f.name)) {
+          val mb = new MetadataBuilder().withMetadata(f.metadata).putString("graft.featureType", featType)
+          col(f.name).as(f.name, mb.build())
+        } else col(f.name)
+      }
+      df = df.select(cols.toIndexedSeq: _*)
+    }
+
+    // labels (biodata.py:821-895/974-1035)
+    var labelNames = config.labels
+    var task: Option[ColumnInference.TaskType] = None
+    roles.targetColumn.foreach { tc =>
+      task = Some(ColumnInference.inferTask(df, tc))
+      if (config.positiveLabels.nonEmpty || config.negativeLabels.nonEmpty) {
+        df = LabelOps.binarize(df, tc, LabelOps.BinarizeSpec(config.positiveLabels, config.negativeLabels))
+        if (labelNames.isEmpty) labelNames = Seq("negative", "positive")
+      } else if (config.encodeLabels && task.contains(ColumnInference.Classification)) {
+        if (labelNames.nonEmpty) df = LabelOps.classEncodeWith(df, tc, labelNames)
+        else {
+          labelNames = LabelOps.labelDictionary(df, tc)
+          df = LabelOps.classEncodeWith(df, tc, labelNames)
+        }
+      }
+    }
+
+    GraftDataset(df, roles, labelNames, task)
+  }
+}

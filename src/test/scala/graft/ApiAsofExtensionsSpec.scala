@@ -1,0 +1,88 @@
+package graft
+
+import graft.api.LoadDataset
+import graft.operators.AsofJoinOps
+import org.apache.spark.sql.functions._
+
+class ApiAsofExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward attaches most recent right row per key, inclusive at equal time") {
+    val left = Seq((1, 10L, "e1"), (1, 20L, "e2"), (1, 5L, "e0"), (2, 10L, "x")).toDF("k", "t", "ev")
+    val right = Seq((1, 10L, 100.0), (1, 15L, 150.0), (3, 1L, 999.0)).toDF("k", "rt", "price")
+    val out = AsofJoinOps.asofBackward(left, right, "k", "t", "rt", Seq("price"))
+      .select("k", "t", "ev", "price").collect()
+      .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(out == Set(
+      (1, 5L, -1.0),   // before any right row
+      (1, 10L, 100.0), // equal time matches (inclusive)
+      (1, 20L, 150.0), // latest ≤ 20 is 15
+      (2, 10L, -1.0)   // key with no right rows
+    ))
+  }
+
+  test("LoadDataset.load: metadata join + role inference + label encode, end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api").toFile.getAbsolutePath
+    Seq(("s1", 3L, 5L), ("s2", 0L, 2L), ("s3", 7L, 1L))
+      .toDF("samples", "otu1", "otu2").write.parquet(s"$dir/data.parquet")
+    Seq(("s1", "sick", "b1"), ("s2", "healthy", "b1"), ("s3", "sick", "b2"))
+      .toDF("samples", "diagnosis", "batches").write.parquet(s"$dir/meta.parquet")
+    Seq(("otu1", "g__Akkermansia"), ("otu2", "g__Bacteroides"))
+      .toDF("feature", "taxonomy").write.parquet(s"$dir/featmeta.parquet")
+
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$dir/data.parquet"),
+      sampleMetadataFiles = Seq(s"$dir/meta.parquet"),
+      featureMetadataFiles = Seq(s"$dir/featmeta.parquet"),
+      experimentType = "otu",
+      targetColumn = Some("diagnosis")
+    ))
+    assert(ds.roles.sampleColumn.contains("samples"))
+    assert(ds.roles.batchColumn.contains("batches"))
+    assert(ds.roles.targetColumn.contains("diagnosis"))
+    assert(ds.labelNames == Seq("healthy", "sick"))
+    assert(ds.task.contains(graft.sources.ColumnInference.Classification))
+    // metadata-first column order, encoded labels appended
+    assert(ds.df.columns.contains("encoded_labels"))
+    val rows = ds.df.select("samples", "diagnosis", "encoded_labels")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("s1", "sick", 1), ("s2", "healthy", 0), ("s3", "sick", 1)))
+    // feature type tag + feature metadata attached
+    assert(ds.df.schema("otu1").metadata.getString("graft.featureType") == "Abundance")
+    assert(ds.df.schema("otu1").metadata.getString("taxonomy") == "g__Akkermansia")
+    // split is deterministic and covers all rows
+    val splits = ds.trainTestSplit(0.34)
+    assert(splits("train").count() + splits("test").count() == 3)
+  }
+
+  test("LoadDataset binarize path and rows_are_features transpose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api2").toFile.getAbsolutePath
+    Seq(("s1", "A", 1.0), ("s2", "B", 2.0), ("s3", "C", 3.0))
+      .toDF("samples", "labels", "v").write.parquet(s"$dir/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$dir/d.parquet"),
+      positiveLabels = Seq("A"), negativeLabels = Seq("B")
+    ))
+    val enc = ds.df.select("samples", "encoded_labels").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(enc == Map("s1" -> 1, "s2" -> 0, "s3" -> -1))
+
+    Seq(("f1", 1.0, 2.0), ("f2", 3.0, 4.0))
+      .toDF("feat", "s1", "s2").write.parquet(s"$dir/t.parquet")
+    val dst = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$dir/t.parquet"), rowsAreFeatures = true))
+    assert(dst.df.columns.sorted.toSeq == Seq("f1", "f2", "sample"))
+    assert(dst.df.count() == 2)
+  }
+
+  test("GraftExtensions exposes the custom expressions to SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+        |       minhash_band_keys(shingle_hashes(array('a','b','c'), 2), 8, 4) AS mh,
+        |       text_stats('Hello world! 42.') AS ts""".stripMargin).collect()(0)
+    assert(row.getLong(0) != 0L)
+    assert(row.getSeq[Long](1).size == 2)
+    assert(row.getStruct(2).getAs[Int]("n_tokens") == 3)
+  }
+}
