@@ -15,6 +15,16 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Half-up decimal rounding via floor — Spark's `round` is
+    * HALF_UP but DuckDB's is half-even, so on fixed-decimal data
+    * (where exact .5 midpoints occur) the two disagree. Both sides
+    * of every oracle use this identical floor formulation instead.
+    */
+  private def hround(c: Column, d: Int): Column = {
+    val m = math.pow(10, d)
+    floor(c * m + lit(0.5)) / m
+  }
+
   /** Flagship: the reference's load path end-to-end — load fact
     * table, broadcast-join sample metadata, encode labels, TSS
     * normalize, summarize per label (biosets load_dataset analogue).
@@ -36,7 +46,7 @@ object SparkEntry {
     "q_load_project" -> ((s, dir) => {
       BioLoader.load(s, t(dir, "lineitem"))
         .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 2).as("price"))
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("l_extendedprice"), 2).as("price"))
     }),
 
     // ---- C2/N8: grouped aggregation (TPC-H Q1 shape) ----
@@ -44,9 +54,9 @@ object SparkEntry {
       BioLoader.load(s, t(dir, "lineitem"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          hround(sum("l_quantity"), 2).as("sum_qty"),
+          hround(sum("l_extendedprice"), 2).as("sum_price"),
+          hround(avg("l_discount"), 6).as("avg_disc"),
           count(lit(1)).as("n")
         )
     }),
@@ -70,7 +80,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("o_orderstatus"))
-        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .agg(hround(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
     }),
 
     // ---- T1: class label encoding ----
@@ -106,7 +116,7 @@ object SparkEntry {
         BioLoader.load(s, t(dir, "lineitem")),
         "l_orderkey", "l_returnflag", "l_quantity", Seq("A", "N", "R")
       )
-      p.select(col("l_orderkey"), round(col("A"), 2).as("A"), round(col("N"), 2).as("N"), round(col("R"), 2).as("R"))
+      p.select(col("l_orderkey"), hround(col("A"), 2).as("A"), hround(col("N"), 2).as("N"), hround(col("R"), 2).as("R"))
     }),
 
     // ---- R3: transpose (rows_are_features) ----
@@ -137,25 +147,25 @@ object SparkEntry {
     // ---- N1: TSS relative abundance ----
     "q_tss" -> ((s, dir) => {
       NormalizeOps.tss(BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_quantity")
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("tss"), 6).as("tss"))
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("tss"), 6).as("tss"))
     }),
 
     // ---- N2: CLR ----
     "q_clr" -> ((s, dir) => {
       NormalizeOps.clr(BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_quantity")
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("clr"), 6).as("clr"))
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("clr"), 6).as("clr"))
     }),
 
     // ---- N3: z-score per feature ----
     "q_zscore" -> ((s, dir) => {
       NormalizeOps.zscore(BioLoader.load(s, t(dir, "lineitem")), "l_partkey", "l_extendedprice")
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("zscore"), 6).as("zscore"))
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("zscore"), 6).as("zscore"))
     }),
 
     // ---- N4: min-max per feature ----
     "q_minmax" -> ((s, dir) => {
       NormalizeOps.minmax(BioLoader.load(s, t(dir, "lineitem")), "l_partkey", "l_extendedprice")
-        .select(col("l_orderkey"), col("l_linenumber"), round(col("minmax"), 6).as("minmax"))
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("minmax"), 6).as("minmax"))
     }),
 
     // ---- N6: zero-as-missing + group-mean imputation ----
@@ -163,7 +173,7 @@ object SparkEntry {
       val e = BioLoader.load(s, t(dir, "events")).withColumn("v", floor(col("value")))
       val masked = FilterOps.zeroAsMissing(e, "v")
       FilterOps.imputeGroupMean(masked, "event_type", "v", "v_imputed")
-        .select(col("event_id"), col("event_type"), round(col("v_imputed"), 6).as("v_imputed"))
+        .select(col("event_id"), col("event_type"), hround(col("v_imputed"), 6).as("v_imputed"))
     }),
 
     // ---- N7: prevalence filter ----
@@ -189,8 +199,8 @@ object SparkEntry {
     // ---- C9: describe ----
     "q_describe" -> ((s, dir) => {
       val d = StatsOps.describeAll(BioLoader.load(s, t(dir, "lineitem")), Seq("l_quantity", "l_extendedprice", "l_discount"))
-      d.select(col("column"), col("n"), round(col("mean"), 6).as("mean"),
-        round(col("min"), 6).as("min"), round(col("max"), 6).as("max"), round(col("stddev"), 6).as("stddev"))
+      d.select(col("column"), col("n"), hround(col("mean"), 6).as("mean"),
+        hround(col("min"), 6).as("min"), hround(col("max"), 6).as("max"), hround(col("stddev"), 6).as("stddev"))
     }),
 
     // ---- C5/C6: value counts ----
@@ -242,6 +252,13 @@ object SparkEntry {
       KnnOps.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, nBits = 8)
     }),
 
+    // ---- S4: IVF ANN top-k ----
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings"))
+      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16)
+      IvfKnnOps.topK(emb.filter(col("vec_id") < 10), index, "vec_id", "embedding", 5, nProbe = 4)
+    }),
+
     // ---- X1: language ID ----
     "q_langid" -> ((s, dir) => {
       TextOps.langId(BioLoader.load(s, t(dir, "documents")), "text")
@@ -275,20 +292,20 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => {
       BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), hround(avg("value"), 6).as("avg_value"), hround(sum("value"), 2).as("sum_value"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_load_project" ->
-      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      """SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 100 + 0.5) / 100 AS price
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
 
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price,
+        |  floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -297,7 +314,7 @@ object SparkEntry {
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q_join_enrich" ->
-      """SELECT r_name, o_orderstatus, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      """SELECT r_name, o_orderstatus, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS revenue, count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -326,9 +343,9 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT l_orderkey,
-        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
-        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |  floor((sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)) * 100 + 0.5) / 100 AS "A",
+        |  floor((sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)) * 100 + 0.5) / 100 AS "N",
+        |  floor((sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)) * 100 + 0.5) / 100 AS "R"
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q_transpose" ->
@@ -356,25 +373,25 @@ object SparkEntry {
 
     "q_tss" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS tss
+        |  floor((l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey)) * 1000000 + 0.5) / 1000000 AS tss
         |FROM lineitem""".stripMargin,
 
     "q_clr" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(ln(l_quantity) - avg(ln(l_quantity)) OVER (PARTITION BY l_orderkey), 6) AS clr
+        |  floor((ln(l_quantity) - avg(ln(l_quantity)) OVER (PARTITION BY l_orderkey)) * 1000000 + 0.5) / 1000000 AS clr
         |FROM lineitem""".stripMargin,
 
     "q_zscore" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_partkey))
-        |        / nullif(stddev_samp(l_extendedprice) OVER (PARTITION BY l_partkey), 0), 6) AS zscore
+        |  floor(((l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_partkey))
+        |        / nullif(stddev_samp(l_extendedprice) OVER (PARTITION BY l_partkey), 0)) * 1000000 + 0.5) / 1000000 AS zscore
         |FROM lineitem""".stripMargin,
 
     "q_minmax" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round((l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_partkey))
+        |  floor(((l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_partkey))
         |        / nullif(max(l_extendedprice) OVER (PARTITION BY l_partkey)
-        |                 - min(l_extendedprice) OVER (PARTITION BY l_partkey), 0), 6) AS minmax
+        |                 - min(l_extendedprice) OVER (PARTITION BY l_partkey), 0)) * 1000000 + 0.5) / 1000000 AS minmax
         |FROM lineitem""".stripMargin,
 
     "q_impute" ->
@@ -384,7 +401,7 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT event_id, event_type,
-        |  round(coalesce(v, avg(v) OVER (PARTITION BY event_type)), 6) AS v_imputed
+        |  floor((coalesce(v, avg(v) OVER (PARTITION BY event_type))) * 1000000 + 0.5) / 1000000 AS v_imputed
         |FROM e""".stripMargin,
 
     "q_prevalence" ->
@@ -402,16 +419,16 @@ object SparkEntry {
         |) WHERE rank <= 3""".stripMargin,
 
     "q_describe" ->
-      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n, round(avg(l_quantity), 6) AS mean,
-        |  round(min(l_quantity), 6) AS min, round(max(l_quantity), 6) AS max, round(stddev_samp(l_quantity), 6) AS stddev
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n, floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000 AS mean,
+        |  floor((min(l_quantity)) * 1000000 + 0.5) / 1000000 AS min, floor((max(l_quantity)) * 1000000 + 0.5) / 1000000 AS max, floor((stddev_samp(l_quantity)) * 1000000 + 0.5) / 1000000 AS stddev
         |FROM lineitem
         |UNION ALL
-        |SELECT 'l_extendedprice', count(l_extendedprice), round(avg(l_extendedprice), 6),
-        |  round(min(l_extendedprice), 6), round(max(l_extendedprice), 6), round(stddev_samp(l_extendedprice), 6)
+        |SELECT 'l_extendedprice', count(l_extendedprice), floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000,
+        |  floor((min(l_extendedprice)) * 1000000 + 0.5) / 1000000, floor((max(l_extendedprice)) * 1000000 + 0.5) / 1000000, floor((stddev_samp(l_extendedprice)) * 1000000 + 0.5) / 1000000
         |FROM lineitem
         |UNION ALL
-        |SELECT 'l_discount', count(l_discount), round(avg(l_discount), 6),
-        |  round(min(l_discount), 6), round(max(l_discount), 6), round(stddev_samp(l_discount), 6)
+        |SELECT 'l_discount', count(l_discount), floor((avg(l_discount)) * 1000000 + 0.5) / 1000000,
+        |  floor((min(l_discount)) * 1000000 + 0.5) / 1000000, floor((max(l_discount)) * 1000000 + 0.5) / 1000000, floor((stddev_samp(l_discount)) * 1000000 + 0.5) / 1000000
         |FROM lineitem""".stripMargin,
 
     "q_value_counts" ->
@@ -424,7 +441,7 @@ object SparkEntry {
     "q_knn_brute" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |    floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cosine
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10
         |), ranked AS (
@@ -450,10 +467,10 @@ object SparkEntry {
         |    CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
         |  FROM f
         |)
-        |SELECT doc_id, round(mwl, 6) AS mean_word_len, round(pd, 6) AS punct_density,
-        |  round(dd, 6) AS digit_density, round(ur, 6) AS unique_ratio,
-        |  round(0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
-        |    + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur, 6) AS quality
+        |SELECT doc_id, floor((mwl) * 1000000 + 0.5) / 1000000 AS mean_word_len, floor((pd) * 1000000 + 0.5) / 1000000 AS punct_density,
+        |  floor((dd) * 1000000 + 0.5) / 1000000 AS digit_density, floor((ur) * 1000000 + 0.5) / 1000000 AS unique_ratio,
+        |  floor((0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |    + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur) * 1000000 + 0.5) / 1000000 AS quality
         |FROM g""".stripMargin,
 
     "q_tokens" ->
@@ -471,7 +488,7 @@ object SparkEntry {
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-        |  count(*) AS n, round(avg(value), 6) AS avg_value, round(sum(value), 2) AS sum_value
+        |  count(*) AS n, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.api
+
+import graft.sources.ColumnInference
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.{Files, Paths}
+
+/** Persist / restore a [[LoadDataset.GraftDataset]] — the
+  * reference's `save_to_disk` / `load_from_disk` + DatasetDict
+  * surface (reference: load.py:269, dataset_dict.py).
+  *
+  * Layout: one parquet directory per split plus a `graft_info.json`
+  * sidecar holding roles, label dictionary, and task type. Parquet
+  * keeps the `StructField.metadata` feature annotations on its own;
+  * the sidecar carries what schema metadata can't (split names,
+  * role assignment, label order). Splits are separate directories
+  * so a consumer of only "train" never lists or reads "test" files.
+  */
+object DatasetIO {
+
+  def save(ds: LoadDataset.GraftDataset, path: String, splits: Map[String, DataFrame] = Map.empty): Unit = {
+    val all = if (splits.nonEmpty) splits else Map("train" -> ds.df)
+    all.foreach { case (name, df) => df.write.mode("overwrite").parquet(s"$path/$name") }
+    val info = renderInfo(ds, all.keys.toSeq.sorted)
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(s"$path/graft_info.json"), info)
+  }
+
+  def load(spark: SparkSession, path: String): (Map[String, DataFrame], LoadDataset.GraftDataset) = {
+    val info = Files.readString(Paths.get(s"$path/graft_info.json"))
+    val splits = strListField(info, "splits")
+    val frames = splits.map(s => s -> spark.read.parquet(s"$path/$s")).toMap
+    val primary = frames.getOrElse("train", frames.values.head)
+    val roles = ColumnInference.Roles(
+      strField(info, "sample_column"),
+      strField(info, "batch_column"),
+      strField(info, "target_column"),
+      strListField(info, "metadata_columns"),
+      strListField(info, "data_columns")
+    )
+    val task = strField(info, "task").map {
+      case "regression" => ColumnInference.Regression
+      case _            => ColumnInference.Classification
+    }
+    (frames, LoadDataset.GraftDataset(primary, roles, strListField(info, "labels"), task))
+  }
+
+  // minimal JSON (flat schema, controlled keys — no library dependency)
+  private def renderInfo(ds: LoadDataset.GraftDataset, splits: Seq[String]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
+    def opt(o: Option[String]) = o.map(q).getOrElse("null")
+    val task = ds.task.map {
+      case ColumnInference.Regression     => "regression"
+      case ColumnInference.Classification => "classification"
+    }
+    s"""{
+       |  "splits": ${arr(splits)},
+       |  "sample_column": ${opt(ds.roles.sampleColumn)},
+       |  "batch_column": ${opt(ds.roles.batchColumn)},
+       |  "target_column": ${opt(ds.roles.targetColumn)},
+       |  "metadata_columns": ${arr(ds.roles.metadataColumns)},
+       |  "data_columns": ${arr(ds.roles.dataColumns)},
+       |  "labels": ${arr(ds.labelNames)},
+       |  "task": ${task.map(q).getOrElse("null")}
+       |}""".stripMargin
+  }
+
+  private def strField(json: String, key: String): Option[String] = {
+    val m = ("\"" + key + "\":\\s*(null|\"((?:[^\"\\\\]|\\\\.)*)\")").r.findFirstMatchIn(json)
+    m.flatMap(g => Option(g.group(2))).map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
+  private def strListField(json: String, key: String): Seq[String] = {
+    val m = ("\"" + key + "\":\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
+    m.map(_.group(1)).filter(_.trim.nonEmpty).toSeq.flatMap { body =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    }
+  }
+}

@@ -64,4 +64,14 @@ object VectorFunctions {
 
   /** Hamming distance between two packed-bit longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Half-up decimal rounding via floor — matches the identical
+    * formulation used in SQL oracles (Spark round is HALF_UP,
+    * DuckDB round is half-even; floor(x·10^d + 0.5)/10^d is
+    * engine-independent).
+    */
+  def hround(c: Column, d: Int): Column = {
+    val m = math.pow(10, d)
+    floor(c * m + lit(0.5)) / m
+  }
 }

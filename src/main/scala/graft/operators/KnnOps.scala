@@ -31,7 +31,7 @@ object KnnOps {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(VF.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cosine", VF.hround(VF.cosineSimilarity(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -66,7 +66,7 @@ object KnnOps {
     val scored = c
       .join(broadcast(q), Seq("bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(VF.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cosine", VF.hround(VF.cosineSimilarity(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .select("query_id", "neighbor_id", "cosine")

@@ -1,0 +1,44 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.operators.{IvfKnnOps, KnnOps}
+import graft.sources.BioLoader
+import org.apache.spark.sql.functions._
+
+class DatasetIoIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DatasetIO round-trips splits, roles, labels, and feature metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toFile.getAbsolutePath
+    val src = java.nio.file.Files.createTempDirectory("graft-io-src").toFile.getAbsolutePath
+    Seq(("s1", "sick", 3L), ("s2", "healthy", 0L), ("s3", "sick", 7L))
+      .toDF("samples", "diagnosis", "otu1").write.parquet(s"$src/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$src/d.parquet"), targetColumn = Some("diagnosis"), experimentType = "otu"))
+    val splits = ds.trainTestSplit(0.34)
+    DatasetIO.save(ds, dir, splits)
+
+    val (loaded, meta) = DatasetIO.load(spark, dir)
+    assert(loaded.keySet == Set("train", "test"))
+    assert(loaded("train").count() + loaded("test").count() == 3)
+    assert(meta.roles.sampleColumn.contains("samples"))
+    assert(meta.roles.targetColumn.contains("diagnosis"))
+    assert(meta.labelNames == Seq("healthy", "sick"))
+    assert(meta.task.contains(graft.sources.ColumnInference.Classification))
+    // schema-embedded feature type survives the parquet round trip
+    assert(loaded("train").schema("otu1").metadata.getString("graft.featureType") == "Abundance")
+  }
+
+  test("IVF ANN achieves high recall vs brute force on real embeddings") {
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    val brute = KnnOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 8)
+    val ivf = IvfKnnOps.topK(queries, index, "vec_id", "embedding", 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.size == brute.size)
+  }
+}
