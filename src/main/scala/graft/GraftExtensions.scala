@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardRules.JaccardSizePrefilter)
+  }
 }
 
 object GraftExtensions {
@@ -51,6 +53,11 @@ object GraftExtensions {
       new FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (children: Seq[Expression]) => TextStats(children.head)
+    ),
+    (
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[graft.plans.JaccardRules.JaccardSim].getName, "jaccard_sim"),
+      (children: Seq[Expression]) => graft.plans.JaccardRules.JaccardSim(children.head, children(1))
     )
   )
 

@@ -119,6 +119,25 @@ object ReshapeOps {
     joined.drop("__row_idx").select((right.columns ++ cleanLeft.columns).map(col).toIndexedSeq: _*)
   }
 
+  /** Recursively flatten struct columns into `parent.child`
+    * top-level columns — the reference's `Dataset.flatten`
+    * (arrow_dataset.py wraps HF flatten). Pure projection: no
+    * shuffle, nested-column pruning still reaches the scan.
+    */
+  def flattenStructs(df: DataFrame, sep: String = "."): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(prefix: String, field: org.apache.spark.sql.types.StructField): Seq[Column] =
+      field.dataType match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f => expand(s"$prefix${field.name}$sep", f.copy(name = f.name)))
+            .map(identity)
+        case _ =>
+          Seq(col((s"$prefix${field.name}").split(java.util.regex.Pattern.quote(sep)).map(n => s"`$n`").mkString(".")).as(s"$prefix${field.name}"))
+      }
+    val cols = df.schema.fields.toSeq.flatMap(f => expand("", f))
+    df.select(cols: _*)
+  }
+
   /** Union of two frames with differing schemas where missing
     * columns become nulls, preserving a `source` tag.
     */

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Jaccard similarity as a first-class Catalyst expression, plus an
+  * optimizer rule that exploits it.
+  *
+  * Having `jaccard(a,b)` be ONE node (instead of the composed
+  * `size(intersect)/size(union)` tree) buys two things: a
+  * single-pass hash-set evaluation, and a pattern the optimizer can
+  * recognize — [[JaccardSizePrefilter]] rewrites
+  * `filter(jaccard(a,b) >= t)` to prepend the O(1) necessary
+  * condition `size(a) >= t·size(b) && size(b) >= t·size(a)`
+  * (|A∩B| ≤ min sizes, |A∪B| ≥ max sizes ⇒ J ≤ min/max). Conjuncts
+  * evaluate left-to-right, so wildly mismatched pairs never pay for
+  * the set intersection — the positional-filter idea from the
+  * similarity-join literature (PPJoin) expressed as a Catalyst
+  * rewrite.
+  */
+object JaccardRules {
+
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sim"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+      copy(left = l, right = r)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+      val seen = new java.util.HashSet[Any]()
+      var i = 0
+      while (i < x.numElements()) { seen.add(x.get(i, elemType)); i += 1 }
+      val nx = seen.size()
+      var inter = 0
+      val matched = new java.util.HashSet[Any]()
+      i = 0
+      while (i < y.numElements()) {
+        val v = y.get(i, elemType)
+        if (seen.contains(v) && matched.add(v)) inter += 1
+        i += 1
+      }
+      val ny = {
+        val s2 = new java.util.HashSet[Any]()
+        var j = 0
+        while (j < y.numElements()) { s2.add(y.get(j, elemType)); j += 1 }
+        s2.size()
+      }
+      val union = nx + ny - inter
+      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+    }
+  }
+
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** filter(jaccard(a,b) >= t) ⇒
+    * filter(size(a)·1 >= t·size(b) && size(b) >= t·size(a) && jaccard(a,b) >= t)
+    *
+    * Marked by a guard so the rewrite is applied once (idempotent
+    * under the fixed-point optimizer).
+    */
+  object JaccardSizePrefilter extends Rule[LogicalPlan] {
+    private def sizeGuard(a: Expression, b: Expression, t: Expression): Expression = {
+      val sa = Cast(Size(a), DoubleType)
+      val sb = Cast(Size(b), DoubleType)
+      And(GreaterThanOrEqual(sa, Multiply(t, sb)), GreaterThanOrEqual(sb, Multiply(t, sa)))
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, child) =>
+        val rewritten = cond.transformUp {
+          // exists-guard keeps the rewrite idempotent across the
+          // optimizer's fixed-point iterations
+          case ge @ GreaterThanOrEqual(j: JaccardSim, t @ Literal(_, DoubleType))
+              if !cond.exists(_.fastEquals(sizeGuard(j.left, j.right, t))) =>
+            And(sizeGuard(j.left, j.right, t), ge)
+        }
+        if (rewritten fastEquals cond) f else Filter(rewritten, child)
+    }
+  }
+}
