@@ -46,6 +46,7 @@ object BioLoader {
         r.csv(paths: _*)
       case "json" | "jsonl" => spark.read.json(paths: _*)
       case "npz"            => NpzReader.read(spark, paths)
+      case "arrow"          => ArrowIpcReader.read(spark, paths)
       case other            => throw new IllegalArgumentException(s"unsupported extension: .$other")
     }
   }

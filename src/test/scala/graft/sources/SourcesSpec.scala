@@ -80,6 +80,39 @@ class SourcesSpec extends SparkSpec {
     assert(triples == Set((0L, 1L, 5.0), (1L, 0L, 7.0)))
   }
 
+  test("ArrowIpcReader round-trips an IPC file written with Arrow Java") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val path = java.io.File.createTempFile("graft", ".arrow").getAbsolutePath
+    val allocator = new RootAllocator()
+    val schema = new ASchema(java.util.List.of(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("name", FieldType.nullable(ArrowType.Utf8.INSTANCE), null),
+      new Field("score", FieldType.nullable(new ArrowType.FloatingPoint(
+        org.apache.arrow.vector.types.FloatingPointPrecision.DOUBLE)), null)
+    ))
+    val root = VectorSchemaRoot.create(schema, allocator)
+    val ids = root.getVector("id").asInstanceOf[BigIntVector]
+    val names = root.getVector("name").asInstanceOf[VarCharVector]
+    val scores = root.getVector("score").asInstanceOf[Float8Vector]
+    ids.allocateNew(3); names.allocateNew(); scores.allocateNew(3)
+    Seq((0, 1L, "a", 0.5), (1, 2L, "b", 1.5), (2, 3L, "c", 2.5)).foreach { case (i, id, nm, sc) =>
+      ids.set(i, id); names.setSafe(i, nm.getBytes("UTF-8")); scores.set(i, sc)
+    }
+    root.setRowCount(3)
+    val ch = new java.io.FileOutputStream(path).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close()
+    root.close(); allocator.close()
+
+    val df = BioLoader.load(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    val rows = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
+  }
+
   test("BioLoader reads csv and tsv with headers") {
     val dir = java.nio.file.Files.createTempDirectory("graft").toFile.getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
