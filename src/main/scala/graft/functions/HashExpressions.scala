@@ -151,6 +151,49 @@ object HashExpressions {
     }
   }
 
+  /** Random-hyperplane LSH bits fused into one pass over the
+    * vector: bit_i = sign(Σ_d v[d]·s_id) where s_id ∈ {±1} is
+    * derived from xxh64(seed+i, d) — the implicit projection
+    * "matrix" is the hash function, identical on every executor,
+    * nothing to broadcast. Replaces an O(bits) stack of
+    * aggregate(zip_with(sequence…)) Catalyst trees.
+    */
+  case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
+      extends UnaryExpression
+      with CodegenFallback {
+    require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_lsh"
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh = copy(child = newChild)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = new Array[Double](nBits)
+      var d = 0
+      while (d < n) {
+        if (!arr.isNullAt(d)) {
+          val v = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+          var i = 0
+          while (i < nBits) {
+            // one cheap mix per (bit, dim); sign from the low bit
+            val s = if ((XXH64.hashLong(d.toLong, seed + i) & 1L) == 0L) v else -v
+            acc(i) += s
+            i += 1
+          }
+        }
+        d += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < nBits) { if (acc(i) >= 0) bits |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(bits)
+    }
+  }
+
   // ---- Column wrappers ----------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -163,4 +206,7 @@ object HashExpressions {
 
   def shingleHashes(tokens: Column, n: Int, seed: Long = 13L): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n, seed))
+
+  def hyperplaneLsh(vec: Column, nBits: Int, seed: Long = 7L): Column =
+    ColumnBridge.column(HyperplaneLsh(ColumnBridge.expression(vec), nBits, seed))
 }

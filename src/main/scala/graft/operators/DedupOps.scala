@@ -155,7 +155,7 @@ object DedupOps {
       nBits: Int = 16,
       maxBucket: Int = 2000
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), VF.hyperplaneLshBits(col(vecCol), nBits).as("bkt"))
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), HE.hyperplaneLsh(col(vecCol), nBits).as("bkt"))
     val sized = sigs.groupBy("bkt").agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
     val pruned = sigs.join(sized.select("bkt"), Seq("bkt"), "left_semi")
     val a = pruned.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,11 +27,15 @@ object KnnOps {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms once per row, not once per pair — the pair loop then
+    // does a single dot product
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VF.l2Norm(col(vecCol)).as("cn"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.hround(VF.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cosine", VF.hround(VF.dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -54,10 +58,10 @@ object KnnOps {
       probes: Int = 1
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VF.hyperplaneLshBits(col(vecCol), nBits).as("bkt"))
+      HE.hyperplaneLsh(col(vecCol), nBits).as("bkt"))
     // multi-probe: query bucket ⊕ each single bit (probes=1 → nBits+1 probes)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VF.hyperplaneLshBits(col(vecCol), nBits).as("qbkt"))
+      HE.hyperplaneLsh(col(vecCol), nBits).as("qbkt"))
     val probeBkts =
       if (probes <= 0) array(col("qbkt"))
       else

@@ -103,6 +103,17 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact-dedup on a key expression within the
+    * watermark horizon — the streaming face of
+    * [[graft.operators.DedupOps.exact]]. State holds one entry per
+    * distinct key inside the watermark and is evicted as the
+    * watermark advances.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   /** File-source streaming read of an events directory with the
     * static schema — the entry point for a real deployment
     * (swap for Kafka by changing format only).

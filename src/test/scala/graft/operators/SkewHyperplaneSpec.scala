@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{HashExpressions => HE}
+import org.apache.spark.sql.functions._
+
+class SkewHyperplaneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin matches a plain join result") {
+    val left = spark.range(1000).toDF("id")
+      .withColumn("k", when($"id" < 900, lit("hot")).otherwise(concat(lit("k"), $"id")))
+    val right = Seq(("hot", 1.0), ("k950", 2.0), ("absent", 3.0)).toDF("k", "payload")
+    val plain = left.join(right, "k").agg(count(lit(1)), sum("payload")).collect()(0)
+    val salted = SkewOps.saltedJoin(left, right, "k", 8).agg(count(lit(1)), sum("payload")).collect()(0)
+    assert(plain == salted)
+  }
+
+  test("saltedJoin left join keeps unmatched rows exactly once") {
+    val left = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val right = Seq(("a", 9.0)).toDF("k", "p")
+    val out = SkewOps.saltedJoin(left, right, "k", 4, "left")
+    assert(out.count() == 2)
+    assert(out.filter($"k" === "b").select("p").head().isNullAt(0))
+  }
+
+  test("fused hyperplane LSH: identical vectors same bucket, orthogonal vectors differ") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val b = df.select($"id", HE.hyperplaneLsh($"v", 16).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // opposite vector flips (nearly) every non-tie bit
+  }
+
+  test("streamingDedup batch path dedups on key") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("event_id", "k")
+    assert(graft.streaming.EventStreams.streamingDedup(df, Seq("k")).count() == 2)
+  }
+}
