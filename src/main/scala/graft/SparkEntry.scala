@@ -277,6 +277,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens_ws").cast("long").as("n_tokens_ws"))
     }),
 
+    // ---- N8/L4: feature-metadata-driven hierarchical rollup ----
+    "q_rollup" -> ((s, dir) => {
+      val fact = BioLoader.load(s, t(dir, "lineitem"))
+      val mapping = BioLoader.load(s, t(dir, "part"))
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))
+      val r = StatsOps.rollup(fact, mapping, "l_partkey", "p_type", "l_orderkey", "l_quantity")
+      r.select(col("l_orderkey"), col("p_type"), hround(col("l_quantity"), 2).as("l_quantity"))
+    }),
+
     // ---- C10: as-of (point-in-time) join ----
     "q_asof_join" -> ((s, dir) => {
       val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -477,6 +486,11 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens_ws
         |FROM documents""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_orderkey, p_type, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS l_quantity
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_orderkey, p_type""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (

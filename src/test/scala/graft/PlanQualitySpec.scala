@@ -56,6 +56,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("dedup plans never contain a cartesian or nested-loop join") {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_embed_dedup")) {
+      val p = planOf(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: $p")
+    }
+  }
+
+  test("as-of join is one windowed pass, not a range join") {
+    val p = planOf(q("q_asof_join"))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("rollup broadcast-joins the feature mapping") {
+    val p = planOf(q("q_rollup"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("per-row text analysis: no shuffle, stats expression evaluated exactly once per row") {
     val p = planOf(q("q_quality"))
     assert(!p.contains("Exchange"), p) // per-row scoring must not shuffle
