@@ -69,6 +69,35 @@ object LoadDataset {
     }
   }
 
+  /** Multi-split load (the reference's DataFilesDict: split name →
+    * files). The label dictionary is computed over ALL splits and
+    * shared, so "test" rows encode against the same codes as
+    * "train" — the invariant the reference enforces by demanding
+    * explicit labels for multi-file loads (biodata.py:1006-1022).
+    */
+  def loadSplits(spark: SparkSession, splitFiles: Map[String, Seq[String]], config: Config): Map[String, GraftDataset] = {
+    require(splitFiles.nonEmpty, "no splits given")
+    val perSplit = splitFiles.map { case (name, files) =>
+      name -> load(spark, config.copy(dataFiles = files, encodeLabels = false))
+    }
+    val tc = perSplit.values.head.roles.targetColumn
+    val needEncode = config.encodeLabels && tc.isDefined &&
+      config.positiveLabels.isEmpty && config.negativeLabels.isEmpty &&
+      perSplit.values.head.task.contains(ColumnInference.Classification)
+    if (!needEncode) perSplit
+    else {
+      val dict =
+        if (config.labels.nonEmpty) config.labels
+        else {
+          val union = perSplit.values.map(_.df.select(col(tc.get).cast("string"))).reduce(_.unionByName(_))
+          LabelOps.labelDictionary(union, tc.get)
+        }
+      perSplit.map { case (name, ds) =>
+        name -> ds.copy(df = LabelOps.classEncodeWith(ds.df, tc.get, dict), labelNames = dict)
+      }
+    }
+  }
+
   def load(spark: SparkSession, config: Config): GraftDataset = {
     var df = BioLoader.load(spark, config.dataFiles)
     if (config.rowsAreFeatures) {

@@ -29,6 +29,37 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(loaded("train").schema("otu1").metadata.getString("graft.featureType") == "Abundance")
   }
 
+  test("CacheOps: stable fingerprint for equal plans, checkpoint materializes once") {
+    val li = s"$sfDir/lineitem.parquet"
+    val a = spark.read.parquet(li).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
+    val b = spark.read.parquet(li).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
+    val c = spark.read.parquet(li).filter($"l_quantity" > 20).select("l_orderkey", "l_quantity")
+    assert(CacheOps.fingerprint(a) == CacheOps.fingerprint(b))
+    assert(CacheOps.fingerprint(a) != CacheOps.fingerprint(c))
+
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-cache").toFile.getAbsolutePath
+    val m1 = CacheOps.checkpoint(a, cacheDir)
+    assert(m1.count() == a.count())
+    // second call reads the existing materialization (same dir listing)
+    val before = new java.io.File(cacheDir).listFiles().length
+    CacheOps.checkpoint(b, cacheDir).count()
+    assert(new java.io.File(cacheDir).listFiles().length == before)
+  }
+
+  test("loadSplits shares one label dictionary across splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-splits").toFile.getAbsolutePath
+    Seq(("s1", "a"), ("s2", "b")).toDF("samples", "labels").write.parquet(s"$dir/train.parquet")
+    Seq(("s3", "c"), ("s4", "a")).toDF("samples", "labels").write.parquet(s"$dir/test.parquet")
+    val splits = LoadDataset.loadSplits(spark, Map(
+      "train" -> Seq(s"$dir/train.parquet"),
+      "test" -> Seq(s"$dir/test.parquet")
+    ), LoadDataset.Config(dataFiles = Nil))
+    assert(splits("train").labelNames == Seq("a", "b", "c"))
+    val testEnc = splits("test").df.select("samples", "encoded_labels").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(testEnc == Map("s3" -> 2, "s4" -> 0)) // encoded against the shared dict
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
