@@ -194,6 +194,40 @@ object HashExpressions {
     }
   }
 
+  /** Cosine similarity fused into one primitive pass (float or
+    * double arrays; math in double, sequential left-to-right — the
+    * same fold order as the composable `zip_with`/`aggregate`
+    * version and the DuckDB oracle, so rounded values still match).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+
+    private lazy val leftIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private lazy val rightIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+  }
+
   // ---- Column wrappers ----------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -209,4 +243,7 @@ object HashExpressions {
 
   def hyperplaneLsh(vec: Column, nBits: Int, seed: Long = 7L): Column =
     ColumnBridge.column(HyperplaneLsh(ColumnBridge.expression(vec), nBits, seed))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

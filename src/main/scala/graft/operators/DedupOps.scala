@@ -144,6 +144,29 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Full dedup pipeline — the recommended entry point at scale:
+    * (1) exact dedup on a content fingerprint (cheap, removes the
+    * identical-copy clusters that would otherwise blow up LSH
+    * buckets quadratically — a corpus with d-sized dup clusters
+    * pays O(d²) per cluster in any pair-emitting stage), then
+    * (2) MinHash-LSH near-dup over the exact survivors, dropping
+    * every near-dup pair's higher id.
+    *
+    * Returns the surviving rows of `df`.
+    */
+  def dedupAll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val exactSurvivors = exact(df, idCol, md5(col(textCol)))
+    val nearPairs = minhashLsh(exactSurvivors, idCol, textCol, shingleSize, threshold = threshold)
+    val losers = nearPairs.select(col("id_b").as(idCol)).distinct()
+    exactSurvivors.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup: hyperplane-LSH bucket join + cosine
     * verify ≥ threshold. Same candidate/verify shape as minhashLsh.
     */
@@ -162,7 +185,7 @@ object DedupOps {
     val b = pruned.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bkt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VF.cosineSimilarity(col("v_a"), col("v_b")))
+      .withColumn("cosine", HE.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{Vector => MlVector}
@@ -78,7 +78,7 @@ object IvfKnnOps {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.hround(VF.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .select("query_id", "neighbor_id", "cosine")

@@ -27,15 +27,11 @@ object KnnOps {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    // norms once per row, not once per pair — the pair loop then
-    // does a single dot product
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VF.l2Norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VF.l2Norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.hround(VF.dotProduct(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -70,7 +66,7 @@ object KnnOps {
     val scored = c
       .join(broadcast(q), Seq("bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.hround(VF.cosineSimilarity(col("qv"), col("cv")), 6))
+      .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .select("query_id", "neighbor_id", "cosine")

@@ -34,10 +34,36 @@ object JaccardRules {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
       copy(left = l, right = r)
 
+    private lazy val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+    private lazy val isLong = elemType == LongType
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+      val j = if (isLong) jaccardLongs(x, y) else jaccardGeneric(x, y)
+      java.lang.Double.valueOf(j)
+    }
+
+    /** Primitive fast path: sorted-merge over long arrays — no
+      * boxing, no hash set. Shingle-hash arrays (the dedup verify
+      * hot path) hit this.
+      */
+    private def jaccardLongs(x: ArrayData, y: ArrayData): Double = {
+      val xs = x.toLongArray(); java.util.Arrays.sort(xs)
+      val ys = y.toLongArray(); java.util.Arrays.sort(ys)
+      var i = 0; var j = 0; var inter = 0; var union = 0
+      while (i < xs.length || j < ys.length) {
+        // skip duplicates within each side
+        if (i > 0 && i < xs.length && xs(i) == xs(i - 1)) i += 1
+        else if (j > 0 && j < ys.length && ys(j) == ys(j - 1)) j += 1
+        else if (i < xs.length && (j >= ys.length || xs(i) < ys(j))) { union += 1; i += 1 }
+        else if (j < ys.length && (i >= xs.length || ys(j) < xs(i))) { union += 1; j += 1 }
+        else { inter += 1; union += 1; i += 1; j += 1 }
+      }
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    private def jaccardGeneric(x: ArrayData, y: ArrayData): Double = {
       val seen = new java.util.HashSet[Any]()
       var i = 0
       while (i < x.numElements()) { seen.add(x.get(i, elemType)); i += 1 }
@@ -50,14 +76,11 @@ object JaccardRules {
         if (seen.contains(v) && matched.add(v)) inter += 1
         i += 1
       }
-      val ny = {
-        val s2 = new java.util.HashSet[Any]()
-        var j = 0
-        while (j < y.numElements()) { s2.add(y.get(j, elemType)); j += 1 }
-        s2.size()
-      }
-      val union = nx + ny - inter
-      java.lang.Double.valueOf(if (union == 0) 0.0 else inter.toDouble / union)
+      val s2 = new java.util.HashSet[Any]()
+      var j = 0
+      while (j < y.numElements()) { s2.add(y.get(j, elemType)); j += 1 }
+      val union = nx + s2.size() - inter
+      if (union == 0) 0.0 else inter.toDouble / union
     }
   }
 

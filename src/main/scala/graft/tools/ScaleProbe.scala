@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{DedupOps, KnnOps}
+import org.apache.spark.sql.functions._
+
+/** Engineering probe (not part of the driver contract): replicate
+  * the documents/embeddings tables N× with shifted ids and time the
+  * candidate-generation dedup operators — a cheap check that their
+  * cost curves stay near-linear before real scale testing.
+  *
+  *   sbt "runMain graft.tools.ScaleProbe /root/testdata/sf0.1 20"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 20
+    val spark = GraftSession.getOrCreate()
+    import spark.implicits._
+
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val n0 = docs0.count()
+    // replicate with perturbed ids; texts repeat → worst-case dup density
+    val docs = docs0
+      .crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") + col("rep") * lit(n0)).as("doc_id"), col("text"))
+    docs.cache().count()
+    println(s"[probe] docs: ${n0 * mult}")
+
+    def time[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    time("minhashLsh")(DedupOps.minhashLsh(docs, "doc_id", "text", shingleSize = 3).count())
+    time("simhash")(DedupOps.simhash(docs, "doc_id", "text", maxHamming = 3).count())
+    time("ngramJaccard")(DedupOps.ngramJaccard(docs, "doc_id", "text", threshold = 0.7).count())
+
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ne = emb0.count()
+    val emb = emb0.crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("vec_id") + col("rep") * lit(ne)).as("vec_id"), col("embedding"))
+    emb.cache().count()
+    println(s"[probe] vectors: ${ne * mult}")
+    time("embeddingDedup")(DedupOps.embeddingDedup(emb, "vec_id", "embedding", threshold = 0.99, nBits = 12).count())
+    time("lshTopK")(KnnOps.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, nBits = 10).count())
+    spark.stop()
+  }
+}

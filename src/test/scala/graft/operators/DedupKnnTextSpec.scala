@@ -45,6 +45,13 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("dedupAll keeps one representative per exact+near dup cluster") {
+    val out = DedupOps.dedupAll(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is an exact dup of 1; 3 is a near dup of 1 → both dropped
+    assert(out == Set(1L, 4L, 5L))
+  }
+
   test("jaccard bounds and behavior") {
     val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("x", "y")
     val j = df.select(TF.jaccard(col("x"), col("y"))).as[Double].head()
