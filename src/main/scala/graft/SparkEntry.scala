@@ -297,6 +297,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("matched_date"), col("matched_price"))
     }),
 
+    // ---- M3: sessionization (batch twin of the streaming state machine) ----
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionizeBatchComplete(events, gapMs = 30 * 60 * 1000L)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+          hround(col("total_value"), 6).as("total_value"))
+    }),
+
+    // ---- M1: multimodal binary-column plumbing (stub codec) ----
+    "q_multimodal" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val media = graft.multimodal.MultimodalOps.asMediaFrame(
+        docs.withColumn("bytes", col("text").cast("binary")), "doc_id", "bytes", "text/plain")
+      val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8)
+      feats.select(col("media_id"), hround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+
     // ---- M2 (batch twin of the streaming agg): windowed events ----
     "q_events_window" -> ((s, dir) => {
       BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -499,6 +519,25 @@ object SparkEntry {
         |)
         |SELECT e.event_id, e.user_id, o.o_orderdate AS matched_date, o.matched_price
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  epoch_ms(CAST(min(ts) AS TIMESTAMP)) AS start_ts,
+        |  epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS end_ts,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -130,10 +130,14 @@ object DedupOps {
       .join(freq, Seq("g"))
       .withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
-      .select("g", "id")
-    val cand = prefix.select(col("g"), col("id").as("id_a"))
-      .join(prefix.select(col("g"), col("id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
+      .select("g", "id", "len")
+    // PPJoin length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| (and vice
+    // versa) — prunes length-incompatible pairs before the distinct
+    val cand = prefix.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("len_a") >= lit(threshold) * col("len_b") &&
+        col("len_b") >= lit(threshold) * col("len_a"))
       .select("id_a", "id_b")
       .distinct()
     cand

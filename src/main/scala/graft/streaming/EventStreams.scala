@@ -82,7 +82,7 @@ object EventStreams {
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, evts: Iterator[Event]) =>
-        val sorted = evts.toSeq.sortBy(_.ts.getTime)
+        val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         val out = scala.collection.mutable.ArrayBuffer.empty[Session]
         var cur: Option[SessionState] = None
         sorted.foreach { e =>

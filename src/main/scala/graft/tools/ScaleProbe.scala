@@ -33,6 +33,7 @@ object ScaleProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
+    time("dedupAll")(DedupOps.dedupAll(docs, "doc_id", "text", shingleSize = 3).count())
     time("minhashLsh")(DedupOps.minhashLsh(docs, "doc_id", "text", shingleSize = 3).count())
     time("simhash")(DedupOps.simhash(docs, "doc_id", "text", maxHamming = 3).count())
     time("ngramJaccard")(DedupOps.ngramJaccard(docs, "doc_id", "text", threshold = 0.7).count())
