@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.JaccardRules.JaccardSizePrefilter)
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofJoin.AsofStrategy)
   }
 }
 

@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Broadcast as-of join as a full custom operator:
+  * `LogicalPlan` node → planner `Strategy` → `SparkPlan`.
+  *
+  * Motivation: [[graft.operators.AsofJoinOps.asofBackward]] (the
+  * compositional union+window form) must SHUFFLE BOTH SIDES by key.
+  * When the right side is dimension-sized (price histories, config
+  * timelines — thousands to low millions of rows), the optimal plan
+  * is the one Spark cannot express with built-ins: broadcast the
+  * right side as per-key time-sorted arrays and stream the fact
+  * side through a binary search per row — ZERO shuffle, zero sort
+  * of the fact table. This is whole-operator semantics (a new join
+  * type), hence preference rung (c): logical node + strategy +
+  * physical node, registered via
+  * `SparkSessionExtensions.injectPlannerStrategy`.
+  *
+  * Semantics match `asofBackward`: for each left row, the right row
+  * with the greatest rightTime <= leftTime within the same key;
+  * payload columns null when no such row. Inclusive at equality.
+  */
+object BroadcastAsofJoin {
+
+  final case class AsofNode(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKey: Attribute,
+      leftTime: Attribute,
+      rightKey: Attribute,
+      rightTime: Attribute,
+      rightPayload: Seq[Attribute]
+  ) extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ rightPayload.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofNode =
+      copy(left = l, right = r)
+  }
+
+  object AsofStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsofNode(l, r, lk, lt, rk, rt, payload) =>
+        AsofExec(planLater(l), planLater(r), lk, lt, rk, rt, payload) :: Nil
+      case _ => Nil
+    }
+  }
+
+  final case class AsofExec(
+      left: SparkPlan,
+      right: SparkPlan,
+      leftKey: Attribute,
+      leftTime: Attribute,
+      rightKey: Attribute,
+      rightTime: Attribute,
+      rightPayload: Seq[Attribute]
+  ) extends BinaryExecNode {
+    override def output: Seq[Attribute] = left.output ++ rightPayload.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsofExec =
+      copy(left = l, right = r)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      // ---- build side: collect + sort per key (dimension-sized) ----
+      val rOut = right.output
+      val rKeyOrd = rOut.indexWhere(_.exprId == rightKey.exprId)
+      val rTimeOrd = rOut.indexWhere(_.exprId == rightTime.exprId)
+      val payloadOrds = rightPayload.map(p => rOut.indexWhere(_.exprId == p.exprId))
+      require(rKeyOrd >= 0 && rTimeOrd >= 0 && payloadOrds.forall(_ >= 0), "unresolved asof attributes")
+      val payloadTypes = rightPayload.map(_.dataType)
+      val keyType = rightKey.dataType
+      val timeType = rightTime.dataType
+
+      val collected = right.executeCollect() // dimension side only
+      val byKey = new java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]()
+      val grouped = collected.toSeq
+        .filterNot(r => r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd))
+        .map { r =>
+          val k = r.get(rKeyOrd, keyType)
+          val t = timeAsLong(r.get(rTimeOrd, timeType))
+          val p = payloadOrds.zip(payloadTypes).map { case (o, dt) =>
+            if (r.isNullAt(o)) null else r.get(o, dt)
+          }.toArray
+          (k, t, p)
+        }
+        .groupBy(_._1)
+      grouped.foreach { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        byKey.put(k, (sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      }
+      val bcast = sparkContext.broadcast(byKey)
+
+      // ---- stream side ----
+      val lOut = left.output
+      val lKeyOrd = lOut.indexWhere(_.exprId == leftKey.exprId)
+      val lTimeOrd = lOut.indexWhere(_.exprId == leftTime.exprId)
+      require(lKeyOrd >= 0 && lTimeOrd >= 0, "unresolved asof left attributes")
+      val lKeyType = leftKey.dataType
+      val lTimeType = leftTime.dataType
+      val nLeft = lOut.size
+      val nPay = rightPayload.size
+      val outAttrs = output
+
+      left.execute().mapPartitions({ iter =>
+        val lookup = bcast.value
+        val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
+        val joined = new GenericInternalRow(nLeft + nPay)
+        iter.map { row =>
+          var i = 0
+          while (i < nLeft) { joined.update(i, row.get(i, lOut(i).dataType)); i += 1 }
+          var matched: Array[Any] = null
+          if (!row.isNullAt(lKeyOrd) && !row.isNullAt(lTimeOrd)) {
+            val entry = lookup.get(row.get(lKeyOrd, lKeyType))
+            if (entry != null) {
+              val t = timeAsLong(row.get(lTimeOrd, lTimeType))
+              val idx = floorIndex(entry._1, t)
+              if (idx >= 0) matched = entry._2(idx)
+            }
+          }
+          var j = 0
+          while (j < nPay) {
+            joined.update(nLeft + j, if (matched == null) null else matched(j))
+            j += 1
+          }
+          proj(joined)
+        }
+      }, preservesPartitioning = true)
+    }
+
+    /** greatest index with times(i) <= t, or -1 */
+    private def floorIndex(times: Array[Long], t: Long): Int = {
+      var lo = 0; var hi = times.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }
+
+    private def timeAsLong(v: Any): Long = v match {
+      case l: java.lang.Long    => l
+      case i: java.lang.Integer => i.toLong
+      case other                => throw new IllegalArgumentException(s"unsupported time type ${other.getClass}")
+    }
+  }
+
+  /** API: `asofBroadcast(left, right, key, leftTime, rightTime,
+    * payload)` — same signature family as AsofJoinOps. Time columns
+    * must be timestamp (micros long internally) or integral.
+    */
+  def asofBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String]
+  ): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = ColumnBridge.logicalPlan(left)
+    val rPlan = ColumnBridge.logicalPlan(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = AsofNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, leftTime),
+      attr(rPlan, key), attr(rPlan, rightTime),
+      rightPayload.map(attr(rPlan, _))
+    )
+    ColumnBridge.ofRows(spark, node)
+  }
+
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently add the strategy to an existing session (the
+    * extensions path does this at build time for new sessions).
+    */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (registered.add(spark)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsofStrategy
+    }
+}

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsofJoinOps
+import graft.sources.BioLoader
+import org.apache.spark.sql.functions._
+
+class BroadcastAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = BioLoader.nanosToTimestamp(
+    BioLoader.load(spark, s"$sfDir/events.parquet"), "ts")
+    .select($"event_id", $"user_id", $"ts")
+  private def orders = BioLoader.load(spark, s"$sfDir/orders.parquet")
+    .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+    .agg(max("o_totalprice").as("matched_price"))
+
+  test("asofBroadcast matches the compositional asofBackward on real data") {
+    val composed = AsofJoinOps
+      .asofBackward(events.withColumnRenamed("ts", "t"), orders, "user_id", "t", "o_orderdate", Seq("o_orderdate", "matched_price"))
+      .select($"event_id", $"o_orderdate", $"matched_price")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val custom = BroadcastAsofJoin
+      .asofBroadcast(events, orders.withColumnRenamed("o_orderdate", "odate"), "user_id", "ts", "odate", Seq("odate", "matched_price"))
+      .select($"event_id", $"odate", $"matched_price")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(custom == composed)
+    assert(custom.nonEmpty)
+  }
+
+  test("asofBroadcast: no match → null payload; equal time matches inclusively") {
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 5L), (2L, 9L, 7L)).toDF("k", "t", "v")
+      .select($"k", timestamp_micros($"t").as("t"), $"v")
+    val r = Seq((1L, 100L, "a"), (1L, 150L, "b"), (3L, 1L, "z")).toDF("k", "rt", "p")
+      .select($"k", timestamp_micros($"rt").as("rt"), $"p")
+    val out = BroadcastAsofJoin.asofBroadcast(l, r, "k", "t", "rt", Seq("p"))
+      .select($"v", $"p").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(out == Set((10L, "a"), (5L, "b"), (7L, null)))
+  }
+
+  test("asofBroadcast plan has no shuffle on the fact side") {
+    val q = BroadcastAsofJoin.asofBroadcast(events, orders.withColumnRenamed("o_orderdate", "odate"),
+      "user_id", "ts", "odate", Seq("matched_price"))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("Asof "), physical)
+    // fact side streams straight from scan into the custom operator
+    assert(!physical.contains("Exchange hashpartitioning(user_id"), physical)
+  }
+}
