@@ -297,6 +297,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("matched_date"), col("matched_price"))
     }),
 
+    // ---- C10b: as-of via the custom LogicalPlan+Strategy+SparkPlan
+    //      operator (zero fact-side shuffle) — same oracle as q_asof_join ----
+    "q_asof_broadcast" -> ((s, dir) => {
+      val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .select("event_id", "user_id", "ts")
+      val orders = BioLoader.load(s, t(dir, "orders"))
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("matched_price"))
+      graft.plans.BroadcastAsofJoin
+        .asofBroadcast(events, orders, "user_id", "ts", "o_orderdate", Seq("o_orderdate", "matched_price"))
+        .select(col("event_id"), col("user_id"), col("o_orderdate").as("matched_date"), col("matched_price"))
+    }),
+
     // ---- M3: sessionization (batch twin of the streaming state machine) ----
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -513,6 +526,14 @@ object SparkEntry {
         |GROUP BY l_orderkey, p_type""".stripMargin,
 
     "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS matched_price
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, o.o_orderdate AS matched_date, o.matched_price
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q_asof_broadcast" ->
       """WITH o AS (
         |  SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS matched_price
         |  FROM orders GROUP BY 1, 2
