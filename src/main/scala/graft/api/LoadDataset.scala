@@ -49,7 +49,9 @@ object LoadDataset {
       negativeLabels: Seq[String] = Nil,
       encodeLabels: Boolean = true,
       rowsAreFeatures: Boolean = false,
-      columns: Seq[String] = Nil
+      columns: Seq[String] = Nil,
+      zeroAsMissing: Boolean = false,
+      dropUnmatchedSamples: Boolean = false
   )
 
   final case class GraftDataset(
@@ -114,7 +116,13 @@ object LoadDataset {
       val metaRoles = ColumnInference.inferRoles(meta, config.sampleColumn)
       val joinKey = metaRoles.sampleColumn.filter(df.columns.contains)
       df = joinKey match {
-        case Some(k) => MetadataOps.joinSampleMetadata(df, meta, k)
+        case Some(k) =>
+          val joined = MetadataOps.joinSampleMetadata(df, meta, k)
+          // reference `drop_samples`: discard data rows without a
+          // metadata match instead of null-filling their metadata
+          if (config.dropUnmatchedSamples)
+            joined.join(broadcast(meta.select(col(k))), Seq(k), "left_semi")
+          else joined
         case None =>
           ReshapeOps.concatColumns(df, meta, df.columns.toSeq.take(1), meta.columns.toSeq.take(1))
       }
@@ -145,6 +153,12 @@ object LoadDataset {
         } else col(f.name)
       }
       df = df.select(cols.toIndexedSeq: _*)
+    }
+
+    // zero_as_missing (biodata.py:183): zeros in sparse omics data
+    // mean "not measured" — null them in every data column
+    if (config.zeroAsMissing) {
+      roles.dataColumns.foreach(c => df = graft.operators.FilterOps.zeroAsMissing(df, c))
     }
 
     // labels (biodata.py:821-895/974-1035)

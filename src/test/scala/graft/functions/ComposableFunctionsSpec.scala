@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.api.LoadDataset
+import org.apache.spark.sql.functions._
+
+/** Coverage for the composable (pure `functions._`) variants that
+  * back the SQL-only usage path, plus LoadDataset config knobs.
+  */
+class ComposableFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composable minhash: identical shingle sets → identical signatures and band keys") {
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("b c d", "a b c")), // same set, different order
+      (3L, Seq("x y z"))
+    ).toDF("id", "sh")
+    val sig = df.select($"id", TextFunctions.minhashSignature($"sh", 16).as("sig"),
+      TextFunctions.lshBandKeys(TextFunctions.minhashSignature($"sh", 16), 4).as("bands"))
+    val rows = sig.collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(rows(1L)._1 == rows(2L)._1)
+    assert(rows(1L)._2 == rows(2L)._2)
+    assert(rows(1L)._1 != rows(3L)._1)
+    assert(rows(1L)._2.size == 4)
+  }
+
+  test("composable simhash64 agrees with the fused expression on token perturbation behavior") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (3L, "entirely unrelated content about catalyst optimizer rules")
+    ).toDF("id", "text")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val composed = df.select($"id", TextFunctions.simhash64(TextFunctions.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(composed(1L), composed(2L)) < ham(composed(1L), composed(3L)))
+    val fused = df.select($"id", HashExpressions.simhash64Fast(TextFunctions.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(fused(1L), fused(2L)) < ham(fused(1L), fused(3L)))
+  }
+
+  test("charShingles and wordShingles produce distinct n-grams") {
+    val df = Seq("abc abd").toDF("text")
+    val ch = df.select(TextFunctions.charShingles($"text", 3)).as[Seq[String]].head()
+    assert(ch.contains("abc") && ch.contains("c a") && ch.distinct == ch)
+    val w = Seq("a b c d").toDF("t").select(TextFunctions.wordShingles($"t", 2)).as[Seq[String]].head()
+    assert(w == Seq("a b", "b c", "c d"))
+  }
+
+  test("composable hyperplaneLshBits is deterministic and separates opposites") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f))
+    ).toDF("id", "v")
+    val b = df.select($"id", VectorFunctions.hyperplaneLshBits($"v", 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == (~b(2L) & 0xffL)) // every bit flips for the negated vector
+  }
+
+  test("LoadDataset zeroAsMissing and dropUnmatchedSamples knobs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-knobs").toFile.getAbsolutePath
+    Seq(("s1", 0L, 5L), ("s2", 3L, 0L), ("s9", 1L, 1L))
+      .toDF("samples", "otu1", "otu2").write.parquet(s"$dir/d.parquet")
+    Seq(("s1", "b1"), ("s2", "b2")).toDF("samples", "batches").write.parquet(s"$dir/m.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$dir/d.parquet"),
+      sampleMetadataFiles = Seq(s"$dir/m.parquet"),
+      zeroAsMissing = true,
+      dropUnmatchedSamples = true
+    ))
+    assert(ds.df.count() == 2) // s9 has no metadata → dropped
+    val s1 = ds.df.filter($"samples" === "s1").select("otu1", "otu2").head()
+    assert(s1.isNullAt(0) && s1.getLong(1) == 5L)
+  }
+}
