@@ -222,7 +222,7 @@ object SparkEntry {
 
     // ---- D3: SimHash near-dup pairs ----
     "q_dedup_simhash" -> ((s, dir) => {
-      DedupOps.simhash(BioLoader.load(s, t(dir, "documents")), "doc_id", "text", maxHamming = 8)
+      DedupOps.simhash(BioLoader.load(s, t(dir, "documents")), "doc_id", "text", maxHamming = 4)
         .orderBy("id_a", "id_b")
     }),
 

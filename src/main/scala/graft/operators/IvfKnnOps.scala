@@ -4,7 +4,7 @@ import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.{Vector => MlVector}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,27 @@ object IvfKnnOps {
       .withColumnRenamed("prediction", "list_id")
       .drop("features")
     IvfIndex(centroids, assigned)
+  }
+
+  /** Persist the inverted file partitioned by list — the on-disk
+    * index layout. A probe that filters `list_id IN (...)` then
+    * only LISTS and READS the probed partitions (Catalyst partition
+    * pruning is the index lookup; no custom reader needed).
+    */
+  def saveIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIndex(spark: SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(centroids, spark.read.parquet(s"$path/lists"))
   }
 
   /** Top-k cosine neighbors probing nProbe lists per query. */

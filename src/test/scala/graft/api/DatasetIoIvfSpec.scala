@@ -60,6 +60,28 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(testEnc == Map("s3" -> 2, "s4" -> 0)) // encoded against the shared dict
   }
 
+  test("saved IVF index: probes prune to the probed list partitions") {
+    val emb = graft.sources.BioLoader.load(spark, s"$sfDir/embeddings.parquet")
+    val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    IvfKnnOps.saveIndex(index, dir)
+    val loaded = IvfKnnOps.loadIndex(spark, dir)
+    assert(loaded.centroids.length == 4)
+
+    // partition pruning: filtering on list_id restricts PartitionFilters
+    val probe = loaded.assigned.filter(col("list_id").isin(1, 2))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [list_id"), scan)
+
+    // and the loaded index answers queries like the in-memory one
+    val q = emb.filter($"vec_id" < 3)
+    val a = IvfKnnOps.topK(q, index, "vec_id", "embedding", 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val b = IvfKnnOps.topK(q, loaded, "vec_id", "embedding", 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
