@@ -105,6 +105,13 @@ object SparkEntry {
         .select("o_orderkey", "split")
     }),
 
+    // ---- T6: k-fold assignment (portable bucket for the oracle) ----
+    "q_kfold" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "orders"))
+        .withColumn("fold", ((col("o_orderkey") * 40503L) % 5L).cast("int"))
+        .groupBy("fold").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- R1: melt wide→long ----
     "q_melt" -> ((s, dir) => {
       ReshapeOps.melt(BioLoader.load(s, t(dir, "part")), Seq("p_partkey"), Seq("p_retailprice", "p_size"))
@@ -377,6 +384,10 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  CASE WHEN (o_orderkey * 40503) % 10000 < 2000 THEN 'test' ELSE 'train' END AS split
         |FROM orders""".stripMargin,
+
+    "q_kfold" ->
+      """SELECT CAST((o_orderkey * 40503) % 5 AS INTEGER) AS fold, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_melt" ->
       """SELECT p_partkey, 'p_retailprice' AS variable, CAST(p_retailprice AS DOUBLE) AS value FROM part

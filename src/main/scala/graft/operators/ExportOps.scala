@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-shard export: the last stage of a data pipeline —
+  * materialize a cleaned corpus as a fixed number of
+  * deterministically-ordered shards.
+  *
+  * `repartitionByRange` gives contiguous, globally-sorted key
+  * ranges (one range shuffle); `sortWithinPartitions` fixes the
+  * order inside each shard; parquet then writes exactly
+  * `shardCount` files. Downstream trainers get stable shard
+  * boundaries and reproducible sample order — rerunning the
+  * pipeline on the same input bytes yields byte-identical shard
+  * assignment (modulo parquet metadata).
+  */
+object ExportOps {
+
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      shardCount: Int,
+      orderCols: Seq[String]
+  ): Unit = {
+    require(orderCols.nonEmpty, "need ordering columns for deterministic shards")
+    df.repartitionByRange(shardCount, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Interleaved (round-robin by hash) sharding — equal-sized
+    * shards when the order key is skewed; order within shard still
+    * deterministic.
+    */
+  def writeShardsBalanced(
+      df: DataFrame,
+      path: String,
+      shardCount: Int,
+      keyCols: Seq[String]
+  ): Unit = {
+    df.withColumn("__shard", pmod(xxhash64(keyCols.map(col): _*), lit(shardCount)))
+      .repartition(shardCount, col("__shard"))
+      .sortWithinPartitions(keyCols.map(col): _*)
+      .drop("__shard")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -86,6 +86,16 @@ object SplitOps {
     df.filter(bucket < frac * 10000)
   }
 
+  /** Deterministic k-fold assignment: fold i ∈ [0,k) per row,
+    * content-hashed — every fold is reproducible on any cluster
+    * shape, and grouping keys (e.g. the sample id) keep all their
+    * rows in one fold.
+    */
+  def kFold(df: DataFrame, keyCols: Seq[String], k: Int, seed: Long = 42L, foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, "k >= 2")
+    df.withColumn(foldCol, pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(k)).cast("int"))
+  }
+
   /** Deterministic shuffle: global sort by seeded hash. (The
     * reference shuffles via a cached permutation of indices —
     * single-node only. A seeded-hash sort gives the same property —

@@ -41,6 +41,33 @@ class SplitStatsSpec extends SparkSpec {
     assert(a == b && a != (0L until 100L))
   }
 
+  test("kFold covers all folds, stable under repartitioning") {
+    val df = spark.range(1000).toDF("id")
+    val f1 = SplitOps.kFold(df, Seq("id"), 5)
+    val counts = f1.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(0, 1, 2, 3, 4))
+    assert(counts.values.forall(c => c > 150 && c < 250))
+    val f2 = SplitOps.kFold(df.repartition(7), Seq("id"), 5)
+    val joined = f1.withColumnRenamed("fold", "a").join(f2.withColumnRenamed("fold", "b"), "id")
+    assert(joined.filter($"a" =!= $"b").count() == 0)
+  }
+
+  test("writeShards produces exactly N sorted shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toFile.getAbsolutePath
+    val df = spark.range(1000).toDF("id").withColumn("v", ($"id" * 37) % 1000)
+    ExportOps.writeShards(df, s"$dir/out", 4, Seq("v"))
+    val files = new java.io.File(s"$dir/out").listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1000)
+    // each shard is internally sorted by v
+    val perFile = back.select(input_file_name().as("f"), $"v").collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val vs = rows.map(_.getLong(1)).toSeq
+      assert(vs == vs.sorted)
+    }
+  }
+
   test("topKPerGroup returns k rows per group, deterministic ties") {
     val df = Seq(("g1", 1, 5.0), ("g1", 2, 5.0), ("g1", 3, 1.0), ("g2", 4, 2.0))
       .toDF("g", "id", "v")
