@@ -266,6 +266,15 @@ object SparkEntry {
       IvfKnnOps.topK(emb.filter(col("vec_id") < 10), index, "vec_id", "embedding", 5, nProbe = 4)
     }),
 
+    // ---- S5: per-group embedding centroid (custom TypedImperativeAggregate) ----
+    "q_vec_centroid" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "embeddings"))
+        .groupBy("label")
+        .agg(graft.functions.VectorAggregates.vecMean(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "mean")))
+        .select(col("label"), col("dim"), hround(col("mean"), 6).as("mean"))
+    }),
+
     // ---- X1: language ID ----
     "q_langid" -> ((s, dir) => {
       TextOps.langId(BioLoader.load(s, t(dir, "documents")), "text")
@@ -503,6 +512,16 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_vec_centroid" ->
+      """WITH d AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim1,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS val
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(dim1 - 1 AS INTEGER) AS dim,
+        |  floor((avg(val)) * 1000000 + 0.5) / 1000000 AS mean
+        |FROM d GROUP BY label, dim1""".stripMargin,
 
     "q_quality" ->
       """WITH f AS (

@@ -58,6 +58,27 @@ class ComposableFunctionsSpec extends SparkSpec {
     assert(b(1L) == (~b(2L) & 0xffL)) // every bit flips for the negated vector
   }
 
+  test("VecMean aggregates element-wise with nulls skipped, empty group null") {
+    val df = Seq(
+      ("a", Some(Array(1.0f, 2.0f))),
+      ("a", Some(Array(3.0f, 6.0f))),
+      ("a", None),
+      ("b", None)
+    ).toDF("k", "v")
+    val out = df.groupBy("k").agg(VectorAggregates.vecMean($"v").as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)).toMap
+    assert(out("a").get == Seq(2.0, 4.0))
+    assert(out("b").isEmpty)
+  }
+
+  test("VecMean partial-aggregates before the shuffle") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = emb.groupBy("label").agg(VectorAggregates.vecMean($"embedding"))
+      .queryExecution.executedPlan.toString
+    // partial_vec_mean below the exchange, final above — map-side combine
+    assert(plan.contains("partial_vec_mean"), plan)
+  }
+
   test("LoadDataset zeroAsMissing and dropUnmatchedSamples knobs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-knobs").toFile.getAbsolutePath
     Seq(("s1", 0L, 5L), ("s2", 3L, 0L), ("s9", 1L, 1L))
