@@ -346,6 +346,14 @@ object SparkEntry {
       feats.select(col("media_id"), hround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // ---- C12: JSON property extraction (semi-structured columns) ----
+    "q_json_extract" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "events"))
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .groupBy("k_value").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- M2 (batch twin of the streaming agg): windowed events ----
     "q_events_window" -> ((s, dir) => {
       BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -589,6 +597,10 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -144,6 +144,26 @@ class SourcesSpec extends SparkSpec {
     assert(out.filter($"samples" === 1).select("site").as[String].head() == "fresh1")
   }
 
+  test("reference parity: samples missing from metadata get null metadata columns (test_biodata.py:1783)") {
+    val data = Seq(("sample1", 1), ("sample2", 20), ("sample4", 40)).toDF("sample", "header1")
+    val meta = Seq(("sample1", "batch1", "a"), ("sample2", "batch2", "b"), ("sample3", "batch3", "c"))
+      .toDF("sample", "batch", "metadata1")
+    val out = MetadataOps.joinSampleMetadata(data, meta, "sample")
+    // all data rows kept; sample4's metadata columns are null
+    assert(out.count() == 3)
+    val s4 = out.filter($"sample" === "sample4").head()
+    assert(s4.isNullAt(out.columns.indexOf("batch")) && s4.isNullAt(out.columns.indexOf("metadata1")))
+    assert(s4.getInt(out.columns.indexOf("header1")) == 40)
+  }
+
+  test("reference parity: metadata-only samples are ignored (test_biodata.py:1852)") {
+    val data = Seq(("sample4", 40), ("sample5", 5)).toDF("sample", "header1")
+    val meta = (1 to 7).map(i => (s"sample$i", s"m$i")).toDF("sample", "metadata1")
+    val out = MetadataOps.joinSampleMetadata(data, meta, "sample")
+    assert(out.count() == 2)
+    assert(out.select("sample").as[String].collect().toSet == Set("sample4", "sample5"))
+  }
+
   test("attachFeatureMetadata lands in StructField metadata and survives projection") {
     val df = Seq((1.0, 2.0)).toDF("otu1", "otu2")
     val annotated = MetadataOps.attachFeatureMetadata(df, Map("otu1" -> Map("taxonomy" -> "g__Akkermansia")))
