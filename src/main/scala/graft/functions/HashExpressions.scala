@@ -198,10 +198,13 @@ object HashExpressions {
     * double arrays; math in double, sequential left-to-right — the
     * same fold order as the composable `zip_with`/`aggregate`
     * version and the DuckDB oracle, so rounded values still match).
+    *
+    * Implements `doGenCode` (not CodegenFallback): the loop inlines
+    * into whole-stage codegen next to the join that feeds it — this
+    * is the hottest per-pair kernel in knn/dedup verify stages.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
@@ -225,6 +228,33 @@ object HashExpressions {
         i += 1
       }
       java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val getX = if (leftIsFloat) "getFloat" else "getDouble"
+      val getY = if (rightIsFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.$getX($i);
+           |  double $yv = (double) $b.$getY($i);
+           |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         """.stripMargin
+      })
     }
   }
 
