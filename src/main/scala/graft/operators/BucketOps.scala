@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for repeated co-located joins.
+  *
+  * A fact table joined on the same key by many downstream jobs
+  * should be written `bucketBy(key)`: both sides of a
+  * bucketed-bucketed equi-join arrive pre-partitioned, so the join
+  * plan has NO Exchange — at 100 TB that's the difference between
+  * re-shuffling the table per query and shuffling once at write
+  * time. (Same trick the reference can't express at all — arrow
+  * files have no co-location contract.)
+  */
+object BucketOps {
+
+  /** Write as a bucketed managed table (spark_catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — shuffle-free. */
+  def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -171,6 +171,50 @@ object DedupOps {
     exactSurvivors.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Resolve verified near-dup PAIRS into transitive CLUSTERS:
+    * connected components by iterative min-label propagation.
+    * Pair-drop dedup (keep the lower id of each pair) over-deletes
+    * on chains (a~b, b~c deletes both b and c even if a~c is
+    * false); clustering keeps exactly one representative per
+    * component.
+    *
+    * Each iteration is two small shuffles over the EDGE table
+    * (edges = verified pairs ≪ corpus); converges in O(log
+    * diameter) rounds — near-dup components are tiny, so 3-5
+    * rounds in practice. Returns (id, cluster_id = component min).
+    */
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // everyone adopts the min label in their neighborhood (incl. own)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster_id").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding near-dup: hyperplane-LSH bucket join + cosine
     * verify ≥ threshold. Same candidate/verify shape as minhashLsh.
     */

@@ -36,6 +36,39 @@ class SkewHyperplaneSpec extends SparkSpec {
     assert(b(1L) != b(3L)) // opposite vector flips (nearly) every non-tie bit
   }
 
+  test("dupClusters resolves transitive components to min-label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = DedupOps.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("bucketed co-located join plans without an Exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    // in-memory catalog forgets tables between JVMs but their files
+    // survive in the warehouse dir — clear them
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("graft_bucket_l", "graft_bucket_r").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    val l = spark.range(1000).toDF("k").withColumn("lv", $"k" * 2)
+    val r = spark.range(1000).toDF("k").withColumn("rv", $"k" + 1)
+    BucketOps.writeBucketed(l, "graft_bucket_l", "k", 4)
+    BucketOps.writeBucketed(r, "graft_bucket_r", "k", 4)
+    // force a merge join so the bucket layout (not a broadcast) does the work
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = BucketOps.colocatedJoin(spark, "graft_bucket_l", "graft_bucket_r", "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan) // bucketed scans pre-partition both sides
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("streamingDedup batch path dedups on key") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("event_id", "k")
     assert(graft.streaming.EventStreams.streamingDedup(df, Seq("k")).count() == 2)
