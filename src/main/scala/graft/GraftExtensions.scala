@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.HashExpressions
 import graft.functions.HashExpressions.{MinHashBandKeys, ShingleHashes, SimHash64}
 import graft.functions.TextStatsExpression.TextStats
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -59,6 +60,21 @@ object GraftExtensions {
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[graft.plans.JaccardRules.JaccardSim].getName, "jaccard_sim"),
       (children: Seq[Expression]) => graft.plans.JaccardRules.JaccardSim(children.head, children(1))
+    ),
+    (
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[HashExpressions.CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => HashExpressions.CosineSim(children.head, children(1))
+    ),
+    (
+      new FunctionIdentifier("hyperplane_lsh"),
+      new ExpressionInfo(classOf[HashExpressions.HyperplaneLsh].getName, "hyperplane_lsh"),
+      (children: Seq[Expression]) => HashExpressions.HyperplaneLsh(children.head, intArg(children(1), "nBits"), 7L)
+    ),
+    (
+      new FunctionIdentifier("vec_mean"),
+      new ExpressionInfo(classOf[graft.functions.VectorAggregates.VecMean].getName, "vec_mean"),
+      (children: Seq[Expression]) => graft.functions.VectorAggregates.VecMean(children.head)
     )
   )
 

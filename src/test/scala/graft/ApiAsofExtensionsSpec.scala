@@ -80,9 +80,23 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT simhash64(array('a','b')) AS sh,
         |       minhash_band_keys(shingle_hashes(array('a','b','c'), 2), 8, 4) AS mh,
-        |       text_stats('Hello world! 42.') AS ts""".stripMargin).collect()(0)
+        |       text_stats('Hello world! 42.') AS ts,
+        |       cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+        |       jaccard_sim(array('a','b'), array('b','c')) AS js""".stripMargin).collect()(0)
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[Long](1).size == 2)
     assert(row.getStruct(2).getAs[Int]("n_tokens") == 3)
+    assert(row.getDouble(3) == 1.0)
+    assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("vec_mean works as a SQL aggregate via the extension registry") {
+    GraftExtensions.register(spark)
+    Seq((0, Array(1.0, 3.0)), (0, Array(3.0, 5.0)), (1, Array(7.0, 7.0)))
+      .toDF("g", "v").createOrReplaceTempView("graft_vecs")
+    val rows = spark.sql("SELECT g, vec_mean(v) AS m FROM graft_vecs GROUP BY g ORDER BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(rows(0) == Seq(2.0, 4.0))
+    assert(rows(1) == Seq(7.0, 7.0))
   }
 }
