@@ -262,7 +262,7 @@ object SparkEntry {
     // ---- S4: IVF ANN top-k ----
     "q_knn_ivf" -> ((s, dir) => {
       val emb = BioLoader.load(s, t(dir, "embeddings"))
-      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16)
+      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
       IvfKnnOps.topK(emb.filter(col("vec_id") < 10), index, "vec_id", "embedding", 5, nProbe = 4)
     }),
 

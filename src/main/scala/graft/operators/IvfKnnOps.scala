@@ -37,13 +37,14 @@ object IvfKnnOps {
       vecCol: String,
       nLists: Int,
       seed: Long = 42L,
-      sampleFraction: Double = 1.0
+      sampleFraction: Double = 1.0,
+      maxIter: Int = 10
   ): IvfIndex = {
     val spark = corpus.sparkSession
     val ml = corpus.select(col(idCol), col(vecCol))
       .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
     val fitOn = if (sampleFraction < 1.0) ml.sample(sampleFraction, seed) else ml
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(fitOn)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(fitOn)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     val assigned = model.transform(ml)
       .withColumnRenamed("prediction", "list_id")

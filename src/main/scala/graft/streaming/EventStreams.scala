@@ -114,6 +114,29 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Streaming NEAR-dedup: drop documents whose 64-bit SimHash
+    * signature has already been seen inside the watermark horizon.
+    * Signature-equality is the streaming-compatible near-dup
+    * criterion (exact state-store lookups); it catches the
+    * identical-and-lightly-edited duplicates that dominate crawl
+    * streams, while full hamming-radius matching stays a batch job
+    * ([[graft.operators.DedupOps.simhash]]).
+    */
+  def streamingNearDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+    val sig = docs.withColumn("__sig", HE.simhash64Fast(TF.tokens(col(textCol))))
+    val out =
+      if (docs.isStreaming)
+        sig.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq("__sig"))
+      else sig.dropDuplicates("__sig")
+    out.drop("__sig")
+  }
+
   /** File-source streaming read of an events directory with the
     * static schema — the entry point for a real deployment
     * (swap for Kafka by changing format only).

@@ -69,6 +69,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1).count() == 3) // 0, 1000, 2000
   }
 
+  test("streamingNearDedup drops signature-equal docs in a stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toFile.getAbsolutePath
+    val base = 1700000000000L
+    Seq(
+      (1L, new java.sql.Timestamp(base), "the quick brown fox jumps over the lazy dog"),
+      (2L, new java.sql.Timestamp(base + 1000), "the quick brown fox jumps over the lazy dog"), // dup
+      (3L, new java.sql.Timestamp(base + 2000), "completely different text entirely here now")
+    ).toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+    val q = EventStreams.streamingNearDedup(stream, "text")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ids = spark.table("near_dedup").select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 2 && ids.contains(3L))
+  }
+
   test("flagship entry() runs end-to-end with rows") {
     val out = graft.SparkEntry.entry(spark)
     assert(out.count() > 0)
