@@ -34,6 +34,65 @@ object NpzReader {
       .toDF("file_id", "row", "col", "value")
   }
 
+  /** Row-range-parallel CSR read of ONE large npz: the driver
+    * parses only the small members (format/shape/indptr — the
+    * reference batches exactly this way, npz.py:126-140), splits
+    * the row space into `rowsPerTask` ranges, and each task streams
+    * just its `indptr[lo]..indptr[hi]` slice of data/indices.
+    * Memory per task is bounded by the range, not the file — the
+    * path a 1 TB single-file matrix needs. Non-CSR formats fall
+    * back to [[read]].
+    */
+  def readSplit(spark: SparkSession, path: String, rowsPerTask: Int = 100000): DataFrame = {
+    import spark.implicits._
+    val small = readNpzArrays(path, only = Some(Set("format", "shape", "indptr")))
+    val isCsr = small.get("format").exists(_.asString == "csr")
+    if (!isCsr) return read(spark, Seq(path))
+    val indptr = small("indptr").asLongs
+    val nRows = indptr.length - 1
+    val ranges = (0 until nRows by rowsPerTask).map(lo => (lo, math.min(lo + rowsPerTask, nRows)))
+    spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .flatMap { case (lo, hi) => readCsrRange(path, lo, hi) }
+      .toDF("file_id", "row", "col", "value")
+  }
+
+  /** Stream one CSR row range out of the zip: values/indices are
+    * skipped up to indptr(lo) and read through indptr(hi).
+    */
+  private[sources] def readCsrRange(path: String, lo: Int, hi: Int): Iterator[(Long, Long, Long, Double)] = {
+    val small = readNpzArrays(path, only = Some(Set("indptr")))
+    val indptr = small("indptr").asLongs
+    val from = indptr(lo)
+    val until = indptr(hi)
+    val count = (until - from).toInt
+    if (count == 0) return Iterator.empty
+
+    def slice(member: String): NpyArray = {
+      val zf = new java.util.zip.ZipFile(path)
+      try {
+        val entry = zf.getEntry(s"$member.npy")
+        val in = zf.getInputStream(entry)
+        try {
+          val header = readNpyHeader(in)
+          val width = header.descr.dropWhile(!_.isDigit).toInt
+          skipFully(in, from * width)
+          val bytes = new Array[Byte](count * width)
+          new DataInputStream(in).readFully(bytes)
+          NpyArray(header.descr, Array(count.toLong), bytes)
+        } finally in.close()
+      } finally zf.close()
+    }
+    val data = slice("data").asDoubles
+    val indices = slice("indices").asLongs
+    (lo until hi).iterator.flatMap { m =>
+      (indptr(m) until indptr(m + 1)).iterator.map { k =>
+        val off = (k - from).toInt
+        (0L, m.toLong, indices(off), data(off))
+      }
+    }
+  }
+
   /** One file → COO triples iterator. CSR/CSC expanded via indptr. */
   private[sources] def readOne(fileId: Long, path: String): Iterator[(Long, Long, Long, Double)] = {
     val arrays = readNpzArrays(path)
@@ -129,8 +188,10 @@ object NpzReader {
       } else new String(bytes, "ASCII").takeWhile(_ != 0)
   }
 
-  /** Parse every member of an npz (zip of npy). Non-npy members skipped. */
-  private[sources] def readNpzArrays(path: String): Map[String, NpyArray] = {
+  /** Parse members of an npz (zip of npy). Non-npy members skipped;
+    * with `only`, members outside the set are not materialized.
+    */
+  private[sources] def readNpzArrays(path: String, only: Option[Set[String]] = None): Map[String, NpyArray] = {
     val zis = new ZipInputStream(new BufferedInputStream(new FileInputStream(path)))
     val out = Map.newBuilder[String, NpyArray]
     try {
@@ -138,7 +199,7 @@ object NpzReader {
       while (entry != null) {
         if (entry.getName.endsWith(".npy")) {
           val name = entry.getName.stripSuffix(".npy")
-          out += name -> readNpy(zis)
+          if (only.forall(_.contains(name))) out += name -> readNpy(zis)
         }
         entry = zis.getNextEntry
       }
@@ -146,7 +207,10 @@ object NpzReader {
     out.result()
   }
 
-  private[sources] def readNpy(in: InputStream): NpyArray = {
+  final case class NpyHeader(descr: String, shape: Array[Long])
+
+  /** Parse the NPY magic+header, leaving the stream at the payload. */
+  private[sources] def readNpyHeader(in: InputStream): NpyHeader = {
     val din = new DataInputStream(in)
     val magic = new Array[Byte](6)
     din.readFully(magic)
@@ -162,11 +226,16 @@ object NpzReader {
     val descr = extract(h, "'descr':").stripPrefix("'").takeWhile(_ != '\'')
     val shapeStr = h.substring(h.indexOf("'shape':") + 8).dropWhile(_ != '(').drop(1).takeWhile(_ != ')')
     val shape = shapeStr.split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong)
-    val width = descr.dropWhile(!_.isDigit).toInt
-    val count = if (shape.isEmpty) 1L else shape.product
+    NpyHeader(descr, shape)
+  }
+
+  private[sources] def readNpy(in: InputStream): NpyArray = {
+    val hdr = readNpyHeader(in)
+    val width = hdr.descr.dropWhile(!_.isDigit).toInt
+    val count = if (hdr.shape.isEmpty) 1L else hdr.shape.product
     val bytes = new Array[Byte]((count * width).toInt)
-    din.readFully(bytes)
-    NpyArray(descr, shape, bytes)
+    new DataInputStream(in).readFully(bytes)
+    NpyArray(hdr.descr, hdr.shape, bytes)
   }
 
   private def extract(header: String, key: String): String =

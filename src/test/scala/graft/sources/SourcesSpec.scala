@@ -63,6 +63,27 @@ class SourcesSpec extends SparkSpec {
     assert(triples == Set((0L, 0L, 1.0), (0L, 2L, 2.0), (1L, 2L, 3.0)))
   }
 
+  test("NpzReader.readSplit: row-range tasks reproduce the whole-file CSR read") {
+    // 5-row CSR with varying row lengths
+    val path = java.io.File.createTempFile("graft-split", ".npz").getAbsolutePath
+    val data = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val indices = Seq(0L, 2L, 1L, 0L, 1L, 2L, 3L)
+    val indptr = Seq(0L, 2L, 3L, 3L, 6L, 7L)
+    writeNpz(path, Map(
+      "format" -> npyBytes("|S3", Nil, "csr".getBytes("ASCII")),
+      "shape" -> npyBytes("<i8", Seq(2), le(8, Seq(5L, 4L))),
+      "data" -> npyBytes("<f8", Seq(7), leDoubles(data)),
+      "indices" -> npyBytes("<i4", Seq(7), le(4, indices)),
+      "indptr" -> npyBytes("<i4", Seq(6), le(4, indptr))
+    ))
+    val whole = NpzReader.read(spark, Seq(path))
+      .select("row", "col", "value").as[(Long, Long, Double)].collect().toSet
+    val split = NpzReader.readSplit(spark, path, rowsPerTask = 2)
+      .select("row", "col", "value").as[(Long, Long, Double)].collect().toSet
+    assert(split == whole)
+    assert(split.size == 7)
+  }
+
   test("NpzReader parses a COO matrix") {
     val path = java.io.File.createTempFile("graft", ".npz").getAbsolutePath
     writeNpz(path, Map(
