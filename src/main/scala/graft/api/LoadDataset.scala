@@ -51,8 +51,29 @@ object LoadDataset {
       rowsAreFeatures: Boolean = false,
       columns: Seq[String] = Nil,
       zeroAsMissing: Boolean = false,
-      dropUnmatchedSamples: Boolean = false
+      dropUnmatchedSamples: Boolean = false,
+      autoDiscoverMetadata: Boolean = true
   )
+
+  /** Metadata-file auto-discovery by conventional filenames —
+    * reference: data_files.py:15-45 (_SAMPLE_METADATA_NAMES ×
+    * extensions, searched beside the data). Returns (sample
+    * metadata files, feature metadata files) found under `dir`.
+    */
+  def discoverMetadata(dir: String): (Seq[String], Seq[String]) = {
+    val sampleNames = Seq("metadata", "sample_metadata", "sample", "samples")
+    val featureNames = Seq("feature_metadata", "feature", "features", "annotation", "annotations")
+    val exts = Seq("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow")
+    def find(names: Seq[String]): Seq[String] = {
+      val wanted = (for (n <- names; e <- exts) yield s"$n.$e").toSet
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
+      if (!root.isDirectory) Nil
+      else walk(root).filter(f => wanted.contains(f.getName.toLowerCase)).map(_.getAbsolutePath).sorted
+    }
+    (find(sampleNames), find(featureNames))
+  }
 
   final case class GraftDataset(
       df: DataFrame,
@@ -100,7 +121,22 @@ object LoadDataset {
     }
   }
 
-  def load(spark: SparkSession, config: Config): GraftDataset = {
+  def load(spark: SparkSession, config0: Config): GraftDataset = {
+    // fill missing metadata files by directory convention, like the
+    // reference does on every load (biodata.py:230-252)
+    val config =
+      if (!config0.autoDiscoverMetadata ||
+        (config0.sampleMetadataFiles.nonEmpty && config0.featureMetadataFiles.nonEmpty)) config0
+      else {
+        val dirs = config0.dataFiles.map(p => new java.io.File(p).getParent).distinct
+        val (sm, fm) = dirs.map(discoverMetadata).foldLeft((Seq.empty[String], Seq.empty[String])) {
+          case ((a, b), (s, f)) => (a ++ s, b ++ f)
+        }
+        config0.copy(
+          sampleMetadataFiles = if (config0.sampleMetadataFiles.nonEmpty) config0.sampleMetadataFiles else sm,
+          featureMetadataFiles = if (config0.featureMetadataFiles.nonEmpty) config0.featureMetadataFiles else fm
+        )
+      }
     var df = BioLoader.load(spark, config.dataFiles)
     if (config.rowsAreFeatures) {
       // reference biodata.py:180 rows_are_features: first column is

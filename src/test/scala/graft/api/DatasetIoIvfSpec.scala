@@ -46,6 +46,22 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(new java.io.File(cacheDir).listFiles().length == before)
   }
 
+  test("metadata auto-discovery finds conventional filenames beside the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-disc").toFile.getAbsolutePath
+    Seq(("s1", 1L), ("s2", 2L)).toDF("samples", "otu1")
+      .write.parquet(s"$dir/data.parquet")
+    Seq(("s1", "b1"), ("s2", "b2")).toDF("samples", "batches")
+      .coalesce(1).write.option("header", "true").csv(s"$dir/__tmp_meta")
+    // rename to the conventional filename the reference looks for
+    val part = new java.io.File(s"$dir/__tmp_meta").listFiles().find(_.getName.endsWith(".csv")).get
+    val target = new java.io.File(s"$dir/sample_metadata.csv")
+    java.nio.file.Files.move(part.toPath, target.toPath)
+
+    val ds = LoadDataset.load(spark, LoadDataset.Config(dataFiles = Seq(s"$dir/data.parquet")))
+    assert(ds.df.columns.contains("batches"))
+    assert(ds.df.filter($"samples" === "s1").select("batches").as[String].head() == "b1")
+  }
+
   test("loadSplits shares one label dictionary across splits") {
     val dir = java.nio.file.Files.createTempDirectory("graft-splits").toFile.getAbsolutePath
     Seq(("s1", "a"), ("s2", "b")).toDF("samples", "labels").write.parquet(s"$dir/train.parquet")
