@@ -26,9 +26,49 @@ import org.apache.spark.sql.types._
   */
 object JaccardRules {
 
-  case class JaccardSim(left: Expression, right: Expression)
-      extends BinaryExpression
-      with CodegenFallback {
+  /** Sorted-merge jaccard over long arrays — no boxing, no hash
+    * set. Shingle-hash arrays (the dedup verify hot path) hit this.
+    * Public: also invoked from generated code.
+    */
+  def jaccardLongs(x: ArrayData, y: ArrayData): Double = {
+    val xs = x.toLongArray(); java.util.Arrays.sort(xs)
+    val ys = y.toLongArray(); java.util.Arrays.sort(ys)
+    var i = 0; var j = 0; var inter = 0; var union = 0
+    while (i < xs.length || j < ys.length) {
+      // skip duplicates within each side
+      if (i > 0 && i < xs.length && xs(i) == xs(i - 1)) i += 1
+      else if (j > 0 && j < ys.length && ys(j) == ys(j - 1)) j += 1
+      else if (i < xs.length && (j >= ys.length || xs(i) < ys(j))) { union += 1; i += 1 }
+      else if (j < ys.length && (i >= xs.length || ys(j) < xs(i))) { union += 1; j += 1 }
+      else { inter += 1; union += 1; i += 1; j += 1 }
+    }
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Boxed-set jaccard for non-long element types — also invoked
+    * from generated code via reference object.
+    */
+  def jaccardGeneric(x: ArrayData, y: ArrayData, elemType: DataType): Double = {
+    val seen = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < x.numElements()) { seen.add(x.get(i, elemType)); i += 1 }
+    val nx = seen.size()
+    var inter = 0
+    val matched = new java.util.HashSet[Any]()
+    i = 0
+    while (i < y.numElements()) {
+      val v = y.get(i, elemType)
+      if (seen.contains(v) && matched.add(v)) inter += 1
+      i += 1
+    }
+    val s2 = new java.util.HashSet[Any]()
+    var j = 0
+    while (j < y.numElements()) { s2.add(y.get(j, elemType)); j += 1 }
+    val union = nx + s2.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "jaccard_sim"
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
@@ -40,48 +80,20 @@ object JaccardRules {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val j = if (isLong) jaccardLongs(x, y) else jaccardGeneric(x, y)
-      java.lang.Double.valueOf(j)
+      java.lang.Double.valueOf(if (isLong) jaccardLongs(x, y) else jaccardGeneric(x, y, elemType))
     }
 
-    /** Primitive fast path: sorted-merge over long arrays — no
-      * boxing, no hash set. Shingle-hash arrays (the dedup verify
-      * hot path) hit this.
-      */
-    private def jaccardLongs(x: ArrayData, y: ArrayData): Double = {
-      val xs = x.toLongArray(); java.util.Arrays.sort(xs)
-      val ys = y.toLongArray(); java.util.Arrays.sort(ys)
-      var i = 0; var j = 0; var inter = 0; var union = 0
-      while (i < xs.length || j < ys.length) {
-        // skip duplicates within each side
-        if (i > 0 && i < xs.length && xs(i) == xs(i - 1)) i += 1
-        else if (j > 0 && j < ys.length && ys(j) == ys(j - 1)) j += 1
-        else if (i < xs.length && (j >= ys.length || xs(i) < ys(j))) { union += 1; i += 1 }
-        else if (j < ys.length && (i >= xs.length || ys(j) < xs(i))) { union += 1; j += 1 }
-        else { inter += 1; union += 1; i += 1; j += 1 }
-      }
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
-
-    private def jaccardGeneric(x: ArrayData, y: ArrayData): Double = {
-      val seen = new java.util.HashSet[Any]()
-      var i = 0
-      while (i < x.numElements()) { seen.add(x.get(i, elemType)); i += 1 }
-      val nx = seen.size()
-      var inter = 0
-      val matched = new java.util.HashSet[Any]()
-      i = 0
-      while (i < y.numElements()) {
-        val v = y.get(i, elemType)
-        if (seen.contains(v) && matched.add(v)) inter += 1
-        i += 1
-      }
-      val s2 = new java.util.HashSet[Any]()
-      var j = 0
-      while (j < y.numElements()) { s2.add(y.get(j, elemType)); j += 1 }
-      val union = nx + s2.size() - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        if (isLong)
+          s"${ev.value} = graft.plans.JaccardRules.jaccardLongs($a, $b);"
+        else {
+          val dtRef = ctx.addReferenceObj("jaccardElemType", elemType, classOf[DataType].getName)
+          s"${ev.value} = graft.plans.JaccardRules.jaccardGeneric($a, $b, $dtRef);"
+        })
   }
 
   def jaccardSim(a: Column, b: Column): Column =
