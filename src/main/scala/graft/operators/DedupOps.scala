@@ -97,13 +97,15 @@ object DedupOps {
     val pruned = keyed.join(sized.select("q", "k"), Seq("q", "k"), "left_semi")
     val a = pruned.select(col("q"), col("k"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = pruned.select(col("q"), col("k"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE distinct: candidate pairs are verified
+    // in the codegen'd join stage and only survivors pay the
+    // distinct shuffle
     a.join(b, Seq("q", "k"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .distinct()
       .withColumn("hamming", VF.hammingDistance(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** n-gram Jaccard similarity join with PPJoin-style prefix
