@@ -133,8 +133,11 @@ object DedupOps {
       .withColumn("__rn", row_number().over(wOrd))
       .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
       .select("g", "id", "len")
-    // PPJoin length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| (and vice
-    // versa) — prunes length-incompatible pairs before the distinct
+    // PPJoin length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t —
+    // prunes length-incompatible pairs before the distinct.
+    // (The positional overlap-bound variant was measured SLOWER on
+    // heavy-dup corpora: identical docs pass any bound, and the
+    // count aggregation costs more than the distinct it replaces.)
     val cand = prefix.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_b")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
