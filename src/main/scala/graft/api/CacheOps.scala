@@ -17,14 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CacheOps {
 
-  /** Stable hex fingerprint of (logical plan, input files). */
+  /** Stable hex fingerprint of (logical plan, input files as
+    * (path, size, mtime)) — rewriting an input file in place changes
+    * the fingerprint, so a stale checkpoint is never returned.
+    */
   def fingerprint(df: DataFrame): String = {
     val planHash = df.queryExecution.analyzed.semanticHash()
     val files = df.queryExecution.analyzed.collectLeaves().flatMap {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.inputFiles.toSeq.sorted
+            h.location.listFiles(Nil, Nil).flatMap(_.files)
+              .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}").sorted
           case _ => Nil
         }
       case _ => Nil

@@ -29,26 +29,38 @@ object AsofJoinOps {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(right.columns.contains), "missing right payload columns")
     require(rightPayload.intersect(leftCols).isEmpty, "right payload collides with left columns")
+    if (rightPayload.isEmpty) return left
+
+    // The payload travels as ONE struct so the most recent right ROW
+    // wins as a unit — including its null members. Filling each
+    // column independently would skip a matched row's null in favor
+    // of an older non-null value and could mix values from
+    // different right rows. The struct is non-null on every right
+    // row (even when all members are null), so last(ignoreNulls)
+    // means "last right row", exactly BroadcastAsofJoin's semantics.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
 
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1)) // left sorts after right at equal time → inclusive (<=)
-    val lAligned = rightPayload.foldLeft(l)((d, c) => d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__p", lit(null).cast(payloadType))
 
     val r = right
       .select((key +: rightTime +: rightPayload).distinct.map(col): _*)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
+      .withColumn("__p", struct(rightPayload.map(col): _*))
     val rAligned = leftCols.filterNot(c => c == key).foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lAligned.select((leftCols ++ rightPayload ++ Seq("__t", "__side")).map(col): _*)
-      .unionByName(rAligned.select((leftCols ++ rightPayload ++ Seq("__t", "__side")).map(col): _*))
+    val cols = leftCols ++ Seq("__p", "__t", "__side")
+    val unioned = l.select(cols.map(col): _*).unionByName(rAligned.select(cols.map(col): _*))
 
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightPayload.foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val filled = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.foldLeft(filled)((d, c) => d.withColumn(c, col("__p").getField(c)))
+    unpacked.filter(col("__side") === 1).drop("__p", "__t", "__side")
   }
 }

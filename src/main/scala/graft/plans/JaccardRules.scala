@@ -100,28 +100,77 @@ object JaccardRules {
     ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** filter(jaccard(a,b) >= t) ⇒
-    * filter(size(a)·1 >= t·size(b) && size(b) >= t·size(a) && jaccard(a,b) >= t)
+    * filter(|A| >= t·|B| && |B| >= t·|A| && jaccard(a,b) >= t)
+    * where |·| is the DISTINCT cardinality (JaccardSim is a set
+    * jaccard — both eval paths dedup elements, so a raw-size guard
+    * would be unsound for arrays with duplicates and could filter
+    * out true matches).
     *
-    * Marked by a guard so the rewrite is applied once (idempotent
-    * under the fixed-point optimizer).
+    * |A∩B| ≤ min(|A|,|B|), |A∪B| ≥ max(|A|,|B|) ⇒ J ≤ min/max.
+    * Conjuncts evaluate left-to-right, so wildly mismatched pairs
+    * never pay for the set intersection — the length-filter idea
+    * from the similarity-join literature (PPJoin) expressed as a
+    * Catalyst rewrite.
+    *
+    * When an input is provably duplicate-free — a [[graft.functions
+    * .HashExpressions.ShingleHashes]] (distinct-ified by
+    * construction) or an `array_distinct`, traced through Project
+    * aliases below the filter — the guard uses the cheap raw
+    * `size(x)`; otherwise it pays one `size(array_distinct(x))`
+    * per side, still far cheaper than the sorted-merge
+    * intersection it guards.
+    *
+    * Marked by an exists-guard so the rewrite is applied once
+    * (idempotent under the fixed-point optimizer).
     */
   object JaccardSizePrefilter extends Rule[LogicalPlan] {
-    private def sizeGuard(a: Expression, b: Expression, t: Expression): Expression = {
-      val sa = Cast(Size(a), DoubleType)
-      val sb = Cast(Size(b), DoubleType)
+
+    /** Alias definitions anywhere below the filter (exprIds are
+      * unique per plan, so a flat map is safe).
+      */
+    private def aliasesBelow(plan: LogicalPlan): Map[Long, Expression] =
+      plan.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect { case a: Alias => a.exprId.id -> a.child }
+      }.flatten.toMap
+
+    private def provablyDistinct(e: Expression, aliases: Map[Long, Expression]): Boolean = e match {
+      case _: graft.functions.HashExpressions.ShingleHashes => true
+      case _: ArrayDistinct                                 => true
+      case Alias(c, _)                                      => provablyDistinct(c, aliases)
+      case ar: AttributeReference =>
+        aliases.get(ar.exprId.id).exists(provablyDistinct(_, aliases))
+      case _ => false
+    }
+
+    private def sizeGuard(a: Expression, b: Expression, t: Expression, aliases: Map[Long, Expression]): Expression = {
+      def card(x: Expression): Expression =
+        Cast(Size(if (provablyDistinct(x, aliases)) x else ArrayDistinct(x)), DoubleType)
+      val sa = card(a)
+      val sb = card(b)
       And(GreaterThanOrEqual(sa, Multiply(t, sb)), GreaterThanOrEqual(sb, Multiply(t, sa)))
     }
 
+    private def rewriteCond(cond: Expression, aliases: Map[Long, Expression]): Expression =
+      cond.transformUp {
+        // exists-guard keeps the rewrite idempotent across the
+        // optimizer's fixed-point iterations
+        case ge @ GreaterThanOrEqual(j: JaccardSim, t @ Literal(_, DoubleType))
+            if !cond.exists(_.fastEquals(sizeGuard(j.left, j.right, t, aliases))) =>
+          And(sizeGuard(j.left, j.right, t, aliases), ge)
+      }
+
+    // Matches jaccard thresholds both in Filters and in Join
+    // conditions — predicate pushdown folds `join.filter(jaccard…)`
+    // into the join condition before this rule runs.
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case f @ Filter(cond, child) =>
-        val rewritten = cond.transformUp {
-          // exists-guard keeps the rewrite idempotent across the
-          // optimizer's fixed-point iterations
-          case ge @ GreaterThanOrEqual(j: JaccardSim, t @ Literal(_, DoubleType))
-              if !cond.exists(_.fastEquals(sizeGuard(j.left, j.right, t))) =>
-            And(sizeGuard(j.left, j.right, t), ge)
-        }
+        val rewritten = rewriteCond(cond, aliasesBelow(child))
         if (rewritten fastEquals cond) f else Filter(rewritten, child)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isDefined =>
+        val cond = j.condition.get
+        val rewritten = rewriteCond(cond, aliasesBelow(j))
+        if (rewritten fastEquals cond) j else j.copy(condition = Some(rewritten))
     }
   }
 }

@@ -75,7 +75,7 @@ object NpzReader {
         val in = zf.getInputStream(entry)
         try {
           val header = readNpyHeader(in)
-          val width = header.descr.dropWhile(!_.isDigit).toInt
+          val width = byteWidth(header.descr)
           skipFully(in, from * width)
           val bytes = new Array[Byte](count * width)
           new DataInputStream(in).readFully(bytes)
@@ -132,7 +132,7 @@ object NpzReader {
     private def order(bb: ByteBuffer): ByteBuffer =
       bb.order(if (descr.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     private def kind: Char = descr.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=').head
-    private def width: Int = descr.dropWhile(!_.isDigit).toInt
+    private def width: Int = NpzReader.byteWidth(descr)
 
     def asDoubles: Array[Double] = {
       val bb = order(ByteBuffer.wrap(bytes))
@@ -166,7 +166,12 @@ object NpzReader {
       case ('i', 4) => bb.getInt(i * 4).toLong
       case ('i', 8) => bb.getLong(i * 8)
       case ('u', 1) => bb.get(i).toLong & 0xffL
+      case ('u', 2) => bb.getShort(i * 2).toLong & 0xffffL
       case ('u', 4) => bb.getInt(i * 4).toLong & 0xffffffffL
+      case ('u', 8) =>
+        val v = bb.getLong(i * 8)
+        if (v < 0) throw new IllegalArgumentException(s"uint64 value ${java.lang.Long.toUnsignedString(v)} exceeds Long.MaxValue")
+        v
       case ('f', 4) => bb.getFloat(i * 4).toLong
       case ('f', 8) => bb.getDouble(i * 8).toLong
       case _        => throw new IllegalArgumentException(s"unsupported integer dtype $descr")
@@ -229,9 +234,18 @@ object NpzReader {
     NpyHeader(descr, shape)
   }
 
+  /** Bytes per element for an NPY descr. 'U' widths count
+    * CHARACTERS at 4 bytes each (UTF-32).
+    */
+  private[sources] def byteWidth(descr: String): Int = {
+    val w = descr.dropWhile(!_.isDigit).toInt
+    val kind = descr.dropWhile(c => c == '<' || c == '>' || c == '|' || c == '=').head
+    if (kind == 'U') w * 4 else w
+  }
+
   private[sources] def readNpy(in: InputStream): NpyArray = {
     val hdr = readNpyHeader(in)
-    val width = hdr.descr.dropWhile(!_.isDigit).toInt
+    val width = byteWidth(hdr.descr)
     val count = if (hdr.shape.isEmpty) 1L else hdr.shape.product
     val bytes = new Array[Byte]((count * width).toInt)
     new DataInputStream(in).readFully(bytes)

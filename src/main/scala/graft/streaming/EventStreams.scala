@@ -36,39 +36,66 @@ object EventStreams {
   final case class Session(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long, total_value: Double)
 
   /** Sessionization: contiguous activity per user with a gap
-    * timeout. Custom state machine via mapGroupsWithState — the
+    * timeout. Custom state machine via flatMapGroupsWithState — the
     * Spark-native replacement for imperative per-entity loops; state
-    * is partitioned by user across executors, checkpointed, and
-    * evicted on timeout.
+    * is partitioned by user across executors and checkpointed.
+    *
+    * Streaming inputs get a watermark + EventTimeTimeout: once the
+    * event-time watermark passes `lastSeen + gapMs`, the open
+    * session is closed, EMITTED, and its state evicted — so a
+    * user's final session doesn't wait for a newer event and
+    * per-user state is bounded by the watermark horizon (in batch
+    * mode timeouts never fire; use [[sessionizeBatchComplete]] for
+    * the tail flush there).
+    *
+    * @param watermark how late events may arrive; also bounds how
+    *                  long an open session's state survives past
+    *                  its gap timeout
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "2 hours"
+  ): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
-          // deterministic in-group ordering (batch runs hand the whole
-          // group at once; streaming hands per-trigger slices)
-          val sorted = evts.toSeq.sortBy(_.ts.getTime)
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.lastSeen <= gapMs =>
-                cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1, totalValue = st.totalValue + e.value))
-              case Some(st) =>
-                closed += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // gap elapsed past the watermark: close + emit the open
+            // session and evict its state (sessionizeBatchComplete's
+            // tail flush, streamed)
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue))
+          } else {
+            // deterministic in-group ordering (batch runs hand the whole
+            // group at once; streaming hands per-trigger slices)
+            val sorted = evts.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastSeen <= gapMs =>
+                  cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1, totalValue = st.totalValue + e.value))
+                case Some(st) =>
+                  closed += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // fire once the watermark passes the session's gap
+              // horizon (must stay strictly ahead of the watermark)
+              state.setTimeoutTimestamp(math.max(st.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          cur match {
-            case Some(st) => state.update(st)
-            case None     => ()
-          }
-          closed.iterator
       }
   }
 

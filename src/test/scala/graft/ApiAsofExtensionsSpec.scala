@@ -21,6 +21,21 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     ))
   }
 
+  test("asofBackward: matched right row wins as a unit, including its nulls") {
+    // The most recent right row at t<=20 has price=null, note="n2".
+    // Per-column filling would resurrect the older 100.0 and pair it
+    // with n2 — the whole-row semantics must yield (null, "n2").
+    val left = Seq((1, 20L, "e")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1, 10L, Some(100.0), "n1"),
+      (1, 15L, None: Option[Double], "n2")
+    ).toDF("k", "rt", "price", "note")
+    val out = AsofJoinOps.asofBackward(left, right, "k", "t", "rt", Seq("price", "note"))
+      .select("price", "note").collect()(0)
+    assert(out.isNullAt(0), s"null payload of the matched row must win: $out")
+    assert(out.getString(1) == "n2")
+  }
+
   test("LoadDataset.load: metadata join + role inference + label encode, end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toFile.getAbsolutePath
     Seq(("s1", 3L, 5L), ("s2", 0L, 2L), ("s3", 7L, 1L))

@@ -45,6 +45,39 @@ class JaccardRulesSpec extends SparkSpec {
     }
   }
 
+  test("JaccardSizePrefilter is sound for arrays with duplicate elements") {
+    GraftExtensionsTestSession.withRule { s =>
+      import s.implicits._
+      // Raw sizes 9 vs 3 would fail a raw-size guard at t=0.8, but
+      // the SET jaccard is 3/3 = 1.0 — the row must survive.
+      // Parquet-backed so the filter isn't folded into a
+      // LocalRelation before the injected rule runs.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jac_dup").toString
+      Seq(
+        (1L, Seq("a", "a", "a", "a", "a", "a", "a", "b", "c"), Seq("a", "b", "c")),
+        (2L, Seq("a", "b"), Seq("x", "y"))
+      ).toDF("id", "x", "y").write.mode("overwrite").parquet(tmp)
+      val df = s.read.parquet(tmp)
+      val ids = df.filter(JaccardRules.jaccardSim(col("x"), col("y")) >= 0.8)
+        .select("id").as[Long].collect().toSeq
+      assert(ids == Seq(1L), s"duplicate-element rows must not be pre-filtered: $ids")
+    }
+  }
+
+  test("JaccardSizePrefilter uses raw size when inputs are provably distinct (ShingleHashes)") {
+    GraftExtensionsTestSession.withRule { s =>
+      import graft.functions.HashExpressions
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), HashExpressions.shingleHashes(split(col("text"), " "), 3).as("sh"))
+      val joined = docs.as("a").crossJoin(docs.as("b"))
+        .filter(JaccardRules.jaccardSim(col("a.sh"), col("b.sh")) >= 0.8)
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("size("), optimized)
+      // ShingleHashes dedups by construction → no array_distinct in the guard
+      assert(!optimized.contains("array_distinct"), optimized)
+    }
+  }
+
   test("flattenStructs expands nested structs with dotted names") {
     val df = Seq((1, ("x", 2.0), 5)).toDF("id", "s", "v")
     val flat = ReshapeOps.flattenStructs(df)

@@ -84,6 +84,31 @@ class SourcesSpec extends SparkSpec {
     assert(split.size == 7)
   }
 
+  test("NpzReader handles <U3 format members and uint16/uint64 index dtypes") {
+    // scipy >=1.8 writes `format` as a '<U3' (UTF-32) scalar
+    def utf32(s: String): Array[Byte] = {
+      val bb = ByteBuffer.allocate(s.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      s.foreach(c => bb.putInt(c.toInt))
+      bb.array()
+    }
+    def leU2(xs: Seq[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(xs.size * 2).order(ByteOrder.LITTLE_ENDIAN)
+      xs.foreach(x => bb.putShort(x.toShort))
+      bb.array()
+    }
+    val path = java.io.File.createTempFile("graft-u", ".npz").getAbsolutePath
+    writeNpz(path, Map(
+      "format" -> npyBytes("<U3", Nil, utf32("csr")),
+      "shape" -> npyBytes("<u8", Seq(2), le(8, Seq(2L, 3L))),
+      "data" -> npyBytes("<f8", Seq(3), leDoubles(Seq(1.0, 2.0, 3.0))),
+      "indices" -> npyBytes("<u2", Seq(3), leU2(Seq(0L, 2L, 40000L))), // 40000 > Short.MaxValue
+      "indptr" -> npyBytes("<u8", Seq(3), le(8, Seq(0L, 2L, 3L)))
+    ))
+    val df = NpzReader.read(spark, Seq(path))
+    val triples = df.select("row", "col", "value").as[(Long, Long, Double)].collect().toSet
+    assert(triples == Set((0L, 0L, 1.0), (0L, 2L, 2.0), (1L, 40000L, 3.0)))
+  }
+
   test("NpzReader parses a COO matrix") {
     val path = java.io.File.createTempFile("graft", ".npz").getAbsolutePath
     writeNpz(path, Map(

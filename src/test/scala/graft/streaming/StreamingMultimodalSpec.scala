@@ -48,6 +48,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(sessions(2).getLong(0) == 8L)
   }
 
+  test("sessionize (streaming) emits the final session via event-time timeout and evicts state") {
+    import EventStreams._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = 1700000000000L
+    val ms = MemoryStream[Event](spark)
+    val q = sessionize(ms.toDS(), gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // user 7: two events, then silence
+      ms.addData(
+        Event(1, new java.sql.Timestamp(base), 7L, "view", 1.0),
+        Event(2, new java.sql.Timestamp(base + 60000), 7L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0) // session still open
+
+      // a much-later event (any user) advances the watermark past
+      // user 7's gap horizon → timeout closes and emits the session
+      ms.addData(Event(3, new java.sql.Timestamp(base + 3 * 60 * 60 * 1000L), 8L, "view", 5.0))
+      q.processAllAvailable()
+      // the timeout fires in the no-data microbatch after the
+      // watermark update; poll briefly
+      var tries = 0
+      while (spark.table("sess_stream").count() == 0 && tries < 60) {
+        Thread.sleep(500); tries += 1
+      }
+      val rows = spark.table("sess_stream")
+        .select("user_id", "start_ts", "end_ts", "n_events", "total_value").collect()
+      assert(rows.length == 1, s"expected user 7's closed session, got ${rows.toSeq}")
+      val r = rows(0)
+      assert(r.getLong(0) == 7L && r.getLong(1) == base && r.getLong(2) == base + 60000)
+      assert(r.getLong(3) == 2L && r.getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+
   test("media frame: schema, stub decode determinism, frame sampling") {
     val media = Seq((1L, "imagebytes-one".getBytes), (2L, "imagebytes-two".getBytes))
       .toDF("id", "data")
