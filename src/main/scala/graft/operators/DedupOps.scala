@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{HashExpressions => HE, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, PairGenerators => PG, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,15 +32,18 @@ object DedupOps {
   /** MinHash+LSH near-dup candidate pairs.
     *
     * tokens → shingle hashes → fused minhash+band keys (single-pass
-    * Catalyst expression, [[HE.MinHashBandKeys]]) → explode →
-    * self-join on band key (IDS ONLY — shingle arrays never ride
-    * the candidate shuffle) → distinct pairs → re-attach shingle
-    * hashes → exact-Jaccard verify ≥ threshold.
+    * Catalyst expression, [[HE.MinHashBandKeys]]) → explode → ONE
+    * groupBy(band) with [[PG.CappedCollectList]] (IDS ONLY —
+    * shingle arrays never ride the candidate shuffle; degenerate
+    * buckets overflow the cap and are dropped, the standard LSH
+    * skew guard) → [[PG.IdPairs]] bucket-local pair enumeration →
+    * distinct pairs → re-attach shingle hashes → exact-Jaccard
+    * verify ≥ threshold.
     *
-    * Scale: the exploded table has n·bands (id, band) rows; pairs
-    * are verified per-bucket. Degenerate buckets (empty docs,
-    * boilerplate) are capped via `maxBucket` — the standard LSH
-    * skew guard.
+    * Scale: one shuffle of n·bands (id, band) rows replaces the r1
+    * count-groupBy + semi-join + two-branch self-join (3 extra
+    * full-table shuffles); per-bucket memory is bounded by
+    * maxBucket ids.
     */
   def minhashLsh(
       df: DataFrame,
@@ -57,13 +60,10 @@ object DedupOps {
       .filter(size(col("sh")) > 0)
     val banded = shingled
       .select(col("id"), explode(HE.minhashBandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
-    val bucketSizes = banded.groupBy("band").agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-    val pruned = banded.join(bucketSizes.select("band"), Seq("band"), "left_semi")
-    val cand = pruned.select(col("band"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val buckets = banded.groupBy("band")
+      .agg(PG.cappedCollectList(col("id"), maxBucket + 1).as("m"))
+      .filter(size(col("m")) <= maxBucket)
+    val cand = buckets.select(PG.idPairs(col("m")).as(Seq("id_a", "id_b"))).distinct()
     cand
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -92,19 +92,15 @@ object DedupOps {
         array((0 until 4).map(q => struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)
       ).as("bucket")
     )
-    val keyed = quarters.select(col("id"), col("sig"), col("bucket.q"), col("bucket.k"))
-    val sized = keyed.groupBy("q", "k").agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-    val pruned = keyed.join(sized.select("q", "k"), Seq("q", "k"), "left_semi")
-    val a = pruned.select(col("q"), col("k"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("q"), col("k"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // hamming filter BEFORE distinct: candidate pairs are verified
-    // in the codegen'd join stage and only survivors pay the
-    // distinct shuffle
-    a.join(b, Seq("q", "k"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", VF.hammingDistance(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val keyed = quarters.select(col("bucket.q"), col("bucket.k"), struct(col("id"), col("sig")).as("member"))
+    // one shuffle: bucket members collected (capped), pairs emitted
+    // with the hamming verify fused into the bucket scan — only
+    // survivors pay the distinct shuffle
+    val buckets = keyed.groupBy("q", "k")
+      .agg(PG.cappedCollectList(col("member"), maxBucket + 1).as("m"))
+      .filter(size(col("m")) <= maxBucket)
+    buckets
+      .select(PG.hammingPairs(col("m"), maxHamming).as(Seq("id_a", "id_b", "hamming")))
       .distinct()
   }
 
@@ -135,9 +131,12 @@ object DedupOps {
       .select("g", "id", "len")
     // PPJoin length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t —
     // prunes length-incompatible pairs before the distinct.
-    // (The positional overlap-bound variant was measured SLOWER on
-    // heavy-dup corpora: identical docs pass any bound, and the
-    // count aggregation costs more than the distinct it replaces.)
+    // (Both alternative formulations were MEASURED slower here: the
+    // positional overlap-bound aggregation loses on heavy-dup
+    // corpora, and the collect+[[PG.IdLenPairs]] bucket shape loses
+    // because prefix buckets are mostly 1-2 members — per-group
+    // object-aggregation overhead exceeds the codegen'd join, unlike
+    // the band/quarter buckets in minhash/simhash.)
     val cand = prefix.select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
       .join(prefix.select(col("g"), col("id").as("id_b"), col("len").as("len_b")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
@@ -232,14 +231,14 @@ object DedupOps {
       maxBucket: Int = 2000
   ): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), HE.hyperplaneLsh(col(vecCol), nBits).as("bkt"))
-    val sized = sigs.groupBy("bkt").agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-    val pruned = sigs.join(sized.select("bkt"), Seq("bkt"), "left_semi")
-    val a = pruned.select(col("bkt"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = pruned.select(col("bkt"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", HE.cosineSim(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
+    // one shuffle: vectors ride into their bucket once; cosine
+    // verify is fused into the bucket-local pair scan (norms
+    // computed once per member) — no self-join, no second pass
+    val buckets = sigs.groupBy("bkt")
+      .agg(PG.cappedCollectList(struct(col("id"), col("v")), maxBucket + 1).as("m"))
+      .filter(size(col("m")) <= maxBucket)
+    buckets
+      .select(PG.cosinePairs(col("m"), threshold).as(Seq("id_a", "id_b", "cosine")))
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .distinct()
   }

@@ -1,9 +1,13 @@
 package graft.operators
 
 import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,12 +15,17 @@ import org.apache.spark.sql.functions._
   * centroid-partitioned scale path for similarity search, next to
   * [[KnnOps.lshTopK]]'s hyperplane variant.
   *
-  * Build: KMeans (Spark MLlib, itself a distributed Lloyd's over
-  * DataFrames) fits `nLists` coarse centroids on a sample; every
-  * corpus vector is assigned to its nearest centroid — that
-  * assignment is the inverted file, and on disk it is simply a
-  * `partitionBy("list_id")` parquet layout so a probe only READS
-  * the probed lists (partition pruning does the index lookup).
+  * Build: Lloyd's k-means (k-means++ seeded) over a BOUNDED driver
+  * sample fits `nLists` coarse centroids — the coarse quantizer
+  * needs only a representative sample, never the full corpus, so
+  * the fit is O(sample·k·dim) on the driver with zero cluster jobs
+  * beyond the one sample-collect. Every corpus vector is then
+  * assigned to its nearest centroid in ONE distributed pass
+  * ([[NearestCentroid]], centroids carried inside the expression —
+  * no join); that assignment is the inverted file, and on disk it
+  * is simply a `partitionBy("list_id")` parquet layout so a probe
+  * only READS the probed lists (partition pruning does the index
+  * lookup).
   *
   * Query: each query probes its `nProbe` nearest centroids (tiny
   * broadcast compare) and scores only vectors in those lists —
@@ -26,9 +35,117 @@ object IvfKnnOps {
 
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
+  /** argmin_c L2²(vec, centroids(c)) as a Catalyst expression —
+    * the centroid table rides in the expression (it is tiny:
+    * nLists·dim doubles), so assignment is a zero-shuffle map.
+    */
+  case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid"
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid = copy(child = newChild)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) { v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+      java.lang.Integer.valueOf(nearest(v, centroids))
+    }
+  }
+
+  private def nearest(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val d = math.min(v.length, cent.length)
+      var acc = 0.0
+      var i = 0
+      while (i < d && acc < bestD) { val x = v(i) - cent(i); acc += x * x; i += 1 }
+      if (i == d && acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Seeded k-means++ init then Lloyd's over the sample. */
+  private[operators] def lloyds(sample: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty sample for k-means")
+    val dim = sample(0).length
+    val rng = new java.util.Random(seed)
+    val kk = math.min(k, sample.length)
+    // k-means++ seeding: next center ∝ squared distance to nearest chosen
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = sample(rng.nextInt(sample.length)).clone()
+    val d2 = Array.fill(sample.length)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < sample.length) {
+        val prev = centers(c - 1)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { val x = sample(i)(j) - prev(j); acc += x * x; j += 1 }
+        if (acc < d2(i)) d2(i) = acc
+        i += 1
+      }
+      val total = d2.sum
+      var pick = rng.nextDouble() * total
+      var idx = 0
+      while (idx < sample.length - 1 && pick > d2(idx)) { pick -= d2(idx); idx += 1 }
+      centers(c) = sample(idx).clone()
+      c += 1
+    }
+    // Lloyd's iterations
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < sample.length) {
+        val a = nearest(sample(i), centers)
+        val s = sums(a)
+        var j = 0
+        while (j < dim) { s(j) += sample(i)(j); j += 1 }
+        counts(a) += 1
+        i += 1
+      }
+      var moved = false
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < dim) {
+            val m = sums(cc)(j) / counts(cc)
+            if (m != centers(cc)(j)) { centers(cc)(j) = m; moved = true }
+            j += 1
+          }
+        } else {
+          // empty cluster: reseed from a random sample point
+          centers(cc) = sample(rng.nextInt(sample.length)).clone(); moved = true
+        }
+        cc += 1
+      }
+      iter += 1
+      if (!moved) iter = maxIter
+    }
+    // pad if sample had fewer points than k (degenerate tiny input)
+    if (kk < k) centers ++ Array.fill(k - kk)(centers(0).clone()) else centers
+  }
+
   /** Fit centroids and assign every corpus row to a list.
     * `assigned` = corpus + `list_id`; persist it partitioned by
     * list_id for probe-time partition pruning.
+    *
+    * @param maxSample upper bound on driver-collected fit vectors
+    *                  (bounds driver memory at any corpus scale)
     */
   def buildIndex(
       corpus: DataFrame,
@@ -37,17 +154,17 @@ object IvfKnnOps {
       nLists: Int,
       seed: Long = 42L,
       sampleFraction: Double = 1.0,
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      maxSample: Int = 65536
   ): IvfIndex = {
-    val spark = corpus.sparkSession
-    val ml = corpus.select(col(idCol), col(vecCol))
-      .withColumn("features", array_to_vector(col(vecCol).cast("array<double>")))
-    val fitOn = if (sampleFraction < 1.0) ml.sample(sampleFraction, seed) else ml
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(fitOn)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-    val assigned = model.transform(ml)
-      .withColumnRenamed("prediction", "list_id")
-      .drop("features")
+    val vecs = corpus.select(col(vecCol).cast("array<double>"))
+    val sampled = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
+    val sample = sampled.limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloyds(sample, nLists, maxIter, seed)
+    val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
+    val assigned = corpus.withColumn(
+      "list_id",
+      ColumnBridge.column(NearestCentroid(ColumnBridge.expression(col(vecCol)), centers)))
     IvfIndex(centroids, assigned)
   }
 

@@ -26,18 +26,18 @@ object LabelOps {
   private val maxInlineLabels = 10000
 
   /** Distinct labels of `labelCol`, sorted ascending (nulls
-    * excluded) — the label dictionary. One small exact groupBy; at
-    * 100 TB this is a map-side-combined agg producing ~#classes
-    * rows.
+    * excluded) — the label dictionary. ONE job via a collect_set
+    * aggregate: map-side partials hold ~#classes values each and
+    * merge once, vs the distinct+orderBy formulation's extra
+    * shuffle + sort stage. The tiny dictionary is sorted on the
+    * driver.
     */
   def labelDictionary(df: DataFrame, labelCol: String): Seq[String] =
-    df.select(col(labelCol).cast("string"))
-      .na.drop()
-      .distinct()
-      .orderBy(col(labelCol))
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    df.select(col(labelCol).cast("string").as("l"))
+      .agg(collect_set(col("l")))
+      .collect()(0)
+      .getSeq[String](0)
+      .sorted
 
   def classEncode(df: DataFrame, labelCol: String, outputCol: String = TargetColumn): DataFrame = {
     val labels = labelDictionary(df, labelCol)
