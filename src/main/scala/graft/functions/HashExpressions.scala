@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -14,49 +13,145 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * allocate intermediate Catalyst arrays per hash per row — at
   * billions of documents that's the hot path. These expressions do
   * one tight JVM loop per row: hash each token once, then O(k)
-  * cheap long-mixes. `CodegenFallback` costs one virtual call per
-  * row; the loop body itself is branch-free JVM code, which is
-  * where the time goes.
+  * cheap long-mixes. Every expression implements `doGenCode`
+  * calling a static kernel, so they inline into whole-stage
+  * codegen — no per-row virtual eval dispatch, and the surrounding
+  * project/filter stays one generated function.
   */
 object HashExpressions {
 
   private def mixLong(v: Long, seed: Long): Long = XXH64.hashLong(v, seed)
 
+  // ---- static kernels, invoked both from eval and generated code ----
+
+  /** Single-pass 64-bit simhash over a token array. */
+  def simhashKernel(arr: ArrayData, seed: Long): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUTF8String(s, seed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Fused minhash signature + LSH band keys. */
+  def minhashBandKernel(arr: ArrayData, numHashes: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = arr.getLong(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = mixLong(base, seed + k)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val nBands = numHashes / rowsPerBand
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = 0x9e3779b97f4a7c15L + b
+      var r = b * rowsPerBand
+      while (r < (b + 1) * rowsPerBand) {
+        acc = mixLong(acc ^ sig(r), seed)
+        r += 1
+      }
+      bands(b) = acc
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  /** Distinct word-n-gram shingle hashes straight from tokens. */
+  def shingleKernel(arr: ArrayData, n: Int, seed: Long): ArrayData = {
+    val nTok = arr.numElements()
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        tokHash(i) = XXH64.hashUTF8String(s, seed)
+      }
+      i += 1
+    }
+    val count = math.max(nTok - n + 1, if (nTok > 0) 1 else 0)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    var w = 0
+    while (w < count) {
+      var acc = seed
+      var j = w
+      val end = math.min(w + n, nTok)
+      while (j < end) { acc = mixLong(acc ^ tokHash(j), seed); j += 1 }
+      if (seen.add(acc)) out += acc
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Random-hyperplane LSH bits packed into a long. */
+  def hyperplaneKernel(arr: ArrayData, nBits: Int, seed: Long, elemIsFloat: Boolean): Long = {
+    val n = arr.numElements()
+    val acc = new Array[Double](nBits)
+    var d = 0
+    while (d < n) {
+      if (!arr.isNullAt(d)) {
+        val v = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        var i = 0
+        while (i < nBits) {
+          val s = if ((XXH64.hashLong(d.toLong, seed + i) & 1L) == 0L) v else -v
+          acc(i) += s
+          i += 1
+        }
+      }
+      d += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < nBits) { if (acc(i) >= 0) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   /** 64-bit SimHash over an array<string> of tokens: per-bit
-    * majority vote of per-token xxhash64 values.
+    * majority vote of per-token xxhash64 values. `doGenCode` calls
+    * the static kernel so the expression inlines into whole-stage
+    * codegen next to the tokenizer feeding it.
     */
-  case class SimHash64(child: Expression, seed: Long)
-      extends UnaryExpression
-      with CodegenFallback {
+  case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash64"
     override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          val h = XXH64.hashUTF8String(s, seed)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      java.lang.Long.valueOf(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashKernel(input.asInstanceOf[ArrayData], seed))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.simhashKernel($a, ${seed}L);")
   }
 
   /** MinHash signature + LSH banding fused into one pass.
@@ -69,45 +164,21 @@ object HashExpressions {
     * MinHash construction.
     */
   case class MinHashBandKeys(child: Expression, numHashes: Int, rowsPerBand: Int, seed: Long)
-      extends UnaryExpression
-      with CodegenFallback {
+      extends UnaryExpression {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_band_keys"
     override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys = copy(child = newChild)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val base = arr.getLong(i)
-          var k = 0
-          while (k < numHashes) {
-            val h = mixLong(base, seed + k)
-            if (h < sig(k)) sig(k) = h
-            k += 1
-          }
-        }
-        i += 1
-      }
-      val nBands = numHashes / rowsPerBand
-      val bands = new Array[Long](nBands)
-      var b = 0
-      while (b < nBands) {
-        var acc = 0x9e3779b97f4a7c15L + b
-        var r = b * rowsPerBand
-        while (r < (b + 1) * rowsPerBand) {
-          acc = mixLong(acc ^ sig(r), seed)
-          r += 1
-        }
-        bands(b) = acc
-        b += 1
-      }
-      new GenericArrayData(bands)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashBandKernel(input.asInstanceOf[ArrayData], numHashes, rowsPerBand, seed)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.minhashBandKernel($a, $numHashes, $rowsPerBand, ${seed}L);")
   }
 
   /** Word n-gram shingle HASHES straight from a token array — skips
@@ -115,38 +186,20 @@ object HashExpressions {
     * chain over its tokens' hashes). Distinct-ified.
     */
   case class ShingleHashes(child: Expression, n: Int, seed: Long)
-      extends UnaryExpression
-      with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes"
     override protected def withNewChildInternal(newChild: Expression): ShingleHashes = copy(child = newChild)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val nTok = arr.numElements()
-      val tokHash = new Array[Long](nTok)
-      var i = 0
-      while (i < nTok) {
-        if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          tokHash(i) = XXH64.hashUTF8String(s, seed)
-        }
-        i += 1
-      }
-      val count = math.max(nTok - n + 1, if (nTok > 0) 1 else 0)
-      val seen = new java.util.HashSet[java.lang.Long]()
-      val out = new scala.collection.mutable.ArrayBuffer[Long](count)
-      var w = 0
-      while (w < count) {
-        var acc = seed
-        var j = w
-        val end = math.min(w + n, nTok)
-        while (j < end) { acc = mixLong(acc ^ tokHash(j), seed); j += 1 }
-        if (seen.add(acc)) out += acc
-        w += 1
-      }
-      new GenericArrayData(out.toArray)
-    }
+    override def nullSafeEval(input: Any): Any =
+      shingleKernel(input.asInstanceOf[ArrayData], n, seed)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.shingleKernel($a, $n, ${seed}L);")
   }
 
   /** Random-hyperplane LSH bits fused into one pass over the
@@ -157,8 +210,7 @@ object HashExpressions {
     * aggregate(zip_with(sequence…)) Catalyst trees.
     */
   case class HyperplaneLsh(child: Expression, nBits: Int, seed: Long)
-      extends UnaryExpression
-      with CodegenFallback {
+      extends UnaryExpression {
     require(nBits >= 1 && nBits <= 63, "nBits in [1,63]")
     override def dataType: DataType = LongType
     override def prettyName: String = "hyperplane_lsh"
@@ -167,29 +219,15 @@ object HashExpressions {
     private lazy val elemIsFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val acc = new Array[Double](nBits)
-      var d = 0
-      while (d < n) {
-        if (!arr.isNullAt(d)) {
-          val v = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-          var i = 0
-          while (i < nBits) {
-            // one cheap mix per (bit, dim); sign from the low bit
-            val s = if ((XXH64.hashLong(d.toLong, seed + i) & 1L) == 0L) v else -v
-            acc(i) += s
-            i += 1
-          }
-        }
-        d += 1
-      }
-      var bits = 0L
-      var i = 0
-      while (i < nBits) { if (acc(i) >= 0) bits |= (1L << i); i += 1 }
-      java.lang.Long.valueOf(bits)
-    }
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(hyperplaneKernel(input.asInstanceOf[ArrayData], nBits, seed, elemIsFloat))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.hyperplaneKernel($a, $nBits, ${seed}L, $elemIsFloat);")
   }
 
   /** Cosine similarity fused into one primitive pass (float or

@@ -6,8 +6,10 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.DataType
 
 /** Broadcast as-of join as a full custom operator:
   * `LogicalPlan` node → planner `Strategy` → `SparkPlan`.
@@ -52,6 +54,75 @@ object BroadcastAsofJoin {
     }
   }
 
+  /** Spec of how to turn the broadcast build-side rows into the
+    * asof lookup index: key → (sorted times, payload rows).
+    */
+  final case class AsofIndexSpec(
+      keyOrd: Int,
+      timeOrd: Int,
+      payloadOrds: Seq[Int],
+      keyType: DataType,
+      timeType: DataType,
+      payloadTypes: Seq[DataType]
+  ) extends Serializable {
+    def build(rows: Array[InternalRow]): java.util.HashMap[Any, (Array[Long], Array[Array[Any]])] = {
+      val byKey = new java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]()
+      val grouped = rows.iterator
+        .filterNot(r => r.isNullAt(keyOrd) || r.isNullAt(timeOrd))
+        .map { r =>
+          val k = InternalRow.copyValue(r.get(keyOrd, keyType))
+          val t = AsofExec.timeAsLong(r.get(timeOrd, timeType))
+          val p = payloadOrds.zip(payloadTypes).map { case (o, dt) =>
+            if (r.isNullAt(o)) null else InternalRow.copyValue(r.get(o, dt))
+          }.toArray
+          (k, t, p)
+        }
+        .toSeq
+        .groupBy(_._1)
+      grouped.foreach { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        byKey.put(k, (sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+      }
+      byKey
+    }
+  }
+
+  object AsofExec {
+    private[plans] def timeAsLong(v: Any): Long = v match {
+      case l: java.lang.Long    => l
+      case i: java.lang.Integer => i.toLong
+      case other                => throw new IllegalArgumentException(s"unsupported time type ${other.getClass}")
+    }
+
+    /** Per-executor memo of built indexes, keyed by broadcast id —
+      * the index is built ONCE per executor from the broadcast rows
+      * (not per task). Bounded LRU; entries are tiny relative to
+      * the broadcast rows themselves, which the BlockManager
+      * already manages.
+      */
+    private val indexCache =
+      new java.util.LinkedHashMap[Long, java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]]): Boolean =
+          size() > 32
+      }
+
+    private[plans] def indexFor(
+        bcastId: Long,
+        rows: => Array[InternalRow],
+        spec: AsofIndexSpec): java.util.HashMap[Any, (Array[Long], Array[Array[Any]])] =
+      indexCache.synchronized {
+        val hit = indexCache.get(bcastId)
+        if (hit != null) hit
+        else {
+          val built = spec.build(rows)
+          indexCache.put(bcastId, built)
+          built
+        }
+      }
+  }
+
   final case class AsofExec(
       left: SparkPlan,
       right: SparkPlan,
@@ -65,35 +136,29 @@ object BroadcastAsofJoin {
     override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsofExec =
       copy(left = l, right = r)
 
-    override protected def doExecute(): RDD[InternalRow] = {
-      // ---- build side: collect + sort per key (dimension-sized) ----
+    private lazy val indexSpec: AsofIndexSpec = {
       val rOut = right.output
       val rKeyOrd = rOut.indexWhere(_.exprId == rightKey.exprId)
       val rTimeOrd = rOut.indexWhere(_.exprId == rightTime.exprId)
       val payloadOrds = rightPayload.map(p => rOut.indexWhere(_.exprId == p.exprId))
       require(rKeyOrd >= 0 && rTimeOrd >= 0 && payloadOrds.forall(_ >= 0), "unresolved asof attributes")
-      val payloadTypes = rightPayload.map(_.dataType)
-      val keyType = rightKey.dataType
-      val timeType = rightTime.dataType
+      AsofIndexSpec(rKeyOrd, rTimeOrd, payloadOrds, rightKey.dataType, rightTime.dataType,
+        rightPayload.map(_.dataType))
+    }
 
-      val collected = right.executeCollect() // dimension side only
-      val byKey = new java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]()
-      val grouped = collected.toSeq
-        .filterNot(r => r.isNullAt(rKeyOrd) || r.isNullAt(rTimeOrd))
-        .map { r =>
-          val k = r.get(rKeyOrd, keyType)
-          val t = timeAsLong(r.get(rTimeOrd, timeType))
-          val p = payloadOrds.zip(payloadTypes).map { case (o, dt) =>
-            if (r.isNullAt(o)) null else r.get(o, dt)
-          }.toArray
-          (k, t, p)
-        }
-        .groupBy(_._1)
-      grouped.foreach { case (k, rows) =>
-        val sorted = rows.sortBy(_._2)
-        byKey.put(k, (sorted.map(_._2).toArray, sorted.map(_._3).toArray))
-      }
-      val bcast = sparkContext.broadcast(byKey)
+    // EnsureRequirements inserts BroadcastExchangeExec(IdentityBroadcastMode,
+    // right) — Spark's own exchange, so AQE sizes it against the
+    // broadcast limits, the collect runs on the exchange thread
+    // pool, and ReuseExchange dedups identical build sides across
+    // the plan. The per-key sorted index is built from the
+    // broadcast rows once per EXECUTOR (memoized), not per task.
+    override def requiredChildDistribution: Seq[Distribution] =
+      Seq(UnspecifiedDistribution,
+        BroadcastDistribution(org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val bcast = right.executeBroadcast[Array[InternalRow]]()
+      val spec = indexSpec
 
       // ---- stream side ----
       val lOut = left.output
@@ -107,7 +172,7 @@ object BroadcastAsofJoin {
       val outAttrs = output
 
       left.execute().mapPartitions({ iter =>
-        val lookup = bcast.value
+        val lookup = AsofExec.indexFor(bcast.id, bcast.value, spec)
         val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
         val joined = new GenericInternalRow(nLeft + nPay)
         iter.map { row =>
@@ -142,11 +207,7 @@ object BroadcastAsofJoin {
       ans
     }
 
-    private def timeAsLong(v: Any): Long = v match {
-      case l: java.lang.Long    => l
-      case i: java.lang.Integer => i.toLong
-      case other                => throw new IllegalArgumentException(s"unsupported time type ${other.getClass}")
-    }
+    private def timeAsLong(v: Any): Long = AsofExec.timeAsLong(v)
   }
 
   /** API: `asofBroadcast(left, right, key, leftTime, rightTime,

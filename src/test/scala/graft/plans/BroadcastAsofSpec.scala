@@ -45,5 +45,8 @@ class BroadcastAsofSpec extends SparkSpec {
     assert(physical.contains("Asof "), physical)
     // fact side streams straight from scan into the custom operator
     assert(!physical.contains("Exchange hashpartitioning(user_id"), physical)
+    // build side rides Spark's own BroadcastExchange (AQE-sized,
+    // ReuseExchange-dedupable), not a hand-rolled collect+broadcast
+    assert(physical.contains("BroadcastExchange"), physical)
   }
 }
