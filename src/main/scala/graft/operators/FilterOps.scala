@@ -43,11 +43,14 @@ object FilterOps {
   ): DataFrame = {
     val observed = df.filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
     val totalAgg = if (exact) countDistinct(col(sampleCol)) else approx_count_distinct(sampleCol)
-    val totalSamples = observed.select(totalAgg).first().getLong(0).max(1L)
+    // total rides the SAME plan as a broadcast 1-row cross join —
+    // no separate driver-side count job / extra scan action
+    val total = observed.select(totalAgg.as("__total"))
     val kept = observed
       .groupBy(featureCol)
       .agg(countDistinct(sampleCol).as("__nsamp"))
-      .filter(col("__nsamp") >= lit(minFraction * totalSamples))
+      .crossJoin(broadcast(total))
+      .filter(col("__nsamp") >= lit(minFraction) * greatest(col("__total"), lit(1L)))
       .select(featureCol)
     df.join(broadcast(kept), Seq(featureCol), "left_semi")
   }

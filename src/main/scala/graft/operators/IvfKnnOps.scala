@@ -211,16 +211,13 @@ object IvfKnnOps {
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "list_id")
 
-    // score only the probed lists
+    // score only the probed lists; bounded top-k aggregate keeps
+    // the exchange at |Q|·k entries (see [[KnnOps.rankTopK]])
     val scored = index.assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .select("query_id", "neighbor_id", "cosine")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    KnnOps.rankTopK(scored, k)
   }
 }

@@ -1,24 +1,39 @@
 package graft.operators
 
-import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, TopKAggregate => TK, VectorFunctions => VF}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate & exact nearest-neighbor search over embedding
   * columns.
   *
   * Scale design: the query set is broadcast (top-k search is
-  * queries≪corpus); the corpus streams through codegen'd cosine +
-  * a per-query top-k window. The LSH variant prunes the corpus to
+  * queries≪corpus); the corpus streams through codegen'd cosine
+  * into the bounded [[TK.TopK]] aggregate — map-side partial top-k
+  * per query, so the exchange carries |Q|·k entries per map task
+  * instead of every scored row, and nothing is globally sorted
+  * (the window formulation it replaces shuffles + sorts the whole
+  * scored table). The LSH variant prunes the corpus to
   * hamming-adjacent buckets first, turning O(|Q|·n) into
   * O(|Q|·n/2^b · buckets_probed).
   */
 object KnnOps {
 
+  /** (query_id, neighbor_id, cosine, rank) from a scored frame via
+    * the bounded top-k aggregate; ordering (cosine desc, id asc)
+    * matches the window formulation row-for-row.
+    */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(TK.topK(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"), col("e.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors of each query row.
-    * `queries`/`corpus`: (id, vec). Ranks on cosine rounded to 6
-    * decimals with id tiebreak → fully deterministic output.
+    * `queries`/`corpus`: (id: long, vec). Ranks on cosine rounded
+    * to 6 decimals with id tiebreak → fully deterministic output.
     */
   def bruteForceTopK(
       queries: DataFrame,
@@ -32,11 +47,7 @@ object KnnOps {
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: corpus is pre-bucketed by hyperplane bits;
@@ -67,11 +78,8 @@ object KnnOps {
       .join(broadcast(q), Seq("bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .select("query_id", "neighbor_id", "cosine")
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // distinct first: multi-probe can surface the same pair from
+    // several buckets, and duplicates must not occupy top-k slots
+    rankTopK(scored.select("query_id", "neighbor_id", "cosine").distinct(), k)
   }
 }
