@@ -75,6 +75,12 @@ object GraftExtensions {
       new FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[graft.functions.VectorAggregates.VecMean].getName, "vec_mean"),
       (children: Seq[Expression]) => graft.functions.VectorAggregates.VecMean(children.head)
+    ),
+    (
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[graft.functions.TopKAggregate.TopK].getName, "top_k"),
+      (children: Seq[Expression]) =>
+        graft.functions.TopKAggregate.TopK(children.head, children(1), intArg(children(2), "k"))
     )
   )
 

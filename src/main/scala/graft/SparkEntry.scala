@@ -359,6 +359,15 @@ object SparkEntry {
       BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), hround(avg("value"), 6).as("avg_value"), hround(sum("value"), 2).as("sum_value"))
+    }),
+
+    // ---- M5 (batch twin of streaming top-k): bounded TopK aggregate
+    //      per (window, event_type) ----
+    "q_stream_topk" -> ((s, dir) => {
+      val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      graft.streaming.EventStreams.topKPerWindow(events, 3)
+        .select(col("window_start"), col("event_type"), col("event_id"),
+          hround(col("value"), 6).as("value"), col("rank"))
     })
   )
 
@@ -605,6 +614,15 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  count(*) AS n, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS avg_value, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_topk" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, event_id,
+        |  floor((value) * 1000000 + 0.5) / 1000000 AS value, rank
+        |FROM (SELECT ts, event_type, event_id, value,
+        |        ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+        |                           ORDER BY value DESC, event_id) AS rank
+        |      FROM events)
+        |WHERE rank <= 3""".stripMargin
   )
 }

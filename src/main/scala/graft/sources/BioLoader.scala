@@ -17,7 +17,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BioLoader {
 
   /** Options mirroring the reference's CsvConfig knobs that make
-    * sense under Spark (reference: packaged_modules/csv/csv.py:26-55).
+    * sense under Spark (reference: packaged_modules/csv/csv.py:26-55
+    * — has_header/sep/quote_char/comment_prefix/null_values/
+    * skip_rows/columns/new_columns/n_rows/encoding). Knobs with no
+    * distributed analogue (n_threads, low_memory, rechunk,
+    * batch_size) are intentionally absent — Spark's reader owns
+    * those concerns.
+    *
+    * @param skipRows   raw lines skipped at the head of EACH file
+    *                   before header parsing (polars skip_rows)
+    * @param columns    keep only these columns (projection pushdown
+    *                   still applies — Spark prunes the parse)
+    * @param newColumns rename all columns positionally after read
+    * @param nRows      cap on returned rows (polars n_rows)
+    * @param nullValues additional strings parsed as null in string
+    *                   columns (polars accepts a list; Spark's
+    *                   reader takes one, the rest are normalized
+    *                   post-read)
     */
   final case class CsvOptions(
       sep: String = ",",
@@ -25,7 +41,13 @@ object BioLoader {
       quote: String = "\"",
       comment: String = "",
       nullValue: String = "",
-      inferSchema: Boolean = true
+      inferSchema: Boolean = true,
+      skipRows: Int = 0,
+      columns: Seq[String] = Nil,
+      newColumns: Seq[String] = Nil,
+      nRows: Option[Int] = None,
+      nullValues: Seq[String] = Nil,
+      encoding: String = "UTF-8"
   )
 
   def load(spark: SparkSession, paths: Seq[String], csv: CsvOptions = CsvOptions()): DataFrame = {
@@ -42,8 +64,40 @@ object BioLoader {
           .option("quote", csv.quote)
           .option("nullValue", csv.nullValue)
           .option("inferSchema", csv.inferSchema.toString)
+          .option("encoding", csv.encoding)
         if (csv.comment.nonEmpty) r = r.option("comment", csv.comment)
-        r.csv(paths: _*)
+        var df =
+          if (csv.skipRows > 0) {
+            // polars skip_rows: drop raw lines from the head of each
+            // file BEFORE header parsing. Per-file text read +
+            // zipWithIndex keeps the semantics for multi-file loads
+            // (metadata sidecars — small file counts by construction).
+            import spark.implicits._
+            val bodies = paths.map { p =>
+              val lines = spark.read.option("encoding", csv.encoding).textFile(p)
+              lines.rdd.zipWithIndex().filter(_._2 >= csv.skipRows).map(_._1)
+            }
+            val all = bodies.reduce(_ union _).toDS()
+            r.csv(all)
+          } else r.csv(paths: _*)
+        if (csv.newColumns.nonEmpty) {
+          require(csv.newColumns.size == df.columns.length,
+            s"new_columns has ${csv.newColumns.size} names for ${df.columns.length} columns")
+          df = df.toDF(csv.newColumns: _*)
+        }
+        if (csv.columns.nonEmpty)
+          df = df.select(csv.columns.map(org.apache.spark.sql.functions.col): _*)
+        if (csv.nullValues.nonEmpty) {
+          val extraNulls = csv.nullValues
+          df = df.schema.fields.foldLeft(df) { (d, f) =>
+            if (f.dataType == org.apache.spark.sql.types.StringType)
+              d.withColumn(f.name, org.apache.spark.sql.functions
+                .when(org.apache.spark.sql.functions.col(f.name).isin(extraNulls: _*), null)
+                .otherwise(org.apache.spark.sql.functions.col(f.name)))
+            else d
+          }
+        }
+        csv.nRows.fold(df)(df.limit(_).toDF())
       case "json" | "jsonl" => spark.read.json(paths: _*)
       case "npz"            => NpzReader.read(spark, paths)
       case "arrow"          => ArrowIpcReader.read(spark, paths)

@@ -164,6 +164,31 @@ object EventStreams {
     out.drop("__sig")
   }
 
+  /** Streaming top-k: the k highest-`value` event ids per
+    * (window, event_type), continuously maintained. The bounded
+    * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly
+    * the right state shape for streaming — per-group state is k
+    * entries regardless of stream length, and map-side partials
+    * bound the state-store write amplification. Works identically
+    * on a batch frame (the oracle twin).
+    */
+  def topKPerWindow(
+      events: DataFrame,
+      k: Int,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    import graft.functions.{TopKAggregate => TK}
+    val withWm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(TK.topK(col("value"), col("event_id"), k).as("tk"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("event_type"),
+        col("e.id").as("event_id"), col("e.score").as("value"), (col("pos") + 1).as("rank"))
+  }
+
   /** File-source streaming read of an events directory with the
     * static schema — the entry point for a real deployment
     * (swap for Kafka by changing format only).

@@ -166,6 +166,33 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("x", "y") && df.count() == 2)
   }
 
+  test("CsvOptions parity: skip_rows, columns, new_columns, n_rows, null_values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvopts").toFile
+    val f = new java.io.File(dir, "d.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("# banner line one")
+    w.println("# banner line two")
+    w.println("a,b,c")
+    w.println("1,x,NA")
+    w.println("2,y,ok")
+    w.println("3,z,miss")
+    w.close()
+
+    // skip_rows removes the banner before header parsing
+    val df = BioLoader.load(spark, Seq(f.getAbsolutePath),
+      BioLoader.CsvOptions(skipRows = 2, nullValues = Seq("NA", "miss")))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 3)
+    assert(df.filter(col("c").isNull).count() == 2) // NA + miss normalized
+
+    // columns projection + new_columns rename + n_rows cap
+    val proj = BioLoader.load(spark, Seq(f.getAbsolutePath),
+      BioLoader.CsvOptions(skipRows = 2, newColumns = Seq("x1", "x2", "x3"),
+        columns = Seq("x3", "x1"), nRows = Some(2)))
+    assert(proj.columns.toSeq == Seq("x3", "x1"))
+    assert(proj.count() == 2)
+  }
+
   test("ColumnInference resolves roles: explicit > default > pattern") {
     val df = Seq((1, "b1", "healthy", 0.5, 0.7)).toDF("sample_id", "batch", "diagnosis", "otu1", "otu2")
     val roles = ColumnInference.inferRoles(df, targetColumn = Some("diagnosis"))

@@ -30,6 +30,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("topKPerWindow batch/stream parity via the bounded TopK aggregate") {
+    val batch = EventStreams.topKPerWindow(eventsDf, 3)
+      .orderBy("window_start", "event_type", "rank").collect()
+    assert(batch.nonEmpty)
+    // ranks within every (window, type) group are 1..n, values non-increasing
+    batch.groupBy(r => (r.get(0), r.getString(1))).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(4)).toSeq == (1 to rows.length))
+      val vals = rows.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-stream").toFile.getAbsolutePath
+    eventsDf.coalesce(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(eventsDf.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = EventStreams.topKPerWindow(stream, 3)
+      .writeStream.format("memory").queryName("topk_win")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("topk_win").orderBy("window_start", "event_type", "rank").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("sessionize splits on gaps and flushes tails in batch mode") {
     import EventStreams._
     val base = 1700000000000L
