@@ -240,6 +240,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- D7: transitive dup-cluster resolution (connected
+    //      components over chain edges within prefix-fingerprint
+    //      groups — chains force multi-round label propagation,
+    //      while the expected labels stay SQL-expressible: min id
+    //      per group) ----
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val keyed = docs.select(md5(substring(col("text"), 1, 30)).as("k"), col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("doc_id")
+      val chain = keyed
+        .withColumn("prev", lag("doc_id", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      DedupOps.dupClusters(chain)
+    }),
+
     // ---- D5: embedding near-dup ----
     "q_embed_dedup" -> ((s, dir) => {
       DedupOps.embeddingDedup(BioLoader.load(s, t(dir, "embeddings")), "vec_id", "embedding",
@@ -516,6 +532,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dup_clusters" ->
+      """WITH keyed AS (SELECT doc_id, md5(substr(text, 1, 30)) AS k FROM documents),
+        |     multi AS (SELECT k FROM keyed GROUP BY k HAVING count(*) > 1)
+        |SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY k) AS cluster_id
+        |FROM keyed WHERE k IN (SELECT k FROM multi)""".stripMargin,
 
     "q_knn_brute" ->
       """WITH scored AS (
