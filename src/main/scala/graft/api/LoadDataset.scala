@@ -90,6 +90,82 @@ object LoadDataset {
         "test" -> tagged.filter(col("split") === "test").drop("split")
       )
     }
+
+    // ---- role accessors (reference arrow_dataset.py get_* family:
+    //      get_sample_col_name/get_data/get_sample_metadata/
+    //      get_target/get_feature_metadata) ----
+
+    /** Data (feature) columns, prefixed by the sample column when
+      * present — reference `get_data`.
+      */
+    def getData: DataFrame =
+      df.select((roles.sampleColumn.toSeq ++ roles.dataColumns).map(col): _*)
+
+    /** Sample + batch + metadata columns — reference
+      * `get_sample_metadata`.
+      */
+    def getSampleMetadata: DataFrame = {
+      val cols = (roles.sampleColumn.toSeq ++ roles.batchColumn.toSeq ++ roles.metadataColumns).distinct
+      df.select(cols.map(col): _*)
+    }
+
+    /** Target column (+ encoded form when present) keyed by sample —
+      * reference `get_target`.
+      */
+    def getTarget: DataFrame = {
+      val enc = if (df.columns.contains(LabelOps.TargetColumn)) Seq(LabelOps.TargetColumn) else Nil
+      val cols = (roles.sampleColumn.toSeq ++ roles.targetColumn.toSeq ++ enc).distinct
+      df.select(cols.map(col): _*)
+    }
+
+    /** Per-feature metadata map recovered from StructField.metadata
+      * — reference `get_feature_metadata`.
+      */
+    def getFeatureMetadata: Map[String, Map[String, String]] =
+      df.schema.fields.flatMap { f =>
+        val json = f.metadata.json
+        val m = org.apache.spark.sql.types.Metadata.fromJson(json)
+        val keys = ujsonKeys(json)
+        if (keys.isEmpty) None
+        else Some(f.name -> keys.map(k => k -> (try m.getString(k) catch { case _: Throwable => m.json }))
+          .toMap)
+      }.toMap
+
+    private def ujsonKeys(json: String): Seq[String] =
+      // Metadata has no key enumeration API; its json form is a flat
+      // object, so top-level keys are recoverable with a light parse
+      """"([^"]+)"\s*:""".r.findAllMatchIn(json).map(_.group(1)).toSeq.distinct
+
+    // ---- HF Dataset ops with no direct DataFrame spelling ----
+
+    /** Positional row selection (reference `select(indices)`):
+      * stable row index via zipWithIndex, then a semi join against
+      * the index set — distributed, no collect. Order of `df` is
+      * its current order; sort first for determinism.
+      */
+    def selectRows(indices: Seq[Long]): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val indexed = graft.operators.ReshapeOps.withRowIndex(df, "__idx")
+      val wanted = indices.toDF("__idx")
+      indexed.join(broadcast_(wanted), Seq("__idx"), "left_semi").drop("__idx")
+    }
+
+    /** Append a single row given as (column → value) — reference
+      * `add_item`. Missing columns null-filled; types must line up.
+      */
+    def addItem(item: Map[String, Any]): DataFrame = {
+      val row = org.apache.spark.sql.Row.fromSeq(df.columns.toSeq.map(c => item.getOrElse(c, null)))
+      val one = df.sparkSession.createDataFrame(
+        java.util.Collections.singletonList(row), df.schema)
+      df.unionByName(one)
+    }
+
+    /** Cast one column — reference `cast_column`. */
+    def castColumn(name: String, to: org.apache.spark.sql.types.DataType): DataFrame =
+      df.withColumn(name, col(name).cast(to))
+
+    private def broadcast_(d: DataFrame) = org.apache.spark.sql.functions.broadcast(d)
   }
 
   /** Multi-split load (the reference's DataFilesDict: split name →

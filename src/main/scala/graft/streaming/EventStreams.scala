@@ -164,6 +164,49 @@ object EventStreams {
     out.drop("__sig")
   }
 
+  /** Streaming near-dedup against a STATIC reference corpus — the
+    * production shape for incremental ingestion: drop incoming
+    * documents that near-duplicate anything already in the corpus.
+    *
+    * Stream-static join, no state store: the corpus's MinHash LSH
+    * band keys form a static (broadcastable) index; each incoming
+    * doc is exploded to its band keys, left-joined against the
+    * index, and kept only if NO band matches (windowed count of
+    * hits per doc = 0). The static side is re-resolved per
+    * micro-batch, so a corpus parquet dir that grows between
+    * batches is picked up automatically.
+    *
+    * Catch-rate follows standard LSH guarantees (a true near-dup
+    * shares ≥1 band with probability 1-(1-s^r)^b); exact dups are
+    * always caught.
+    */
+  def streamingDedupAgainstCorpus(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      watermark: String = "1 hour",
+      windowLen: String = "10 minutes"
+  ): DataFrame = {
+    import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+    def bands(c: org.apache.spark.sql.Column) =
+      explode(HE.minhashBandKeys(HE.shingleHashes(TF.tokens(c), shingleSize), numHashes, rowsPerBand))
+    val corpusBands = corpus.select(bands(col(textCol)).as("band")).distinct()
+      .withColumn("__hit", lit(1))
+    val streamBands = (if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs)
+      .select(col(idCol), col(tsCol), col(textCol), bands(col(textCol)).as("band"))
+    streamBands
+      .join(corpusBands, Seq("band"), "left_outer")
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(first(col(textCol)).as(textCol), max(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .filter(col("__hits") === 0)
+      .select(col(idCol), col(textCol))
+  }
+
   /** Streaming top-k: the k highest-`value` event ids per
     * (window, event_type), continuously maintained. The bounded
     * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly

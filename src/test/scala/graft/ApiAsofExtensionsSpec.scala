@@ -70,6 +70,37 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(splits("train").count() + splits("test").count() == 3)
   }
 
+  test("GraftDataset accessor family + select/add_item/cast (reference Bioset op parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-acc").toFile.getAbsolutePath
+    Seq(("s1", 3L, 5L, "b1", "sick"), ("s2", 0L, 2L, "b1", "healthy"), ("s3", 7L, 1L, "b2", "sick"))
+      .toDF("samples", "otu1", "otu2", "batches", "diagnosis").write.parquet(s"$dir/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$dir/d.parquet"), targetColumn = Some("diagnosis"), experimentType = "otu"))
+
+    // get_data: sample + feature columns only
+    assert(ds.getData.columns.toSeq == Seq("samples", "otu1", "otu2"))
+    // get_sample_metadata: sample + batch (+ metadata)
+    assert(ds.getSampleMetadata.columns.toSeq == Seq("samples", "batches"))
+    // get_target: sample + raw + encoded
+    assert(ds.getTarget.columns.toSeq == Seq("samples", "diagnosis", "encoded_labels"))
+    // get_feature_metadata reads back what attach wrote
+    assert(ds.getFeatureMetadata("otu1")("graft.featureType") == "Abundance")
+
+    // select(indices): positional, distributed
+    val sorted = ds.copy(df = ds.df.orderBy("samples"))
+    val picked = sorted.selectRows(Seq(0L, 2L)).select("samples").collect().map(_.getString(0)).toSet
+    assert(picked == Set("s1", "s3"))
+
+    // add_item: single-row append with null fill
+    val plus = ds.copy(df = ds.df.select("samples", "otu1")).addItem(Map("samples" -> "s4"))
+    assert(plus.count() == 4)
+    assert(plus.filter($"samples" === "s4").select("otu1").collect()(0).isNullAt(0))
+
+    // cast_column
+    assert(ds.castColumn("otu1", org.apache.spark.sql.types.DoubleType)
+      .schema("otu1").dataType.typeName == "double")
+  }
+
   test("LoadDataset binarize path and rows_are_features transpose") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api2").toFile.getAbsolutePath
     Seq(("s1", "A", 1.0), ("s2", "B", 2.0), ("s3", "C", 3.0))

@@ -129,6 +129,32 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1).count() == 3) // 0, 1000, 2000
   }
 
+  test("streamingDedupAgainstCorpus drops stream docs that near-dup the static corpus") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely unrelated corpus text about spark execution engines")
+    ).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus-dedup").toFile.getAbsolutePath
+    Seq(
+      // near-dup of corpus doc 100 (one word changed)
+      (1L, new java.sql.Timestamp(base), "the quick brown fox jumps over the lazy cat again and again today"),
+      // genuinely new
+      (2L, new java.sql.Timestamp(base + 1000), "a brand new document with entirely fresh content and words")
+    ).toDF("doc_id", "ts", "text").write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+    val q = EventStreams.streamingDedupAgainstCorpus(stream, corpus, "doc_id", "text",
+      shingleSize = 3, rowsPerBand = 2)
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("corpus_dedup").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"doc 1 near-dups corpus doc 100 and must be dropped: $kept")
+  }
+
   test("streamingNearDedup drops signature-equal docs in a stream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toFile.getAbsolutePath
     val base = 1700000000000L
