@@ -281,15 +281,46 @@ object LoadDataset {
       if (config.positiveLabels.nonEmpty || config.negativeLabels.nonEmpty) {
         df = LabelOps.binarize(df, tc, LabelOps.BinarizeSpec(config.positiveLabels, config.negativeLabels))
         if (labelNames.isEmpty) labelNames = Seq("negative", "positive")
+        // reference attaches BinClassLabel feature metadata to the
+        // encoded column (features/targets.py: _type/positive_labels/
+        // negative_labels/names) — carried in StructField.metadata so
+        // it round-trips through DatasetIO.save
+        df = tagTargetMetadata(df, "BinClassLabel", labelNames,
+          Map("graft.positiveLabels" -> config.positiveLabels,
+              "graft.negativeLabels" -> config.negativeLabels))
       } else if (config.encodeLabels && task.contains(ColumnInference.Classification)) {
         if (labelNames.nonEmpty) df = LabelOps.classEncodeWith(df, tc, labelNames)
         else {
           labelNames = LabelOps.labelDictionary(df, tc)
           df = LabelOps.classEncodeWith(df, tc, labelNames)
         }
+        df = tagTargetMetadata(df, "ClassLabel", labelNames, Map.empty)
       }
     }
 
     GraftDataset(df, roles, labelNames, task)
+  }
+
+  /** Attach the reference's target feature-type metadata to the
+    * encoded-labels column (features/targets.py BinClassLabel /
+    * ClassLabel analogue).
+    */
+  private def tagTargetMetadata(
+      df: DataFrame,
+      featureType: String,
+      names: Seq[String],
+      extra: Map[String, Seq[String]]
+  ): DataFrame = {
+    if (!df.columns.contains(LabelOps.TargetColumn)) return df
+    val cols = df.schema.fields.map { f =>
+      if (f.name == LabelOps.TargetColumn) {
+        var mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("graft.featureType", featureType)
+          .putStringArray("graft.names", names.toArray)
+        extra.foreach { case (k, v) => mb = mb.putStringArray(k, v.toArray) }
+        col(f.name).as(f.name, mb.build())
+      } else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 }

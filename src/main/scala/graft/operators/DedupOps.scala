@@ -176,19 +176,58 @@ object DedupOps {
   }
 
   /** Resolve verified near-dup PAIRS into transitive CLUSTERS:
-    * connected components by iterative min-label propagation.
-    * Pair-drop dedup (keep the lower id of each pair) over-deletes
-    * on chains (a~b, b~c deletes both b and c even if a~c is
-    * false); clustering keeps exactly one representative per
-    * component.
+    * connected components. Pair-drop dedup (keep the lower id of
+    * each pair) over-deletes on chains (a~b, b~c deletes both b and
+    * c even if a~c is false); clustering keeps exactly one
+    * representative per component.
     *
-    * Each iteration is two small shuffles over the EDGE table
-    * (edges = verified pairs ≪ corpus); converges in O(log
-    * diameter) rounds — near-dup components are tiny, so 3-5
-    * rounds in practice. Returns (id, cluster_id = component min).
+    * Two regimes, chosen by edge count:
+    *  - edges ≤ `driverEdgeThreshold` (long ids): exact union-find
+    *    on the driver after one bounded collect — near-dup edge
+    *    sets are ≪ corpus (10M edges ≈ 160 MB), and union-find is
+    *    O(E·α) with zero further cluster jobs. This is the common
+    *    case even at 100 TB corpora.
+    *  - otherwise: iterative min-label propagation — each iteration
+    *    is two small shuffles over the EDGE table; converges in
+    *    O(log diameter) rounds.
+    *
+    * Returns (id, cluster_id = component min).
     */
-  def dupClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def dupClusters(
+      pairs: DataFrame,
+      maxIterations: Int = 20,
+      driverEdgeThreshold: Long = 10L * 1000 * 1000
+  ): DataFrame = {
     val spark = pairs.sparkSession
+
+    val idType = pairs.schema("id_a").dataType
+    if (idType == org.apache.spark.sql.types.LongType) {
+      val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .limit((driverEdgeThreshold + 1).toInt.max(1))
+        .collect()
+      if (raw.length <= driverEdgeThreshold) {
+        // driver union-find with path compression
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+          r
+        }
+        raw.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        import scala.jdk.CollectionConverters._
+        val labels = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+        import spark.implicits._
+        return labels.toDF("id", "cluster_id")
+      }
+      // fall through to the distributed path when the probe filled up
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

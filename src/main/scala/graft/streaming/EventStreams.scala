@@ -99,35 +99,32 @@ object EventStreams {
       }
   }
 
-  /** Flush any still-open sessions from a batch sessionize run —
-    * batch mode never times out, so the tail session per user is
-    * emitted here.
+  /** Batch sessionize including tail sessions — gaps-and-islands
+    * with native window functions (lag → gap flag → running count
+    * = session id → groupBy), fully inside whole-stage codegen.
+    * One shuffle by user + per-user sort; no typed encoders, no
+    * per-row JVM object materialization — the batch-scale shape
+    * (the typed state machine above stays for streaming, where
+    * incremental state is the point).
+    *
+    * Emits the same rows as running [[sessionize]] + a tail flush:
+    * per (user, session): start/end/count/sum.
     */
   def sessionizeBatchComplete(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): DataFrame = {
-    import events.sparkSession.implicits._
-    val spark = events.sparkSession
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroups { (userId: Long, evts: Iterator[Event]) =>
-        val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var cur: Option[SessionState] = None
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(st) if t - st.lastSeen <= gapMs =>
-              cur = Some(st.copy(lastSeen = t, nEvents = st.nEvents + 1, totalValue = st.totalValue + e.value))
-            case Some(st) =>
-              out += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach(st => out += Session(userId, st.start, st.lastSeen, st.nEvents, st.totalValue))
-        out.iterator
-      }
-      .toDF()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    events.toDF()
+      .withColumn("__t", expr("unix_micros(ts) div 1000")) // epoch millis, integer division
+      .withColumn("__gap", when(col("__t") - lag("__t", 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("__sess", sum("__gap").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__sess"))
+      .agg(
+        min("__t").as("start_ts"),
+        max("__t").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value"))
+      .drop("__sess")
+      .select("user_id", "start_ts", "end_ts", "n_events", "total_value")
   }
 
   /** Streaming exact-dedup on a key expression within the

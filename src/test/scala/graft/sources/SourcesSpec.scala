@@ -237,6 +237,57 @@ class SourcesSpec extends SparkSpec {
     assert(out.select("sample").as[String].collect().toSet == Set("sample4", "sample5"))
   }
 
+  test("reference parity: multiclass labels — raw column preserved, encoded appended (test_biodata.py:1247)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mc").toFile
+    val f = new java.io.File(dir, "file_multiclass.csv")
+    val w = new java.io.PrintWriter(f)
+    w.print("header1,header2,labels\n1,10,a\n20,2,b\n3,30,c\n40,4,d\n"); w.close()
+    val ds = graft.api.LoadDataset.load(spark, graft.api.LoadDataset.Config(
+      dataFiles = Seq(f.getAbsolutePath), targetColumn = Some("labels"), experimentType = "otu"))
+    // reference asserts: 4 rows, raw labels column intact, encoded appended
+    assert(ds.df.count() == 4)
+    val rows = ds.df.orderBy("header1").collect()
+    assert(rows.map(_.getAs[String]("labels")).toSeq == Seq("a", "c", "b", "d")) // by header1 order 1,3,20,40
+    assert(ds.df.columns.contains(graft.operators.LabelOps.TargetColumn))
+    assert(ds.labelNames == Seq("a", "b", "c", "d"))
+    assert(ds.df.schema(graft.operators.LabelOps.TargetColumn)
+      .metadata.getString("graft.featureType") == "ClassLabel")
+  }
+
+  test("reference parity: binarized pos/neg — codes and BinClassLabel metadata (test_biodata.py:1891)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toFile
+    val f = new java.io.File(dir, "file_multiclass.csv")
+    val w = new java.io.PrintWriter(f)
+    w.print("header1,header2,labels\n1,10,a\n20,2,b\n3,30,c\n40,4,d\n"); w.close()
+    val ds = graft.api.LoadDataset.load(spark, graft.api.LoadDataset.Config(
+      dataFiles = Seq(f.getAbsolutePath), targetColumn = Some("labels"),
+      positiveLabels = Seq("a", "b"), negativeLabels = Seq("c", "d"), experimentType = "otu"))
+    val byH1 = ds.df.orderBy("header1").collect()
+    // reference: header1 [1,20,3,40] → encoded [1,1,0,0]
+    val enc = ds.df.orderBy("header2").collect() // 2,4,10,30 → rows b,d,a,c
+    assert(enc.map(_.getAs[Int](graft.operators.LabelOps.TargetColumn)).toSeq == Seq(1, 0, 1, 0))
+    assert(byH1.map(_.getAs[Int]("header1")).toSeq == Seq(1, 3, 20, 40))
+    val m = ds.df.schema(graft.operators.LabelOps.TargetColumn).metadata
+    assert(m.getString("graft.featureType") == "BinClassLabel")
+    assert(m.getStringArray("graft.names").toSeq == Seq("negative", "positive"))
+    assert(m.getStringArray("graft.positiveLabels").toSeq == Seq("a", "b"))
+    assert(m.getStringArray("graft.negativeLabels").toSeq == Seq("c", "d"))
+  }
+
+  test("reference parity: binarized with missing labels → -1 (test_biodata.py:1940)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binm").toFile
+    val f = new java.io.File(dir, "file_multiclass.csv")
+    val w = new java.io.PrintWriter(f)
+    w.print("header1,header2,labels\n1,10,a\n20,2,b\n3,30,c\n40,4,d\n"); w.close()
+    val ds = graft.api.LoadDataset.load(spark, graft.api.LoadDataset.Config(
+      dataFiles = Seq(f.getAbsolutePath), targetColumn = Some("labels"),
+      positiveLabels = Seq("a", "b"), negativeLabels = Seq("c"), experimentType = "otu"))
+    // reference: rows a,b,c,d → [1, 1, 0, -1] ("d" in neither list, both lists given → -1)
+    val enc = ds.df.orderBy("labels").collect()
+      .map(_.getAs[Int](graft.operators.LabelOps.TargetColumn)).toSeq
+    assert(enc == Seq(1, 1, 0, -1))
+  }
+
   test("attachFeatureMetadata lands in StructField metadata and survives projection") {
     val df = Seq((1.0, 2.0)).toDF("otu1", "otu2")
     val annotated = MetadataOps.attachFeatureMetadata(df, Map("otu1" -> Map("taxonomy" -> "g__Akkermansia")))
