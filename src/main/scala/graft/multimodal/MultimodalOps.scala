@@ -92,6 +92,61 @@ object MultimodalOps {
     out
   }
 
+  /** Ingest a directory of media files through Spark's `binaryFile`
+    * source into the canonical media frame — the real ingestion
+    * path for image/audio dirs (distributed file listing, content
+    * streamed per task, `pathGlobFilter` prunes by extension).
+    * media_id is the stable xxhash64 of the file path.
+    */
+  def readMediaDir(spark: SparkSession, dir: String, mime: String, glob: String = "*"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+    raw.select(
+      xxhash64(col("path")).as("media_id"),
+      col("content"),
+      struct(
+        lit(mime).as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")
+      ).as("meta"),
+      col("path"),
+      col("length")
+    )
+  }
+
+  /** Batched decode: the codec sees `batchSize` blobs at a time —
+    * the contract a real vectorized decoder (GPU batch inference,
+    * JNI codec with per-call setup) needs, same shape as
+    * `mapInPandas` batches. Per-batch amortization is the point;
+    * the stub simply delegates per item.
+    */
+  def extractFeaturesBatched(
+      df: DataFrame,
+      dim: Int = 8,
+      batchSize: Int = 64,
+      decodeBatch: Seq[Array[Byte]] => Seq[Array[Float]] = null
+  ): DataFrame = {
+    val codec: Seq[Array[Byte]] => Seq[Array[Float]] =
+      if (decodeBatch != null) decodeBatch else { batch => batch.map(b => if (b == null) null else stubDecode(dim)(b)) }
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)
+    ))
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val ids = batch.map(_.getLong(0))
+        val blobs = batch.map(r => if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1))
+        val feats = codec(blobs)
+        require(feats.length == blobs.length, s"codec returned ${feats.length} results for ${blobs.length} inputs")
+        ids.zip(feats).map { case (id, f) => Row(id, f) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame sampling for time-based media: emit (media_id, frame_idx)
     * rows every `everyMs` over the metadata duration — the row
     * explosion pattern a video pipeline feeds to per-frame decode.

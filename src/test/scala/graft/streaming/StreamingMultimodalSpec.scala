@@ -129,6 +129,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1).count() == 3) // 0, 1000, 2000
   }
 
+  test("readMediaDir ingests a binary-file directory; batched decode matches per-row decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, "img-a-bytes".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "b.png").toPath, "img-b-bytes-longer".getBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "skip.txt").toPath, "not-an-image".getBytes)
+
+    val frame = MultimodalOps.readMediaDir(spark, dir.getAbsolutePath, "image/png", glob = "*.png")
+    assert(frame.count() == 2) // glob pruned the .txt
+    assert(frame.schema("content").dataType.typeName == "binary")
+    assert(frame.select("meta.mime").as[String].head() == "image/png")
+
+    // batched codec sees the same bytes → same features as per-row
+    val perRow = MultimodalOps.extractFeatures(frame, dim = 8)
+      .orderBy("media_id").select("features").as[Array[Float]].collect().map(_.toSeq)
+    val batched = MultimodalOps.extractFeaturesBatched(frame, dim = 8, batchSize = 1)
+      .orderBy("media_id").select("features").as[Array[Float]].collect().map(_.toSeq)
+    assert(perRow.toSeq == batched.toSeq)
+
+    // a codec that violates the batch contract is caught loudly
+    val bad = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.extractFeaturesBatched(frame, decodeBatch = _ => Seq.empty).collect()
+    }
+    assert(bad.getMessage.contains("codec returned") || bad.getCause.getMessage.contains("codec returned"))
+  }
+
   test("streamingDedupAgainstCorpus drops stream docs that near-dup the static corpus") {
     import spark.implicits._
     val base = 1700000000000L
