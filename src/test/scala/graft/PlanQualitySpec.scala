@@ -83,4 +83,47 @@ class PlanQualitySpec extends SparkSpec {
     // not once per derived column
     assert("text_stats".r.findAllIn(p).size == 1, p)
   }
+
+  test("simhash candidate stage is ONE bucket shuffle with fused pair verification") {
+    val p = planOf(q("q_dedup_simhash"))
+    // capped bucket collect + hamming-fused generator replace the r1
+    // count-groupBy + semi-join + self-join shape
+    assert(p.contains("capped_collect_list"), p)
+    assert(p.contains("hamming_pairs"), p)
+    assert(!p.contains("LeftSemi"), p)
+    // hash shuffles: bucket groupBy + pair distinct only (the third
+    // exchange in the full plan is the driver query's orderBy range
+    // partitioning)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("minhash candidates collect ids only; shingle arrays never ride the candidate shuffle") {
+    val p = planOf(q("q_dedup_minhash"))
+    assert(p.contains("capped_collect_list"), p)
+    assert(p.contains("id_pairs"), p)
+  }
+
+  test("knn ranking is a bounded top-k aggregate, not a window sort over all scored rows") {
+    for (name <- Seq("q_knn_brute", "q_knn_ivf", "q_knn_lsh")) {
+      val p = planOf(q(name))
+      assert(p.contains("top_k"), s"$name: $p")
+    }
+    // brute + lsh have no window at all; ivf keeps one TINY window
+    // for per-query probe selection (|Q|·nLists rows), never over
+    // the scored corpus
+    for (name <- Seq("q_knn_brute", "q_knn_lsh"))
+      assert(!planOf(q(name)).contains("Window"), name)
+  }
+
+  test("broadcast as-of rides Spark's BroadcastExchange; fact side never shuffles") {
+    val p = planOf(q("q_asof_broadcast"))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("vec centroid aggregates map-side; shuffle carries one buffer per (group, task)") {
+    val p = planOf(q("q_vec_centroid"))
+    assert(p.contains("partial_vec_mean") || p.contains("partial_vecmean") ||
+      ("vec_mean".r.findAllIn(p).size >= 2), p) // partial + final
+  }
 }
