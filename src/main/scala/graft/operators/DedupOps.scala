@@ -112,23 +112,43 @@ object DedupOps {
     * collapses the candidate count by orders of magnitude vs. a
     * full inverted index.
     */
+  /** @param orderByFrequency prefix ordering: false (default) takes
+    *   the lowest-HASH shingles — a consistent global order computed
+    *   per row by one expression (`slice(array_sort(sh))`), zero
+    *   extra shuffles; true uses ascending corpus frequency (the
+    *   classic PPJoin heuristic: rarest-first prefixes collide
+    *   less), which costs a frequency aggregation + join + per-doc
+    *   window. Either order is CORRECT (any total order admits the
+    *   prefix-filter guarantee); verified output is identical.
+    *   Frequency order can pay off on corpora dominated by
+    *   boilerplate shingles.
+    */
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      orderByFrequency: Boolean = false
   ): DataFrame = {
     val sh = df.select(col(idCol).as("id"), HE.shingleHashes(TF.tokens(col(textCol)), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-    val inverted = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
-    val freq = inverted.groupBy("g").agg(count(lit(1)).as("__f"))
-    val wOrd = Window.partitionBy("id").orderBy(col("__f"), col("g"))
-    val prefix = inverted
-      .join(freq, Seq("g"))
-      .withColumn("__rn", row_number().over(wOrd))
-      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
-      .select("g", "id", "len")
+    val prefixLen = (floor(lit(1.0 - threshold) * size(col("sh"))) + 1).cast("int")
+    val prefix =
+      if (!orderByFrequency)
+        sh.select(
+          explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("g"),
+          col("id"), size(col("sh")).as("len"))
+      else {
+        val inverted = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
+        val freq = inverted.groupBy("g").agg(count(lit(1)).as("__f"))
+        val wOrd = Window.partitionBy("id").orderBy(col("__f"), col("g"))
+        inverted
+          .join(freq, Seq("g"))
+          .withColumn("__rn", row_number().over(wOrd))
+          .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
+          .select("g", "id", "len")
+      }
     // PPJoin length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t —
     // prunes length-incompatible pairs before the distinct.
     // (Both alternative formulations were MEASURED slower here: the
