@@ -165,6 +165,16 @@ object LoadDataset {
     def castColumn(name: String, to: org.apache.spark.sql.types.DataType): DataFrame =
       df.withColumn(name, col(name).cast(to))
 
+    /** Arbitrary batched row transform — reference `map(batched=
+    * True)`. Only for logic genuinely inexpressible as columns
+    * (prefer select/withColumn: they stay in codegen and keep
+    * pushdown); the function sees partition-sized batches, the
+    * Spark analogue of the reference's batch dict → batch dict.
+    */
+    def mapBatches(outSchema: org.apache.spark.sql.types.StructType)(
+        fn: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd.mapPartitions(fn), outSchema)
+
     private def broadcast_(d: DataFrame) = org.apache.spark.sql.functions.broadcast(d)
   }
 

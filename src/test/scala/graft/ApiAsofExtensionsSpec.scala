@@ -99,6 +99,15 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     // cast_column
     assert(ds.castColumn("otu1", org.apache.spark.sql.types.DoubleType)
       .schema("otu1").dataType.typeName == "double")
+
+    // mapBatches: batched row transform (reference map(batched=True))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("samples", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.LongType)))
+    val mapped = ds.copy(df = ds.df.select("samples", "otu1", "otu2"))
+      .mapBatches(schema)(rows => rows.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1) + r.getLong(2))))
+    assert(mapped.orderBy("samples").collect().map(_.getLong(1)).toSeq == Seq(8L, 2L, 8L))
   }
 
   test("LoadDataset binarize path and rows_are_features transpose") {
