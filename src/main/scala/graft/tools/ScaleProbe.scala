@@ -45,7 +45,12 @@ object ScaleProbe {
     emb.cache().count()
     println(s"[probe] vectors: ${ne * mult}")
     time("embeddingDedup")(DedupOps.embeddingDedup(emb, "vec_id", "embedding", threshold = 0.99, nBits = 12).count())
-    time("lshTopK")(KnnOps.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, nBits = 10).count())
+    val queries = emb.filter(col("vec_id") < 10)
+    time("lshTopK")(KnnOps.lshTopK(queries, emb, "vec_id", "embedding", 5, nBits = 10).count())
+    time("bruteForceTopK")(KnnOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 5).count())
+    var index: graft.operators.IvfKnnOps.IvfIndex = null
+    time("ivfBuild") { index = graft.operators.IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 64, maxIter = 5) }
+    time("ivfTopK")(graft.operators.IvfKnnOps.topK(queries, index, "vec_id", "embedding", 5, nProbe = 8).count())
     spark.stop()
   }
 }

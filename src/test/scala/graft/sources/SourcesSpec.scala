@@ -288,6 +288,24 @@ class SourcesSpec extends SparkSpec {
     assert(enc == Seq(1, 1, 0, -1))
   }
 
+  test("reference parity: explicit labels with unseen values → -1, codes follow the given dict (test_load.py:1090)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml").toFile
+    val f1 = new java.io.File(dir, "d1.csv"); val f2 = new java.io.File(dir, "d2.csv")
+    for (f <- Seq(f1, f2)) {
+      val w = new java.io.PrintWriter(f)
+      w.print("sample,header1,target\nsample1,1,a\nsample2,2,b\nsample3,3,c\n"); w.close()
+    }
+    val ds = graft.api.LoadDataset.load(spark, graft.api.LoadDataset.Config(
+      dataFiles = Seq(f1.getAbsolutePath, f2.getAbsolutePath),
+      targetColumn = Some("target"), labels = Seq("a", "b")))
+    // reference: 6 rows (two shards), targets a,b,c ×2, encoded {0,1,-1}
+    assert(ds.df.count() == 6)
+    val enc = ds.df.select("target", graft.operators.LabelOps.TargetColumn).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toSet
+    assert(enc == Set("a" -> 0, "b" -> 1, "c" -> -1))
+    assert(ds.labelNames == Seq("a", "b"))
+  }
+
   test("attachFeatureMetadata lands in StructField metadata and survives projection") {
     val df = Seq((1.0, 2.0)).toDF("otu1", "otu2")
     val annotated = MetadataOps.attachFeatureMetadata(df, Map("otu1" -> Map("taxonomy" -> "g__Akkermansia")))
