@@ -362,6 +362,18 @@ object SparkEntry {
       feats.select(col("media_id"), hround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
 
+    // ---- C13: salted join for skewed keys — must be result-
+    //      identical to the plain join (the oracle IS the plain
+    //      join), while spreading each hot key over saltFactor
+    //      reducers ----
+    "q_salted_join" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_partkey", "l_quantity")
+      val o = BioLoader.load(s, t(dir, "orders")).select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.SkewOps.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), hround(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // ---- C12: JSON property extraction via Spark 4's native
     //      VARIANT path (parse once into the binary variant
     //      encoding, typed extraction — measured 1.8× faster than
@@ -537,6 +549,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |  floor((sum(l.l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus""".stripMargin,
 
     "q_dup_clusters" ->
       """WITH keyed AS (SELECT doc_id, md5(substr(text, 1, 30)) AS k FROM documents),
