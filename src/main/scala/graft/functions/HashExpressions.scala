@@ -110,6 +110,91 @@ object HashExpressions {
     new GenericArrayData(out.toArray)
   }
 
+  /** Token char classes matching the `[^\p{L}\p{N}]+` split in
+    * [[TextFunctions.tokens]]: Unicode letters + all number
+    * categories (Nd, Nl, No — note: broader than isDigit).
+    */
+  private def isTokenChar(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+    t == Character.TITLECASE_LETTER || t == Character.MODIFIER_LETTER ||
+    t == Character.OTHER_LETTER ||
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+    t == Character.OTHER_NUMBER
+  }
+
+  /** Tokenize + hash in ONE pass over the raw text: walk the
+    * lowercased string, hash each letter/digit run directly — no
+    * regex, no array of token strings, no filter pass. Produces
+    * exactly the hashes `xxh64(token, seed)` over
+    * `TextFunctions.tokens(text)` would (same lowercasing, same
+    * char classes), so every downstream kernel (simhash votes,
+    * shingle mixing, minhash) is bit-identical.
+    */
+  def tokenHashKernel(text: org.apache.spark.unsafe.types.UTF8String, seed: Long): Array[Long] = {
+    val lowered = text.toLowerCase.toString
+    val n = lowered.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(64, n / 5 + 1))
+    var i = 0
+    while (i < n) {
+      val cp = lowered.codePointAt(i)
+      if (isTokenChar(cp)) {
+        val start = i
+        var c = cp
+        while (i < n && isTokenChar(c)) {
+          i += Character.charCount(c)
+          if (i < n) c = lowered.codePointAt(i)
+        }
+        out += XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(lowered.substring(start, i)), seed)
+      } else i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Per-bit majority vote over precomputed token hashes. */
+  def simhashVoteKernel(hashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Distinct n-gram shingle hashes over precomputed token hashes. */
+  def shingleFromHashesKernel(tokHash: Array[Long], n: Int, seed: Long): ArrayData = {
+    val nTok = tokHash.length
+    val count = math.max(nTok - n + 1, if (nTok > 0) 1 else 0)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    var w = 0
+    while (w < count) {
+      var acc = seed
+      var j = w
+      val end = math.min(w + n, nTok)
+      while (j < end) { acc = mixLong(acc ^ tokHash(j), seed); j += 1 }
+      if (seen.add(acc)) out += acc
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def simhashTextKernel(text: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    simhashVoteKernel(tokenHashKernel(text, seed))
+
+  def shingleTextKernel(text: org.apache.spark.unsafe.types.UTF8String, n: Int, seed: Long): ArrayData =
+    shingleFromHashesKernel(tokenHashKernel(text, seed), n, seed)
+
   /** Random-hyperplane LSH bits packed into a long. */
   def hyperplaneKernel(arr: ArrayData, nBits: Int, seed: Long, elemIsFloat: Boolean): Long = {
     val n = arr.numElements()
@@ -294,6 +379,47 @@ object HashExpressions {
     }
   }
 
+  /** SimHash straight from raw text — tokenize + hash + vote in
+    * one pass, bit-identical to `SimHash64(tokens(text))` without
+    * materializing the token array. The hot ingest path at corpus
+    * scale.
+    */
+  case class SimHashText(child: Expression, seed: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_text"
+    override protected def withNewChildInternal(newChild: Expression): SimHashText = copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(simhashTextKernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.simhashTextKernel($a, ${seed}L);")
+  }
+
+  /** Shingle hashes straight from raw text — same single-pass
+    * fusion as [[SimHashText]]; bit-identical to
+    * `ShingleHashes(tokens(text))`.
+    */
+  case class ShingleHashesText(child: Expression, n: Int, seed: Long) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes_text"
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesText = copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      shingleTextKernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, seed)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.shingleTextKernel($a, $n, ${seed}L);")
+  }
+
   // ---- Column wrappers ----------------------------------------------------
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -312,4 +438,10 @@ object HashExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhashText(text: Column, seed: Long = 17L): Column =
+    ColumnBridge.column(SimHashText(ColumnBridge.expression(text), seed))
+
+  def shingleHashesText(text: Column, n: Int, seed: Long = 13L): Column =
+    ColumnBridge.column(ShingleHashesText(ColumnBridge.expression(text), n, seed))
 }

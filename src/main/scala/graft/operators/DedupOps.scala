@@ -56,7 +56,7 @@ object DedupOps {
       maxBucket: Int = 1000
   ): DataFrame = {
     val shingled = df
-      .select(col(idCol).as("id"), HE.shingleHashes(TF.tokens(col(textCol)), shingleSize).as("sh"))
+      .select(col(idCol).as("id"), HE.shingleHashesText(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = shingled
       .select(col("id"), explode(HE.minhashBandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
@@ -84,7 +84,7 @@ object DedupOps {
       maxHamming: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), HE.simhash64Fast(TF.tokens(col(textCol))).as("sig"))
+    val sigs = df.select(col(idCol).as("id"), HE.simhashText(col(textCol)).as("sig"))
     val quarters = sigs.select(
       col("id"),
       col("sig"),
@@ -136,7 +136,7 @@ object DedupOps {
       threshold: Double = 0.5,
       orderByFrequency: Boolean = true
   ): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), HE.shingleHashes(TF.tokens(col(textCol)), shingleSize).as("sh"))
+    val sh = df.select(col(idCol).as("id"), HE.shingleHashesText(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
     lazy val prefixLen = (floor(lit(1.0 - threshold) * size(col("sh"))) + 1).cast("int")
     val prefix =

@@ -153,7 +153,7 @@ object EventStreams {
       watermark: String = "1 hour"
   ): DataFrame = {
     import graft.functions.{HashExpressions => HE, TextFunctions => TF}
-    val sig = docs.withColumn("__sig", HE.simhash64Fast(TF.tokens(col(textCol))))
+    val sig = docs.withColumn("__sig", HE.simhashText(col(textCol)))
     val out =
       if (docs.isStreaming)
         sig.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq("__sig"))
@@ -191,7 +191,7 @@ object EventStreams {
   ): DataFrame = {
     import graft.functions.{HashExpressions => HE, TextFunctions => TF}
     def bands(c: org.apache.spark.sql.Column) =
-      explode(HE.minhashBandKeys(HE.shingleHashes(TF.tokens(c), shingleSize), numHashes, rowsPerBand))
+      explode(HE.minhashBandKeys(HE.shingleHashesText(c, shingleSize), numHashes, rowsPerBand))
     val corpusBands = corpus.select(bands(col(textCol)).as("band")).distinct()
       .withColumn("__hit", lit(1))
     val streamBands = (if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs)

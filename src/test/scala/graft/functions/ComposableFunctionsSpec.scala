@@ -40,6 +40,44 @@ class ComposableFunctionsSpec extends SparkSpec {
     assert(ham(fused(1L), fused(2L)) < ham(fused(1L), fused(3L)))
   }
 
+  test("fused text kernels are bit-identical to the tokens(...)-composed formulations") {
+    // tricky boundaries: leading/trailing separators, unicode
+    // letters, digits, punctuation runs, empty, single token,
+    // mixed-case (lowercasing must match Spark's lower())
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing  ",
+      "punct!!!heavy...text,with;many:breaks",
+      "ÜBER Straße naïve café 123 mixed ÉCLAIR",
+      "数字123と文字",
+      "single",
+      "a",
+      "UPPER lower MiXeD"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+
+    val sim = df.select($"id",
+      HashExpressions.simhash64Fast(TextFunctions.tokens($"text")).as("a"),
+      HashExpressions.simhashText($"text").as("b")).collect()
+    sim.foreach(r => assert(r.getLong(1) == r.getLong(2), s"simhash mismatch on '${texts(r.getLong(0).toInt)}'"))
+
+    val sh = df.select($"id",
+      HashExpressions.shingleHashes(TextFunctions.tokens($"text"), 3).as("a"),
+      HashExpressions.shingleHashesText($"text", 3).as("b")).collect()
+    sh.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"shingle mismatch on '${texts(r.getLong(0).toInt)}'"))
+
+    // and on the real corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mism = docs.select(
+      HashExpressions.simhash64Fast(TextFunctions.tokens($"text")).as("a"),
+      HashExpressions.simhashText($"text").as("b"),
+      HashExpressions.shingleHashes(TextFunctions.tokens($"text"), 5).as("sa"),
+      HashExpressions.shingleHashesText($"text", 5).as("sb"))
+      .filter($"a" =!= $"b" || $"sa" =!= $"sb")
+      .count()
+    assert(mism == 0, s"$mism real docs disagree between fused and composed kernels")
+  }
+
   test("charShingles and wordShingles produce distinct n-grams") {
     val df = Seq("abc abd").toDF("text")
     val ch = df.select(TextFunctions.charShingles($"text", 3)).as[Seq[String]].head()
