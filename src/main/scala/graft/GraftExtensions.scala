@@ -34,53 +34,65 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
   }
 
+  /** Clear arity errors instead of IndexOutOfBounds from inside
+    * function resolution.
+    */
+  private def arity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$fn requires $n arguments, got ${children.length}")
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head, 17L)
+      (children: Seq[Expression]) => { arity("simhash64", children, 1); SimHash64(children.head, 17L) }
     ),
     (
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (children: Seq[Expression]) => ShingleHashes(children.head, intArg(children(1), "n"), 13L)
+      (children: Seq[Expression]) => { arity("shingle_hashes", children, 2); ShingleHashes(children.head, intArg(children(1), "n"), 13L) }
     ),
     (
       new FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        arity("minhash_band_keys", children, 3)
         MinHashBandKeys(children.head, intArg(children(1), "numHashes"), intArg(children(2), "rowsPerBand"), 13L)
+      }
     ),
     (
       new FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
-      (children: Seq[Expression]) => TextStats(children.head)
+      (children: Seq[Expression]) => { arity("text_stats", children, 1); TextStats(children.head) }
     ),
     (
       new FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[graft.plans.JaccardRules.JaccardSim].getName, "jaccard_sim"),
-      (children: Seq[Expression]) => graft.plans.JaccardRules.JaccardSim(children.head, children(1))
+      (children: Seq[Expression]) => { arity("jaccard_sim", children, 2); graft.plans.JaccardRules.JaccardSim(children.head, children(1)) }
     ),
     (
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[HashExpressions.CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => HashExpressions.CosineSim(children.head, children(1))
+      (children: Seq[Expression]) => { arity("cosine_sim", children, 2); HashExpressions.CosineSim(children.head, children(1)) }
     ),
     (
       new FunctionIdentifier("hyperplane_lsh"),
       new ExpressionInfo(classOf[HashExpressions.HyperplaneLsh].getName, "hyperplane_lsh"),
-      (children: Seq[Expression]) => HashExpressions.HyperplaneLsh(children.head, intArg(children(1), "nBits"), 7L)
+      (children: Seq[Expression]) => { arity("hyperplane_lsh", children, 2); HashExpressions.HyperplaneLsh(children.head, intArg(children(1), "nBits"), 7L) }
     ),
     (
       new FunctionIdentifier("vec_mean"),
       new ExpressionInfo(classOf[graft.functions.VectorAggregates.VecMean].getName, "vec_mean"),
-      (children: Seq[Expression]) => graft.functions.VectorAggregates.VecMean(children.head)
+      (children: Seq[Expression]) => { arity("vec_mean", children, 1); graft.functions.VectorAggregates.VecMean(children.head) }
     ),
     (
       new FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[graft.functions.TopKAggregate.TopK].getName, "top_k"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        arity("top_k", children, 3)
         graft.functions.TopKAggregate.TopK(children.head, children(1), intArg(children(2), "k"))
+      }
     )
   )
 

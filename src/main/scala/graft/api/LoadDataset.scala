@@ -119,22 +119,25 @@ object LoadDataset {
     }
 
     /** Per-feature metadata map recovered from StructField.metadata
-      * — reference `get_feature_metadata`.
+      * — reference `get_feature_metadata`. Values are rendered per
+      * key: strings verbatim, everything else (arrays, numbers,
+      * nested objects) as that KEY'S compact json — never the whole
+      * metadata blob.
       */
-    def getFeatureMetadata: Map[String, Map[String, String]] =
+    def getFeatureMetadata: Map[String, Map[String, String]] = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
       df.schema.fields.flatMap { f =>
-        val json = f.metadata.json
-        val m = org.apache.spark.sql.types.Metadata.fromJson(json)
-        val keys = ujsonKeys(json)
-        if (keys.isEmpty) None
-        else Some(f.name -> keys.map(k => k -> (try m.getString(k) catch { case _: Throwable => m.json }))
-          .toMap)
+        JsonMethods.parse(f.metadata.json) match {
+          case JObject(fields) if fields.nonEmpty =>
+            Some(f.name -> fields.map {
+              case (k, JString(s)) => k -> s
+              case (k, v)          => k -> JsonMethods.compact(JsonMethods.render(v))
+            }.toMap)
+          case _ => None
+        }
       }.toMap
-
-    private def ujsonKeys(json: String): Seq[String] =
-      // Metadata has no key enumeration API; its json form is a flat
-      // object, so top-level keys are recoverable with a light parse
-      """"([^"]+)"\s*:""".r.findAllMatchIn(json).map(_.group(1)).toSeq.distinct
+    }
 
     // ---- HF Dataset ops with no direct DataFrame spelling ----
 

@@ -209,8 +209,10 @@ object DedupOps {
     * Two regimes, chosen by edge count:
     *  - edges ≤ `driverEdgeThreshold` (long ids): exact union-find
     *    on the driver after one bounded collect — near-dup edge
-    *    sets are ≪ corpus (10M edges ≈ 160 MB), and union-find is
-    *    O(E·α) with zero further cluster jobs. This is the common
+    *    sets are ≪ corpus, and union-find is O(E·α) with zero
+    *    further cluster jobs. Driver cost at the default 2M
+    *    threshold: ~2M small rows + a boxed parent map of ≤4M
+    *    entries — a few hundred MB, bounded. This is the common
     *    case even at 100 TB corpora.
     *  - otherwise: iterative min-label propagation — each iteration
     *    is two small shuffles over the EDGE table; converges in
@@ -221,14 +223,18 @@ object DedupOps {
   def dupClusters(
       pairs: DataFrame,
       maxIterations: Int = 20,
-      driverEdgeThreshold: Long = 10L * 1000 * 1000
+      driverEdgeThreshold: Long = 2L * 1000 * 1000
   ): DataFrame = {
     val spark = pairs.sparkSession
+    require(driverEdgeThreshold >= 0, "driverEdgeThreshold must be >= 0")
 
     val idType = pairs.schema("id_a").dataType
-    if (idType == org.apache.spark.sql.types.LongType) {
+    if (idType == org.apache.spark.sql.types.LongType && driverEdgeThreshold > 0) {
+      // probe one row beyond the threshold; clamp so thresholds near
+      // Long.MaxValue can't overflow the Int limit
+      val probeLimit = math.min(driverEdgeThreshold + 1, Int.MaxValue.toLong - 1).toInt
       val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .limit((driverEdgeThreshold + 1).toInt.max(1))
+        .limit(probeLimit)
         .collect()
       if (raw.length <= driverEdgeThreshold) {
         // driver union-find with path compression

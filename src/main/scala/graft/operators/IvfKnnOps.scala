@@ -159,7 +159,18 @@ object IvfKnnOps {
   ): IvfIndex = {
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
     val sampled = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
-    val sample = sampled.limit(maxSample).collect().map(_.getSeq[Double](0).toArray)
+    // bounded collect SPREAD across partitions (a global limit() is
+    // a storage-order prefix — on date/tenant-clustered layouts the
+    // quantizer would only ever see the first files and ANN recall
+    // silently craters). Per-partition prefixes of maxSample/P rows
+    // cover every file; one job, no count.
+    val rdd0 = sampled.rdd
+    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
+    val sample = rdd0
+      .mapPartitions(it => it.take(perPart))
+      .collect()
+      .take(maxSample)
+      .map(_.getSeq[Double](0).toArray)
     val centers = lloyds(sample, nLists, maxIter, seed)
     val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
     val assigned = corpus.withColumn(

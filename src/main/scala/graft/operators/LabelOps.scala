@@ -37,7 +37,13 @@ object LabelOps {
       .agg(collect_set(col("l")))
       .collect()(0)
       .getSeq[String](0)
-      .sorted
+      // Spark's own binary/codepoint order, NOT Java's UTF-16
+      // code-unit order (they disagree on supplementary characters
+      // — emoji labels would get different class ids than any
+      // engine-side ORDER BY or the DuckDB oracle produce)
+      .sorted(Ordering.comparatorToOrdering[org.apache.spark.unsafe.types.UTF8String](
+        java.util.Comparator.naturalOrder())
+        .on[String](org.apache.spark.unsafe.types.UTF8String.fromString))
 
   def classEncode(df: DataFrame, labelCol: String, outputCol: String = TargetColumn): DataFrame = {
     val labels = labelDictionary(df, labelCol)

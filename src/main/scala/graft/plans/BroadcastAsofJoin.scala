@@ -94,17 +94,20 @@ object BroadcastAsofJoin {
       case other                => throw new IllegalArgumentException(s"unsupported time type ${other.getClass}")
     }
 
-    /** Per-executor memo of built indexes, keyed by broadcast id —
-      * the index is built ONCE per executor from the broadcast rows
-      * (not per task). Bounded LRU; entries are tiny relative to
-      * the broadcast rows themselves, which the BlockManager
-      * already manages.
+    /** Per-executor memo of built indexes, keyed by (broadcast id,
+      * index spec) — ReuseExchange can hand the SAME broadcast id to
+      * two AsofExec nodes with different key/time/payload specs
+      * (identical build side, different join columns), so the spec
+      * must be part of the key. The index is built once per
+      * executor per spec (not per task). Bounded LRU; entries are
+      * tiny relative to the broadcast rows themselves, which the
+      * BlockManager already manages.
       */
     private val indexCache =
-      new java.util.LinkedHashMap[Long, java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]](
+      new java.util.LinkedHashMap[(Long, AsofIndexSpec), java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]](
         16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[Long, java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]]): Boolean =
+            e: java.util.Map.Entry[(Long, AsofIndexSpec), java.util.HashMap[Any, (Array[Long], Array[Array[Any]])]]): Boolean =
           size() > 32
       }
 
@@ -113,11 +116,12 @@ object BroadcastAsofJoin {
         rows: => Array[InternalRow],
         spec: AsofIndexSpec): java.util.HashMap[Any, (Array[Long], Array[Array[Any]])] =
       indexCache.synchronized {
-        val hit = indexCache.get(bcastId)
+        val key = (bcastId, spec)
+        val hit = indexCache.get(key)
         if (hit != null) hit
         else {
           val built = spec.build(rows)
-          indexCache.put(bcastId, built)
+          indexCache.put(key, built)
           built
         }
       }

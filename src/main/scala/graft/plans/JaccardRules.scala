@@ -151,14 +151,31 @@ object JaccardRules {
       And(GreaterThanOrEqual(sa, Multiply(t, sb)), GreaterThanOrEqual(sb, Multiply(t, sa)))
     }
 
-    private def rewriteCond(cond: Expression, aliases: Map[Long, Expression]): Expression =
+    /** Idempotency check that is insensitive to the raw-size vs
+      * array_distinct-size choice: a later optimizer iteration can
+      * prune the Project alias that made an input provably
+      * distinct, which would rebuild a differently-shaped guard and
+      * defeat a fastEquals comparison — re-wrapping the condition
+      * with a second, redundant guard every iteration.
+      */
+    private def hasGuardFor(cond: Expression, input: Expression): Boolean =
+      cond.exists {
+        case GreaterThanOrEqual(Cast(Size(e, _), _, _, _), _) =>
+          e.semanticEquals(input) ||
+            (e match { case ArrayDistinct(c) => c.semanticEquals(input); case _ => false })
+        case _ => false
+      }
+
+    private def rewriteCond(cond: Expression, aliasesThunk: => Map[Long, Expression]): Expression = {
+      // alias resolution only runs when a jaccard threshold is
+      // actually present (most Filters/Joins have none)
+      lazy val aliases = aliasesThunk
       cond.transformUp {
-        // exists-guard keeps the rewrite idempotent across the
-        // optimizer's fixed-point iterations
         case ge @ GreaterThanOrEqual(j: JaccardSim, t @ Literal(_, DoubleType))
-            if !cond.exists(_.fastEquals(sizeGuard(j.left, j.right, t, aliases))) =>
+            if !hasGuardFor(cond, j.left) =>
           And(sizeGuard(j.left, j.right, t, aliases), ge)
       }
+    }
 
     // Matches jaccard thresholds both in Filters and in Join
     // conditions — predicate pushdown folds `join.filter(jaccard…)`

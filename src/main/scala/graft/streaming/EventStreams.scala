@@ -58,7 +58,11 @@ object EventStreams {
       watermark: String = "2 hours"
   ): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    // captured at plan time: in batch mode there is no watermark and
+    // GroupState.getCurrentWatermarkMs/setTimeoutTimestamp THROW —
+    // timeouts never fire in batch anyway, so skip them entirely
+    val isStreaming = events.isStreaming
+    val src = if (isStreaming) events.withWatermark("ts", watermark) else events
     src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -92,7 +96,8 @@ object EventStreams {
               state.update(st)
               // fire once the watermark passes the session's gap
               // horizon (must stay strictly ahead of the watermark)
-              state.setTimeoutTimestamp(math.max(st.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
+              if (isStreaming)
+                state.setTimeoutTimestamp(math.max(st.lastSeen + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

@@ -145,6 +145,14 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("SQL builders reject wrong arity with a named error, not IndexOutOfBounds") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] { spark.sql("SELECT top_k(1.0D)").collect() }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("top_k requires 3 arguments")), msgs(e).mkString(" | "))
+  }
+
   test("vec_mean works as a SQL aggregate via the extension registry") {
     GraftExtensions.register(spark)
     Seq((0, Array(1.0, 3.0)), (0, Array(3.0, 5.0)), (1, Array(7.0, 7.0)))

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class LabelOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("labelDictionary sorts in codepoint order (matches Spark orderBy, not UTF-16 code units)") {
+    // U+FF01 (fullwidth !) vs U+1F600 (emoji, surrogate pair):
+    // UTF-16 code-unit order puts the emoji first (D83D < FF01),
+    // codepoint/binary order puts FF01 first — the order every
+    // engine-side ORDER BY (and the DuckDB oracle) uses
+    val df = Seq("😀label", "！label", "plain").toDF("l")
+    val dict = LabelOps.labelDictionary(df, "l")
+    val engineOrder = df.distinct().orderBy("l").collect().map(_.getString(0)).toSeq
+    assert(dict == engineOrder, s"dict $dict != engine order $engineOrder")
+  }
+
+  import spark.implicits._
+
   test("classEncode assigns sorted dense codes, null → -1") {
     val df = Seq(Some("b"), Some("a"), Some("c"), None, Some("b")).toDF("y")
     val out = LabelOps.classEncode(df, "y").collect().map(r => (r.getAs[String]("y"), r.getInt(1)))

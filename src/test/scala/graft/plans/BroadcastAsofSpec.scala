@@ -38,6 +38,26 @@ class BroadcastAsofSpec extends SparkSpec {
     assert(out == Set((10L, "a"), (5L, "b"), (7L, null)))
   }
 
+  test("two asof joins sharing one build side but different specs get DIFFERENT indexes") {
+    // ReuseExchange can hand both AsofExecs the same broadcast id —
+    // the executor-side index memo must key on the spec too, or the
+    // second join silently reuses an index with the wrong ordinals
+    val l = Seq((1L, 100L, "e1"), (1L, 200L, "e2")).toDF("k", "t", "ev")
+      .select($"k", timestamp_micros($"t").as("t"), $"ev")
+    val r = Seq((1L, 50L, 90L, 10.0, 99.0), (1L, 150L, 160L, 20.0, 88.0))
+      .toDF("k", "ta", "tb", "pa", "pb")
+      .select($"k", timestamp_micros($"ta").as("ta"), timestamp_micros($"tb").as("tb"), $"pa", $"pb")
+    val j1 = BroadcastAsofJoin.asofBroadcast(l, r, "k", "t", "ta", Seq("pa"))
+      .select($"ev", $"pa".as("p"))
+    val j2 = BroadcastAsofJoin.asofBroadcast(l, r, "k", "t", "tb", Seq("pb"))
+      .select($"ev", $"pb".as("p"))
+    // one action over BOTH joins so any exchange reuse applies
+    val both = j1.withColumn("src", lit("a")).unionByName(j2.withColumn("src", lit("b")))
+      .collect().map(x => (x.getString(2), x.getString(0)) -> x.getDouble(1)).toMap
+    assert(both(("a", "e1")) == 10.0 && both(("a", "e2")) == 20.0) // asof on ta → pa
+    assert(both(("b", "e1")) == 99.0 && both(("b", "e2")) == 88.0) // asof on tb → pb
+  }
+
   test("asofBroadcast plan has no shuffle on the fact side") {
     val q = BroadcastAsofJoin.asofBroadcast(events, orders.withColumnRenamed("o_orderdate", "odate"),
       "user_id", "ts", "odate", Seq("matched_price"))

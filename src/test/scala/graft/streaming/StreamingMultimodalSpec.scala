@@ -55,6 +55,22 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sessionize (typed state machine) also runs on a BATCH dataset without watermark APIs") {
+    import EventStreams._
+    val base = 1700000000000L
+    val evts = Seq(
+      Event(1, new java.sql.Timestamp(base), 7L, "view", 1.0),
+      Event(2, new java.sql.Timestamp(base + 60000), 7L, "click", 2.0),
+      Event(3, new java.sql.Timestamp(base + 10000000), 7L, "view", 3.0)
+    ).toDS()
+    // batch mode: timeouts never fire, so only CLOSED sessions emit
+    // (the tail stays open — that's sessionizeBatchComplete's job);
+    // the call itself must not crash on watermark-less GroupState
+    val closed = sessionize(evts, gapMs = 30 * 60 * 1000L).collect()
+    assert(closed.length == 1)
+    assert(closed(0).n_events == 2 && closed(0).total_value == 3.0)
+  }
+
   test("sessionize splits on gaps and flushes tails in batch mode") {
     import EventStreams._
     val base = 1700000000000L
