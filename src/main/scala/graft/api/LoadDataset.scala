@@ -151,7 +151,7 @@ object LoadDataset {
       import spark.implicits._
       val indexed = graft.operators.ReshapeOps.withRowIndex(df, "__idx")
       val wanted = indices.toDF("__idx")
-      indexed.join(broadcast_(wanted), Seq("__idx"), "left_semi").drop("__idx")
+      indexed.join(org.apache.spark.sql.functions.broadcast(wanted), Seq("__idx"), "left_semi").drop("__idx")
     }
 
     /** Append a single row given as (column → value) — reference
@@ -178,7 +178,6 @@ object LoadDataset {
         fn: Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row]): DataFrame =
       df.sparkSession.createDataFrame(df.rdd.mapPartitions(fn), outSchema)
 
-    private def broadcast_(d: DataFrame) = org.apache.spark.sql.functions.broadcast(d)
   }
 
   /** Multi-split load (the reference's DataFilesDict: split name →

@@ -25,29 +25,19 @@ object HashExpressions {
   // ---- static kernels, invoked both from eval and generated code ----
 
   /** Single-pass 64-bit simhash over a token array. */
-  def simhashKernel(arr: ArrayData, seed: Long): Long = {
+  def simhashKernel(arr: ArrayData, seed: Long): Long =
+    simhashVoteKernel(hashTokenArray(arr, seed))
+
+  /** xxh64 of each non-null element of a token array. */
+  private def hashTokenArray(arr: ArrayData, seed: Long): Array[Long] = {
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n)
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUTF8String(s, seed)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
+      if (!arr.isNullAt(i)) out += XXH64.hashUTF8String(arr.getUTF8String(i), seed)
       i += 1
     }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
+    out.toArray
   }
 
   /** Fused minhash signature + LSH band keys. */
@@ -83,31 +73,18 @@ object HashExpressions {
     new GenericArrayData(bands)
   }
 
-  /** Distinct word-n-gram shingle hashes straight from tokens. */
+  /** Distinct word-n-gram shingle hashes straight from tokens
+    * (null tokens keep hash 0 so window positions are preserved).
+    */
   def shingleKernel(arr: ArrayData, n: Int, seed: Long): ArrayData = {
     val nTok = arr.numElements()
     val tokHash = new Array[Long](nTok)
     var i = 0
     while (i < nTok) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        tokHash(i) = XXH64.hashUTF8String(s, seed)
-      }
+      if (!arr.isNullAt(i)) tokHash(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
       i += 1
     }
-    val count = math.max(nTok - n + 1, if (nTok > 0) 1 else 0)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
-    var w = 0
-    while (w < count) {
-      var acc = seed
-      var j = w
-      val end = math.min(w + n, nTok)
-      while (j < end) { acc = mixLong(acc ^ tokHash(j), seed); j += 1 }
-      if (seen.add(acc)) out += acc
-      w += 1
-    }
-    new GenericArrayData(out.toArray)
+    shingleFromHashesKernel(tokHash, n, seed)
   }
 
   /** Token char classes matching the `[^\p{L}\p{N}]+` split in

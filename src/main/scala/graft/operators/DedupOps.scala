@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{HashExpressions => HE, PairGenerators => PG, TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{HashExpressions => HE, PairGenerators => PG}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,14 +105,13 @@ object DedupOps {
   }
 
   /** n-gram Jaccard similarity join with PPJoin-style prefix
-    * filtering: under a global shingle ordering (by ascending
-    * corpus frequency), any pair with Jaccard ≥ t must share a
-    * shingle within each doc's first ⌊(1−t)·|d|⌋+1 shingles — so
-    * only those prefixes are indexed. On repetitive corpora this
-    * collapses the candidate count by orders of magnitude vs. a
-    * full inverted index.
-    */
-  /** @param orderByFrequency prefix ordering — either total order is
+    * filtering: under a global shingle ordering, any pair with
+    * Jaccard ≥ t must share a shingle within each doc's first
+    * ⌊(1−t)·|d|⌋+1 shingles — so only those prefixes are indexed.
+    * On repetitive corpora this collapses the candidate count by
+    * orders of magnitude vs. a full inverted index.
+    *
+    * @param orderByFrequency prefix ordering — either total order is
     *   CORRECT (any consistent order admits the prefix-filter
     *   guarantee) and verified output is identical; they trade
     *   plan shape against candidate count:

@@ -157,7 +157,7 @@ object EventStreams {
       tsCol: String = "ts",
       watermark: String = "1 hour"
   ): DataFrame = {
-    import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+    import graft.functions.{HashExpressions => HE}
     val sig = docs.withColumn("__sig", HE.simhashText(col(textCol)))
     val out =
       if (docs.isStreaming)
@@ -194,7 +194,7 @@ object EventStreams {
       watermark: String = "1 hour",
       windowLen: String = "10 minutes"
   ): DataFrame = {
-    import graft.functions.{HashExpressions => HE, TextFunctions => TF}
+    import graft.functions.{HashExpressions => HE}
     def bands(c: org.apache.spark.sql.Column) =
       explode(HE.minhashBandKeys(HE.shingleHashesText(c, shingleSize), numHashes, rowsPerBand))
     val corpusBands = corpus.select(bands(col(textCol)).as("band")).distinct()
