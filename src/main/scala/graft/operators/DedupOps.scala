@@ -84,7 +84,11 @@ object DedupOps {
       maxHamming: Int = 3,
       maxBucket: Int = 1000
   ): DataFrame = {
+    // null text → null sig; drop before bucketing (the groupBy keeps
+    // null keys, so null-sig docs would all land in the (q, null)
+    // buckets and pair up as spurious hamming-0 "duplicates")
     val sigs = df.select(col(idCol).as("id"), HE.simhashText(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
     val quarters = sigs.select(
       col("id"),
       col("sig"),
@@ -235,7 +239,12 @@ object DedupOps {
       val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .limit(probeLimit)
         .collect()
-      if (raw.length <= driverEdgeThreshold) {
+      // raw.length < probeLimit ⇒ limit() did not truncate AND (since
+      // probeLimit ≤ threshold+1) raw.length ≤ threshold. When the Int
+      // clamp makes probeLimit < threshold+1, a full probe falls
+      // through to the distributed path instead of silently running
+      // union-find on a partial edge set.
+      if (raw.length < probeLimit) {
         // driver union-find with path compression
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -299,7 +308,10 @@ object DedupOps {
       nBits: Int = 16,
       maxBucket: Int = 2000
   ): DataFrame = {
+    // null vector → null bkt; drop before bucketing (groupBy keeps
+    // the null bucket and CosinePairs would NPE on a null member)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), HE.hyperplaneLsh(col(vecCol), nBits).as("bkt"))
+      .filter(col("v").isNotNull)
     // one shuffle: vectors ride into their bucket once; cosine
     // verify is fused into the bucket-local pair scan (norms
     // computed once per member) — no self-join, no second pass

@@ -135,8 +135,9 @@ object JaccardRules {
       }.flatten.toMap
 
     private def provablyDistinct(e: Expression, aliases: Map[Long, Expression]): Boolean = e match {
-      case _: graft.functions.HashExpressions.ShingleHashes => true
-      case _: ArrayDistinct                                 => true
+      case _: graft.functions.HashExpressions.ShingleHashes     => true
+      case _: graft.functions.HashExpressions.ShingleHashesText => true
+      case _: ArrayDistinct                                     => true
       case Alias(c, _)                                      => provablyDistinct(c, aliases)
       case ar: AttributeReference =>
         aliases.get(ar.exprId.id).exists(provablyDistinct(_, aliases))

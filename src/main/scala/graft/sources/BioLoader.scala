@@ -73,9 +73,22 @@ object BioLoader {
             // zipWithIndex keeps the semantics for multi-file loads
             // (metadata sidecars — small file counts by construction).
             import spark.implicits._
+            // The text datasource ignores an 'encoding' option, so a
+            // non-UTF-8 charset must be decoded explicitly (whole-file
+            // per-executor decode — skipRows inputs are small sidecar
+            // files by construction).
+            val utf8Compat =
+              Set("UTF-8", "UTF8", "US-ASCII", "ASCII").contains(csv.encoding.toUpperCase)
             val bodies = paths.map { p =>
-              val lines = spark.read.option("encoding", csv.encoding).textFile(p)
-              lines.rdd.zipWithIndex().filter(_._2 >= csv.skipRows).map(_._1)
+              if (utf8Compat)
+                spark.read.textFile(p).rdd.zipWithIndex().filter(_._2 >= csv.skipRows).map(_._1)
+              else
+                spark.sparkContext.binaryFiles(p).flatMap { case (_, pds) =>
+                  val in = pds.open()
+                  try scala.io.Source.fromInputStream(in, csv.encoding)
+                    .getLines().drop(csv.skipRows).toVector.iterator
+                  finally in.close()
+                }
             }
             val all = bodies.reduce(_ union _).toDS()
             r.csv(all)

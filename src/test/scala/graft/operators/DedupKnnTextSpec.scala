@@ -70,6 +70,46 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash ignores null-text docs instead of pairing them at hamming 0") {
+    val withNulls = docs.union(Seq(
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val pairs = DedupOps.simhash(withNulls, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 6L || p._2 >= 6L), s"null-text docs must not pair: $pairs")
+    assert(pairs.contains((1L, 2L))) // real dups still found
+  }
+
+  test("embeddingDedup ignores null-vector rows instead of crashing") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]]),
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingDedup(vecs, "vec_id", "embedding", threshold = 0.99, nBits = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dupClusters: clamped probe limit near Long.MaxValue still resolves on the driver") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = DedupOps.dupClusters(pairs, driverEdgeThreshold = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: probe that exactly fills the limit falls through to the distributed path") {
+    // 3 edges, threshold 2 → probeLimit 3; collect fills it exactly,
+    // so union-find must NOT run on a possibly-partial edge set
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = DedupOps.dupClusters(pairs, driverEdgeThreshold = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))

@@ -78,6 +78,19 @@ class JaccardRulesSpec extends SparkSpec {
     }
   }
 
+  test("JaccardSizePrefilter uses raw size for ShingleHashesText (the fused dedup path)") {
+    GraftExtensionsTestSession.withRule { s =>
+      import graft.functions.HashExpressions
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), HashExpressions.shingleHashesText(col("text"), 3).as("sh"))
+      val joined = docs.as("a").crossJoin(docs.as("b"))
+        .filter(JaccardRules.jaccardSim(col("a.sh"), col("b.sh")) >= 0.8)
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("size("), optimized)
+      assert(!optimized.contains("array_distinct"), optimized)
+    }
+  }
+
   test("flattenStructs expands nested structs with dotted names") {
     val df = Seq((1, ("x", 2.0), 5)).toDF("id", "s", "v")
     val flat = ReshapeOps.flattenStructs(df)

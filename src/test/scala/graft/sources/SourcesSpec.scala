@@ -193,6 +193,18 @@ class SourcesSpec extends SparkSpec {
     assert(proj.count() == 2)
   }
 
+  test("skip_rows honors a non-UTF-8 encoding (explicit charset decode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvenc").toFile
+    val f = new java.io.File(dir, "latin.csv")
+    val body = "# bannière\nname,city\nrené,orléans\nzoë,münchen\n"
+    java.nio.file.Files.write(f.toPath, body.getBytes("ISO-8859-1"))
+    val df = BioLoader.load(spark, Seq(f.getAbsolutePath),
+      BioLoader.CsvOptions(skipRows = 1, encoding = "ISO-8859-1"))
+    assert(df.columns.toSeq == Seq("name", "city"))
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("rené", "zoë"), names.toString)
+  }
+
   test("ColumnInference resolves roles: explicit > default > pattern") {
     val df = Seq((1, "b1", "healthy", 0.5, 0.7)).toDF("sample_id", "batch", "diagnosis", "otu1", "otu2")
     val roles = ColumnInference.inferRoles(df, targetColumn = Some("diagnosis"))
