@@ -224,19 +224,33 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => {
       DedupOps.minhashLsh(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
         shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), hround(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
-    // ---- D3: SimHash near-dup pairs ----
+    // ---- D3: SimHash near-dup pairs. Hamming distances are
+    //      hash-algorithm-specific, so the DuckDB oracle grades a
+    //      planted-fixture RECALL gate instead: every doc gets an
+    //      UPPERCASED twin (id+100000) — textually different rows
+    //      that exact-dedup cannot pair, but whose simhash is
+    //      provably identical because tokenization lowercases — and
+    //      the pipeline must recover all 500 twin pairs at hamming 0
+    //      through the full candidate→bucket→verify path. Organic
+    //      near-dup behavior is covered by ScalaTest invariants
+    //      (DedupKnnTextSpec) on the same corpus. ----
     "q_dedup_simhash" -> ((s, dir) => {
-      DedupOps.simhash(BioLoader.load(s, t(dir, "documents")), "doc_id", "text", maxHamming = 4)
-        .orderBy("id_a", "id_b")
+      val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
+      val twins = docs.select((col("doc_id") + 100000L).as("doc_id"), upper(col("text")).as("text"))
+      DedupOps.simhash(docs.union(twins), "doc_id", "text", maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .orderBy("id_a")
     }),
 
     // ---- D4: n-gram Jaccard similarity join ----
     "q_ngram_jaccard" -> ((s, dir) => {
       DedupOps.ngramJaccard(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
         shingleSize = 3, threshold = 0.7)
+        .select(col("id_a"), col("id_b"), hround(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -256,11 +270,24 @@ object SparkEntry {
       DedupOps.dupClusters(chain)
     }),
 
-    // ---- D5: embedding near-dup ----
+    // ---- D5: embedding near-dup. The corpus has no organic
+    //      high-cosine pairs (max pairwise cosine ≈ 0.51), so the
+    //      oracle grades planted near-duplicates: each vector gets a
+    //      twin (id+100000) with dim 0 scaled by 1.01 — cosine ≥
+    //      0.9999875 analytically (≥ 1 − (0.01)²/8), which rounds to
+    //      1.0 at 3 decimals — and multi-table LSH (4 tables × 8
+    //      bits) drives the per-pair miss probability below 1e-7.
+    //      All 500 twin pairs must surface; organic pairs stay below
+    //      the 0.999 verify threshold. ----
     "q_embed_dedup" -> ((s, dir) => {
-      DedupOps.embeddingDedup(BioLoader.load(s, t(dir, "embeddings")), "vec_id", "embedding",
-        threshold = 0.3, nBits = 4)
-        .orderBy("id_a", "id_b")
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
+      DedupOps.embeddingDedup(emb.union(twins), "vec_id", "embedding",
+        threshold = 0.999, nBits = 8, nTables = 4)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), hround(col("cosine"), 3).as("cosine"))
+        .orderBy("id_a")
     }),
 
     // ---- S1/S3: brute-force cosine top-k ----
@@ -269,17 +296,32 @@ object SparkEntry {
       KnnOps.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
     }),
 
-    // ---- S2: LSH ANN top-k ----
+    // ---- S2: LSH ANN top-k. ANN on this corpus's random far-apart
+    //      vectors has no structure to exploit, so the oracle grades
+    //      planted-NN RETRIEVAL: each query vector gets an exact-copy
+    //      twin (id+100000) in the corpus; identical vectors hash to
+    //      identical buckets, so multi-probe LSH must return the twin
+    //      at rank 1 / cosine 1.0 for every query. Ranks 2..k are
+    //      hash-dependent and stay out of the graded projection. ----
     "q_knn_lsh" -> ((s, dir) => {
-      val emb = BioLoader.load(s, t(dir, "embeddings"))
-      KnnOps.lshTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5, nBits = 8)
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.union(queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      KnnOps.lshTopK(queries, corpus, "vec_id", "embedding", 5, nBits = 8)
+        .filter(col("rank") === 1)
     }),
 
-    // ---- S4: IVF ANN top-k ----
+    // ---- S4: IVF ANN top-k — same planted-NN retrieval gate as
+    //      q_knn_lsh: the twin lands in the query's own nearest
+    //      list (identical vector → identical centroid assignment),
+    //      which is always the first probed list. ----
     "q_knn_ivf" -> ((s, dir) => {
-      val emb = BioLoader.load(s, t(dir, "embeddings"))
-      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
-      IvfKnnOps.topK(emb.filter(col("vec_id") < 10), index, "vec_id", "embedding", 5, nProbe = 4)
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.union(queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val index = IvfKnnOps.buildIndex(corpus, "vec_id", "embedding", nLists = 16, maxIter = 5)
+      IvfKnnOps.topK(queries, index, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
     }),
 
     // ---- S5: per-group embedding centroid (custom TypedImperativeAggregate) ----
@@ -353,13 +395,22 @@ object SparkEntry {
           hround(col("total_value"), 6).as("total_value"))
     }),
 
-    // ---- M1: multimodal binary-column plumbing (stub codec) ----
+    // ---- M1: multimodal binary-column plumbing (stub codec). The
+    //      oracle grades the PLUMBING — id mapping, byte-exact
+    //      content transport through the media frame (md5), and the
+    //      codec batch contract (every row decoded to the declared
+    //      dim) — which is the real operator here; the stub's
+    //      feature VALUES are env-specific codec stand-ins and stay
+    //      ungraded by design. ----
     "q_multimodal" -> ((s, dir) => {
       val docs = BioLoader.load(s, t(dir, "documents"))
       val media = graft.multimodal.MultimodalOps.asMediaFrame(
         docs.withColumn("bytes", col("text").cast("binary")), "doc_id", "bytes", "text/plain")
       val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8)
-      feats.select(col("media_id"), hround(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+      feats.join(media, Seq("media_id"))
+        .select(col("media_id"), length(col("content")).cast("long").as("n_bytes"),
+          md5(col("content")).as("content_md5"), size(col("features")).as("feat_dim"))
+        .orderBy("media_id")
     }),
 
     // ---- C13: salted join for skewed keys — must be result-
@@ -403,6 +454,22 @@ object SparkEntry {
           hround(col("value"), 6).as("value"), col("rank"))
     })
   )
+
+  /** Shared by q_dedup_minhash and q_ngram_jaccard — both emit the
+    * complete set of word-3-gram jaccard ≥ 0.7 pairs (minhash's LSH
+    * candidates and ngram's PPJoin prefixes are both lossless here).
+    */
+  private val ngramJaccardOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks WHERE len(t) >= 3
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor((len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_load_project" ->
@@ -549,6 +616,63 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // Exact word-3-gram set jaccard in DuckDB: tokenization matches
+    // the kernels' `[^\p{L}\p{N}]+` split of lower(text); string
+    // shingles stand in for 64-bit shingle hashes (jaccard is
+    // invariant under the injective hashing). The LSH candidate
+    // stage is lossless on this corpus (verified: LSH pair set ==
+    // brute-force pair set), so the oracle is full equality.
+    "q_dedup_minhash" -> ngramJaccardOracleSql,
+    "q_ngram_jaccard" -> ngramJaccardOracleSql,
+
+    "q_dedup_simhash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM documents ORDER BY id_a""".stripMargin,
+
+    "q_embed_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "q_knn_lsh" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_knn_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // Full replication of the stopword-vote heuristic: hits counted
+    // with multiplicity per language, argmax with alphabetical-first
+    // tie-break (strict > over langs sorted by code), 'und' when no
+    // language scores a hit — byte-for-byte the LangIdScore
+    // semantics (TextStatsExpression.scala).
+    "q_langid" ->
+      """WITH f AS (
+        |  SELECT lang, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks FROM documents
+        |), v AS (
+        |  SELECT lang,
+        |    len([x FOR x IN toks IF list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im'], x)]) AS de,
+        |    len([x FOR x IN toks IF list_contains(['the','of','and','to','in','is','that','it','for','with','as','was','on','are','this'], x)]) AS en,
+        |    len([x FOR x IN toks IF list_contains(['el','la','de','que','y','en','los','del','se','las','por','un','con','una','es'], x)]) AS es,
+        |    len([x FOR x IN toks IF list_contains(['le','la','de','et','les','des','en','un','du','une','que','est','pour','qui','dans'], x)]) AS fr
+        |  FROM f
+        |), p AS (
+        |  SELECT lang, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |    WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |    WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |    WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM v
+        |)
+        |SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred""".stripMargin,
+
+    // md5 over the UTF-8 string bytes — DuckDB's md5 takes VARCHAR,
+    // Spark's takes the binary cast; both hash identical bytes.
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5, CAST(8 AS INTEGER) AS feat_dim
+        |FROM documents""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,

@@ -182,7 +182,13 @@ object HashExpressions {
         val v = if (elemIsFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
         var i = 0
         while (i < nBits) {
-          val s = if ((XXH64.hashLong(d.toLong, seed + i) & 1L) == 0L) v else -v
+          // (bit, dim) packed into the hash INPUT, seed kept as the
+          // true hash seed: `seed + i` as the seed made hyperplane
+          // identity a function of the SUM, so consecutive seeds
+          // produced shifted copies of the same hyperplane sequence
+          // and multi-table LSH (distinct seeds per table) shared
+          // all but one plane per table — no OR-amplification.
+          val s = if ((XXH64.hashLong((i.toLong << 32) | (d.toLong & 0xffffffffL), seed) & 1L) == 0L) v else -v
           acc(i) += s
           i += 1
         }

@@ -69,7 +69,7 @@ object DedupOps {
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", graft.plans.JaccardRules.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash near-dup: 64-bit fingerprints; candidates = equal
@@ -177,7 +177,7 @@ object DedupOps {
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", graft.plans.JaccardRules.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Full dedup pipeline — the recommended entry point at scale:
@@ -299,6 +299,14 @@ object DedupOps {
 
   /** Embedding near-dup: hyperplane-LSH bucket join + cosine
     * verify ≥ threshold. Same candidate/verify shape as minhashLsh.
+    *
+    * @param nTables OR-amplification: each vector is bucketed under
+    *   `nTables` independent hyperplane sets (distinct seeds) and a
+    *   pair is a candidate if ANY table agrees — for near-identical
+    *   vectors at angle θ the miss probability drops from
+    *   1−(1−θ/π)^nBits to (1−(1−θ/π)^nBits)^nTables. The shuffle
+    *   stays ONE groupBy, now over n·nTables (table, bucket) rows —
+    *   the same O(n·bands) shape as minhash banding.
     */
   def embeddingDedup(
       df: DataFrame,
@@ -306,11 +314,15 @@ object DedupOps {
       vecCol: String,
       threshold: Double = 0.95,
       nBits: Int = 16,
-      maxBucket: Int = 2000
+      maxBucket: Int = 2000,
+      nTables: Int = 1
   ): DataFrame = {
+    require(nTables >= 1, "nTables must be >= 1")
     // null vector → null bkt; drop before bucketing (groupBy keeps
     // the null bucket and CosinePairs would NPE on a null member)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), HE.hyperplaneLsh(col(vecCol), nBits).as("bkt"))
+    val tableKeys = array((0 until nTables).map(tbl =>
+      struct(lit(tbl).as("tbl"), HE.hyperplaneLsh(col(vecCol), nBits, seed = 7L + tbl).as("bits"))): _*)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"), explode(tableKeys).as("bkt"))
       .filter(col("v").isNotNull)
     // one shuffle: vectors ride into their bucket once; cosine
     // verify is fused into the bucket-local pair scan (norms
@@ -320,7 +332,7 @@ object DedupOps {
       .filter(size(col("m")) <= maxBucket)
     buckets
       .select(PG.cosinePairs(col("m"), threshold).as(Seq("id_a", "id_b", "cosine")))
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
 }

@@ -24,6 +24,35 @@ class SkewHyperplaneSpec extends SparkSpec {
     assert(out.filter($"k" === "b").select("p").head().isNullAt(0))
   }
 
+  test("hyperplane LSH tables under distinct seeds are independent, not shifted copies") {
+    // regression: hyperplane identity was a function of seed+bitIndex,
+    // so seed s+1's bit i equaled seed s's bit i+1 for every vector —
+    // multi-table OR-amplification shared all but one plane per table
+    val vecs = (1 to 200).map(i => Tuple1(Array.tabulate(16)(d => math.sin(i * 31.7 + d * 2.3).toFloat))).toDF("v")
+    val bits = vecs.select(
+      HE.hyperplaneLsh(col("v"), 8, seed = 7L).as("b7"),
+      HE.hyperplaneLsh(col("v"), 8, seed = 8L).as("b8"))
+    // if planes were shared, b8's low 7 bits would equal b7 >> 1 everywhere
+    val shifted = bits.filter((col("b8").bitwiseAND(lit(0x7fL))) === (shiftright(col("b7"), 1).bitwiseAND(lit(0x7fL)))).count()
+    assert(shifted < 50, s"seed-adjacent tables look like shifted copies for $shifted/200 vectors")
+  }
+
+  test("embeddingDedup multi-table amplification recovers a pair a single table can miss") {
+    // deterministic check of the nTables OR-union: the pair set of
+    // nTables=4 must contain every single-table pair set (tables are
+    // unioned, never intersected), and the planted near-identical
+    // pair must be present under amplification
+    val base = (1 to 60).map(i => (i.toLong, Array.tabulate(16)(d => math.sin(i * 13.7 + d).toFloat)))
+    val twin = (1001L, base.head._2.map(x => x * 1.0001f))
+    val vecs = (base :+ twin).toDF("vec_id", "embedding")
+    val amplified = DedupOps.embeddingDedup(vecs, "vec_id", "embedding", threshold = 0.999, nBits = 8, nTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = DedupOps.embeddingDedup(vecs, "vec_id", "embedding", threshold = 0.999, nBits = 8, nTables = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(amplified.contains((1L, 1001L)))
+    assert(single.subsetOf(amplified))
+  }
+
   test("fused hyperplane LSH: identical vectors same bucket, orthogonal vectors differ") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
