@@ -48,8 +48,12 @@ object CacheOps {
     val spark = df.sparkSession
     val fp = fingerprint(df)
     val path = s"$cacheDir/graft-cache-$fp"
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.exists()) {
+    // Hadoop FileSystem, not java.io.File: the cache dir is HDFS/S3
+    // in any real deployment, where a local-FS probe always misses
+    // and every call recomputes + overwrites — silent cache defeat.
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
       df.write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)

@@ -168,6 +168,22 @@ object LoadDataset {
     def castColumn(name: String, to: org.apache.spark.sql.types.DataType): DataFrame =
       df.withColumn(name, col(name).cast(to))
 
+    /** Inverse of class encoding — encoded int codes back to label
+      * names (reference arrow_dataset.py:197 `decode`): code i →
+      * labelNames(i); -1 and out-of-range codes → null. Inline
+      * literal map, zero shuffle (the dictionary is
+      * class-count-sized, same bound as the encode side).
+      */
+    def decode(outputCol: String = "decoded_labels"): DataFrame = {
+      require(labelNames.nonEmpty, "decode needs a label dictionary (labelNames is empty)")
+      require(df.columns.contains(LabelOps.TargetColumn),
+        s"decode needs the ${LabelOps.TargetColumn} column")
+      val m = org.apache.spark.sql.functions.typedLit(
+        labelNames.zipWithIndex.map { case (l, i) => i -> l }.toMap)
+      df.withColumn(outputCol,
+        org.apache.spark.sql.functions.element_at(m, col(LabelOps.TargetColumn).cast("int")))
+    }
+
     /** Arbitrary batched row transform — reference `map(batched=
     * True)`. Only for logic genuinely inexpressible as columns
     * (prefer select/withColumn: they stay in codegen and keep

@@ -23,7 +23,7 @@ object LabelOps {
 
   val TargetColumn = "encoded_labels" // biodata.py:62
 
-  private val maxInlineLabels = 10000
+  private[operators] val maxInlineLabels = 10000
 
   /** Distinct labels of `labelCol`, sorted ascending (nulls
     * excluded) — the label dictionary. ONE job via a collect_set
@@ -31,8 +31,18 @@ object LabelOps {
     * merge once, vs the distinct+orderBy formulation's extra
     * shuffle + sort stage. The tiny dictionary is sorted on the
     * driver.
+    *
+    * Guarded: an approx-distinct probe runs FIRST, so a
+    * high-cardinality column fails fast instead of OOMing the
+    * driver inside collect_set. Use [[classEncode]] (which
+    * auto-falls-back to the broadcast-join path) when cardinality
+    * is unknown.
     */
-  def labelDictionary(df: DataFrame, labelCol: String): Seq[String] =
+  def labelDictionary(df: DataFrame, labelCol: String): Seq[String] = {
+    val approx = approxLabelCount(df, labelCol)
+    require(approx <= maxInlineLabels * 2L,
+      s"~$approx distinct labels — too many to collect as an inline dictionary; " +
+        s"use classEncode (broadcast-join fallback) or classEncodeBroadcast")
     df.select(col(labelCol).cast("string").as("l"))
       .agg(collect_set(col("l")))
       .collect()(0)
@@ -44,10 +54,42 @@ object LabelOps {
       .sorted(Ordering.comparatorToOrdering[org.apache.spark.unsafe.types.UTF8String](
         java.util.Comparator.naturalOrder())
         .on[String](org.apache.spark.unsafe.types.UTF8String.fromString))
+  }
 
+  private def approxLabelCount(df: DataFrame, labelCol: String): Long =
+    df.agg(approx_count_distinct(col(labelCol).cast("string"))).collect()(0).getLong(0)
+
+  /** Class encode with automatic strategy choice: inline literal
+    * map below [[maxInlineLabels]] (zero shuffle, whole-stage
+    * codegen), broadcast dictionary join above it (the dictionary
+    * is class-count-sized — broadcastable far beyond what a driver
+    * literal tolerates; the fact side still never shuffles).
+    */
   def classEncode(df: DataFrame, labelCol: String, outputCol: String = TargetColumn): DataFrame = {
-    val labels = labelDictionary(df, labelCol)
-    classEncodeWith(df, labelCol, labels, outputCol)
+    // ±2% HLL error: use a 20% margin so a borderline dictionary
+    // can't slip past the inline require
+    if (approxLabelCount(df, labelCol) <= maxInlineLabels * 0.8)
+      classEncodeWith(df, labelCol, labelDictionary(df, labelCol), outputCol)
+    else classEncodeBroadcast(df, labelCol, outputCol)
+  }
+
+  /** Large-dictionary encode: dense codes assigned by a
+    * row_number over the sorted distinct labels, attached to the
+    * fact side through a broadcast left join — no driver collect at
+    * any cardinality. The single-partition window sorts only the
+    * dictionary (class-count rows, ≪ data); unseen is impossible
+    * (codes come from the same data) and null encodes -1 like the
+    * inline path.
+    */
+  def classEncodeBroadcast(df: DataFrame, labelCol: String, outputCol: String = TargetColumn): DataFrame = {
+    val dict = df.select(col(labelCol).cast("string").as("__graft_label"))
+      .filter(col("__graft_label").isNotNull)
+      .distinct()
+      .withColumn(outputCol,
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("__graft_label"))) - 1)
+    df.join(broadcast(dict), col(labelCol).cast("string") === col("__graft_label"), "left")
+      .withColumn(outputCol, coalesce(col(outputCol), lit(-1)))
+      .drop("__graft_label")
   }
 
   /** Encode against a fixed dictionary (the multi-file case where

@@ -232,10 +232,31 @@ object BroadcastAsofJoin {
     val rPlan = ColumnBridge.logicalPlan(right)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    // The physical comparison is on RAW internal longs (timestamp =
+    // micros, date = days, integrals = verbatim) — a DateType side
+    // against a TimestampType side would silently compare days to
+    // micros and "match" garbage. Require one unit family; callers
+    // with mixed types cast explicitly (date → timestamp) first.
+    def family(dt: DataType): String = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => "timestamp (µs)"
+      case org.apache.spark.sql.types.DateType => "date (days)"
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => "integral"
+      case other =>
+        throw new IllegalArgumentException(s"unsupported asof time type $other for $leftTime/$rightTime")
+    }
+    val (lf, rf) = (family(lt.dataType), family(rt.dataType))
+    require(lf == rf,
+      s"asof time columns must share a unit family: $leftTime is ${lt.dataType} [$lf], " +
+        s"$rightTime is ${rt.dataType} [$rf] — cast one side first (e.g. date → timestamp)")
     val node = AsofNode(
       lPlan, rPlan,
-      attr(lPlan, key), attr(lPlan, leftTime),
-      attr(rPlan, key), attr(rPlan, rightTime),
+      attr(lPlan, key), lt,
+      attr(rPlan, key), rt,
       rightPayload.map(attr(rPlan, _))
     )
     ColumnBridge.ofRows(spark, node)

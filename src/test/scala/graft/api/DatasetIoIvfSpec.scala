@@ -29,6 +29,23 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(loaded("train").schema("otu1").metadata.getString("graft.featureType") == "Abundance")
   }
 
+  test("decode inverts classEncode through a DatasetIO save/load round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec").toFile.getAbsolutePath
+    val src = java.nio.file.Files.createTempDirectory("graft-dec-src").toFile.getAbsolutePath
+    Seq(("s1", "sick", 3L), ("s2", "healthy", 0L), ("s3", null, 7L))
+      .toDF("samples", "diagnosis", "otu1").write.parquet(s"$src/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$src/d.parquet"), targetColumn = Some("diagnosis"), experimentType = "otu"))
+    DatasetIO.save(ds, dir, Map("all" -> ds.df))
+    val (loaded, meta) = DatasetIO.load(spark, dir)
+    val m = meta.copy(df = loaded("all")).decode()
+      .select("samples", "diagnosis", "decoded_labels")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(m("s1") == (("sick", "sick")))
+    assert(m("s2") == (("healthy", "healthy")))
+    assert(m("s3") == ((null, null))) // -1 decodes to null
+  }
+
   test("CacheOps: stable fingerprint for equal plans, checkpoint materializes once") {
     val li = s"$sfDir/lineitem.parquet"
     val a = spark.read.parquet(li).filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
@@ -44,6 +61,22 @@ class DatasetIoIvfSpec extends SparkSpec {
     val before = new java.io.File(cacheDir).listFiles().length
     CacheOps.checkpoint(b, cacheDir).count()
     assert(new java.io.File(cacheDir).listFiles().length == before)
+  }
+
+  test("checkpoint probe goes through the Hadoop FileSystem API (scheme-qualified cache dir)") {
+    // a file:// URI defeats java.io.File probing (the scheme is not
+    // a path component) but resolves through FileSystem — the HDFS/
+    // S3 shape of the advisor-flagged silent cache defeat
+    val local = java.nio.file.Files.createTempDirectory("graft-cache-fs").toFile.getAbsolutePath
+    val cacheDir = s"file://$local"
+    val df = spark.read.parquet(s"$sfDir/region.parquet").select("r_regionkey", "r_name")
+    CacheOps.checkpoint(df, cacheDir).count()
+    val sub = new java.io.File(local).listFiles().head
+    val stamps = sub.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    Thread.sleep(1100) // parquet mtime granularity
+    CacheOps.checkpoint(df, cacheDir).count()
+    val after = sub.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    assert(after == stamps, "second checkpoint call must not rewrite the materialization")
   }
 
   test("metadata auto-discovery finds conventional filenames beside the data") {

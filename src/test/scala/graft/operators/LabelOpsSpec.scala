@@ -31,6 +31,34 @@ class LabelOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1, 0, -1))
   }
 
+  test("classEncode falls back to a broadcast-join encode above the inline bound, codes identical") {
+    // 25k distinct labels: the inline literal-map path must NOT be
+    // taken (no collect_set of 25k values on the driver)
+    val df = spark.range(30000).select(
+      concat(lit("label_"), format_string("%07d", (col("id") * 7919) % 25000)).as("y"))
+    val out = LabelOps.classEncode(df, "y")
+    // broadcast dictionary join, fact side unshuffled
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(2000))
+    // codes follow sorted-distinct order: label_0000000 → 0, and the
+    // max label gets n-1
+    val byLabel = out.distinct().collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(byLabel("label_0000000") == 0)
+    assert(byLabel.size == 25000)
+    assert(byLabel.values.min == 0 && byLabel.values.max == 24999)
+    // codes are dense ranks of the codepoint-sorted dictionary —
+    // same contract as the inline path
+    val sortedLabels = byLabel.keys.toSeq.sorted
+    assert(sortedLabels.take(3).map(byLabel) == Seq(0, 1, 2))
+    assert(byLabel(sortedLabels.last) == 24999)
+  }
+
+  test("labelDictionary fails fast on high-cardinality columns instead of collecting") {
+    val df = spark.range(100000).select(concat(lit("u"), col("id")).as("y"))
+    val e = intercept[IllegalArgumentException](LabelOps.labelDictionary(df, "y"))
+    assert(e.getMessage.contains("distinct labels"))
+  }
+
   test("binarize: both lists → missing -1") {
     val df = Seq("pos", "neg", "other").toDF("y")
     val spec = LabelOps.BinarizeSpec(positive = Seq("pos"), negative = Seq("neg"))

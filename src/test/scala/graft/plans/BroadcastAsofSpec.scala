@@ -38,6 +38,20 @@ class BroadcastAsofSpec extends SparkSpec {
     assert(out == Set((10L, "a"), (5L, "b"), (7L, null)))
   }
 
+  test("asofBroadcast rejects mixed time-unit families (date vs timestamp)") {
+    val l = Seq((1L, 100L, 10L)).toDF("k", "t", "v")
+      .select($"k", timestamp_micros($"t").as("t"), $"v")
+    val r = Seq((1L, "2024-01-01", "a")).toDF("k", "rt", "p")
+      .select($"k", to_date($"rt").as("rt"), $"p")
+    val e = intercept[IllegalArgumentException](
+      BroadcastAsofJoin.asofBroadcast(l, r, "k", "t", "rt", Seq("p")))
+    assert(e.getMessage.contains("unit family"), e.getMessage)
+    // the documented escape hatch works: cast the date side up
+    val ok = BroadcastAsofJoin.asofBroadcast(
+      l, r.withColumn("rt", $"rt".cast("timestamp")), "k", "t", "rt", Seq("p"))
+    assert(ok.count() == 1)
+  }
+
   test("two asof joins sharing one build side but different specs get DIFFERENT indexes") {
     // ReuseExchange can hand both AsofExecs the same broadcast id —
     // the executor-side index memo must key on the spec too, or the
