@@ -75,6 +75,123 @@ object LoadDataset {
     (find(sampleNames), find(featureNames))
   }
 
+  /** Canonical split → filename keywords — reference
+    * data_files.py:141-185 builds its split patterns from the HF
+    * SPLIT_KEYWORDS table; a keyword counts only when delimited by
+    * non-word characters (so "validation" never matches "val"
+    * mid-word, and "training" matches as its own keyword).
+    */
+  private val splitKeywords: Seq[(String, Seq[String])] = Seq(
+    "train" -> Seq("train", "training"),
+    "validation" -> Seq("validation", "valid", "dev", "val"),
+    "test" -> Seq("test", "testing", "eval", "evaluation")
+  )
+
+  private def keywordMatch(name: String, kw: String): Boolean =
+    s"(?:^|[^a-z0-9])${java.util.regex.Pattern.quote(kw)}(?:[^a-z0-9]|$$)".r
+      .findFirstIn(name.toLowerCase).isDefined
+
+  private def splitOf(fileName: String): Option[String] = {
+    val base = fileName.substring(0, math.max(fileName.lastIndexOf('.'), 0)).toLowerCase
+    splitKeywords.collectFirst { case (split, kws) if kws.exists(keywordMatch(base, _)) => split }
+  }
+
+  private val dataExtensions =
+    Set("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow", "feather", "npz")
+
+  /** Metadata classification mirrors the reference's caution: exact
+    * conventional basenames, or a DELIMITED "metadata"/"annotation"
+    * token (split-scoped `train-metadata.csv`). Bare "sample(s)"/
+    * "feature(s)" tokens inside longer names do NOT count — the
+    * reference skips those fuzzy patterns precisely so a data file
+    * like `train-samples_1.csv` (tests/test_load.py:715) stays data.
+    */
+  private val metadataBaseRe =
+    ("^(metadata|sample[-._ ]metadata|sample|samples|feature[-._ ]metadata|feature|features|" +
+      "annotation|annotations)([-._ ][0-9]+)*$").r
+
+  private def isMetadataFile(name: String): Boolean = {
+    val base = name.substring(0, math.max(name.lastIndexOf('.'), 0)).toLowerCase
+    metadataBaseRe.findFirstIn(base).isDefined ||
+      keywordMatch(base, "metadata") ||
+      keywordMatch(base, "annotation") || keywordMatch(base, "annotations")
+  }
+
+  /** Infer split membership from filename patterns (reference
+    * data_files.py:141-185, tests/test_load.py:715
+    * `train-samples_1.csv` / `test-samples_2.csv`): a delimited
+    * split keyword in the basename or the parent directory name
+    * assigns the file; keyword-free data files default to "train"
+    * (HF's single-split convention). Metadata/annotation sidecars
+    * are excluded — they ride [[discoverMetadata]] /
+    * [[discoverSplitMetadata]].
+    */
+  def discoverSplits(dir: String): Map[String, Seq[String]] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
+    if (!root.isDirectory) return Map.empty
+    val data = walk(root).filter { f =>
+      val n = f.getName.toLowerCase
+      val ext = n.substring(n.lastIndexOf('.') + 1)
+      dataExtensions.contains(ext) && !isMetadataFile(f.getName)
+    }
+    data.groupBy { f =>
+      splitOf(f.getName)
+        .orElse(splitOf(f.getParentFile.getName + "."))
+        .getOrElse("train")
+    }.map { case (s, fs) => s -> fs.map(_.getAbsolutePath).sorted.toSeq }
+  }
+
+  /** Split-scoped metadata discovery (reference
+    * DEFAULT_SAMPLE_METADATA_PATTERNS_SPLIT_IN_FILENAME,
+    * data_files.py:144-151): a metadata file whose name carries a
+    * delimited split keyword (`train-metadata.csv`,
+    * `sample_metadata_test.tsv`) binds to that split only; returns
+    * split → (sample metadata files, feature metadata files).
+    * Keyword-free metadata stays shared via [[discoverMetadata]].
+    */
+  def discoverSplitMetadata(dir: String): Map[String, (Seq[String], Seq[String])] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
+    if (!root.isDirectory) return Map.empty
+    val metaFiles = walk(root).filter { f =>
+      val n = f.getName.toLowerCase
+      val ext = n.substring(n.lastIndexOf('.') + 1)
+      dataExtensions.contains(ext) && isMetadataFile(f.getName)
+    }
+    val tagged = metaFiles.flatMap(f => splitOf(f.getName).map(s => (s, f)))
+    tagged.groupBy(_._1).map { case (s, fs) =>
+      val (feat, samp) = fs.map(_._2).partition(f => {
+        val b = f.getName.toLowerCase
+        b.contains("feature") || b.contains("annotation")
+      })
+      s -> (samp.map(_.getAbsolutePath).sorted.toSeq, feat.map(_.getAbsolutePath).sorted.toSeq)
+    }
+  }
+
+  /** Directory in, split datasets out: [[discoverSplits]] for the
+    * data files, [[discoverSplitMetadata]] for split-scoped
+    * sidecars, then the shared-label-dictionary multi-split load —
+    * the reference's `load_dataset("csv", data_dir=...)` shape
+    * (tests/test_load.py:715).
+    */
+  def loadSplitsAuto(spark: SparkSession, dir: String, config: Config = Config(Nil)): Map[String, GraftDataset] = {
+    val splits = discoverSplits(dir)
+    require(splits.nonEmpty, s"no data files discovered under $dir")
+    val metaBySplit = discoverSplitMetadata(dir)
+    val perSplit = splits.map { case (name, files) =>
+      val (sm, fm) = metaBySplit.getOrElse(name, (Nil, Nil))
+      name -> load(spark, config.copy(
+        dataFiles = files,
+        sampleMetadataFiles = if (config.sampleMetadataFiles.nonEmpty) config.sampleMetadataFiles else sm,
+        featureMetadataFiles = if (config.featureMetadataFiles.nonEmpty) config.featureMetadataFiles else fm,
+        encodeLabels = false))
+    }
+    shareLabelEncoding(perSplit, config)
+  }
+
   final case class GraftDataset(
       df: DataFrame,
       roles: ColumnInference.Roles,
@@ -207,6 +324,10 @@ object LoadDataset {
     val perSplit = splitFiles.map { case (name, files) =>
       name -> load(spark, config.copy(dataFiles = files, encodeLabels = false))
     }
+    shareLabelEncoding(perSplit, config)
+  }
+
+  private def shareLabelEncoding(perSplit: Map[String, GraftDataset], config: Config): Map[String, GraftDataset] = {
     val tc = perSplit.values.head.roles.targetColumn
     val needEncode = config.encodeLabels && tc.isDefined &&
       config.positiveLabels.isEmpty && config.negativeLabels.isEmpty &&

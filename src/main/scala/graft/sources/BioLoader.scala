@@ -50,11 +50,55 @@ object BioLoader {
       encoding: String = "UTF-8"
   )
 
-  def load(spark: SparkSession, paths: Seq[String], csv: CsvOptions = CsvOptions()): DataFrame = {
+  /** @param addMissingColumns when shards disagree on columns,
+    *   align-union them with null fill (reference
+    *   `add_missing_columns`, biodata.py config) instead of raising
+    * @param validateShardLimit how many shards have their column
+    *   sets compared before a multi-file read (reference raises on
+    *   mismatched shards, tests/test_load.py:748-960; bounded so a
+    *   100k-shard production load doesn't pay 100k driver schema
+    *   reads — full validation is a sampling concern at that scale)
+    */
+  def load(
+      spark: SparkSession,
+      paths: Seq[String],
+      csv: CsvOptions = CsvOptions(),
+      addMissingColumns: Boolean = false,
+      validateShardLimit: Int = 32
+  ): DataFrame = {
     require(paths.nonEmpty, "at least one data file must be specified")
-    val exts = paths.map(extensionOf).distinct
+    // zip archives: driver-side unpack (reference loads zipped CSVs,
+    // tests/test_load.py:983 — archives are sidecar-scale by nature;
+    // at data scale use gz/bz2, which Spark's readers stream natively)
+    val expanded = paths.flatMap(p => if (rawExtension(p) == "zip") unzip(p) else Seq(p))
+    require(expanded.nonEmpty, s"no loadable files (empty zip archive?) in $paths")
+    val exts = expanded.map(extensionOf).distinct
     require(exts.size == 1, s"all files in one load must share a format, got $exts")
-    exts.head match {
+
+    // mismatched-shard guard (reference: four raising variants in
+    // tests/test_load.py:748-960): parquet without mergeSchema takes
+    // the first file's columns and CSV shards silently shift —
+    // validate up front, align-union on request
+    if (expanded.size > 1) {
+      val cheap = csv.copy(inferSchema = false) // names only; no inference scan
+      val checked = expanded.take(validateShardLimit)
+        .map(p => p -> loadOne(spark, Seq(p), cheap, exts.head).columns.toSeq)
+      if (checked.map(_._2).distinct.size > 1) {
+        if (addMissingColumns)
+          return graft.operators.ReshapeOps.concatRows(
+            expanded.map(p => loadOne(spark, Seq(p), csv, exts.head)))
+        val (p1, c1) = checked.head
+        val (p2, c2) = checked.find(_._2 != checked.head._2).get
+        throw new IllegalArgumentException(
+          s"shards disagree on columns: $p1 has $c1 but $p2 has $c2 — " +
+            "fix the shards or pass addMissingColumns=true to align-union with null fill")
+      }
+    }
+    loadOne(spark, expanded, csv, exts.head)
+  }
+
+  private def loadOne(spark: SparkSession, paths: Seq[String], csv: CsvOptions, ext: String): DataFrame = {
+    ext match {
       case "parquet" => spark.read.parquet(paths: _*)
       case "csv" | "tsv" | "txt" =>
         val sep = if (extensionOf(paths.head) == "tsv") "\t" else csv.sep
@@ -133,9 +177,88 @@ object BioLoader {
       case _ => df
     }
 
-  private def extensionOf(path: String): String = {
+  /** Literal last extension (no compression stripping). */
+  private def rawExtension(path: String): String = {
     val name = path.substring(path.lastIndexOf('/') + 1)
     val i = name.lastIndexOf('.')
     if (i < 0) "parquet" else name.substring(i + 1).toLowerCase
+  }
+
+  /** Format dispatch extension: gz/bz2 compression suffixes are
+    * stripped (Spark's text-based readers stream those codecs
+    * natively — `a.csv.gz` IS a csv file, reference
+    * tests/test_load.py:961), and `.feather` aliases to arrow
+    * (Feather v2 is the Arrow IPC file format, reference
+    * data_files.py:29-38).
+    */
+  private def extensionOf(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1).toLowerCase
+    val base = name.stripSuffix(".gz").stripSuffix(".bz2")
+    val i = base.lastIndexOf('.')
+    val ext = if (i < 0) "parquet" else base.substring(i + 1)
+    if (ext == "feather") "arrow" else ext
+  }
+
+  /** Driver-side zip unpack into a temp dir; nested directory
+    * entries flatten (reference reads both flat and dir-nested zip
+    * CSVs, tests/test_load.py:983-1016). macOS resource forks and
+    * hidden entries are skipped.
+    */
+  private def unzip(path: String): Seq[String] = {
+    val dest = java.nio.file.Files.createTempDirectory("graft-unzip").toFile
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      import scala.jdk.CollectionConverters._
+      zf.entries().asScala
+        .filterNot(_.isDirectory)
+        .filterNot { e =>
+          val n = e.getName
+          n.startsWith("__MACOSX") || new java.io.File(n).getName.startsWith(".")
+        }
+        .map { e =>
+          val out = new java.io.File(dest, new java.io.File(e.getName).getName)
+          val in = zf.getInputStream(e)
+          try java.nio.file.Files.copy(in, out.toPath)
+          finally in.close()
+          out.getAbsolutePath
+        }
+        .toSeq.sorted
+    } finally zf.close()
+  }
+
+  /** Streaming tabular load — the reference's
+    * `load_dataset(..., streaming=True)` for csv/tsv/json/parquet
+    * (tests/test_load.py:961,1017) as a Structured Streaming
+    * source over a directory. Streaming sources need a fixed
+    * schema; when absent it is inferred once from the files already
+    * present (one bounded batch read).
+    */
+  def loadStream(
+      spark: SparkSession,
+      dir: String,
+      format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      csv: CsvOptions = CsvOptions()
+  ): DataFrame = {
+    val fmt = if (format == "feather") "arrow" else format
+    val glob = s"$dir/*.$format"
+    val resolved = schema.getOrElse {
+      val seed = Option(new java.io.File(dir).listFiles())
+        .map(_.toSeq.map(_.getAbsolutePath).filter(_.toLowerCase.endsWith(s".$format")).sorted)
+        .getOrElse(Nil)
+      require(seed.nonEmpty, s"cannot infer a streaming schema: no *.$format files under $dir yet — pass schema")
+      load(spark, Seq(seed.head), csv).schema
+    }
+    fmt match {
+      case "parquet" => spark.readStream.schema(resolved).parquet(glob)
+      case "json" | "jsonl" => spark.readStream.schema(resolved).json(glob)
+      case "csv" | "tsv" | "txt" =>
+        val sep = if (fmt == "tsv") "\t" else csv.sep
+        spark.readStream.schema(resolved)
+          .option("sep", sep).option("header", csv.header.toString)
+          .option("quote", csv.quote).option("nullValue", csv.nullValue)
+          .csv(glob)
+      case other => throw new IllegalArgumentException(s"unsupported streaming format: $other")
+    }
   }
 }

@@ -193,6 +193,78 @@ class SourcesSpec extends SparkSpec {
     assert(proj.count() == 2)
   }
 
+  test("compressed csv dispatch: .csv.gz and .csv.bz2 load through the csv reader (test_load.py:961)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz").toFile
+    val body = "col_1,col_2,col_3\n0,0,0.0\n1,1,1.0\n2,2,2.0\n3,3,3.0\n"
+    val gz = new java.io.File(dir, "d.csv.gz")
+    val go = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(gz))
+    go.write(body.getBytes("UTF-8")); go.close()
+    val gdf = BioLoader.load(spark, gz.getAbsolutePath)
+    assert(gdf.columns.toSeq == Seq("col_1", "col_2", "col_3") && gdf.count() == 4)
+
+    val bz = new java.io.File(dir, "d.csv.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val bo = codec.createOutputStream(new java.io.FileOutputStream(bz))
+    bo.write(body.getBytes("UTF-8")); bo.close()
+    val bdf = BioLoader.load(spark, bz.getAbsolutePath)
+    assert(bdf.columns.toSeq == Seq("col_1", "col_2", "col_3") && bdf.count() == 4)
+  }
+
+  test("zip csv: flat and dir-nested entries unpack and union (test_load.py:983)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zip").toFile
+    val z = new java.io.File(dir, "archive.zip")
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(z))
+    def put(name: String, rows: Range): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(name))
+      zo.write(("col_1,col_2\n" + rows.map(i => s"$i,${i * 10}").mkString("\n") + "\n").getBytes("UTF-8"))
+      zo.closeEntry()
+    }
+    put("a.csv", 0 until 4)
+    put("nested/b.csv", 4 until 8) // dir-nested variant
+    zo.putNextEntry(new java.util.zip.ZipEntry("__MACOSX/._a.csv")); zo.write("junk".getBytes); zo.closeEntry()
+    zo.close()
+    val df = BioLoader.load(spark, z.getAbsolutePath)
+    assert(df.count() == 8)
+    assert(df.columns.toSeq == Seq("col_1", "col_2"))
+  }
+
+  test("feather extension aliases to the Arrow IPC reader (data_files.py:29-38)") {
+    // Feather v2 IS Arrow IPC: write an .arrow fixture, rename
+    val dir = java.nio.file.Files.createTempDirectory("graft-feather").toFile
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    val path = new java.io.File(dir, "d.feather").getAbsolutePath
+    val alloc = new RootAllocator()
+    val schema = new ASchema(java.util.List.of(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null)))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val ids = root.getVector("id").asInstanceOf[BigIntVector]
+    ids.allocateNew(3); (0 until 3).foreach(i => ids.setSafe(i, i * 7L)); root.setRowCount(3)
+    val ch = new java.io.FileOutputStream(path).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    w.start(); w.writeBatch(); w.end(); w.close(); ch.close(); root.close(); alloc.close()
+    val df = BioLoader.load(spark, path)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 7L, 14L))
+  }
+
+  test("mismatched shards raise; addMissingColumns aligns with null fill (test_load.py:748-960)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toFile.getAbsolutePath
+    Seq((1L, 2L)).toDF("header1", "header2").write.parquet(s"$dir/data_train_1.parquet")
+    Seq((3L, 4L)).toDF("header3", "header4").write.parquet(s"$dir/data_train_2.parquet")
+    val shard1 = s"$dir/data_train_1.parquet"
+    val shard2 = s"$dir/data_train_2.parquet"
+    val e = intercept[IllegalArgumentException](
+      BioLoader.load(spark, Seq(shard1, shard2)).count())
+    assert(e.getMessage.contains("disagree on columns"), e.getMessage)
+    val aligned = BioLoader.load(spark, Seq(shard1, shard2), addMissingColumns = true)
+    assert(aligned.columns.toSeq.sorted == Seq("header1", "header2", "header3", "header4"))
+    assert(aligned.count() == 2)
+    assert(aligned.filter(col("header1").isNull).count() == 1)
+  }
+
   test("skip_rows honors a non-UTF-8 encoding (explicit charset decode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csvenc").toFile
     val f = new java.io.File(dir, "latin.csv")
@@ -203,6 +275,21 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("name", "city"))
     val names = df.select("name").collect().map(_.getString(0)).toSet
     assert(names == Set("rené", "zoë"), names.toString)
+  }
+
+  test("loadStream: csv directory as a streaming source with inferred schema (test_load.py:961 streaming shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "part0.csv").toPath,
+      "col_1,col_2\na,1\nb,2\n")
+    val stream = BioLoader.loadStream(spark, dir.getAbsolutePath, "csv")
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("col_1", "col_2"))
+    val q = stream.writeStream.format("memory").queryName("graft_stream_smoke").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("graft_stream_smoke").collect()
+      assert(rows.length == 2)
+    } finally q.stop()
   }
 
   test("ColumnInference resolves roles: explicit > default > pattern") {
