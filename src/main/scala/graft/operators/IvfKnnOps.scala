@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
@@ -35,13 +34,23 @@ object IvfKnnOps {
 
   final case class IvfIndex(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
 
+  /** argmin assignment — public: invoked from generated code. */
+  def nearestCentroidKernel(arr: ArrayData, centroids: Array[Array[Double]], elemIsFloat: Boolean): Int = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+    nearest(v, centroids)
+  }
+
   /** argmin_c L2²(vec, centroids(c)) as a Catalyst expression —
     * the centroid table rides in the expression (it is tiny:
-    * nLists·dim doubles), so assignment is a zero-shuffle map.
+    * nLists·dim doubles, carried into generated code as a reference
+    * object), so assignment is a zero-shuffle map that inlines into
+    * whole-stage codegen with the scan feeding it.
     */
   case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-      extends UnaryExpression
-      with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "nearest_centroid"
     override protected def withNewChildInternal(newChild: Expression): NearestCentroid = copy(child = newChild)
@@ -49,13 +58,16 @@ object IvfKnnOps {
     private lazy val elemIsFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val v = new Array[Double](n)
-      var i = 0
-      while (i < n) { v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
-      java.lang.Integer.valueOf(nearest(v, centroids))
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Integer.valueOf(nearestCentroidKernel(input.asInstanceOf[ArrayData], centroids, elemIsFloat))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.operators.IvfKnnOps.nearestCentroidKernel($a, $centRef, $elemIsFloat);")
     }
   }
 

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import graft.api.LoadDataset
+import graft.functions.{TextStatsExpression => TSE}
 import org.apache.spark.sql.functions._
 
 /** Coverage for the composable (pure `functions._`) variants that
@@ -76,6 +77,47 @@ class ComposableFunctionsSpec extends SparkSpec {
       .filter($"a" =!= $"b" || $"sa" =!= $"sb")
       .count()
     assert(mism == 0, s"$mism real docs disagree between fused and composed kernels")
+  }
+
+  test("TextStats/LangIdScore/NearestCentroid generate valid code (strict codegen, no silent fallback)") {
+    // with fallback disabled, a doGenCode bug fails the query instead
+    // of quietly degrading to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      val stats = docs.select(col("doc_id"), org.apache.spark.sql.functions.inline(
+        org.apache.spark.sql.functions.array(TSE.textStats(col("text")))))
+      assert(stats.count() == 50)
+      assert(stats.schema.fieldNames.contains("mean_word_len"))
+
+      val langs = graft.operators.TextOps.langId(docs, "text")
+      assert(langs.select("lang_pred").distinct().count() >= 1)
+
+      val cents = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+      val pts = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(9.0f, 9.5f))).toDF("id", "v")
+      val assigned = pts.select(col("id"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.operators.IvfKnnOps.NearestCentroid(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("v")), cents)).as("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(assigned == Map(1L -> 0, 2L -> 1))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("codegen and interpreted eval agree for TextStats and LangIdScore on the corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // interpreted: direct expression eval against each row
+    val texts = docs.select("text").collect().map(_.getString(0))
+    val expr = TSE.LangIdScore(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0, org.apache.spark.sql.types.StringType, true),
+      Seq("en" -> Set("the", "of", "and"), "es" -> Set("el", "la", "de")))
+    val interpreted = texts.map { t =>
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t))).toString
+    }
+    val viaDf = docs.select(TSE.langIdScore(col("text"),
+      Seq("en" -> Set("the", "of", "and"), "es" -> Set("el", "la", "de"))).as("p"))
+      .collect().map(_.getString(0))
+    assert(interpreted.toSeq == viaDf.toSeq)
   }
 
   test("charShingles and wordShingles produce distinct n-grams") {
