@@ -247,8 +247,12 @@ object SparkEntry {
     }),
 
     // ---- D4: n-gram Jaccard similarity join ----
+    // adaptive prefix ordering: the sampled collision probe picks
+    // the 1-shuffle hash-order plan on this low-dup corpus and the
+    // flood-proof frequency plan on dup-heavy ones — output is
+    // order-invariant, so the oracle is unchanged either way
     "q_ngram_jaccard" -> ((s, dir) => {
-      DedupOps.ngramJaccard(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
+      DedupOps.ngramJaccardAuto(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
         shingleSize = 3, threshold = 0.7)
         .select(col("id_a"), col("id_b"), hround(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")

@@ -37,6 +37,9 @@ object ScaleProbe {
     time("minhashLsh")(DedupOps.minhashLsh(docs, "doc_id", "text", shingleSize = 3).count())
     time("simhash")(DedupOps.simhash(docs, "doc_id", "text", maxHamming = 3).count())
     time("ngramJaccard")(DedupOps.ngramJaccard(docs, "doc_id", "text", threshold = 0.7).count())
+    println(f"[probe] ngram collision ratio (20x corpus): ${DedupOps.ngramPrefixCollisionRatio(docs, "text")}%.3f")
+    println(f"[probe] ngram collision ratio (base corpus): ${DedupOps.ngramPrefixCollisionRatio(docs0.select(col("doc_id"), col("text")), "text")}%.3f")
+    time("ngramJaccardAuto")(DedupOps.ngramJaccardAuto(docs, "doc_id", "text", threshold = 0.7).count())
 
     val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
     val ne = emb0.count()

@@ -45,6 +45,26 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("ngram adaptive ordering: collision probe separates dup-heavy from unique corpora; auto output matches both explicit orders") {
+    // 40 distinct docs vs the same docs replicated 10x
+    // every token carries the doc index — no shared shingles at all
+    val base = (1 to 40).map(i => (i.toLong,
+      (0 until 8).map(w => s"w${i}x$w").mkString(" ")))
+    val uniq = base.toDF("doc_id", "text")
+    val dup = (0 until 10).flatMap(r => base.map { case (id, t) => (id + r * 1000L, t) }).toDF("doc_id", "text")
+    val rUniq = DedupOps.ngramPrefixCollisionRatio(uniq, "text", sampleSize = 1000)
+    val rDup = DedupOps.ngramPrefixCollisionRatio(dup, "text", sampleSize = 1000)
+    assert(rUniq > 0.9, s"unique corpus ratio $rUniq")
+    assert(rDup < 0.2, s"10x-dup corpus ratio $rDup")
+    // auto result == both explicit orders (ordering changes the plan, never the output)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val auto = pairs(DedupOps.ngramJaccardAuto(dup, "doc_id", "text", threshold = 0.7, sampleSize = 1000))
+    assert(auto == pairs(DedupOps.ngramJaccard(dup, "doc_id", "text", threshold = 0.7, orderByFrequency = true)))
+    assert(auto == pairs(DedupOps.ngramJaccard(dup, "doc_id", "text", threshold = 0.7, orderByFrequency = false)))
+    assert(auto.nonEmpty)
+  }
+
   test("dedupAll keeps one representative per exact+near dup cluster") {
     val out = DedupOps.dedupAll(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
