@@ -209,6 +209,102 @@ object EventStreams {
       .select(col(idCol), col(textCol))
   }
 
+  final case class BandState(lastSeenMs: Long)
+  final case class BandDoc(band: Long, doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class BandVerdict(doc_id: Long, ts: java.sql.Timestamp, text: String, hit: Int)
+
+  /** Streaming MinHash-LSH near-dedup WITHIN the stream — band keys
+    * live in the state store: each of a doc's LSH band keys is a
+    * state-store group; a doc is a near-dup when ANY of its bands
+    * was emitted by an earlier doc inside the TTL horizon. This is
+    * the full-LSH complement to [[streamingNearDedup]]'s
+    * signature-equality criterion: catch-rate follows the standard
+    * LSH bound (a true near-dup shares ≥1 band with probability
+    * 1−(1−s^r)^b), not just exact-signature collisions.
+    *
+    * Shape: explode to band keys (stateless, codegen) →
+    * flatMapGroupsWithState keyed BY BAND (state = one lastSeen
+    * timestamp per distinct band inside the TTL — evicted by
+    * event-time timeout) emitting per-band verdicts → windowed
+    * doc-level combine (kept iff zero band hits). Per-band state is
+    * one long; total state is O(distinct bands in horizon), the
+    * same O(n·bands) budget as the batch shuffle.
+    *
+    * Batch twin (the oracle): identical semantics via a per-band
+    * window rank — a band row is a hit iff an earlier (ts, doc_id)
+    * row used the same band.
+    *
+    * NOTE (chained stateful operators): Spark's static checker
+    * rejects flatMapGroupsWithState followed by an aggregation
+    * because a state op COULD emit rows behind the watermark. This
+    * one cannot — verdicts carry the input row's own event time and
+    * are emitted in the arrival micro-batch (timeouts emit
+    * nothing) — so the caller must acknowledge with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * for the streaming run.
+    */
+  def streamingMinhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      watermark: String = "1 hour",
+      stateTtlMs: Long = 60 * 60 * 1000L,
+      windowLen: String = "10 minutes"
+  ): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{HashExpressions => HE}
+    val isStreaming = docs.isStreaming
+    val withWm = if (isStreaming) docs.withWatermark(tsCol, watermark) else docs
+    val banded = withWm.select(
+      explode(HE.minhashBandKeys(HE.shingleHashesText(col(textCol), shingleSize), numHashes, rowsPerBand)).as("band"),
+      col(idCol).cast("long").as("doc_id"),
+      col(tsCol).as("ts"), // no cast: a Cast wrapper would strip the event-time watermark metadata
+      col(textCol).cast("string").as("text"))
+    val verdicts: DataFrame =
+      if (!isStreaming) {
+        // batch twin: hit iff an earlier (ts, doc) used the band
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band").orderBy(col("ts"), col("doc_id"))
+        banded.withColumn("hit", when(row_number().over(w) > 1, 1).otherwise(0))
+          .select("doc_id", "ts", "text", "hit")
+      } else {
+        banded.as[BandDoc]
+          .groupByKey(_.band)
+          .flatMapGroupsWithState[BandState, BandVerdict](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (_: Long, rows: Iterator[BandDoc], state: GroupState[BandState]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                // deterministic in-batch ordering: earlier (ts, id) owns the band
+                val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+                var seen = state.getOption
+                val out = sorted.map { r =>
+                  val hit = if (seen.isDefined) 1 else 0
+                  val t = r.ts.getTime
+                  seen = Some(BandState(math.max(t, seen.map(_.lastSeenMs).getOrElse(t))))
+                  BandVerdict(r.doc_id, r.ts, r.text, hit)
+                }
+                seen.foreach { st =>
+                  state.update(st)
+                  // evict the band marker once the watermark passes its
+                  // TTL (kept strictly ahead of the current watermark)
+                  state.setTimeoutTimestamp(
+                    math.max(st.lastSeenMs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+                }
+                out.iterator
+              }
+          }.toDF()
+      }
+    val vdf = if (isStreaming) verdicts.withWatermark("ts", watermark) else verdicts
+    vdf.groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(first(col("text")).as(textCol), max(col("hit")).as("__hits"))
+      .filter(col("__hits") === 0)
+      .select(col("doc_id").as(idCol), col(textCol))
+  }
+
   /** Streaming top-k: the k highest-`value` event ids per
     * (window, event_type), continuously maintained. The bounded
     * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly
