@@ -204,6 +204,37 @@ object IvfKnnOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  private def assignWith(df: DataFrame, vecCol: String, centers: Array[Array[Double]]): DataFrame =
+    df.withColumn("list_id",
+      ColumnBridge.column(NearestCentroid(ColumnBridge.expression(col(vecCol)), centers)))
+
+  /** Incremental index maintenance: assign NEW vectors against the
+    * FROZEN coarse quantizer and union them into the inverted file —
+    * no refit, no reshuffle of existing lists. The standard IVF
+    * append shape: recall degrades only as the data distribution
+    * drifts from the fitted centroids; refit offline (a fresh
+    * [[buildIndex]]) when it does.
+    */
+  def appendToIndex(index: IvfIndex, rows: DataFrame, vecCol: String): IvfIndex = {
+    val centers = index.centroids.sortBy(_._1).map(_._2)
+    index.copy(assigned = index.assigned.unionByName(assignWith(rows, vecCol, centers)))
+  }
+
+  /** Same, against a PERSISTED index: the append write touches only
+    * the list partitions the new rows land in (dynamic partition
+    * append), so maintaining a 100-TB inverted file costs
+    * O(new rows), not a rewrite.
+    */
+  def appendToSavedIndex(spark: SparkSession, path: String, rows: DataFrame, vecCol: String): Unit = {
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    assignWith(rows, vecCol, centers)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
   def loadIndex(spark: SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect()

@@ -131,6 +131,36 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF append: frozen-quantizer assignment lands new vectors in probed lists, on disk and in memory") {
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 8, maxIter = 3)
+    val query = emb.filter(col("vec_id") === 3L)
+    // plant an exact twin of query 3 via append — it must become top-1
+    val twin = query.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+
+    val appended = IvfKnnOps.appendToIndex(index, twin, "embedding")
+    val top = IvfKnnOps.topK(query, appended, "vec_id", "embedding", 1, nProbe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(100003L), s"in-memory append: $top")
+
+    // persisted path: append touches only the twin's list partition
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toFile.getAbsolutePath
+    IvfKnnOps.saveIndex(index, dir)
+    val mtimes = new java.io.File(s"$dir/lists").listFiles().filter(_.getName.startsWith("list_id="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    Thread.sleep(1100)
+    IvfKnnOps.appendToSavedIndex(spark, dir, twin, "embedding")
+    val after = new java.io.File(s"$dir/lists").listFiles().filter(_.getName.startsWith("list_id="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val touched = after.filter { case (k, v) => mtimes.get(k).forall(_ != v) }.keySet
+    assert(touched.size == 1, s"append must touch exactly the twin's list partition, touched $touched")
+
+    val reloaded = IvfKnnOps.loadIndex(spark, dir)
+    val top2 = IvfKnnOps.topK(query, reloaded, "vec_id", "embedding", 1, nProbe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(100003L), s"persisted append: $top2")
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
