@@ -74,9 +74,116 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Deterministic stand-in decoder: never parses media, just mixes
-    * content bytes into `dim` floats. Replace with a real codec
-    * bound in the deployment image.
+  /** REAL image codec on the JDK's built-in ImageIO readers
+    * (PNG/JPEG/BMP/GIF — no external native libraries): decode →
+    * `[width, height, meanR, meanG, meanB, luma-histogram...]`
+    * padded/truncated to `dim`. Large images are pixel-subsampled
+    * (stride chosen so ≤ ~64×64 samples) so decode cost per blob is
+    * bounded regardless of resolution. Undecodable bytes → null
+    * (the feature column is nullable by contract).
+    */
+  def imageDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val step = math.max(1, math.max(w, h) / 64)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        val histBuckets = math.max(dim - 5, 1)
+        val hist = new Array[Long](histBuckets)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            val pr = (px >> 16) & 0xff; val pg = (px >> 8) & 0xff; val pb = px & 0xff
+            r += pr; g += pg; b += pb; n += 1
+            val luma = (299 * pr + 587 * pg + 114 * pb) / 1000
+            hist(math.min(luma * histBuckets / 256, histBuckets - 1)) += 1
+            x += step
+          }
+          y += step
+        }
+        val base = Array(w.toFloat, h.toFloat,
+          (r.toDouble / n).toFloat, (g.toDouble / n).toFloat, (b.toDouble / n).toFloat)
+        val histF = hist.map(c => (c.toDouble / n).toFloat)
+        (base ++ histF).padTo(dim, 0.0f).take(dim)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Image resize through the JDK's Graphics2D scaler → PNG bytes —
+    * the bytes-in/bytes-out transform a thumbnailing pipeline maps
+    * over the content column. Undecodable input → null.
+    */
+  def imageResize(width: Int, height: Int): Array[Byte] => Array[Byte] = bytes => {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val out = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, width, height, null)
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** REAL audio codec on the JDK's javax.sound.sampled WAV/AIFF/AU
+    * parsers: decode → `[sampleRate, channels, durationMs, RMS,
+    * zeroCrossingRate, ...]` padded to `dim`. PCM frames are
+    * streamed, not buffered whole. Unparseable bytes → null.
+    */
+  def audioDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val durationMs = if (fmt.getFrameRate > 0) (frames * 1000.0 / fmt.getFrameRate) else 0.0
+      // stream 16-bit PCM samples for RMS + zero crossings
+      val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+      val bigEndian = fmt.isBigEndian
+      val buf = new Array[Byte](4096 - 4096 % math.max(fmt.getFrameSize, 1))
+      var sumSq = 0.0; var nSamp = 0L; var crossings = 0L; var prevSign = 0
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + bytesPerSample <= read) {
+          val s =
+            if (bytesPerSample >= 2) {
+              if (bigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort.toInt
+              else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
+            } else (buf(i) & 0xff) - 128
+          sumSq += s.toDouble * s; nSamp += 1
+          val sign = Integer.signum(s)
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+          i += bytesPerSample
+        }
+        read = in.read(buf)
+      }
+      val rms = if (nSamp > 0) math.sqrt(sumSq / nSamp) else 0.0
+      val zcr = if (nSamp > 1) crossings.toDouble / nSamp else 0.0
+      Array(fmt.getSampleRate, fmt.getChannels.toFloat, durationMs.toFloat,
+        rms.toFloat, zcr.toFloat).padTo(dim, 0.0f).take(dim)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally if (in != null) in.close()
+  }
+
+  /** Deterministic stand-in decoder for mime types with no JDK
+    * codec (video, proprietary formats): never parses media, just
+    * mixes content bytes into `dim` floats — same schema/batching
+    * contract as [[imageDecode]]/[[audioDecode]]; swap in a JNI
+    * codec in the deployment image.
     */
   def stubDecode(dim: Int): Array[Byte] => Array[Float] = bytes => {
     val out = new Array[Float](dim)
@@ -146,6 +253,15 @@ object MultimodalOps {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Mime-dispatched codec: JDK codecs where they exist, the
+    * deterministic stub elsewhere (video and anything exotic —
+    * bind a JNI decoder there in the deployment image).
+    */
+  def codecFor(mime: String, dim: Int = 8): Array[Byte] => Array[Float] =
+    if (mime.startsWith("image/")) imageDecode(dim)
+    else if (mime.startsWith("audio/")) audioDecode(dim)
+    else stubDecode(dim)
 
   /** Frame sampling for time-based media: emit (media_id, frame_idx)
     * rows every `everyMs` over the metadata duration — the row

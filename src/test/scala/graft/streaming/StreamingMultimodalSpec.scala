@@ -145,6 +145,62 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(frames.filter($"media_id" === 1).count() == 3) // 0, 1000, 2000
   }
 
+  test("real image codec (JDK ImageIO): decode features and resize through the media frame") {
+    import spark.implicits._
+    // 4x2 PNG: left half pure red, right half pure blue
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = MultimodalOps.asMediaFrame(
+      Seq((1L, png(4, 2)), (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "bytes"),
+      "id", "bytes", "image/png")
+    val feats = MultimodalOps.extractFeatures(media, dim = 8, decode = MultimodalOps.codecFor("image/png", 8))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](1))).toMap
+    val f = feats(1L).get
+    assert(f(0) == 4.0f && f(1) == 2.0f, s"dims: ${f.toSeq}")
+    assert(math.abs(f(2) - 127.5f) < 1.0f && math.abs(f(4) - 127.5f) < 1.0f, s"meanR/meanB: ${f.toSeq}")
+    assert(math.abs(f(3)) < 1.0f, s"meanG: ${f.toSeq}")
+    assert(feats(2L).isEmpty) // null bytes → null features
+
+    // resize: 4x2 → 2x1, still half red half blue
+    val resized = MultimodalOps.imageResize(2, 1)(png(4, 2))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 2 && back.getHeight == 1)
+    // garbage bytes → null, not a crash
+    assert(MultimodalOps.imageDecode(8)("not an image".getBytes) == null)
+  }
+
+  test("real audio codec (JDK sampled): WAV features — rate, duration, RMS, zero crossings") {
+    // 100ms of a 440 Hz sine at 8 kHz, 16-bit mono PCM
+    val rate = 8000f
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 16000).toInt.toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = MultimodalOps.audioDecode(8)(bos.toByteArray)
+    assert(f != null)
+    assert(f(0) == 8000f && f(1) == 1f, s"rate/channels: ${f.toSeq}")
+    assert(math.abs(f(2) - 100f) < 2f, s"duration: ${f.toSeq}")
+    // sine RMS = amplitude/sqrt(2) ≈ 11313
+    assert(math.abs(f(3) - 11313f) < 300f, s"rms: ${f.toSeq}")
+    // 440 Hz sine at 8 kHz: 2 crossings per period ≈ 0.11/sample
+    assert(f(4) > 0.08f && f(4) < 0.14f, s"zcr: ${f.toSeq}")
+    assert(MultimodalOps.audioDecode(8)("junk".getBytes) == null)
+  }
+
   test("readMediaDir ingests a binary-file directory; batched decode matches per-row decode") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toFile
     java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath, "img-a-bytes".getBytes)
