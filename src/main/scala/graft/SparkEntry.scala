@@ -467,8 +467,10 @@ object SparkEntry {
     """WITH toks AS (
       |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM documents
       |), sh AS (
-      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]) AS s
-      |  FROM toks WHERE len(t) >= 3
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM toks WHERE len(t) >= 1
       |)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  floor((len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard

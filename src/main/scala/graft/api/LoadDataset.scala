@@ -97,7 +97,17 @@ object LoadDataset {
   }
 
   private val dataExtensions =
-    Set("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow", "feather", "npz")
+    Set("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow", "feather", "npz", "zip")
+
+  /** Dispatch extension matching BioLoader's: gz/bz2 compression
+    * suffixes stripped (a.csv.gz IS a csv), so compressed shards are
+    * visible to split discovery exactly where load() accepts them.
+    */
+  private def dataExtensionOf(name: String): String = {
+    val n = name.toLowerCase
+    val base = n.stripSuffix(".gz").stripSuffix(".bz2")
+    base.substring(base.lastIndexOf('.') + 1)
+  }
 
   /** Metadata classification mirrors the reference's caution: exact
     * conventional basenames, or a DELIMITED "metadata"/"annotation"
@@ -117,6 +127,13 @@ object LoadDataset {
       keywordMatch(base, "annotation") || keywordMatch(base, "annotations")
   }
 
+  private def walkFiles(dir: String): Seq[java.io.File] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
+    if (!root.isDirectory) Nil else walk(root)
+  }
+
   /** Infer split membership from filename patterns (reference
     * data_files.py:141-185, tests/test_load.py:715
     * `train-samples_1.csv` / `test-samples_2.csv`): a delimited
@@ -127,14 +144,8 @@ object LoadDataset {
     * [[discoverSplitMetadata]].
     */
   def discoverSplits(dir: String): Map[String, Seq[String]] = {
-    val root = new java.io.File(dir)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
-    if (!root.isDirectory) return Map.empty
-    val data = walk(root).filter { f =>
-      val n = f.getName.toLowerCase
-      val ext = n.substring(n.lastIndexOf('.') + 1)
-      dataExtensions.contains(ext) && !isMetadataFile(f.getName)
+    val data = walkFiles(dir).filter { f =>
+      dataExtensions.contains(dataExtensionOf(f.getName)) && !isMetadataFile(f.getName)
     }
     data.groupBy { f =>
       splitOf(f.getName)
@@ -152,14 +163,8 @@ object LoadDataset {
     * Keyword-free metadata stays shared via [[discoverMetadata]].
     */
   def discoverSplitMetadata(dir: String): Map[String, (Seq[String], Seq[String])] = {
-    val root = new java.io.File(dir)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
-    if (!root.isDirectory) return Map.empty
-    val metaFiles = walk(root).filter { f =>
-      val n = f.getName.toLowerCase
-      val ext = n.substring(n.lastIndexOf('.') + 1)
-      dataExtensions.contains(ext) && isMetadataFile(f.getName)
+    val metaFiles = walkFiles(dir).filter { f =>
+      dataExtensions.contains(dataExtensionOf(f.getName)) && isMetadataFile(f.getName)
     }
     val tagged = metaFiles.flatMap(f => splitOf(f.getName).map(s => (s, f)))
     tagged.groupBy(_._1).map { case (s, fs) =>
@@ -181,12 +186,32 @@ object LoadDataset {
     val splits = discoverSplits(dir)
     require(splits.nonEmpty, s"no data files discovered under $dir")
     val metaBySplit = discoverSplitMetadata(dir)
+    // metadata-ish files with NO split keyword are shared across
+    // splits — including fuzzy names (`annotation_v2.csv`) that the
+    // exact-filename convention in load()'s own discovery would
+    // miss; otherwise they'd be excluded from data here yet
+    // collected by nothing (silently dropped)
+    val (sharedSample, sharedFeature) = {
+      val untagged = walkFiles(dir).filter { f =>
+        dataExtensions.contains(dataExtensionOf(f.getName)) &&
+          isMetadataFile(f.getName) && splitOf(f.getName).isEmpty
+      }
+      val (feat, samp) = untagged.partition { f =>
+        val b = f.getName.toLowerCase
+        b.contains("feature") || b.contains("annotation")
+      }
+      (samp.map(_.getAbsolutePath).sorted, feat.map(_.getAbsolutePath).sorted)
+    }
     val perSplit = splits.map { case (name, files) =>
       val (sm, fm) = metaBySplit.getOrElse(name, (Nil, Nil))
       name -> load(spark, config.copy(
         dataFiles = files,
-        sampleMetadataFiles = if (config.sampleMetadataFiles.nonEmpty) config.sampleMetadataFiles else sm,
-        featureMetadataFiles = if (config.featureMetadataFiles.nonEmpty) config.featureMetadataFiles else fm,
+        sampleMetadataFiles =
+          if (config.sampleMetadataFiles.nonEmpty) config.sampleMetadataFiles
+          else if (sm.nonEmpty) sm else sharedSample,
+        featureMetadataFiles =
+          if (config.featureMetadataFiles.nonEmpty) config.featureMetadataFiles
+          else if (fm.nonEmpty) fm else sharedFeature,
         encodeLabels = false))
     }
     shareLabelEncoding(perSplit, config)

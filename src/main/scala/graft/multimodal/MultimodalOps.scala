@@ -143,40 +143,47 @@ object MultimodalOps {
     * streamed, not buffered whole. Unparseable bytes → null.
     */
   def audioDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
+    var raw: javax.sound.sampled.AudioInputStream = null
     var in: javax.sound.sampled.AudioInputStream = null
     try {
-      in = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-      val fmt = in.getFormat
-      val frames = in.getFrameLength
-      val durationMs = if (fmt.getFrameRate > 0) (frames * 1000.0 / fmt.getFrameRate) else 0.0
-      // stream 16-bit PCM samples for RMS + zero crossings
-      val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
-      val bigEndian = fmt.isBigEndian
-      val buf = new Array[Byte](4096 - 4096 % math.max(fmt.getFrameSize, 1))
+      raw = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val srcFmt = raw.getFormat
+      val durationMs =
+        if (srcFmt.getFrameRate > 0) (raw.getFrameLength * 1000.0 / srcFmt.getFrameRate) else 0.0
+      // canonicalize through the JDK's converter: 24/32-bit, float,
+      // and big-endian PCM all become signed 16-bit little-endian —
+      // hand-parsing only the low 2 bytes of wider samples would
+      // compute RMS/ZCR over noise. Unconvertible encodings throw →
+      // null per the codec contract.
+      val canon = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        srcFmt.getSampleRate, 16, srcFmt.getChannels,
+        srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+      in = javax.sound.sampled.AudioSystem.getAudioInputStream(canon, raw)
+      val buf = new Array[Byte](4096)
       var sumSq = 0.0; var nSamp = 0L; var crossings = 0L; var prevSign = 0
       var read = in.read(buf)
       while (read > 0) {
         var i = 0
-        while (i + bytesPerSample <= read) {
-          val s =
-            if (bytesPerSample >= 2) {
-              if (bigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort.toInt
-              else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
-            } else (buf(i) & 0xff) - 128
+        while (i + 2 <= read) {
+          val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toInt
           sumSq += s.toDouble * s; nSamp += 1
           val sign = Integer.signum(s)
           if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
           if (sign != 0) prevSign = sign
-          i += bytesPerSample
+          i += 2
         }
         read = in.read(buf)
       }
       val rms = if (nSamp > 0) math.sqrt(sumSq / nSamp) else 0.0
       val zcr = if (nSamp > 1) crossings.toDouble / nSamp else 0.0
-      Array(fmt.getSampleRate, fmt.getChannels.toFloat, durationMs.toFloat,
+      Array(srcFmt.getSampleRate, srcFmt.getChannels.toFloat, durationMs.toFloat,
         rms.toFloat, zcr.toFloat).padTo(dim, 0.0f).take(dim)
     } catch { case scala.util.control.NonFatal(_) => null }
-    finally if (in != null) in.close()
+    finally {
+      if (in != null) in.close()
+      if (raw != null) raw.close()
+    }
   }
 
   /** Deterministic stand-in decoder for mime types with no JDK

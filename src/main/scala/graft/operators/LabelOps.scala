@@ -40,9 +40,15 @@ object LabelOps {
     */
   def labelDictionary(df: DataFrame, labelCol: String): Seq[String] = {
     val approx = approxLabelCount(df, labelCol)
-    require(approx <= maxInlineLabels * 2L,
+    // 5% HLL slack only — admitting more would run the collect_set
+    // and then still fail classEncodeWith's inline require
+    require(approx <= (maxInlineLabels * 1.05).toLong,
       s"~$approx distinct labels — too many to collect as an inline dictionary; " +
         s"use classEncode (broadcast-join fallback) or classEncodeBroadcast")
+    unguardedDictionary(df, labelCol)
+  }
+
+  private def unguardedDictionary(df: DataFrame, labelCol: String): Seq[String] =
     df.select(col(labelCol).cast("string").as("l"))
       .agg(collect_set(col("l")))
       .collect()(0)
@@ -54,7 +60,6 @@ object LabelOps {
       .sorted(Ordering.comparatorToOrdering[org.apache.spark.unsafe.types.UTF8String](
         java.util.Comparator.naturalOrder())
         .on[String](org.apache.spark.unsafe.types.UTF8String.fromString))
-  }
 
   private def approxLabelCount(df: DataFrame, labelCol: String): Long =
     df.agg(approx_count_distinct(col(labelCol).cast("string"))).collect()(0).getLong(0)
@@ -67,9 +72,10 @@ object LabelOps {
     */
   def classEncode(df: DataFrame, labelCol: String, outputCol: String = TargetColumn): DataFrame = {
     // ±2% HLL error: use a 20% margin so a borderline dictionary
-    // can't slip past the inline require
+    // can't slip past the inline require; ONE probe job — the
+    // dictionary collect skips its own guard
     if (approxLabelCount(df, labelCol) <= maxInlineLabels * 0.8)
-      classEncodeWith(df, labelCol, labelDictionary(df, labelCol), outputCol)
+      classEncodeWith(df, labelCol, unguardedDictionary(df, labelCol), outputCol)
     else classEncodeBroadcast(df, labelCol, outputCol)
   }
 

@@ -81,7 +81,13 @@ object BioLoader {
     // validate up front, align-union on request
     if (expanded.size > 1) {
       val cheap = csv.copy(inferSchema = false) // names only; no inference scan
-      val checked = expanded.take(validateShardLimit)
+      // addMissingColumns must see EVERY shard's columns — a capped
+      // probe would silently skip the align-union when the mismatch
+      // first appears past the cap, shifting that shard's values
+      // into the wrong columns; the caller opted into per-shard
+      // schema reads by asking for alignment
+      val toCheck = if (addMissingColumns) expanded else expanded.take(validateShardLimit)
+      val checked = toCheck
         .map(p => p -> loadOne(spark, Seq(p), cheap, exts.head).columns.toSeq)
       if (checked.map(_._2).distinct.size > 1) {
         if (addMissingColumns)
@@ -216,7 +222,10 @@ object BioLoader {
           n.startsWith("__MACOSX") || new java.io.File(n).getName.startsWith(".")
         }
         .map { e =>
-          val out = new java.io.File(dest, new java.io.File(e.getName).getName)
+          // keep directory structure in the flat name: train/data.csv
+          // and test/data.csv must not collide on the basename
+          val safe = e.getName.replace('/', '_').replace('\\', '_')
+          val out = new java.io.File(dest, safe)
           val in = zf.getInputStream(e)
           try java.nio.file.Files.copy(in, out.toPath)
           finally in.close()
@@ -240,7 +249,6 @@ object BioLoader {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       csv: CsvOptions = CsvOptions()
   ): DataFrame = {
-    val fmt = if (format == "feather") "arrow" else format
     val glob = s"$dir/*.$format"
     val resolved = schema.getOrElse {
       val seed = Option(new java.io.File(dir).listFiles())
@@ -249,11 +257,11 @@ object BioLoader {
       require(seed.nonEmpty, s"cannot infer a streaming schema: no *.$format files under $dir yet — pass schema")
       load(spark, Seq(seed.head), csv).schema
     }
-    fmt match {
+    format match {
       case "parquet" => spark.readStream.schema(resolved).parquet(glob)
       case "json" | "jsonl" => spark.readStream.schema(resolved).json(glob)
       case "csv" | "tsv" | "txt" =>
-        val sep = if (fmt == "tsv") "\t" else csv.sep
+        val sep = if (format == "tsv") "\t" else csv.sep
         spark.readStream.schema(resolved)
           .option("sep", sep).option("header", csv.header.toString)
           .option("quote", csv.quote).option("nullValue", csv.nullValue)

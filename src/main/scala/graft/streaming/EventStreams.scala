@@ -230,9 +230,13 @@ object EventStreams {
     * one long; total state is O(distinct bands in horizon), the
     * same O(n·bands) budget as the batch shuffle.
     *
-    * Batch twin (the oracle): identical semantics via a per-band
-    * window rank — a band row is a hit iff an earlier (ts, doc_id)
-    * row used the same band.
+    * Batch twin (the oracle): same TTL semantics via a per-band
+    * lag — a band row is a hit iff the previous (ts, doc_id)
+    * sighting of that band lies within `stateTtlMs` (markers
+    * refresh on every sighting, evict after a quiet TTL, exactly
+    * the state-store behavior; streaming eviction lands at the
+    * next watermark crossing past the TTL, so the stream converges
+    * to the twin as the watermark advances).
     *
     * NOTE (chained stateful operators): Spark's static checker
     * rejects flatMapGroupsWithState followed by an aggregation
@@ -266,10 +270,19 @@ object EventStreams {
       col(textCol).cast("string").as("text"))
     val verdicts: DataFrame =
       if (!isStreaming) {
-        // batch twin: hit iff an earlier (ts, doc) used the band
+        // batch twin with the SAME TTL semantics as the state store:
+        // the band marker refreshes on every sighting and evicts
+        // after stateTtlMs of silence, so a row is a hit iff the
+        // PREVIOUS sighting of its band is within the TTL gap — a
+        // plain row_number (any earlier sighting, ever) would drop
+        // docs the stream keeps once the corpus spans more than the
+        // TTL horizon
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("band").orderBy(col("ts"), col("doc_id"))
-        banded.withColumn("hit", when(row_number().over(w) > 1, 1).otherwise(0))
+        banded
+          .withColumn("__tms", expr("unix_micros(ts) div 1000"))
+          .withColumn("__gap", col("__tms") - lag(col("__tms"), 1).over(w))
+          .withColumn("hit", when(col("__gap").isNotNull && col("__gap") <= stateTtlMs, 1).otherwise(0))
           .select("doc_id", "ts", "text", "hit")
       } else {
         banded.as[BandDoc]

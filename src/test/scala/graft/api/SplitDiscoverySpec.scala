@@ -78,6 +78,30 @@ class SplitDiscoverySpec extends SparkSpec {
     assert(train.map(_.getAs[String]("batch")).toSeq == Seq("b1", "b2"))
   }
 
+  test("compressed shards are visible to split discovery (train.csv.gz)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gzsplit").toFile
+    def gz(f: java.io.File, body: String): Unit = {
+      val o = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    gz(new java.io.File(dir, "train.csv.gz"), "x\n1\n")
+    gz(new java.io.File(dir, "test.csv.gz"), "x\n2\n")
+    val splits = LoadDataset.discoverSplits(dir.getAbsolutePath)
+    assert(splits.keySet == Set("train", "test"), splits.keySet.toString)
+    val ds = LoadDataset.loadSplitsAuto(spark, dir.getAbsolutePath, LoadDataset.Config(Nil))
+    assert(ds("train").df.count() == 1 && ds("test").df.count() == 1)
+  }
+
+  test("untagged fuzzy metadata (annotation_v2) is shared across splits, not silently dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzymeta").toFile
+    writeCsv(new java.io.File(dir, "train_data.csv"), "sample,otu1\ns1,5\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "annotation_v2.jsonl").toPath,
+      "{\"feature\": \"otu1\", \"taxon\": \"bacteroides\"}\n")
+    val ds = LoadDataset.loadSplitsAuto(spark, dir.getAbsolutePath, LoadDataset.Config(Nil))
+    val fm = ds("train").getFeatureMetadata
+    assert(fm.get("otu1").exists(_.get("taxon").contains("bacteroides")), fm.toString)
+  }
+
   test("numbered metadata sidecars stay out of the data file set (features_1.jsonl shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nummeta").toFile
     writeCsv(new java.io.File(dir, "data_train_1.csv"), "sample,v\ns1,1\n")

@@ -265,6 +265,31 @@ class SourcesSpec extends SparkSpec {
     assert(aligned.filter(col("header1").isNull).count() == 1)
   }
 
+  test("addMissingColumns sees every shard even past validateShardLimit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardcap").toFile.getAbsolutePath
+    Seq((1L, 2L)).toDF("a", "b").write.parquet(s"$dir/s1.parquet")
+    Seq((3L, 4L)).toDF("a", "b").write.parquet(s"$dir/s2.parquet")
+    Seq(Tuple1(9L)).toDF("c").write.parquet(s"$dir/s3.parquet") // mismatch BEYOND the cap
+    val shards = Seq(s"$dir/s1.parquet", s"$dir/s2.parquet", s"$dir/s3.parquet")
+    val aligned = BioLoader.load(spark, shards, addMissingColumns = true, validateShardLimit = 2)
+    assert(aligned.columns.toSeq.sorted == Seq("a", "b", "c"))
+    assert(aligned.count() == 3)
+  }
+
+  test("zip entries with colliding basenames across directories both load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipdirs").toFile
+    val z = new java.io.File(dir, "nested.zip")
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(z))
+    def put(name: String, body: String): Unit = {
+      zo.putNextEntry(new java.util.zip.ZipEntry(name)); zo.write(body.getBytes("UTF-8")); zo.closeEntry()
+    }
+    put("train/data.csv", "x\n1\n2\n")
+    put("test/data.csv", "x\n3\n")
+    zo.close()
+    val df = BioLoader.load(spark, z.getAbsolutePath)
+    assert(df.count() == 3)
+  }
+
   test("skip_rows honors a non-UTF-8 encoding (explicit charset decode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csvenc").toFile
     val f = new java.io.File(dir, "latin.csv")

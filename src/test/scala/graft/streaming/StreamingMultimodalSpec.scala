@@ -199,6 +199,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     // 440 Hz sine at 8 kHz: 2 crossings per period ≈ 0.11/sample
     assert(f(4) > 0.08f && f(4) < 0.14f, s"zcr: ${f.toSeq}")
     assert(MultimodalOps.audioDecode(8)("junk".getBytes) == null)
+
+    // 24-bit little-endian PCM: RMS must come from real samples, not
+    // the low bytes (the pre-canonicalization bug read noise)
+    val pcm24 = new Array[Byte](n * 3)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * (16000 << 8)).toInt
+      pcm24(i * 3) = (s & 0xff).toByte
+      pcm24(i * 3 + 1) = ((s >> 8) & 0xff).toByte
+      pcm24(i * 3 + 2) = ((s >> 16) & 0xff).toByte
+    }
+    val fmt24 = new javax.sound.sampled.AudioFormat(rate, 24, 1, true, false)
+    val ais24 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm24), fmt24, n.toLong)
+    val bos24 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais24, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos24)
+    val f24 = MultimodalOps.audioDecode(8)(bos24.toByteArray)
+    assert(f24 != null)
+    // canonicalized to 16-bit: same sine, same RMS as the 16-bit case
+    assert(math.abs(f24(3) - 11313f) < 300f, s"24-bit rms: ${f24.toSeq}")
   }
 
   test("readMediaDir ingests a binary-file directory; batched decode matches per-row decode") {
