@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.{HashExpressions => HE, VectorFunctions => VF}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -241,6 +241,248 @@ object IvfKnnOps {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     IvfIndex(centroids, spark.read.parquet(s"$path/lists"))
+  }
+
+  // ---- IVF-PQ: product-quantized residuals --------------------------------
+
+  /** PQ codebooks: `m` subspaces × `k` centers × subdim doubles,
+    * trained on coarse-quantizer RESIDUALS (v − centroid(list(v))) —
+    * the classic IVF-ADC layout. A vector stores as (list_id,
+    * m bytes) instead of dim floats: at dim=64/m=8 that is a 32×
+    * smaller inverted file, which is the whole point at 100 TB —
+    * ANN probe cost is scan bandwidth, and PQ codes cut the bytes
+    * read per candidate by >an order of magnitude.
+    */
+  final case class PqCodebooks(m: Int, subDim: Int, centers: Array[Array[Array[Double]]])
+      extends Serializable
+
+  final case class PqIndex(
+      centroids: Array[(Int, Array[Double])],
+      codebooks: PqCodebooks,
+      encoded: DataFrame // (id, list_id, codes: array<byte>)
+  )
+
+  /** Encode one residual into m codebook bytes — public: invoked
+    * from generated code.
+    */
+  def pqEncodeKernel(
+      arr: ArrayData,
+      centroid: Array[Double],
+      books: PqCodebooks,
+      elemIsFloat: Boolean
+  ): ArrayData = {
+    val n = arr.numElements()
+    val res = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      res(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
+      i += 1
+    }
+    val codes = new Array[Byte](books.m)
+    var s = 0
+    while (s < books.m) {
+      val off = s * books.subDim
+      val cs = books.centers(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var acc = 0.0
+        var j = 0
+        while (j < books.subDim && acc < bestD) {
+          val idx = off + j
+          val x = (if (idx < res.length) res(idx) else 0.0) - cent(j)
+          acc += x * x
+          j += 1
+        }
+        if (j == books.subDim && acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Approximate L2² between a query and an encoded vector:
+    * ||q − (centroid + decode(codes))||² — public: invoked from
+    * generated code. O(dim) arithmetic but only m BYTES of the
+    * candidate row are read, the ADC bandwidth win.
+    */
+  def pqDistanceKernel(
+      codes: ArrayData,
+      qv: ArrayData,
+      centroid: Array[Double],
+      books: PqCodebooks,
+      qIsFloat: Boolean
+  ): Double = {
+    var acc = 0.0
+    val dim = qv.numElements()
+    var s = 0
+    while (s < books.m) {
+      val cent = books.centers(s)(codes.getByte(s) & 0xff)
+      val off = s * books.subDim
+      var j = 0
+      while (j < books.subDim) {
+        val idx = off + j
+        if (idx < dim) {
+          val q = if (qIsFloat) qv.getFloat(idx).toDouble else qv.getDouble(idx)
+          val rec = (if (idx < centroid.length) centroid(idx) else 0.0) + cent(j)
+          val x = q - rec
+          acc += x * x
+        }
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  case class PqEncode(child: Expression, centroids: Array[Array[Double]], books: PqCodebooks, listExpr: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = child
+    override def right: Expression = listExpr
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+      copy(child = l, listExpr = r)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(vec: Any, list: Any): Any =
+      pqEncodeKernel(vec.asInstanceOf[ArrayData],
+        centroids(list.asInstanceOf[Int]), books, elemIsFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftPqCentroids", centroids, "double[][]")
+      val bookRef = ctx.addReferenceObj("graftPqBooks", books, classOf[PqCodebooks].getName)
+      nullSafeCodeGen(ctx, ev, (v, l) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.pqEncodeKernel($v, $centRef[$l], $bookRef, $elemIsFloat);")
+    }
+  }
+
+  case class PqDistance(codes: Expression, query: Expression, listExpr: Expression,
+      centroids: Array[Array[Double]], books: PqCodebooks)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = codes
+    override def second: Expression = query
+    override def third: Expression = listExpr
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "pq_distance"
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): PqDistance =
+      copy(codes = a, query = b, listExpr = c)
+
+    private lazy val qIsFloat =
+      query.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(c: Any, q: Any, l: Any): Any =
+      java.lang.Double.valueOf(pqDistanceKernel(c.asInstanceOf[ArrayData],
+        q.asInstanceOf[ArrayData], centroids(l.asInstanceOf[Int]), books, qIsFloat))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftPqCentroids", centroids, "double[][]")
+      val bookRef = ctx.addReferenceObj("graftPqBooks", books, classOf[PqCodebooks].getName)
+      nullSafeCodeGen(ctx, ev, (c, q, l) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.pqDistanceKernel($c, $q, $centRef[$l], $bookRef, $qIsFloat);")
+    }
+  }
+
+  /** Fit coarse centroids + per-subspace residual codebooks on the
+    * bounded driver sample, then PQ-encode the whole corpus in ONE
+    * zero-shuffle distributed pass (both assignment and encoding are
+    * codegen'd expressions). `kPerSub` ≤ 256 (codes are bytes).
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      m: Int = 8,
+      kPerSub: Int = 256,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      maxSample: Int = 65536
+  ): PqIndex = {
+    require(kPerSub <= 256, "PQ codes are single bytes: kPerSub must be <= 256")
+    val vecs = corpus.select(col(vecCol).cast("array<double>"))
+    val rdd0 = vecs.rdd
+    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
+    val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus for PQ fit")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val centers = lloyds(sample, nLists, maxIter, seed)
+    // residuals of the sample under the fitted coarse quantizer
+    val residuals = sample.map { v =>
+      val c = centers(nearest(v, centers))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books = PqCodebooks(m, subDim,
+      Array.tabulate(m) { s =>
+        val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
+        lloyds(sub, math.min(kPerSub, sub.length), maxIter, seed + 31 * (s + 1))
+      })
+    val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
+    val listCol = ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))
+    val withList = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"), listCol.as("list_id"))
+    val encoded = withList.select(
+      col("id"), col("list_id"),
+      ColumnBridge.column(PqEncode(
+        ColumnBridge.expression(col("__v")), centers, books,
+        ColumnBridge.expression(col("list_id")))).as("codes"))
+    PqIndex(centroids, books, encoded)
+  }
+
+  /** Top-k by APPROXIMATE L2 over PQ codes, probing nProbe lists —
+    * candidates are scored from m-byte codes (never the raw
+    * vectors), ranked ascending distance with id tie-break through
+    * the bounded TopK aggregate.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      index: PqIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = index.centroids.toSeq.toDF("list_id", "centroid")
+    val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", VF.l2Distance(col("qv"), col("centroid")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cdist"), col("list_id"))
+    val probes = qc.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "list_id")
+    val centers = index.centroids.sortBy(_._1).map(_._2)
+    val scored = index.encoded
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("dist", ColumnBridge.column(PqDistance(
+        ColumnBridge.expression(col("codes")),
+        ColumnBridge.expression(col("qv")),
+        ColumnBridge.expression(col("list_id")),
+        centers, index.codebooks)))
+      // TopK keeps the LARGEST scores: negate distance for ascending-L2 ranking
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (-VF.hround(col("dist"), 6)).as("cosine"))
+    KnnOps.rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("l2sq"), col("rank"))
   }
 
   /** Top-k cosine neighbors probing nProbe lists per query. */

@@ -173,4 +173,36 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(ivf.size == brute.size)
   }
+
+  test("IVF-PQ: 32x-compressed codes rank a planted twin first and keep recall vs exact L2 (strict codegen)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+      val queries = emb.filter($"vec_id" < 10)
+      val corpus = emb.union(queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+      val index = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 8, m = 8, kPerSub = 256)
+      // codes are m bytes: the inverted file carries 8 bytes per vector, not 64 floats
+      assert(index.encoded.schema("codes").dataType ==
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false))
+      val pq = IvfKnnOps.pqTopK(queries, index, "vec_id", "embedding", 5, nProbe = 8)
+      // planted exact twin: residual identical to the query's own →
+      // same codes as the query would get → approximate distance is
+      // pure quantization error, far below organic distances
+      val top1 = pq.filter($"rank" === 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      (0L until 10L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)}"))
+      // recall@5 vs exact-L2 brute force over the same corpus (l2 rank = cosine rank iff normalized; use exact l2)
+      val qv = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cv = corpus.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+      val brute = cv.join(broadcast(qv), $"query_id" =!= $"neighbor_id")
+        .withColumn("d", graft.functions.VectorFunctions.l2Distance($"qv", $"cv"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy($"d", $"neighbor_id")))
+        .filter($"rn" <= 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val got = pq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = brute.intersect(got).size.toDouble / brute.size
+      assert(recall >= 0.4, s"PQ recall vs exact L2 too low: $recall")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
