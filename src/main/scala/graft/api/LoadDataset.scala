@@ -310,6 +310,36 @@ object LoadDataset {
     def castColumn(name: String, to: org.apache.spark.sql.types.DataType): DataFrame =
       df.withColumn(name, col(name).cast(to))
 
+    // ---- the remaining HF Dataset op surface (arrow_dataset.py):
+    //      thin DataFrame delegations, present so a reference user
+    //      finds every operator under the same names ----
+
+    /** Reference `rename_column`. */
+    def renameColumn(from: String, to: String): DataFrame = df.withColumnRenamed(from, to)
+
+    /** Reference `remove_columns`. */
+    def removeColumns(names: String*): DataFrame = df.drop(names: _*)
+
+    /** Reference `sort` (ascending per column; wrap in desc()
+      * upstream for descending).
+      */
+    def sortBy(cols: String*): DataFrame = df.orderBy(cols.map(col): _*)
+
+    /** Reference `unique(column)` — distinct values of one column. */
+    def unique(column: String): DataFrame = df.select(column).distinct()
+
+    /** Reference `shuffle(seed)` — deterministic, see
+      * [[graft.operators.SplitOps.deterministicShuffle]].
+      */
+    def shuffle(seed: Long = 42L): DataFrame =
+      SplitOps.deterministicShuffle(df,
+        roles.sampleColumn.map(Seq(_)).getOrElse(df.columns.toSeq), seed)
+
+    /** Reference `flatten` — nested structs to dotted top-level
+      * columns, see [[ReshapeOps.flattenStructs]].
+      */
+    def flatten: DataFrame = ReshapeOps.flattenStructs(df)
+
     /** Inverse of class encoding — encoded int codes back to label
       * names (reference arrow_dataset.py:197 `decode`): code i →
       * labelNames(i); -1 and out-of-range codes → null. Inline

@@ -110,6 +110,25 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(mapped.orderBy("samples").collect().map(_.getLong(1)).toSeq == Seq(8L, 2L, 8L))
   }
 
+  test("GraftDataset HF-surface wrappers: rename/remove/sort/unique/shuffle/flatten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hfops").toFile.getAbsolutePath
+    Seq(("s1", 3L, "b1"), ("s2", 0L, "b1"), ("s3", 7L, "b2"))
+      .toDF("samples", "otu1", "batches").write.parquet(s"$dir/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(dataFiles = Seq(s"$dir/d.parquet")))
+
+    assert(ds.renameColumn("otu1", "abundance").columns.contains("abundance"))
+    assert(!ds.removeColumns("batches").columns.contains("batches"))
+    assert(ds.sortBy("otu1").select("samples").collect().map(_.getString(0)).toSeq == Seq("s2", "s1", "s3"))
+    assert(ds.unique("batches").collect().map(_.getString(0)).toSet == Set("b1", "b2"))
+    // deterministic shuffle: same seed same order, different seed (likely) different
+    val o1 = ds.shuffle(7L).select("samples").collect().map(_.getString(0)).toSeq
+    val o2 = ds.shuffle(7L).select("samples").collect().map(_.getString(0)).toSeq
+    assert(o1 == o2 && o1.toSet == Set("s1", "s2", "s3"))
+    // flatten delegates to flattenStructs
+    val nested = ds.copy(df = ds.df.select(org.apache.spark.sql.functions.struct($"samples", $"otu1").as("s")))
+    assert(nested.flatten.columns.toSeq == Seq("s.samples", "s.otu1"))
+  }
+
   test("LoadDataset binarize path and rows_are_features transpose") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api2").toFile.getAbsolutePath
     Seq(("s1", "A", 1.0), ("s2", "B", 2.0), ("s3", "C", 3.0))
