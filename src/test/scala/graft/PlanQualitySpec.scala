@@ -126,4 +126,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_vec_mean") || p.contains("partial_vecmean") ||
       ("vec_mean".r.findAllIn(p).size >= 2), p) // partial + final
   }
+
+  test("multi-table embedding dedup stays ONE bucket shuffle (tables ride the same exchange)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = planOf(graft.operators.DedupOps.embeddingDedup(
+      emb, "vec_id", "embedding", threshold = 0.99, nBits = 8, nTables = 4))
+    // one groupBy(bucket) exchange + the distinct's exchange — the 4
+    // tables must NOT add per-table shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("classEncode broadcast fallback: dictionary broadcasts, fact side never shuffles") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(30000).select(
+      concat(lit("label_"), format_string("%07d", (col("id") * 7919) % 25000)).as("y"))
+    val plan = planOf(graft.operators.LabelOps.classEncodeBroadcast(big, "y"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("IVF-PQ probe: encoded corpus joins broadcast probes, codes never shuffle") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = graft.operators.IvfKnnOps.buildPqIndex(
+      emb, "vec_id", "embedding", nLists = 4, m = 8, kPerSub = 16, maxIter = 2)
+    val plan = planOf(graft.operators.IvfKnnOps.pqTopK(
+      emb.filter(col("vec_id") < 3), index, "vec_id", "embedding", 3, nProbe = 2))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the encoded corpus side reaches the join without an exchange of
+    // its own: scored rows only shuffle inside the bounded top-k agg
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("partial_top_k") || "top_k".r.findAllIn(plan).size >= 2, plan)
+  }
 }
