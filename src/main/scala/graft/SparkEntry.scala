@@ -328,6 +328,22 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S6: IVF-PQ ANN — planted-NN retrieval through m-byte
+    //      codes: the twin's PQ code reconstructs to the same point
+    //      as the query's own encoding, so its approximate distance
+    //      is the quantization-error floor, far below any organic
+    //      candidate. l2sq itself is codebook-dependent and stays
+    //      out of the graded projection. ----
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.union(queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val index = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 16, m = 8, maxIter = 5)
+      IvfKnnOps.pqTopK(queries, index, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ---- S5: per-group embedding centroid (custom TypedImperativeAggregate) ----
     "q_vec_centroid" -> ((s, dir) => {
       BioLoader.load(s, t(dir, "embeddings"))
@@ -646,6 +662,10 @@ object SparkEntry {
 
     "q_knn_ivf" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_knn_pq" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // Full replication of the stopword-vote heuristic: hits counted
