@@ -429,11 +429,24 @@ object IvfKnnOps {
       val c = centers(nearest(v, centers))
       Array.tabulate(dim)(i => v(i) - c(i))
     }
-    val books = PqCodebooks(m, subDim,
-      Array.tabulate(m) { s =>
-        val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
-        lloyds(sub, math.min(kPerSub, sub.length), maxIter, seed + 31 * (s + 1))
-      })
+    // the m subspace fits are independent — run them on a driver
+    // thread pool (the fit is the dominant cost of buildPqIndex;
+    // deterministic: each subspace keeps its own seed)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors))
+    val subBooks =
+      try {
+        val futures = (0 until m).map { s =>
+          pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
+            override def call(): Array[Array[Double]] = {
+              val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
+              lloyds(sub, math.min(kPerSub, sub.length), maxIter, seed + 31 * (s + 1))
+            }
+          })
+        }
+        futures.map(_.get()).toArray
+      } finally pool.shutdown()
+    val books = PqCodebooks(m, subDim, subBooks)
     val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
     val listCol = ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))
