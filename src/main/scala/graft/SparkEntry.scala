@@ -359,6 +359,20 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
     }),
 
+    // ---- X5: PII redaction. The corpus has no organic PII, so each
+    //      doc gets a planted contact tail (email + phone + URL +
+    //      IP) — the oracle replays the SAME RE2-compatible patterns
+    //      in DuckDB over the same planted text, a full-semantics
+    //      equality check per row. ----
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat(col("text"),
+          lit(" reach john.doe@example.com or +1 (555) 123-4567 via https://ex.com/a?b=1 from 10.0.0.1")))
+      TextOps.redactPii(docs, "text")
+        .select(col("doc_id"), md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- X2: quality scoring ----
     "q_quality" -> ((s, dir) => {
       TextOps.qualityScore(BioLoader.load(s, t(dir, "documents")), "text")
@@ -667,6 +681,20 @@ object SparkEntry {
     "q_knn_pq" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id, md5(
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          text || ' reach john.doe@example.com or +1 (555) 123-4567 via https://ex.com/a?b=1 from 10.0.0.1',
+        |          'https?://[^\s]+', '<URL>', 'g'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d().\-\s]{7,}\d', '<PHONE>', 'g')
+        |) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Full replication of the stopword-vote heuristic: hits counted
     // with multiplicity per language, argmax with alphabetical-first

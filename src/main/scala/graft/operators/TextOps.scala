@@ -58,4 +58,26 @@ object TextOps {
 
   def fingerprint(df: DataFrame, textCol: String, outputCol: String = "fingerprint"): DataFrame =
     df.withColumn(outputCol, TF.rollingHashFingerprint(col(textCol)))
+
+  /** PII redaction patterns, applied in order (URLs first so an
+    * email inside a URL redacts as part of the URL, not piecemeal).
+    * RE2-compatible on purpose — no backreferences or lookaround —
+    * so engines like DuckDB replicate the semantics exactly, which
+    * is what makes the operator oracle-checkable.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("""https?://[^\s]+""", "<URL>"),
+    ("""[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("""\b(\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("""\+?\d[\d().\-\s]{7,}\d""", "<PHONE>")
+  )
+
+  /** Scrub common PII shapes (URLs, emails, IPv4, phone-like digit
+    * runs) from a text column — the standard pre-training scrub
+    * step. A chain of codegen'd regexp_replace projections: zero
+    * shuffle, pipelines inside the scan stage.
+    */
+  def redactPii(df: DataFrame, textCol: String, outputCol: String = "text_redacted"): DataFrame =
+    df.withColumn(outputCol,
+      PiiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) })
 }

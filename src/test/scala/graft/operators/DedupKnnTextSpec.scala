@@ -176,6 +176,21 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(out(1L) != out(4L))
   }
 
+  test("redactPii scrubs urls, emails, ips, and phone runs; clean text unchanged") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org now"),
+      (2L, "see https://a.io/x?q=2 and http://b.co"),
+      (3L, "host 192.168.0.1 called +44 20 7946 0958 twice"),
+      (4L, "a perfectly clean sentence with the number 7")
+    ).toDF("id", "text")
+    val out = TextOps.redactPii(df, "text").select("id", "text_redacted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> now")
+    assert(out(2L) == "see <URL> and <URL>")
+    assert(out(3L) == "host <IP> called <PHONE> twice")
+    assert(out(4L) == "a perfectly clean sentence with the number 7")
+  }
+
   test("vector functions: cosine/dot/norm/hamming") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val r = df.select(
