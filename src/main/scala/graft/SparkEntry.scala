@@ -105,6 +105,18 @@ object SparkEntry {
         .select("o_orderkey", "split")
     }),
 
+    // ---- T5: stratified split. WHICH rows land in test is
+    //      hash-ordering-specific, but HOW MANY per label is exact:
+    //      n_test(label) = floor(n(label)·f) — the stratification
+    //      invariant itself is the oracle. ----
+    "q_stratified_split" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders"))
+      SplitOps.stratifiedSplit(o, "o_orderstatus", Seq("o_orderkey"), 0.2)
+        .groupBy(col("o_orderstatus").as("label"))
+        .agg(sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"))
+    }),
+
     // ---- T6: k-fold assignment (portable bucket for the oracle) ----
     "q_kfold" -> ((s, dir) => {
       BioLoader.load(s, t(dir, "orders"))
@@ -549,6 +561,15 @@ object SparkEntry {
 
     "q_kfold" ->
       """SELECT CAST((o_orderkey * 40503) % 5 AS INTEGER) AS fold, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // identical IEEE arithmetic on both sides: BIGINT count * 0.2 in
+    // double, floored — the row_number <= n*f comparison admits
+    // exactly floor(n*f) rows per label
+    "q_stratified_split" ->
+      """SELECT o_orderstatus AS label,
+        |  CAST(floor(count(*) * 0.2) AS BIGINT) AS n_test,
+        |  count(*) - CAST(floor(count(*) * 0.2) AS BIGINT) AS n_train
         |FROM orders GROUP BY 1""".stripMargin,
 
     "q_melt" ->
