@@ -406,6 +406,14 @@ object SparkEntry {
       r.select(col("l_orderkey"), col("p_type"), hround(col("l_quantity"), 2).as("l_quantity"))
     }),
 
+    // ---- C11: struct flatten (HF Dataset.flatten) ----
+    "q_flatten" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          struct(col("l_partkey").as("pk"), hround(col("l_quantity"), 2).as("qty")).as("item"))
+      ReshapeOps.flattenStructs(li)
+    }),
+
     // ---- C10: as-of (point-in-time) join ----
     "q_asof_join" -> ((s, dir) => {
       val events = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -815,6 +823,11 @@ object SparkEntry {
       """SELECT l_orderkey, p_type, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS l_quantity
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY l_orderkey, p_type""".stripMargin,
+
+    "q_flatten" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey AS "item.pk",
+        |  floor((l_quantity) * 100 + 0.5) / 100 AS "item.qty"
+        |FROM lineitem""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (
