@@ -64,13 +64,10 @@ object LoadDataset {
     val sampleNames = Seq("metadata", "sample_metadata", "sample", "samples")
     val featureNames = Seq("feature_metadata", "feature", "features", "annotation", "annotations")
     val exts = Seq("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow")
+    val files = walkFiles(dir)
     def find(names: Seq[String]): Seq[String] = {
       val wanted = (for (n <- names; e <- exts) yield s"$n.$e").toSet
-      val root = new java.io.File(dir)
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
-      if (!root.isDirectory) Nil
-      else walk(root).filter(f => wanted.contains(f.getName.toLowerCase)).map(_.getAbsolutePath).sorted
+      files.filter(f => wanted.contains(f.name.toLowerCase)).map(_.path).sorted
     }
     (find(sampleNames), find(featureNames))
   }
@@ -127,11 +124,44 @@ object LoadDataset {
       keywordMatch(base, "annotation") || keywordMatch(base, "annotations")
   }
 
-  private def walkFiles(dir: String): Seq[java.io.File] = {
-    val root = new java.io.File(dir)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil) else Seq(f)
-    if (!root.isDirectory) Nil else walk(root)
+  /** One discovered file: normalized path string (plain local path
+    * for file-scheme, full URI otherwise), basename, immediate
+    * parent directory's name, and whether that parent IS the
+    * user-supplied root (split inference must never consult the
+    * root's own name — a data_dir called `test_data` is not a test
+    * split; the reference's KEYWORDS_IN_DIR_NAME patterns only
+    * match subdirectories inside the data dir).
+    */
+  private[api] final case class DiscoveredFile(
+      path: String, name: String, parentName: String, parentIsRoot: Boolean)
+
+  /** Recursive file walk through the Hadoop FileSystem API, so
+    * discovery works on any scheme BioLoader.load can read
+    * (HDFS/S3/file), not just the driver's local disk — a
+    * java.io.File walk silently finds nothing on remote stores and
+    * loadSplitsAuto would fail with "no data files discovered"
+    * even though the paths are readable.
+    */
+  private def walkFiles(dir: String): Seq[DiscoveredFile] = {
+    import org.apache.hadoop.fs.Path
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Nil
+    val rootQ = fs.makeQualified(root)
+    def norm(p: Path): String = {
+      val u = p.toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath else p.toString
+    }
+    val out = scala.collection.mutable.ArrayBuffer[DiscoveredFile]()
+    val it = fs.listFiles(rootQ, /* recursive = */ true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      out += DiscoveredFile(norm(p), p.getName, p.getParent.getName, p.getParent == rootQ)
+    }
+    out.toSeq
   }
 
   /** Infer split membership from filename patterns (reference
@@ -145,13 +175,16 @@ object LoadDataset {
     */
   def discoverSplits(dir: String): Map[String, Seq[String]] = {
     val data = walkFiles(dir).filter { f =>
-      dataExtensions.contains(dataExtensionOf(f.getName)) && !isMetadataFile(f.getName)
+      dataExtensions.contains(dataExtensionOf(f.name)) && !isMetadataFile(f.name)
     }
     data.groupBy { f =>
-      splitOf(f.getName)
-        .orElse(splitOf(f.getParentFile.getName + "."))
+      splitOf(f.name)
+        // only directory names STRICTLY BELOW the data dir carry
+        // split meaning — the root's own name must not (a dir
+        // called `eval` would otherwise swallow every file as test)
+        .orElse(if (f.parentIsRoot) None else splitOf(f.parentName + "."))
         .getOrElse("train")
-    }.map { case (s, fs) => s -> fs.map(_.getAbsolutePath).sorted.toSeq }
+    }.map { case (s, fs) => s -> fs.map(_.path).sorted.toSeq }
   }
 
   /** Split-scoped metadata discovery (reference
@@ -164,15 +197,15 @@ object LoadDataset {
     */
   def discoverSplitMetadata(dir: String): Map[String, (Seq[String], Seq[String])] = {
     val metaFiles = walkFiles(dir).filter { f =>
-      dataExtensions.contains(dataExtensionOf(f.getName)) && isMetadataFile(f.getName)
+      dataExtensions.contains(dataExtensionOf(f.name)) && isMetadataFile(f.name)
     }
-    val tagged = metaFiles.flatMap(f => splitOf(f.getName).map(s => (s, f)))
+    val tagged = metaFiles.flatMap(f => splitOf(f.name).map(s => (s, f)))
     tagged.groupBy(_._1).map { case (s, fs) =>
       val (feat, samp) = fs.map(_._2).partition(f => {
-        val b = f.getName.toLowerCase
+        val b = f.name.toLowerCase
         b.contains("feature") || b.contains("annotation")
       })
-      s -> (samp.map(_.getAbsolutePath).sorted.toSeq, feat.map(_.getAbsolutePath).sorted.toSeq)
+      s -> (samp.map(_.path).sorted.toSeq, feat.map(_.path).sorted.toSeq)
     }
   }
 
@@ -193,14 +226,14 @@ object LoadDataset {
     // collected by nothing (silently dropped)
     val (sharedSample, sharedFeature) = {
       val untagged = walkFiles(dir).filter { f =>
-        dataExtensions.contains(dataExtensionOf(f.getName)) &&
-          isMetadataFile(f.getName) && splitOf(f.getName).isEmpty
+        dataExtensions.contains(dataExtensionOf(f.name)) &&
+          isMetadataFile(f.name) && splitOf(f.name).isEmpty
       }
       val (feat, samp) = untagged.partition { f =>
-        val b = f.getName.toLowerCase
+        val b = f.name.toLowerCase
         b.contains("feature") || b.contains("annotation")
       }
-      (samp.map(_.getAbsolutePath).sorted, feat.map(_.getAbsolutePath).sorted)
+      (samp.map(_.path).sorted, feat.map(_.path).sorted)
     }
     val perSplit = splits.map { case (name, files) =>
       val (sm, fm) = metaBySplit.getOrElse(name, (Nil, Nil))

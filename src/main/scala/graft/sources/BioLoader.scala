@@ -210,8 +210,24 @@ object BioLoader {
     * CSVs, tests/test_load.py:983-1016). macOS resource forks and
     * hidden entries are skipped.
     */
-  private def unzip(path: String): Seq[String] = {
+  private val unzipCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[String]]()
+
+  /** Cached by (path, size, mtime): repeated loads of the same zip
+    * reuse one extraction instead of leaking a fresh temp dir per
+    * call for the process lifetime; a rewritten zip (different
+    * size/mtime) re-extracts. Extraction dirs are removed on JVM
+    * exit (dir registered before its files — deleteOnExit runs in
+    * reverse registration order, so files delete first).
+    */
+  private[sources] def unzip(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    unzipCache.computeIfAbsent((f.getAbsolutePath, f.length(), f.lastModified()), _ => doUnzip(path))
+  }
+
+  private def doUnzip(path: String): Seq[String] = {
     val dest = java.nio.file.Files.createTempDirectory("graft-unzip").toFile
+    dest.deleteOnExit()
     val zf = new java.util.zip.ZipFile(path)
     try {
       import scala.jdk.CollectionConverters._
@@ -226,6 +242,7 @@ object BioLoader {
           // and test/data.csv must not collide on the basename
           val safe = e.getName.replace('/', '_').replace('\\', '_')
           val out = new java.io.File(dest, safe)
+          out.deleteOnExit()
           val in = zf.getInputStream(e)
           try java.nio.file.Files.copy(in, out.toPath)
           finally in.close()

@@ -213,8 +213,18 @@ object EventStreams {
   final case class BandDoc(band: Long, doc_id: Long, ts: java.sql.Timestamp, text: String)
   final case class BandVerdict(doc_id: Long, ts: java.sql.Timestamp, text: String, hit: Int)
 
-  /** Streaming MinHash-LSH near-dedup WITHIN the stream — band keys
-    * live in the state store: each of a doc's LSH band keys is a
+  /** Streaming MinHash-LSH near-dedup WITHIN the stream.
+    *
+    * REQUIRED SESSION CONF (streaming runs only): set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * before starting the query — Spark's static checker rejects any
+    * flatMapGroupsWithState followed by an aggregation, including
+    * this one, whose emissions provably never fall behind the
+    * watermark (see the NOTE at the end of this doc). Batch-twin
+    * calls need no conf.
+    *
+    * Band keys live in the state store: each of a doc's LSH band
+    * keys is a
     * state-store group; a doc is a near-dup when ANY of its bands
     * was emitted by an earlier doc inside the TTL horizon. This is
     * the full-LSH complement to [[streamingNearDedup]]'s
@@ -295,7 +305,13 @@ object EventStreams {
                 val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
                 var seen = state.getOption
                 val out = sorted.map { r =>
-                  val hit = if (seen.isDefined) 1 else 0
+                  // hit only within the TTL gap: state that outlived
+                  // its TTL but has not yet been evicted (eviction
+                  // waits for the WATERMARK to pass lastSeen+TTL)
+                  // must not count, or the stream over-drops
+                  // relative to the batch twin's gap semantics
+                  val hit =
+                    if (seen.exists(s => r.ts.getTime - s.lastSeenMs <= stateTtlMs)) 1 else 0
                   val t = r.ts.getTime
                   seen = Some(BandState(math.max(t, seen.map(_.lastSeenMs).getOrElse(t))))
                   BandVerdict(r.doc_id, r.ts, r.text, hit)

@@ -102,6 +102,31 @@ class SplitDiscoverySpec extends SparkSpec {
     assert(fm.get("otu1").exists(_.get("taxon").contains("bacteroides")), fm.toString)
   }
 
+  test("the data dir's OWN name never assigns a split: keyword-free files in a dir named 'eval' stay train") {
+    val parent = java.nio.file.Files.createTempDirectory("graft-rootkw").toFile
+    val dir = new java.io.File(parent, "eval"); dir.mkdir()
+    writeCsv(new java.io.File(dir, "part0.csv"), "x\n1\n")
+    writeCsv(new java.io.File(dir, "part1.csv"), "x\n2\n")
+    // a SUBdirectory keyword still counts
+    val testDir = new java.io.File(dir, "test"); testDir.mkdir()
+    writeCsv(new java.io.File(testDir, "part0.csv"), "x\n3\n")
+    val splits = LoadDataset.discoverSplits(dir.getAbsolutePath)
+    assert(splits.keySet == Set("train", "test"), splits.keySet.toString)
+    assert(splits("train").size == 2, splits("train").toString)
+    assert(splits("test").size == 1)
+  }
+
+  test("discovery walks through the Hadoop FileSystem: a file:-scheme URI dir resolves splits and loads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsuri").toFile
+    writeCsv(new java.io.File(dir, "train_data.csv"), "sample,v\ns1,1\n")
+    writeCsv(new java.io.File(dir, "test_data.csv"), "sample,v\ns2,2\n")
+    val uri = "file:" + dir.getAbsolutePath // java.io.File would treat this as a relative path and find nothing
+    val splits = LoadDataset.discoverSplits(uri)
+    assert(splits.keySet == Set("train", "test"), splits.keySet.toString)
+    val ds = LoadDataset.loadSplitsAuto(spark, uri, LoadDataset.Config(Nil))
+    assert(ds("train").df.count() == 1 && ds("test").df.count() == 1)
+  }
+
   test("numbered metadata sidecars stay out of the data file set (features_1.jsonl shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-nummeta").toFile
     writeCsv(new java.io.File(dir, "data_train_1.csv"), "sample,v\ns1,1\n")

@@ -229,6 +229,25 @@ class SourcesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("col_1", "col_2"))
   }
 
+  test("repeated loads of one zip reuse a single extraction; a rewritten zip re-extracts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipcache").toFile
+    val z = new java.io.File(dir, "cached.zip")
+    def write(body: String): Unit = {
+      val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(z))
+      zo.putNextEntry(new java.util.zip.ZipEntry("a.csv")); zo.write(body.getBytes("UTF-8")); zo.closeEntry()
+      zo.close()
+    }
+    write("x\n1\n")
+    val first = BioLoader.unzip(z.getAbsolutePath)
+    val second = BioLoader.unzip(z.getAbsolutePath)
+    assert(first == second, "same (path,size,mtime) must reuse the extraction dir, not leak a new one")
+    write("x\n1\n2\n") // different size → new cache key
+    z.setLastModified(z.lastModified() + 2000)
+    val third = BioLoader.unzip(z.getAbsolutePath)
+    assert(third != first, "a rewritten zip must re-extract")
+    assert(BioLoader.load(spark, z.getAbsolutePath).count() == 2)
+  }
+
   test("feather extension aliases to the Arrow IPC reader (data_files.py:29-38)") {
     // Feather v2 IS Arrow IPC: write an .arrow fixture, rename
     val dir = java.nio.file.Files.createTempDirectory("graft-feather").toFile

@@ -330,6 +330,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streamingMinhashDedup: TTL-expired-but-unevicted band state does not flag (stream matches twin's gap semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = 1700000000000L
+    val text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // same text twice, 5s apart, TTL 1s: the band marker from doc 1
+    // has outlived its TTL when doc 2 arrives, but the WATERMARK
+    // (5s delay, advances only after the batch) has not yet crossed
+    // lastSeen+TTL, so the state is still in the store un-evicted —
+    // a state-existence hit check would wrongly drop doc 2
+    val rows = Seq(
+      (1L, new java.sql.Timestamp(base), text),
+      (2L, new java.sql.Timestamp(base + 5000), text)
+    )
+    val batchKept = EventStreams.streamingMinhashDedup(
+      rows.toDF("doc_id", "ts", "text"), "doc_id", "text",
+      shingleSize = 3, rowsPerBand = 2, stateTtlMs = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 2L), s"batch twin kept $batchKept")
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "ts", "text")
+    val out = EventStreams.streamingMinhashDedup(stream, "doc_id", "text",
+      shingleSize = 3, rowsPerBand = 2, stateTtlMs = 1000L,
+      watermark = "5 seconds", windowLen = "1 minute")
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = out.writeStream.format("memory").queryName("mh_ttl_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(rows.head)       // batch 1 plants the band state
+      q.processAllAvailable()
+      ms.addData(rows(1))         // batch 2: state present but TTL-expired
+      q.processAllAvailable()
+      ms.addData((99L, new java.sql.Timestamp(base + 10 * 60 * 1000), "watermark pusher document entirely unlike the others"))
+      q.processAllAvailable()
+      ms.addData((100L, new java.sql.Timestamp(base + 20 * 60 * 1000), "second watermark pusher with fresh words only"))
+      q.processAllAvailable()
+      val kept = spark.table("mh_ttl_dedup").select("doc_id").as[Long].collect().toSet
+      assert(kept.intersect(Set(1L, 2L)) == Set(1L, 2L), s"stream kept $kept")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
+
   test("flagship entry() runs end-to-end with rows") {
     val out = graft.SparkEntry.entry(spark)
     assert(out.count() > 0)
