@@ -31,12 +31,13 @@ object VectorFunctions {
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(
-      aggregate(
-        zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
+    sqrt(l2DistanceSq(a, b))
+
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x
     )
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into

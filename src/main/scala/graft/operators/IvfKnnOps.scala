@@ -498,6 +498,46 @@ object IvfKnnOps {
       .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("l2sq"), col("rank"))
   }
 
+  /** PQ search with an exact re-rank pass: take `k * rerankFactor`
+    * candidates by approximate ADC distance, then re-score JUST
+    * those candidates against their raw vectors and keep the exact
+    * top-k. This is the standard IVF-PQ accuracy recovery (quantize
+    * to shrink the scan, re-rank to undo the quantization error on
+    * the short-list) — reference near-dup/ANN surface, e.g.
+    * biosets' embedding search returning exact scores.
+    *
+    * Scale shape: the candidate short-list is |Q|·k·rerankFactor
+    * rows — it BROADCASTS into the raw-vector corpus scan, so the
+    * corpus is read once, never shuffled, and only candidate rows
+    * survive the join; the final ranking rides the same bounded
+    * TopK partial as every other knn path. Output distances are
+    * exact squared L2 (hround 6), so downstream thresholds behave
+    * as if brute force had run.
+    */
+  def pqTopKRerank(
+      queries: DataFrame,
+      index: PqIndex,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      rerankFactor: Int = 4
+  ): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val cands = pqTopK(queries, index, idCol, vecCol, k * rerankFactor, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cands.join(qv, "query_id")), Seq("neighbor_id"))
+      // TopK keeps the LARGEST scores: negate exact distance for ascending-L2 ranking
+      .select(col("query_id"), col("neighbor_id"),
+        (-VF.hround(VF.l2DistanceSq(col("qv"), col("cv")), 6)).as("cosine"))
+    KnnOps.rankTopK(exact, k)
+      .select(col("query_id"), col("neighbor_id"), (-col("cosine")).as("l2sq"), col("rank"))
+  }
+
   /** Top-k cosine neighbors probing nProbe lists per query. */
   def topK(
       queries: DataFrame,

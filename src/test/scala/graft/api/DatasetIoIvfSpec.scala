@@ -205,4 +205,38 @@ class DatasetIoIvfSpec extends SparkSpec {
       assert(recall >= 0.4, s"PQ recall vs exact L2 too low: $recall")
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
+
+  test("IVF-PQ re-rank: short-list re-scored on raw vectors matches exact L2 ranking over the candidate set") {
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val corpus = emb.union(queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val index = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 8, m = 8, kPerSub = 256)
+    val rr = IvfKnnOps.pqTopKRerank(queries, index, corpus, "vec_id", "embedding", 5, nProbe = 8)
+    val rows = rr.collect()
+    // planted exact twin wins at rank 1 with EXACT squared distance 0
+    val top1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("l2sq"))).toMap
+    (0L until 10L).foreach { q =>
+      val (n, d) = top1(q)
+      assert(n == q + 100000L && d == 0.0, s"query $q top1 ($n, $d)")
+    }
+    // re-ranked distances are exact: every reported l2sq equals the
+    // recomputed raw-vector distance (rounded the same way)
+    val qvMap = queries.select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cvMap = corpus.select($"vec_id", $"embedding".cast("array<double>"))
+      .filter($"vec_id".isin(rows.map(_.getAs[Long]("neighbor_id")).distinct: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { r =>
+      val q = qvMap(r.getAs[Long]("query_id")); val c = cvMap(r.getAs[Long]("neighbor_id"))
+      val exact = q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(r.getAs[Double]("l2sq") - exact) < 1e-5,
+        s"re-ranked distance drifted: ${r.getAs[Double]("l2sq")} vs $exact")
+    }
+    // monotone within each query: rank order == ascending exact distance
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("l2sq")).toSeq
+      assert(byRank == byRank.sorted, s"rank order not ascending in l2sq: $byRank")
+    }
+  }
 }
