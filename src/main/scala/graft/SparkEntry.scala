@@ -411,6 +411,60 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens_ws").cast("long").as("n_tokens_ws"))
     }),
 
+    // ---- X6: Gopher-style repetition signals. The corpus is
+    //      single-line and md5-distinct, so each doc gets a planted
+    //      repeated line (its own 40-char prefix, twice) — every
+    //      signal is exercised and the oracle replays the identical
+    //      construction. ----
+    "q_repetition" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat_ws("\n",
+          col("text"), substring(col("text"), 1, 40), substring(col("text"), 1, 40)))
+      TextOps.repetitionStats(docs, "text")
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac", "dup_3gram_frac")
+    }),
+
+    // ---- X7: canonical text normalization (NFC + case + whitespace
+    //      fold). Planted decomposed accent: "Cafe" + combining
+    //      acute (U+0301) composes to café under NFC — without the
+    //      normalizer the md5 differs from the oracle's
+    //      nfc_normalize, so the check is semantic, not a no-op. ----
+    "q_normalize" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat(col("text"), lit(" Cafe\u0301   MIXED  tail")))
+      TextOps.normalizeText(docs, "text")
+        .select(col("doc_id"), md5(col("text_norm")).as("norm_md5"))
+    }),
+
+    // ---- D8: membership dedup against a reference corpus (Bloom
+    //      prefilter + exact anti-join verify). Corpus = every 7th
+    //      doc; survivors are exactly the docs whose text is not in
+    //      it. ----
+    "q_corpus_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val corpus = docs.filter(col("doc_id") % 7 === 0).select("text")
+      DedupOps.dedupAgainstCorpus(docs, corpus, "text", expectedCorpusItems = 10000L)
+        .select("doc_id")
+    }),
+
+    // ---- D9: benchmark decontamination — docs sharing any word
+    //      5-gram with the eval set are removed. Every 11th doc is
+    //      planted with an eval sentence; the oracle computes the
+    //      TRUE 5-gram-set intersection in SQL. ----
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val evalDf = Seq(
+        "the secret holdout benchmark sentence for contamination screening",
+        "another hidden evaluation phrase guarded against training data leakage"
+      ).toDF("text")
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" the secret holdout benchmark sentence for contamination screening")))
+          .otherwise(col("text")))
+      DedupOps.decontaminate(docs, evalDf, "text", "doc_id", n = 5, expectedEvalShingles = 1000L)
+        .select("doc_id")
+    }),
+
     // ---- N8/L4: feature-metadata-driven hierarchical rollup ----
     "q_rollup" -> ((s, dir) => {
       val fact = BioLoader.load(s, t(dir, "lineitem"))
@@ -836,6 +890,68 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens_ws
         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40) AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t
+        |  FROM d
+        |), g AS (
+        |  SELECT doc_id,
+        |    len(lines)::DOUBLE AS nl, len(list_distinct(lines))::DOUBLE AS dl,
+        |    list_sum([length(x) FOR x IN lines])::DOUBLE AS lc,
+        |    list_sum([length(x) FOR x IN list_distinct(lines)])::DOUBLE AS dc,
+        |    CASE WHEN len(t) >= 3
+        |      THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+        |      ELSE [] END AS grams
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  floor((1.0 - dl / nl) * 1000000 + 0.5) / 1000000 AS dup_line_frac,
+        |  floor(((lc - dc) / greatest(lc, 1.0)) * 1000000 + 0.5) / 1000000 AS dup_line_char_frac,
+        |  floor((CASE WHEN len(grams) > 0
+        |    THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_3gram_frac
+        |FROM g""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id, md5(
+        |  trim(regexp_replace(lower(nfc_normalize(text || ' Cafe' || chr(769) || '   MIXED  tail')), '\s+', ' ', 'g'))
+        |) AS norm_md5
+        |FROM documents""".stripMargin,
+
+    "q_corpus_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT * FROM (VALUES
+        |    ('the secret holdout benchmark sentence for contamination screening'),
+        |    ('another hidden evaluation phrase guarded against training data leakage')) v(text)
+        |), evt AS (
+        |  SELECT [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM ev
+        |), evsh AS (
+        |  SELECT flatten(list(CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS es
+        |  FROM evt
+        |), d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' the secret holdout benchmark sentence for contamination screening'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM d
+        |), dsh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM dt
+        |)
+        |SELECT doc_id FROM dsh, evsh WHERE NOT list_has_any(s, es)""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_orderkey, p_type, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS l_quantity

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Corpus-curation expressions: Unicode normalization (Spark has no
+  * built-in normalizer function) and Bloom-filter membership over a
+  * broadcast filter. Both implement `doGenCode` via static kernels,
+  * so they inline into whole-stage codegen and pipeline inside the
+  * scan stage — zero shuffle, no per-row virtual dispatch.
+  */
+object CurationExpressions {
+
+  // ---- static kernels, invoked both from eval and generated code ----
+
+  def normalizeKernel(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    // fast path: already-normalized text (all of ASCII is) skips the allocation
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
+  def bloomKernel(bc: Broadcast[BloomFilter], h: Long): Boolean =
+    bc.value.mightContainLong(h)
+
+  /** `java.text.Normalizer` as a Catalyst expression — NFC/NFD/
+    * NFKC/NFKD per the `form` argument. The reference normalizes
+    * text before fingerprinting/dedup; at corpus scale this must be
+    * a per-row scan-stage map, never a UDF.
+    */
+  case class UnicodeNormalize(child: Expression, formName: String)
+      extends UnaryExpression {
+    require(Set("NFC", "NFD", "NFKC", "NFKD").contains(formName), s"unknown form $formName")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unicode_normalize"
+    override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+      copy(child = newChild)
+
+    @transient private lazy val form = java.text.Normalizer.Form.valueOf(formName)
+
+    override def nullSafeEval(input: Any): Any =
+      normalizeKernel(input.asInstanceOf[UTF8String], form)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.CurationExpressions.normalizeKernel(
+           |  $a, java.text.Normalizer.Form.$formName);""".stripMargin)
+  }
+
+  /** Membership probe against a BROADCAST Bloom filter — the filter
+    * ships once per executor (not per task, not embedded in the
+    * plan), and the probe inlines into codegen. No false negatives:
+    * a `false` is a definitive miss, which is what lets callers
+    * skip the exact-verify join for the non-matching majority.
+    */
+  case class InBloom(child: Expression, bloom: Broadcast[BloomFilter])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "in_bloom"
+    override protected def withNewChildInternal(newChild: Expression): InBloom =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Boolean.valueOf(bloomKernel(bloom, input.asInstanceOf[Long]))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloom", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.CurationExpressions.bloomKernel($ref, $a);")
+    }
+  }
+
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
+
+  def inBloom(c: Column, bloom: Broadcast[BloomFilter]): Column =
+    ColumnBridge.column(InBloom(ColumnBridge.expression(c), bloom))
+}

@@ -382,4 +382,84 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
+
+  /** Drop incoming docs whose `textCol` already exists in a
+    * reference corpus — exact membership semantics (equal text),
+    * Bloom-gated so the non-matching majority never shuffles.
+    *
+    * Shape: ONE distributed pass over the corpus builds a Bloom
+    * filter of `xxhash64(text)` (`stat.bloomFilter` aggregates it
+    * tree-wise; the result broadcasts once per executor). Incoming
+    * docs probe the filter inside the scan stage (codegen'd
+    * [[graft.functions.CurationExpressions.InBloom]]): a miss is
+    * DEFINITIVE (no false negatives) and that row is kept with zero
+    * shuffle; only the Bloom-positive minority rides an exact
+    * `left_anti` join against the corpus text to clear false
+    * positives. At fpp=0.01 that join carries ~1% of clean rows
+    * plus the true dups — the corpus-side shuffle is the only
+    * full-width exchange, and it happens once.
+    */
+  def dedupAgainstCorpus(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      expectedCorpusItems: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val keyed = corpus.select(xxhash64(col(textCol)).as("__k"))
+    // Spark's stat.bloomFilter NPEs on an empty input (no partial to
+    // merge); an empty corpus means nothing can be a member
+    if (keyed.isEmpty) return docs
+    val bf = keyed.stat.bloomFilter("__k", expectedCorpusItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val probed = docs.withColumn("__maybe",
+      graft.functions.CurationExpressions.inBloom(xxhash64(col(textCol)), bc))
+    val clean = probed.filter(!col("__maybe")).drop("__maybe")
+    val suspects = probed.filter(col("__maybe")).drop("__maybe")
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    clean.unionByName(suspects)
+  }
+
+  /** Remove training docs that share any word `n`-gram with an
+    * evaluation set — benchmark decontamination (the GPT-3/PaLM
+    * style n-gram overlap rule). Identity is the shingle hash from
+    * [[HE.shingleHashesText]] (same tokenizer + short-doc
+    * whole-window rule as the Jaccard family).
+    *
+    * Shape: the eval set (small by construction) explodes ONCE to
+    * its distinct shingle hashes, which aggregate into a broadcast
+    * Bloom filter. Every doc then probes the filter per-shingle
+    * inside the scan stage — `exists(shingles, in_bloom)` — so the
+    * uncontaminated majority is cleared with ZERO shuffle and no
+    * explode. Only Bloom-positive suspects explode their shingles
+    * for the exact verify: a broadcast semi-join against the real
+    * eval-shingle set, which also clears Bloom false positives.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.001
+  ): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    // empty eval set -> nothing to match (and stat.bloomFilter NPEs on empty input)
+    if (evalShingles.isEmpty) return docs
+    val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val shingles = HE.shingleHashesText(col(textCol), n)
+    val probed = docs.withColumn("__maybe",
+      exists(shingles, s => graft.functions.CurationExpressions.inBloom(s, bc)))
+    val clean = probed.filter(!col("__maybe")).drop("__maybe")
+    val suspects = probed.filter(col("__maybe")).drop("__maybe")
+    val contaminatedIds = suspects
+      .select(col(idCol), explode(shingles).as("__sh"))
+      .join(broadcast(evalShingles), Seq("__sh"))
+      .select(idCol).distinct()
+    clean.unionByName(suspects.join(contaminatedIds, Seq(idCol), "left_anti"))
+  }
 }

@@ -80,4 +80,67 @@ object TextOps {
   def redactPii(df: DataFrame, textCol: String, outputCol: String = "text_redacted"): DataFrame =
     df.withColumn(outputCol,
       PiiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) })
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1's
+    * repetition filters, the standard pre-training removal rules):
+    *
+    *  - `dup_line_frac`: fraction of lines that are repeats of an
+    *    earlier line (1 − distinct/total).
+    *  - `dup_line_char_frac`: fraction of line characters sitting
+    *    in those repeated occurrences.
+    *  - `dup_3gram_frac`: fraction of word 3-grams that are repeats
+    *    (uses the same tokenizer as [[qualityScore]]).
+    *
+    * Everything is built-in array expressions over one row — the
+    * whole operator pipelines inside the scan stage with zero
+    * shuffle, and every formulation is replayable in ANSI-ish SQL
+    * (list functions), which is what makes it oracle-checkable.
+    */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nl = size(lines).cast("double")
+    val dl = size(array_distinct(lines)).cast("double")
+    val lineChars = aggregate(lines, lit(0L), (a, x) => a + length(x)).cast("double")
+    val distinctChars =
+      aggregate(array_distinct(lines), lit(0L), (a, x) => a + length(x)).cast("double")
+    val toks = TF.tokens(col(textCol))
+    val n3 = size(toks) - 2
+    val grams = when(size(toks) >= 3,
+      zip_with(
+        zip_with(slice(toks, lit(1), n3), slice(toks, lit(2), n3), (a, b) => concat(a, lit(" "), b)),
+        slice(toks, lit(3), n3),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    val ng = size(grams).cast("double")
+    val vf = graft.functions.VectorFunctions
+    df.withColumn("dup_line_frac", vf.hround(lit(1.0) - dl / nl, 6))
+      .withColumn("dup_line_char_frac",
+        vf.hround((lineChars - distinctChars) / greatest(lineChars, lit(1.0)), 6))
+      .withColumn("dup_3gram_frac", vf.hround(
+        when(ng > 0, lit(1.0) - size(array_distinct(grams)).cast("double") / ng).otherwise(0.0), 6))
+  }
+
+  /** Canonical text normalization for fingerprinting/dedup: Unicode
+    * normalize (NFC by default, via the codegen'd
+    * [[graft.functions.CurationExpressions.UnicodeNormalize]]
+    * expression), lowercase, collapse whitespace runs to single
+    * spaces, trim. A composed-vs-decomposed accent ("café" written
+    * as `e`+U+0301) hashes identically after this; without it every
+    * hash-keyed operator treats the two spellings as different
+    * documents. Zero shuffle — a projection chain in the scan stage.
+    */
+  def normalizeText(
+      df: DataFrame,
+      textCol: String,
+      outputCol: String = "text_norm",
+      form: String = "NFC",
+      lowercase: Boolean = true,
+      collapseWhitespace: Boolean = true
+  ): DataFrame = {
+    val normed = graft.functions.CurationExpressions.unicodeNormalize(col(textCol), form)
+    val lowered = if (lowercase) lower(normed) else normed
+    val collapsed =
+      if (collapseWhitespace) trim(regexp_replace(lowered, "\\s+", " ")) else lowered
+    df.withColumn(outputCol, collapsed)
+  }
 }

@@ -161,4 +161,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("partial_top_k") || "top_k".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("repetition + normalization are pure scan-stage projections — zero shuffle, no join") {
+    for (name <- Seq("q_repetition", "q_normalize")) {
+      val p = planOf(q(name))
+      assert(!p.contains("Exchange"), s"$name: $p")
+      assert(!p.contains("Join"), s"$name: $p")
+    }
+  }
+
+  test("decontaminate: in-bloom probe clears the majority in the scan; verify join broadcasts") {
+    val p = planOf(q("q_decontaminate"))
+    // the per-doc bloom probe must sit in a Filter over the scan
+    // (exists+in_bloom), not behind any exchange
+    assert(p.contains("in_bloom"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus-membership dedup: bloom-negative branch reaches the union with no join above it") {
+    val p = planOf(q("q_corpus_dedup"))
+    assert(p.contains("in_bloom"), p)
+    // exactly one anti-join (the suspects verify; formatted explain
+    // names each operator twice — tree + details); the clean branch
+    // is join-free
+    assert("LeftAnti".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.CurationExpressions
+import org.apache.spark.sql.functions._
+
+/** Curation operators: Unicode normalization, Gopher-style
+  * repetition signals, Bloom-gated corpus-membership dedup, n-gram
+  * decontamination.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unicodeNormalize composes decomposed accents under NFC and folds compatibility chars under NFKC (strict codegen)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        ("cafe\u0301", 1), // e + combining acute -> \u00e9 under NFC
+        ("\ufb01le", 2), // fi ligature U+FB01: NFC keeps, NFKC expands to "fi"
+        ("plain", 3)
+      ).toDF("s", "id")
+      val out = df.select(
+        col("id"),
+        CurationExpressions.unicodeNormalize(col("s"), "NFC").as("nfc"),
+        CurationExpressions.unicodeNormalize(col("s"), "NFKC").as("nfkc")
+      ).collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(out(1)._1 == "caf\u00e9" && out(1)._2 == "caf\u00e9")
+      assert(out(2)._1 == "\ufb01le" && out(2)._2 == "file")
+      assert(out(3)._1 == "plain" && out(3)._2 == "plain")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("unicodeNormalize: interpreted eval matches codegen") {
+    val rows = Seq("cafe\u0301", "\ufb01le", "mixed \u212b text", "ascii only").toDF("s")
+    def run(): Seq[String] =
+      rows.select(CurationExpressions.unicodeNormalize(col("s"), "NFKC")).as[String].collect().toSeq
+    val gend = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(gend == interp)
+  }
+
+  test("normalizeText: NFC + lowercase + whitespace collapse makes spelling variants hash-identical") {
+    val df = Seq(
+      (1L, "The   Cafe\u0301\tMenu"),
+      (2L, "the caf\u00e9 menu") // composed + already lowered + single spaces
+    ).toDF("id", "text")
+    val out = TextOps.normalizeText(df, "text").select("id", "text_norm")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "the caf\u00e9 menu")
+    assert(out(1L) == out(2L))
+  }
+
+  test("repetitionStats: known line and 3-gram repetition fractions") {
+    val dupLines = "alpha beta gamma\ndelta\nalpha beta gamma" // 3 lines, 1 repeat
+    val cleanDoc = "every word here appears exactly once in this line"
+    val dupGrams = "one two three four one two three four"      // 6 grams, 2 repeated
+    val df = Seq((1L, dupLines), (2L, cleanDoc), (3L, dupGrams)).toDF("id", "text")
+    val out = TextOps.repetitionStats(df, "text")
+      .select("id", "dup_line_frac", "dup_line_char_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: 1 of 3 lines duplicated; chars 16+5+16=37, distinct 21 -> 16/37
+    assert(out(1L)._1 == math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)
+    assert(out(1L)._2 == math.floor(16.0 / 37 * 1e6 + 0.5) / 1e6)
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+    // doc 3: 8 tokens -> 6 grams: [one two three],[two three four],[three four one],
+    // [four one two],[one two three],[two three four] -> 4 distinct -> 2/6 dup
+    assert(out(3L)._3 == math.floor(2.0 / 6 * 1e6 + 0.5) / 1e6)
+  }
+
+  test("repetitionStats: short docs (under 3 tokens) report zero 3-gram repetition, not NaN") {
+    val df = Seq((1L, "two words"), (2L, "one")).toDF("id", "text")
+    val out = TextOps.repetitionStats(df, "text").select("id", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.0))
+  }
+
+  test("dedupAgainstCorpus keeps exactly the docs whose text is absent from the corpus") {
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"), (5L, "beta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq("beta", "delta", "omega").toDF("text")
+    val kept = DedupOps.dedupAgainstCorpus(docs, corpus, "text", expectedCorpusItems = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    // both copies of "beta" drop (membership, not within-docs dedup); 4 drops
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("dedupAgainstCorpus: empty corpus keeps everything") {
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val corpus = Seq.empty[String].toDF("text")
+    val kept = DedupOps.dedupAgainstCorpus(docs, corpus, "text", expectedCorpusItems = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("decontaminate removes docs sharing a word 5-gram with the eval set, keeps the rest") {
+    val evalDf = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val docs = Seq(
+      (1L, "training text where the quick brown fox jumps mid-sentence"), // shares a 5-gram
+      (2L, "completely unrelated content about catalyst physical planning"),
+      (3L, "fox jumps over the lazy dog is quoted here verbatim"),         // shares a 5-gram
+      (4L, "quick brown fox appears but only as a three gram fragment")    // 3-gram overlap only
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(docs, evalDf, "text", "doc_id", n = 5,
+      expectedEvalShingles = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("decontaminate: eval docs shorter than n use the whole-window rule") {
+    val evalDf = Seq("tiny eval snippet").toDF("text") // 3 tokens < n=5 -> one whole-window shingle
+    val docs = Seq(
+      (1L, "tiny eval snippet"),                      // identical short doc -> same whole-window shingle
+      (2L, "contains tiny eval snippet inside a much longer training document") // 5-grams, no whole-window match
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(docs, evalDf, "text", "doc_id", n = 5,
+      expectedEvalShingles = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+}
