@@ -93,6 +93,18 @@ object GraftExtensions {
         arity("top_k", children, 3)
         graft.functions.TopKAggregate.TopK(children.head, children(1), intArg(children(2), "k"))
       }
+    ),
+    (
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[graft.functions.CurationExpressions.UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        arity("unicode_normalize", children, 2)
+        val form = children(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(s"form must be a string literal, got $other")
+        }
+        graft.functions.CurationExpressions.UnicodeNormalize(children.head, form)
+      }
     )
   )
 

@@ -16,7 +16,7 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(out == Set(
       (1, 5L, -1.0),   // before any right row
       (1, 10L, 100.0), // equal time matches (inclusive)
-      (1, 20L, 150.0), // latest ≤ 20 is 15
+      (1, 20L, 150.0), // latest \u2264 20 is 15
       (2, 10L, -1.0)   // key with no right rows
     ))
   }
@@ -24,7 +24,7 @@ class ApiAsofExtensionsSpec extends SparkSpec {
   test("asofBackward: matched right row wins as a unit, including its nulls") {
     // The most recent right row at t<=20 has price=null, note="n2".
     // Per-column filling would resurrect the older 100.0 and pair it
-    // with n2 — the whole-row semantics must yield (null, "n2").
+    // with n2 \u2014 the whole-row semantics must yield (null, "n2").
     val left = Seq((1, 20L, "e")).toDF("k", "t", "ev")
     val right = Seq(
       (1, 10L, Some(100.0), "n1"),
@@ -170,6 +170,23 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     def msgs(t: Throwable): List[String] =
       if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("top_k requires 3 arguments")), msgs(e).mkString(" | "))
+  }
+
+  test("unicode_normalize works from SQL and validates its form argument") {
+    GraftExtensions.register(spark)
+    // NB: Spark's chr() is ASCII-mod-256 (chr(769)=chr(1)), unlike
+    // DuckDB's codepoint chr \u2014 embed the codepoints via Scala escapes
+    val row = spark.sql(
+      "SELECT unicode_normalize('Cafe\u0301', 'NFC') AS nfc, " +
+        "unicode_normalize('\ufb01le', 'NFKC') AS nfkc").collect()(0)
+    assert(row.getString(0) == "Caf\u00e9")
+    assert(row.getString(1) == "file")
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'BOGUS')").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown form")), msgs(e).mkString(" | "))
   }
 
   test("vec_mean works as a SQL aggregate via the extension registry") {
