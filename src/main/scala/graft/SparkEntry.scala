@@ -306,6 +306,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // ---- D10: SemDeDup-style semantic dedup — k-means clusters as
+    //      buckets, planted perturbed twins (same fixture as
+    //      q_embed_dedup) must pair up within their cluster ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
+      DedupOps.semanticDedup(emb.union(twins), "vec_id", "embedding",
+        threshold = 0.999, nClusters = 16)
+        .filter(col("id_b") === col("id_a") + 100000L)
+        .select(col("id_a"), col("id_b"), hround(col("cosine"), 3).as("cosine"))
+    }),
+
     // ---- S1/S3: brute-force cosine top-k ----
     "q_knn_brute" -> ((s, dir) => {
       val emb = BioLoader.load(s, t(dir, "embeddings"))
@@ -764,6 +777,10 @@ object SparkEntry {
         |FROM documents ORDER BY id_a""".stripMargin,
 
     "q_embed_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "q_semantic_dedup" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
         |FROM embeddings ORDER BY id_a""".stripMargin,
 

@@ -462,4 +462,81 @@ object DedupOps {
       .select(idCol).distinct()
     clean.unionByName(suspects.join(contaminatedIds, Seq(idCol), "left_anti"))
   }
+
+  /** Streaming-safe decontamination: the Bloom probe alone, no
+    * verify join (distinct + anti-join don't stream). The probe is
+    * a stateless scan-stage filter, so this runs identically on a
+    * batch frame or inside `readStream → filter → writeStream`.
+    *
+    * Semantics vs [[decontaminate]]: Bloom false POSITIVES are
+    * dropped without verification — the conservative direction for
+    * decontamination (a clean doc is lost at ≤ shingles·fpp
+    * probability; contaminated docs are NEVER kept, since Bloom has
+    * no false negatives). Tune `fpp` down if over-dropping matters.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      n: Int = 5,
+      expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.0001
+  ): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    if (evalShingles.isEmpty) return docs
+    val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    docs.filter(!exists(HE.shingleHashesText(col(textCol), n),
+      s => graft.functions.CurationExpressions.inBloom(s, bc)))
+  }
+
+  /** SemDeDup-style semantic dedup: k-means clusters as dedup
+    * buckets (Abbas et al. 2023 — cluster the embedding space, then
+    * prune near-duplicate pairs WITHIN each cluster). The
+    * data-adaptive complement to [[embeddingDedup]]'s oblivious
+    * hyperplane buckets: centroids follow the corpus density, so
+    * semantically tight regions land in one bucket without
+    * multi-table amplification.
+    *
+    * Shape mirrors the IVF build + one-shuffle dedup pattern:
+    * bounded partition-spread driver sample → Lloyd's (the same
+    * seeded k-means++ as [[IvfKnnOps.buildIndex]]) → zero-shuffle
+    * [[IvfKnnOps.NearestCentroid]] assignment in the scan → ONE
+    * groupBy(cluster) with capped collect → fused cosine pair
+    * verify. Caveat (inherent to SemDeDup): a pair straddling a
+    * Voronoi boundary is missed; raise `nClusters` resolution or
+    * fall back to [[embeddingDedup]] when recall dominates.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nClusters: Int = 256,
+      maxBucket: Int = 2000,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      maxSample: Int = 65536
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rdd0 = df.select(col(vecCol).cast("array<double>")).rdd
+    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
+    val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty input for semanticDedup")
+    val centers = IvfKnnOps.lloyds(sample, math.min(nClusters, sample.length), maxIter, seed)
+    val bkt = ColumnBridge.column(
+      IvfKnnOps.NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"), bkt.as("bkt"))
+      .filter(col("v").isNotNull)
+    val buckets = assigned.groupBy("bkt")
+      .agg(PG.cappedCollectList(struct(col("id"), col("v")), maxBucket + 1).as("m"))
+      .filter(size(col("m")) <= maxBucket)
+    buckets
+      .select(PG.cosinePairs(col("m"), threshold).as(Seq("id_a", "id_b", "cosine")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
 }

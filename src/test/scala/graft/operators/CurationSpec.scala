@@ -111,6 +111,39 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("semanticDedup pairs near-identical vectors within their k-means cluster") {
+    val base = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(1.001, 0.0, 0.0, 0.0)), // near-dup of 1
+      (3L, Array(0.0, 1.0, 0.0, 0.0)),
+      (4L, Array(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "vec")
+    val pairs = DedupOps.semanticDedup(base, "id", "vec",
+      threshold = 0.999, nClusters = 3, maxSample = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
+  test("decontaminateStream: the bloom-only probe filters a live stream (stateless scan-stage filter)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val evalDf = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val out = DedupOps.decontaminateStream(stream, evalDf, "text", n = 5,
+      expectedEvalShingles = 100L)
+    val q = out.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(
+        (1L, "training text where the quick brown fox jumps over the lazy dog appears"),
+        (2L, "completely unrelated content about catalyst physical planning"))
+      q.processAllAvailable()
+      val kept = spark.table("decontam_stream").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(2L), kept.toString)
+    } finally q.stop()
+  }
+
   test("decontaminate: eval docs shorter than n use the whole-window rule") {
     val evalDf = Seq("tiny eval snippet").toDF("text") // 3 tokens < n=5 -> one whole-window shingle
     val docs = Seq(
