@@ -452,8 +452,11 @@ object DedupOps {
     val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     val shingles = HE.shingleHashesText(col(textCol), n)
+    // null text has no shingles and cannot be contaminated — without
+    // the coalesce the null probe fails BOTH branch filters and the
+    // row silently vanishes
     val probed = docs.withColumn("__maybe",
-      exists(shingles, s => graft.functions.CurationExpressions.inBloom(s, bc)))
+      coalesce(exists(shingles, s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
     val clean = probed.filter(!col("__maybe")).drop("__maybe")
     val suspects = probed.filter(col("__maybe")).drop("__maybe")
     val contaminatedIds = suspects
@@ -488,8 +491,8 @@ object DedupOps {
     if (evalShingles.isEmpty) return docs
     val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
-    docs.filter(!exists(HE.shingleHashesText(col(textCol), n),
-      s => graft.functions.CurationExpressions.inBloom(s, bc)))
+    docs.filter(!coalesce(exists(HE.shingleHashesText(col(textCol), n),
+      s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
   }
 
   /** SemDeDup-style semantic dedup: k-means clusters as dedup
@@ -521,7 +524,8 @@ object DedupOps {
       maxSample: Int = 65536
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val rdd0 = df.select(col(vecCol).cast("array<double>")).rdd
+    val rdd0 = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull).rdd
     val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
     val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
       .map(_.getSeq[Double](0).toArray)

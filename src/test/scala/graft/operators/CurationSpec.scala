@@ -111,6 +111,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 4L))
   }
 
+  test("null-text docs survive decontaminate (no shingles means not contaminated, never silently dropped)") {
+    val evalDf = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val docs = Seq((1L, Option("fox jumps over the lazy dog quoted verbatim")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val kept = DedupOps.decontaminate(docs, evalDf, "text", "doc_id", n = 5,
+      expectedEvalShingles = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept.toString)
+    val keptStream = DedupOps.decontaminateStream(docs, evalDf, "text", n = 5,
+      expectedEvalShingles = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStream == Set(2L), keptStream.toString)
+  }
+
+  test("semanticDedup: null vectors are ignored by the sampler and the buckets") {
+    val base = Seq(
+      (1L, Some(Array(1.0, 0.0))),
+      (2L, Some(Array(1.001, 0.0))),
+      (3L, None: Option[Array[Double]])
+    ).toDF("id", "vec")
+    val pairs = DedupOps.semanticDedup(base, "id", "vec",
+      threshold = 0.999, nClusters = 1, maxSample = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("semanticDedup pairs near-identical vectors within their k-means cluster") {
     val base = Seq(
       (1L, Array(1.0, 0.0, 0.0, 0.0)),
