@@ -170,6 +170,7 @@ object IvfKnnOps {
       maxSample: Int = 65536
   ): IvfIndex = {
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull) // null vecs would NPE the sample collect
     val sampled = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
     // bounded collect SPREAD across partitions (a global limit() is
     // a storage-order prefix — on date/tenant-clustered layouts the
@@ -415,6 +416,7 @@ object IvfKnnOps {
   ): PqIndex = {
     require(kPerSub <= 256, "PQ codes are single bytes: kPerSub must be <= 256")
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull) // null vecs would NPE the sample collect
     val rdd0 = vecs.rdd
     val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
     val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
