@@ -478,6 +478,38 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // ---- G1: per-source quota (data-mixing cap) ----
+    "q_mix_quota" -> ((s, dir) => {
+      MixOps.perGroupQuota(BioLoader.load(s, t(dir, "documents")), "source", Seq("doc_id"), 10)
+        .select("doc_id", "source")
+    }),
+
+    // ---- G2: percentile-gated quality filter (top 20% by score) ----
+    "q_quantile_filter" -> ((s, dir) => {
+      val scored = TextOps.qualityScore(BioLoader.load(s, t(dir, "documents")), "text")
+      MixOps.filterByQuantile(scored, "quality", 0.8)
+        .select("doc_id", "quality")
+    }),
+
+    // ---- G3: FFD sequence packing. WHICH bin a doc lands in is
+    //      partition-layout-specific; the packing INVARIANTS are
+    //      exact and oracle them: every doc packed exactly once,
+    //      token totals preserved, and no multi-doc bin over
+    //      budget. ----
+    "q_pack" -> ((s, dir) => {
+      val toks = TextOps.tokenCounts(BioLoader.load(s, t(dir, "documents")), "text")
+        .select(col("doc_id"), col("n_tokens_ws").cast("long").as("n_tokens"))
+      val packed = MixOps.packSequences(toks, "doc_id", "n_tokens", maxTokens = 512L)
+      val bins = packed.groupBy("bin_id")
+        .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("bin_docs"))
+      packed.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("doc_id").as("n_distinct_docs"))
+        .crossJoin(bins.agg(
+          sum(when(col("bin_tokens") > 512L && col("bin_docs") > 1, 1L).otherwise(0L)).as("n_violations")))
+    }),
+
     // ---- N8/L4: feature-metadata-driven hierarchical rollup ----
     "q_rollup" -> ((s, dir) => {
       val fact = BioLoader.load(s, t(dir, "lineitem"))
@@ -906,6 +938,40 @@ object SparkEntry {
     "q_tokens" ->
       """SELECT doc_id,
         |  CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens_ws
+        |FROM documents""".stripMargin,
+
+    "q_mix_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+
+    "q_quantile_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks,
+        |    greatest(length(text), 1)::DOUBLE AS nchar
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_sum([length(x) FOR x IN toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nchar AS pd,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nchar AS dd,
+        |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS ur,
+        |    CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
+        |  FROM f
+        |), s AS (
+        |  SELECT doc_id,
+        |    floor((0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM g
+        |), thr AS (SELECT quantile_cont(quality, 0.8) AS t FROM s)
+        |SELECT doc_id, quality FROM s, thr WHERE quality >= t""".stripMargin,
+
+    "q_pack" ->
+      """SELECT count(*) AS n_docs,
+        |  SUM(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''])) AS total_tokens,
+        |  count(DISTINCT doc_id) AS n_distinct_docs,
+        |  CAST(0 AS BIGINT) AS n_violations
         |FROM documents""".stripMargin,
 
     "q_repetition" ->

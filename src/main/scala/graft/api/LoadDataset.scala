@@ -94,7 +94,7 @@ object LoadDataset {
   }
 
   private val dataExtensions =
-    Set("csv", "tsv", "txt", "json", "jsonl", "parquet", "arrow", "feather", "npz", "zip")
+    Set("csv", "tsv", "txt", "json", "jsonl", "parquet", "orc", "arrow", "feather", "npz", "zip")
 
   /** Dispatch extension matching BioLoader's: gz/bz2 compression
     * suffixes stripped (a.csv.gz IS a csv), so compressed shards are

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for assembling training corpora: per-source
+  * quotas, score-percentile gates, and fixed-budget sequence
+  * packing. These sit downstream of the curation ops (quality,
+  * dedup) and upstream of shard export — the "recipe" stage of an
+  * LLM data pipeline.
+  */
+object MixOps {
+
+  /** Cap rows per group — the data-mixing quota rule ("at most N
+    * docs per domain/source"). Deterministic: rows rank by
+    * `orderCols` inside each group and ranks above `quota` drop.
+    * One hash shuffle on the group key; the rank is a window over
+    * already-grouped partitions, not a global sort.
+    */
+  def perGroupQuota(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      quota: Int
+  ): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Keep rows whose `scoreCol` is at or above the `q`-quantile of
+    * the corpus — percentile-gated quality filtering ("top 20% by
+    * quality score").
+    *
+    * The threshold comes from ONE aggregate (exact
+    * linear-interpolation `percentile` by default — the same
+    * definition as ANSI `quantile_cont`, which is what makes the
+    * gate oracle-checkable; `exact=false` switches to
+    * `approx_percentile` for corpora where the exact aggregate's
+    * driver buffer matters) and broadcasts back as a 1-row cross
+    * join — the fact side is scanned once and never shuffles.
+    */
+  def filterByQuantile(
+      df: DataFrame,
+      scoreCol: String,
+      q: Double,
+      exact: Boolean = true
+  ): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val thr =
+      if (exact) df.agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
+      else df.agg(expr(s"approx_percentile($scoreCol, $q, 10000)").cast("double").as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  private case class PackedDoc(doc_id: Long, n_tokens: Long, bin_id: Long)
+
+  /** First-fit-decreasing sequence packing: assign docs to bins of
+    * at most `maxTokens` tokens each — the training-batch packing
+    * step ("fill 2048-token sequences with documents"). Docs longer
+    * than `maxTokens` get a bin of their own (callers chunk first
+    * if overflow is unacceptable).
+    *
+    * Distributed shape: FFD runs independently PER PARTITION after
+    * a partition-local descending sort (`sortWithinPartitions` —
+    * no global sort, no shuffle beyond the caller's partitioning).
+    * Per-partition FFD keeps every bin except possibly the last
+    * more than half full, so total bins ≤ totalTokens/(maxTokens/2)
+    * + numPartitions — within 2× of optimal at any scale, and each
+    * partition only holds its open-bin token counters in memory.
+    * Bin ids are globally unique: (partitionId << 33) | localBin.
+    *
+    * Output: (doc_id, n_tokens, bin_id) — one row per doc.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      maxTokens: Long
+  ): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(tokenCol).cast("long").as("n_tokens"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // open bins: remaining capacity per local bin id. FFD scans
+        // for the first bin that fits; docs arrive largest-first.
+        val remaining = scala.collection.mutable.ArrayBuffer[Long]()
+        it.map { case (id, tok) =>
+          var b = 0
+          while (b < remaining.length && remaining(b) < tok) b += 1
+          if (b == remaining.length) remaining.append(math.max(maxTokens - tok, 0L))
+          else remaining(b) -= tok
+          PackedDoc(id, tok, (pid << 33) | b.toLong)
+        }
+      }
+      .toDF()
+  }
+}

@@ -106,6 +106,7 @@ object BioLoader {
   private def loadOne(spark: SparkSession, paths: Seq[String], csv: CsvOptions, ext: String): DataFrame = {
     ext match {
       case "parquet" => spark.read.parquet(paths: _*)
+      case "orc"     => spark.read.orc(paths: _*)
       case "csv" | "tsv" | "txt" =>
         val sep = if (extensionOf(paths.head) == "tsv") "\t" else csv.sep
         var r = spark.read
@@ -276,6 +277,7 @@ object BioLoader {
     }
     format match {
       case "parquet" => spark.readStream.schema(resolved).parquet(glob)
+      case "orc"     => spark.readStream.schema(resolved).orc(glob)
       case "json" | "jsonl" => spark.readStream.schema(resolved).json(glob)
       case "csv" | "tsv" | "txt" =>
         val sep = if (format == "tsv") "\t" else csv.sep

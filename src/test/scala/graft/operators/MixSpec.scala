@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators: per-group quotas, percentile gates,
+  * sequence packing.
+  */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perGroupQuota caps rows per group deterministically (lowest order keys win)") {
+    val df = Seq(
+      ("a", 3L), ("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 5L)
+    ).toDF("src", "id")
+    val kept = MixOps.perGroupQuota(df, "src", Seq("id"), 2)
+      .select("src", "id").as[(String, Long)].collect().toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 5L)))
+  }
+
+  test("filterByQuantile keeps the top (1-q) fraction by score; exact and approx paths agree on clean data") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val exact = MixOps.filterByQuantile(df, "score", 0.8)
+      .select("id").as[Long].collect().toSet
+    // quantile_cont(0.8) over 1..100 = 80.2 -> keep 81..100
+    assert(exact == (81L to 100L).toSet, exact.toString)
+    val approx = MixOps.filterByQuantile(df, "score", 0.8, exact = false)
+      .select("id").as[Long].collect().toSet
+    assert(approx.size >= 18 && approx.size <= 22 && approx.subsetOf((79L to 100L).toSet), approx.toString)
+  }
+
+  test("packSequences: every doc packed once, multi-doc bins within budget, oversize docs isolated") {
+    val docs = Seq(
+      (1L, 300L), (2L, 300L), (3L, 200L), (4L, 100L), (5L, 50L),
+      (6L, 700L), // oversize: own bin
+      (7L, 512L)  // exact fit: own bin, not a violation
+    ).toDF("doc_id", "n_tokens")
+    val packed = MixOps.packSequences(docs, "doc_id", "n_tokens", 512L).cache()
+    assert(packed.count() == 7)
+    assert(packed.select("doc_id").distinct().count() == 7)
+    assert(packed.agg(sum("n_tokens")).as[Long].collect()(0) == 2162L)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+    assert(bins.filter(col("tok") > 512L && col("n") > 1).count() == 0)
+    // the oversize doc sits alone
+    val bin6 = packed.filter(col("doc_id") === 6L).select("bin_id").as[Long].collect()(0)
+    assert(packed.filter(col("bin_id") === bin6).count() == 1)
+    // FFD on one partition packs tightly: 300+200 and 300+100+50+... fit together
+    val oneP = MixOps.packSequences(docs.repartition(1), "doc_id", "n_tokens", 512L)
+    val nBins = oneP.select("bin_id").distinct().count()
+    assert(nBins <= 4, s"FFD should pack 7 docs (2162 tokens) into <=4 bins on one partition, got $nBins")
+    packed.unpersist()
+  }
+
+  test("packSequences is deterministic for a fixed partitioning") {
+    val docs = (1 to 200).map(i => (i.toLong, (i * 37 % 300 + 1).toLong)).toDF("doc_id", "n_tokens")
+      .repartition(4, col("doc_id"))
+    val a = MixOps.packSequences(docs, "doc_id", "n_tokens", 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val b = MixOps.packSequences(docs, "doc_id", "n_tokens", 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("BioLoader reads ORC (native Spark datasource)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.orc(s"$dir/data.orc")
+    val df = graft.sources.BioLoader.load(spark, s"$dir/data.orc")
+    assert(df.count() == 2 && df.columns.toSeq == Seq("id", "v"))
+  }
+}
