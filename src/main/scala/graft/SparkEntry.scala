@@ -369,6 +369,21 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // ---- S7: IVF-OPQ — parametric OPQ rotation (PCA + balanced
+    //      eigenvalue allocation) before subspace quantization; the
+    //      planted exact twin has residual identical to the query's,
+    //      so rotation preserves retrieval at rank 1 ----
+    "q_knn_opq" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.union(queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val index = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding",
+        nLists = 16, m = 8, maxIter = 5, opq = true)
+      IvfKnnOps.pqTopK(queries, index, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ---- S6b: IVF-PQ with exact re-rank — the short-list is
     //      re-scored on raw vectors, so the planted exact twin must
     //      surface at rank 1 with an exact squared-L2 of 0.0 (a
@@ -830,6 +845,10 @@ object SparkEntry {
 
     "q_knn_pq_rerank" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 0.0 AS l2sq, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_knn_opq" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_pii_redact" ->

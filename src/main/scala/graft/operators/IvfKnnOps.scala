@@ -254,7 +254,16 @@ object IvfKnnOps {
     * ANN probe cost is scan bandwidth, and PQ codes cut the bytes
     * read per candidate by >an order of magnitude.
     */
-  final case class PqCodebooks(m: Int, subDim: Int, centers: Array[Array[Array[Double]]])
+  /** @param rotation optional OPQ orthogonal rotation (dim×dim,
+    *   rows are permuted covariance eigenvectors): residuals are
+    *   rotated BEFORE subspace quantization, so correlated/
+    *   unbalanced dimensions spread their variance evenly across
+    *   the m subspaces (Ge et al. 2013, parametric OPQ). null =
+    *   identity (plain PQ).
+    */
+  final case class PqCodebooks(
+      m: Int, subDim: Int, centers: Array[Array[Array[Double]]],
+      rotation: Array[Array[Double]] = null)
       extends Serializable
 
   final case class PqIndex(
@@ -273,13 +282,14 @@ object IvfKnnOps {
       elemIsFloat: Boolean
   ): ArrayData = {
     val n = arr.numElements()
-    val res = new Array[Double](n)
+    val raw = new Array[Double](n)
     var i = 0
     while (i < n) {
       val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      res(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
+      raw(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
       i += 1
     }
+    val res = if (books.rotation == null) raw else matVec(books.rotation, raw)
     val codes = new Array[Byte](books.m)
     var s = 0
     while (s < books.m) {
@@ -341,6 +351,118 @@ object IvfKnnOps {
     acc
   }
 
+  /** Dense row-major mat·vec — public: invoked from generated code. */
+  def matVec(mat: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      val d = math.min(row.length, v.length)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += row(j) * v(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    out
+  }
+
+  /** OPQ query-side residual: R·(q − centroid) — public: invoked
+    * from generated code. Computed ONCE per (query, probed list)
+    * row, so the per-candidate distance stays O(dim) — rotating
+    * inside the candidate scan would cost O(dim²) per row.
+    */
+  def rotateResidualKernel(
+      arr: ArrayData,
+      centroid: Array[Double],
+      rotation: Array[Array[Double]],
+      elemIsFloat: Boolean
+  ): ArrayData = {
+    val n = arr.numElements()
+    val raw = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      raw(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
+      i += 1
+    }
+    new GenericArrayData(matVec(rotation, raw))
+  }
+
+  /** ADC distance in the ROTATED residual space: Σ (rq − dec)².
+    * Valid because the rotation is orthogonal — ‖q − (c + Rᵀdec)‖²
+    * = ‖R(q−c) − dec‖². Public: invoked from generated code.
+    */
+  def pqDistanceRotatedKernel(codes: ArrayData, rq: ArrayData, books: PqCodebooks): Double = {
+    var acc = 0.0
+    val dim = rq.numElements()
+    var s = 0
+    while (s < books.m) {
+      val cent = books.centers(s)(codes.getByte(s) & 0xff)
+      val off = s * books.subDim
+      var j = 0
+      while (j < books.subDim) {
+        val idx = off + j
+        if (idx < dim) { val x = rq.getDouble(idx) - cent(j); acc += x * x }
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  case class RotateResidual(child: Expression, listExpr: Expression,
+      centroids: Array[Array[Double]], rotation: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = child
+    override def right: Expression = listExpr
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+    override def prettyName: String = "rotate_residual"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RotateResidual =
+      copy(child = l, listExpr = r)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(vec: Any, list: Any): Any =
+      rotateResidualKernel(vec.asInstanceOf[ArrayData],
+        centroids(list.asInstanceOf[Int]), rotation, elemIsFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftPqCentroids", centroids, "double[][]")
+      val rotRef = ctx.addReferenceObj("graftOpqRotation", rotation, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, l) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.rotateResidualKernel($v, $centRef[$l], $rotRef, $elemIsFloat);")
+    }
+  }
+
+  case class PqDistanceRotated(codes: Expression, rq: Expression, books: PqCodebooks)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = codes
+    override def right: Expression = rq
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "pq_distance_rotated"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqDistanceRotated =
+      copy(codes = l, rq = r)
+
+    override def nullSafeEval(c: Any, q: Any): Any =
+      java.lang.Double.valueOf(pqDistanceRotatedKernel(
+        c.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData], books))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val bookRef = ctx.addReferenceObj("graftPqBooks", books, classOf[PqCodebooks].getName)
+      nullSafeCodeGen(ctx, ev, (c, q) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.pqDistanceRotatedKernel($c, $q, $bookRef);")
+    }
+  }
+
   case class PqEncode(child: Expression, centroids: Array[Array[Double]], books: PqCodebooks, listExpr: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def left: Expression = child
@@ -398,10 +520,119 @@ object IvfKnnOps {
     }
   }
 
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * returns (eigenvalues, eigenvectors as COLUMNS). O(d³) per
+    * sweep on the driver; d is the embedding dim (64 here), so the
+    * whole decomposition is microseconds. Public-textbook algorithm
+    * (Golub & Van Loan §8.5).
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-14) {
+            off += apq * apq
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Parametric OPQ rotation (Ge et al. 2013 "OPQ-P"): PCA-rotate
+    * the residual space, then allocate principal directions to the
+    * m subspaces balancing the PRODUCT of eigenvalues per subspace
+    * (greedy largest-first into the emptiest bucket) so every
+    * codebook quantizes a comparable variance budget. Returns the
+    * dim×dim orthogonal matrix whose ROWS are the allocated
+    * eigenvector directions, ordered so rows s·subDim..(s+1)·subDim
+    * feed subspace s.
+    */
+  private[graft] def opqRotation(residuals: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val dim = residuals(0).length
+    val subDim = dim / m
+    val n = residuals.length.toDouble
+    val cov = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < residuals.length) {
+      val r = residuals(i)
+      var a = 0
+      while (a < dim) {
+        val ra = r(a)
+        var b = a
+        while (b < dim) { cov(a)(b) += ra * r(b); b += 1 }
+        a += 1
+      }
+      i += 1
+    }
+    var a = 0
+    while (a < dim) { var b = a; while (b < dim) { cov(a)(b) /= n; cov(b)(a) = cov(a)(b); b += 1 }; a += 1 }
+    val (values, vectors) = jacobiEigen(cov)
+    // eigen directions sorted by variance, largest first
+    val order = (0 until dim).sortBy(i => -values(i))
+    // greedy balance: assign each direction to the not-yet-full
+    // subspace with the smallest accumulated log-variance product
+    val logSum = Array.fill(m)(0.0)
+    val fill = Array.fill(m)(0)
+    val assign = Array.fill(m)(scala.collection.mutable.ArrayBuffer[Int]())
+    for (idx <- order) {
+      val s = (0 until m).filter(fill(_) < subDim).minBy(logSum(_))
+      assign(s) += idx
+      fill(s) += 1
+      logSum(s) += math.log(math.max(values(idx), 1e-300))
+    }
+    val rot = Array.ofDim[Double](dim, dim)
+    var row = 0
+    for (s <- 0 until m; idx <- assign(s)) {
+      var k = 0
+      while (k < dim) { rot(row)(k) = vectors(k)(idx); k += 1 } // eigenvector idx as a row
+      row += 1
+    }
+    rot
+  }
+
   /** Fit coarse centroids + per-subspace residual codebooks on the
     * bounded driver sample, then PQ-encode the whole corpus in ONE
     * zero-shuffle distributed pass (both assignment and encoding are
     * codegen'd expressions). `kPerSub` ≤ 256 (codes are bytes).
+    *
+    * @param opq learn a parametric-OPQ rotation ([[opqRotation]])
+    *   from the residual sample and quantize in the rotated space —
+    *   balances variance across subspaces when dimensions are
+    *   correlated or unevenly scaled; identity (plain PQ) when off.
     */
   def buildPqIndex(
       corpus: DataFrame,
@@ -412,7 +643,8 @@ object IvfKnnOps {
       kPerSub: Int = 256,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536
+      maxSample: Int = 65536,
+      opq: Boolean = false
   ): PqIndex = {
     require(kPerSub <= 256, "PQ codes are single bytes: kPerSub must be <= 256")
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
@@ -427,10 +659,12 @@ object IvfKnnOps {
     val subDim = dim / m
     val centers = lloyds(sample, nLists, maxIter, seed)
     // residuals of the sample under the fitted coarse quantizer
-    val residuals = sample.map { v =>
+    val rawResiduals = sample.map { v =>
       val c = centers(nearest(v, centers))
       Array.tabulate(dim)(i => v(i) - c(i))
     }
+    val rotation = if (opq) opqRotation(rawResiduals, m) else null
+    val residuals = if (rotation == null) rawResiduals else rawResiduals.map(matVec(rotation, _))
     // the m subspace fits are independent — run them on a driver
     // thread pool (the fit is the dominant cost of buildPqIndex;
     // deterministic: each subspace keeps its own seed)
@@ -448,7 +682,7 @@ object IvfKnnOps {
         }
         futures.map(_.get()).toArray
       } finally pool.shutdown()
-    val books = PqCodebooks(m, subDim, subBooks)
+    val books = PqCodebooks(m, subDim, subBooks, rotation)
     val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
     val listCol = ColumnBridge.column(
       NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))
@@ -485,14 +719,30 @@ object IvfKnnOps {
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "list_id")
     val centers = index.centroids.sortBy(_._1).map(_._2)
-    val scored = index.encoded
-      .join(broadcast(probes), Seq("list_id"))
-      .filter(col("query_id") =!= col("id"))
-      .withColumn("dist", ColumnBridge.column(PqDistance(
-        ColumnBridge.expression(col("codes")),
+    // OPQ: rotate the query residual ONCE per (query, probed list)
+    // row — |Q|·nProbe rotations total — so the per-candidate ADC
+    // stays O(dim); plain PQ scores straight from (qv, centroid)
+    val probeSide =
+      if (index.codebooks.rotation == null) probes
+      else probes.withColumn("rqv", ColumnBridge.column(RotateResidual(
         ColumnBridge.expression(col("qv")),
         ColumnBridge.expression(col("list_id")),
-        centers, index.codebooks)))
+        centers, index.codebooks.rotation)))
+    val joined = index.encoded
+      .join(broadcast(probeSide), Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+    val scored =
+      (if (index.codebooks.rotation == null)
+        joined.withColumn("dist", ColumnBridge.column(PqDistance(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("qv")),
+          ColumnBridge.expression(col("list_id")),
+          centers, index.codebooks)))
+      else
+        joined.withColumn("dist", ColumnBridge.column(PqDistanceRotated(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("rqv")),
+          index.codebooks))))
       // TopK keeps the LARGEST scores: negate distance for ascending-L2 ranking
       .select(col("query_id"), col("id").as("neighbor_id"),
         (-VF.hround(col("dist"), 6)).as("cosine"))

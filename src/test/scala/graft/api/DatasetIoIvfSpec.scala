@@ -206,6 +206,63 @@ class DatasetIoIvfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("OPQ rotation is orthogonal and balances variance across subspaces") {
+    val rng = new scala.util.Random(7)
+    // anisotropic: dims 0-3 high variance, dims 4-7 near-noise —
+    // with m=4 axis-aligned subspaces, two codebooks see almost
+    // nothing while two starve
+    val residuals = Array.fill(2000)(Array.tabulate(8)(d =>
+      if (d < 4) rng.nextGaussian() * 10.0 else rng.nextGaussian() * 0.1))
+    val rot = IvfKnnOps.opqRotation(residuals, m = 4)
+    // R Rᵀ = I
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val dot = (0 until 8).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt[$i][$j] = $dot")
+    }
+    // every subspace receives comparable variance: rotated-residual
+    // per-subspace energy within 3x of each other (axis-aligned
+    // split would be ~10000x apart)
+    val energy = Array.fill(4)(0.0)
+    for (r <- residuals) {
+      val rr = IvfKnnOps.matVec(rot, r)
+      for (s <- 0 until 4; j <- 0 until 2) energy(s) += rr(s * 2 + j) * rr(s * 2 + j)
+    }
+    assert(energy.max / energy.min < 3.0, energy.mkString(","))
+  }
+
+  test("OPQ cuts PQ quantization error on anisotropic data; planted twins still retrieved") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 400L).map(i => (i, Array.tabulate(8)(d =>
+      if (d < 4) rng.nextGaussian() * 10.0 else rng.nextGaussian() * 0.1)))
+    val df = rows.toDF("vec_id", "embedding")
+    def quantError(opq: Boolean): Double = {
+      // plant an exact twin of every vector: the twin's TRUE
+      // distance is 0, so the ADC distance reported for the
+      // (query, twin) pair is purely that vector's quantization
+      // error — averaged, it is the codebook's distortion
+      val twins = df.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+      val idx = IvfKnnOps.buildPqIndex(df.union(twins), "vec_id", "embedding",
+        nLists = 4, m = 4, kPerSub = 16, maxIter = 8, opq = opq)
+      val pq = IvfKnnOps.pqTopK(df, idx, "vec_id", "embedding", 5, nProbe = 4)
+        .filter($"neighbor_id" === $"query_id" + 100000L)
+      val errs = pq.select("l2sq").as[Double].collect()
+      assert(errs.nonEmpty)
+      errs.sum / errs.length
+    }
+    val plain = quantError(opq = false)
+    val rotated = quantError(opq = true)
+    assert(rotated < plain, s"OPQ error $rotated should beat plain PQ $plain on anisotropic data")
+    // and the planted exact twin still surfaces at rank 1 under OPQ
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val corpus = emb.union(queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val oidx = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 8, m = 8, opq = true)
+    val top1 = IvfKnnOps.pqTopK(queries, oidx, "vec_id", "embedding", 5, nProbe = 8)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)}"))
+  }
+
   test("IVF-PQ re-rank: short-list re-scored on raw vectors matches exact L2 ranking over the candidate set") {
     val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < 10)
