@@ -144,7 +144,11 @@ object LoadDataset {
     */
   private def walkFiles(dir: String): Seq[DiscoveredFile] = {
     import org.apache.hadoop.fs.Path
+    // activeSession is THREAD-local — from a Future/pool thread it is
+    // unset even when a session exists, and a bare Configuration()
+    // would lose fs.s3a credentials; fall through to defaultSession
     val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     val root = new Path(dir)

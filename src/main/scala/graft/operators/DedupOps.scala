@@ -383,6 +383,22 @@ object DedupOps {
       .distinct()
   }
 
+  /** Bloom filter over a single long column in ONE distributed
+    * pass — `treeAggregate`, so partial filters merge in a tree
+    * instead of all landing on the driver, and the empty-input case
+    * degrades to an all-miss filter instead of the NPE
+    * `stat.bloomFilter` throws.
+    */
+  private def bloomOf(
+      keys: DataFrame,
+      expectedItems: Long,
+      fpp: Double
+  ): org.apache.spark.util.sketch.BloomFilter =
+    keys.rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp))(
+      (f, row) => { if (!row.isNullAt(0)) f.putLong(row.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+
   /** Drop incoming docs whose `textCol` already exists in a
     * reference corpus — exact membership semantics (equal text),
     * Bloom-gated so the non-matching majority never shuffles.
@@ -406,17 +422,19 @@ object DedupOps {
       expectedCorpusItems: Long = 1000000L,
       fpp: Double = 0.01
   ): DataFrame = {
-    val keyed = corpus.select(xxhash64(col(textCol)).as("__k"))
-    // Spark's stat.bloomFilter NPEs on an empty input (no partial to
-    // merge); an empty corpus means nothing can be a member
-    if (keyed.isEmpty) return docs
-    val bf = keyed.stat.bloomFilter("__k", expectedCorpusItems, fpp)
+    // ONE corpus pass builds the filter (treeAggregate — unlike
+    // stat.bloomFilter it is empty-safe: a zero-insert filter
+    // misses everything, so an empty corpus keeps every doc with no
+    // extra isEmpty job)
+    val bf = bloomOf(corpus.select(xxhash64(col(textCol)).as("__k")), expectedCorpusItems, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     val probed = docs.withColumn("__maybe",
       graft.functions.CurationExpressions.inBloom(xxhash64(col(textCol)), bc))
     val clean = probed.filter(!col("__maybe")).drop("__maybe")
+    // no distinct() on the corpus side: left_anti is set semantics
+    // already, and the pre-dedup would cost an extra full shuffle
     val suspects = probed.filter(col("__maybe")).drop("__maybe")
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .join(corpus.select(col(textCol)), Seq(textCol), "left_anti")
     clean.unionByName(suspects)
   }
 
@@ -447,9 +465,7 @@ object DedupOps {
     val evalShingles = evalSet
       .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
       .distinct()
-    // empty eval set -> nothing to match (and stat.bloomFilter NPEs on empty input)
-    if (evalShingles.isEmpty) return docs
-    val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
+    val bf = bloomOf(evalShingles, expectedEvalShingles, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     val shingles = HE.shingleHashesText(col(textCol), n)
     // null text has no shingles and cannot be contaminated — without
@@ -488,8 +504,7 @@ object DedupOps {
     val evalShingles = evalSet
       .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
       .distinct()
-    if (evalShingles.isEmpty) return docs
-    val bf = evalShingles.stat.bloomFilter("__sh", expectedEvalShingles, fpp)
+    val bf = bloomOf(evalShingles, expectedEvalShingles, fpp)
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     docs.filter(!coalesce(exists(HE.shingleHashesText(col(textCol), n),
       s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
@@ -529,7 +544,18 @@ object DedupOps {
     val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
     val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty input for semanticDedup")
+    // empty / all-null input -> zero duplicate pairs, not a crash
+    // (a scheduled pipeline may legitimately hit an empty partition)
+    if (sample.isEmpty) {
+      val spark = df.sparkSession
+      val idType = df.schema(idCol).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType),
+          org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    }
     val centers = IvfKnnOps.lloyds(sample, math.min(nClusters, sample.length), maxIter, seed)
     val bkt = ColumnBridge.column(
       IvfKnnOps.NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))

@@ -542,7 +542,13 @@ object IvfKnnOps {
           if (math.abs(apq) > 1e-14) {
             off += apq * apq
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // NOT signum(theta)/(...): signum(0)=0 would skip the
+            // rotation entirely when the two diagonal entries are
+            // exactly equal (e.g. duplicated dimensions) — the
+            // correct pivot there is the full 45° rotation (t=1)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0

@@ -50,9 +50,11 @@ object MixOps {
       exact: Boolean = true
   ): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    // Column builders, not expr() string interpolation — a column
+    // named "quality score" or "a.b" must resolve as a column
     val thr =
-      if (exact) df.agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
-      else df.agg(expr(s"approx_percentile($scoreCol, $q, 10000)").cast("double").as("__thr"))
+      if (exact) df.agg(percentile(col(scoreCol), lit(q)).as("__thr"))
+      else df.agg(approx_percentile(col(scoreCol), lit(q), lit(10000)).cast("double").as("__thr"))
     df.crossJoin(broadcast(thr))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
@@ -95,8 +97,12 @@ object MixOps {
         // for the first bin that fits; docs arrive largest-first.
         val remaining = scala.collection.mutable.ArrayBuffer[Long]()
         it.map { case (id, tok) =>
+          // zero-token docs still need a bin with ≥1 slack — without
+          // the max they'd "fit" a zero-capacity oversize bin and
+          // break the oversize-docs-sit-alone invariant
+          val need = math.max(tok, 1L)
           var b = 0
-          while (b < remaining.length && remaining(b) < tok) b += 1
+          while (b < remaining.length && remaining(b) < need) b += 1
           if (b == remaining.length) remaining.append(math.max(maxTokens - tok, 0L))
           else remaining(b) -= tok
           PackedDoc(id, tok, (pid << 33) | b.toLong)

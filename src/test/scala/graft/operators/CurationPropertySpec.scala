@@ -76,6 +76,43 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("jacobiEigen converges on equal diagonal entries (the signum(0) pivot case)") {
+    // cov [[2,1],[1,2]]: theta = 0 exactly; a signum-based pivot
+    // would skip the rotation and never annihilate the off-diagonal
+    val (values, vectors) = IvfKnnOps.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(values.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      values.mkString(","))
+    // eigenvector check: A v = lambda v
+    for (c <- 0 until 2) {
+      val v = Array(vectors(0)(c), vectors(1)(c))
+      val av = Array(2 * v(0) + v(1), v(0) + 2 * v(1))
+      val lam = values(c)
+      assert(math.abs(av(0) - lam * v(0)) < 1e-9 && math.abs(av(1) - lam * v(1)) < 1e-9)
+    }
+    // duplicated-dimension residuals (perfectly correlated, equal
+    // variance) must still yield an orthogonal rotation
+    val rng = new scala.util.Random(3)
+    val res = Array.fill(500) { val a = rng.nextGaussian(); val b = rng.nextGaussian()
+      Array(a, a, b, b) }
+    val rot = IvfKnnOps.opqRotation(res, m = 2)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val dot = (0 until 4).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8, s"dup-dim RRt[$i][$j]=$dot")
+    }
+  }
+
+  test("packSequences: zero-token docs never join a zero-capacity oversize bin") {
+    val docs = Seq((1L, 700L), (2L, 0L), (3L, 0L), (4L, 100L)).toDF("doc_id", "n_tokens")
+      .repartition(1)
+    val packed = MixOps.packSequences(docs, "doc_id", "n_tokens", 512L)
+    val binOf = packed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(binOf(2L) != binOf(1L) && binOf(3L) != binOf(1L),
+      s"zero-token docs joined the oversize bin: $binOf")
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("nd"))
+    assert(bins.filter(col("tok") > 512L && col("nd") > 1).count() == 0)
+  }
+
   test("property: opqRotation stays orthogonal across random shapes") {
     val rng = new scala.util.Random(29)
     for ((dim, m) <- Seq((8, 2), (16, 4), (12, 3))) {
