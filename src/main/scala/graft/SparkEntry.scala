@@ -506,6 +506,14 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // ---- G4: token-window chunking with overlap (cut docs to
+    //      <=50 tokens, 10-token context overlap) ----
+    "q_chunk" -> ((s, dir) => {
+      MixOps.chunkDocs(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
+        maxTokens = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
     // ---- G3: FFD sequence packing. WHICH bin a doc lands in is
     //      partition-layout-specific; the packing INVARIANTS are
     //      exact and oracle them: every doc packed exactly once,
@@ -985,6 +993,17 @@ object SparkEntry {
         |  FROM g
         |), thr AS (SELECT quantile_cont(quality, 0.8) AS t FROM s)
         |SELECT doc_id, quality FROM s, thr WHERE quality >= t""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, t, (greatest(len(t) - 50, 0) + 39) // 40 AS kk FROM t
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  md5(array_to_string(t[i*40+1 : i*40+50], ' ')) AS chunk_md5
+        |FROM k, UNNEST(generate_series(0, kk)) AS u(i)""".stripMargin,
 
     "q_pack" ->
       """SELECT count(*) AS n_docs,

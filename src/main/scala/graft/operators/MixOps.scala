@@ -60,6 +60,40 @@ object MixOps {
       .drop("__thr")
   }
 
+  /** Split long documents into overlapping token windows — the
+    * chunking step upstream of [[packSequences]] ("cut docs to
+    * ≤ maxTokens, then pack the pieces"). Chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; a doc of n tokens yields 1 + ⌈max(n − maxTokens, 0) /
+    * stride⌉ chunks, so every token is covered and consecutive
+    * chunks share `overlap` tokens of context. Uses the same
+    * tokenizer as the quality/dedup family; chunk text is the
+    * space-joined token window (normalized whitespace — chunking is
+    * a pre-training transform, not a reversible split).
+    *
+    * Pure scan-stage array expressions + one generator explode —
+    * zero shuffle, and every formula is integer arithmetic replayable
+    * in SQL (what makes it oracle-checkable).
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val k = floor((greatest(n - maxTokens, lit(0)) + lit(stride - 1)).cast("double") / stride).cast("int")
+    val chunks = transform(sequence(lit(0), k), i => struct(
+      i.cast("long").as("chunk_id"),
+      concat_ws(" ", slice(toks, i * stride + 1, lit(maxTokens))).as("chunk_text")))
+    df.select(col(idCol), inline(chunks))
+  }
+
   private case class PackedDoc(doc_id: Long, n_tokens: Long, bin_id: Long)
 
   /** First-fit-decreasing sequence packing: assign docs to bins of

@@ -170,6 +170,28 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation projections run unchanged on a stream (repetition/normalize/redact/chunk are stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val out = MixOps.chunkDocs(
+      TextOps.normalizeText(
+        TextOps.repetitionStats(stream, "text"), "text"),
+      "doc_id", "text_norm", maxTokens = 4)
+    val q = out.writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((1L, "Alpha  BETA gamma delta epsilon zeta"), (2L, "one two"))
+      q.processAllAvailable()
+      val rows = spark.table("curation_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+      assert(rows((1L, 0L)) == "alpha beta gamma delta")
+      assert(rows((1L, 1L)) == "epsilon zeta")
+      assert(rows((2L, 0L)) == "one two")
+    } finally q.stop()
+  }
+
   test("decontaminate: eval docs shorter than n use the whole-window rule") {
     val evalDf = Seq("tiny eval snippet").toDF("text") // 3 tokens < n=5 -> one whole-window shingle
     val docs = Seq(

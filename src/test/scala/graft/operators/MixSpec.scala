@@ -62,6 +62,35 @@ class MixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunkDocs: overlapping token windows cover every token; short docs stay whole") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ") // 25 tokens
+    val df = Seq((1L, text), (2L, "just five words in here"), (3L, "")).toDF("id", "text")
+    val chunks = MixOps.chunkDocs(df, "id", "text", maxTokens = 10, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // doc 1: stride 8 -> starts 0,8,16 -> 3 chunks
+    assert(chunks.keys.count(_._1 == 1L) == 3, chunks.keys.toString)
+    assert(chunks((1L, 0L)) == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(chunks((1L, 1L)) == (9 to 18).map(i => s"w$i").mkString(" "))  // 2-token overlap
+    assert(chunks((1L, 2L)) == (17 to 25).map(i => s"w$i").mkString(" ")) // tail clamps
+    // short doc: one whole chunk
+    assert(chunks((2L, 0L)) == "just five words in here")
+    assert(chunks.keys.count(_._1 == 2L) == 1)
+    // empty text: one empty chunk, doc not lost
+    assert(chunks((3L, 0L)) == "")
+  }
+
+  test("chunkDocs then packSequences: chunks respect the cap, so multi-doc bins always fit") {
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, long), (2L, long)).toDF("doc_id", "text")
+    val chunks = MixOps.chunkDocs(df, "doc_id", "text", maxTokens = 64)
+      .withColumn("piece_id", col("doc_id") * 1000 + col("chunk_id"))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")).cast("long"))
+    val packed = MixOps.packSequences(chunks, "piece_id", "n_tokens", 64L)
+    val over = packed.groupBy("bin_id").agg(sum("n_tokens").as("tok"))
+      .filter(col("tok") > 64L).count()
+    assert(over == 0, "chunked pieces can never overflow a bin")
+  }
+
   test("BioLoader reads ORC (native Spark datasource)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.orc(s"$dir/data.orc")
