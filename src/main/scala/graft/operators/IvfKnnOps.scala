@@ -630,6 +630,148 @@ object IvfKnnOps {
     rot
   }
 
+  /** Gauss-Jordan inverse with partial pivoting — d is the
+    * embedding dim, so this is driver-side microseconds.
+    */
+  private def matInv(a0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var c = 0
+    while (c < d) {
+      var piv = c
+      var r = c + 1
+      while (r < d) { if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r; r += 1 }
+      require(math.abs(a(piv)(c)) > 1e-13, "singular matrix in Procrustes solve")
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t; val u = inv(piv); inv(piv) = inv(c); inv(c) = u }
+      val p = a(c)(c)
+      var j = 0
+      while (j < d) { a(c)(j) /= p; inv(c)(j) /= p; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != c) {
+          val f = a(r)(c)
+          if (f != 0.0) { var j = 0; while (j < d) { a(r)(j) -= f * a(c)(j); inv(r)(j) -= f * inv(c)(j); j += 1 } }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** Orthogonal polar factor of a (nonsingular) square matrix via
+    * the Newton iteration X ← (X + X⁻ᵀ)/2 — for C = UΣVᵀ this
+    * converges to UVᵀ, which is exactly the Procrustes solution
+    * argmin_{R orthogonal} ‖R X − B‖ when C = B Xᵀ (Higham 1986).
+    */
+  private[graft] def polarOrthogonal(c0: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = c0.length
+    // ridge against exact singularity, scale for convergence
+    val norm = math.sqrt(c0.map(_.map(x => x * x).sum).sum / d)
+    var x = c0.map(_.map(_ / math.max(norm, 1e-12)))
+    var i = 0
+    while (i < d) { x(i)(i) += 1e-9; i += 1 }
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < 50 && delta > 1e-12) {
+      val invT = {
+        val inv = matInv(x)
+        Array.tabulate(d, d)((r, c) => inv(c)(r))
+      }
+      val next = Array.tabulate(d, d)((r, c) => 0.5 * (x(r)(c) + invT(r)(c)))
+      delta = (0 until d).map(r => (0 until d).map(c => math.abs(next(r)(c) - x(r)(c))).max).max
+      x = next
+      it += 1
+    }
+    x
+  }
+
+  /** Full OPQ (Ge et al. 2013, non-parametric): alternate between
+    * fitting subspace codebooks in the current rotated space and
+    * re-solving the rotation as the orthogonal Procrustes problem
+    * against the reconstructions (R ← polar(B Xᵀ)). Initialized
+    * from the parametric rotation; each iteration can only reduce
+    * the sample quantization error the two steps jointly minimize.
+    * Returns (rotation, fitted subspace codebooks) so the caller
+    * skips the final refit.
+    */
+  private[graft] def opqRotationFull(
+      residuals: Array[Array[Double]],
+      m: Int,
+      kPerSub: Int,
+      seed: Long,
+      iters: Int = 4,
+      fitIter: Int = 4
+  ): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val dim = residuals(0).length
+    val subDim = dim / m
+    var rot = opqRotation(residuals, m)
+    var books: Array[Array[Array[Double]]] = null
+    var t = 0
+    while (t < iters) {
+      val rotated = residuals.map(matVec(rot, _))
+      books = fitSubBooks(rotated, m, subDim, kPerSub, fitIter, seed + 101L * t)
+      if (t < iters - 1) {
+        // reconstructions in the rotated space
+        val bks = books
+        val recon = rotated.map { r =>
+          val out = new Array[Double](dim)
+          var s = 0
+          while (s < m) {
+            val sub = java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim)
+            val cent = bks(s)(nearest(sub, bks(s)))
+            System.arraycopy(cent, 0, out, s * subDim, subDim)
+            s += 1
+          }
+          out
+        }
+        // C = Σ recon_i · residual_iᵀ  (B Xᵀ), then R = polar(C)
+        val c = Array.ofDim[Double](dim, dim)
+        var i = 0
+        while (i < residuals.length) {
+          val b = recon(i); val x = residuals(i)
+          var r = 0
+          while (r < dim) {
+            val br = b(r)
+            if (br != 0.0) { var cc = 0; while (cc < dim) { c(r)(cc) += br * x(cc); cc += 1 } }
+            r += 1
+          }
+          i += 1
+        }
+        rot = polarOrthogonal(c)
+      }
+      t += 1
+    }
+    (rot, books)
+  }
+
+  /** Per-subspace codebook fits on a driver thread pool (the m fits
+    * are independent; deterministic per-subspace seeds).
+    */
+  private def fitSubBooks(
+      residuals: Array[Array[Double]],
+      m: Int,
+      subDim: Int,
+      kPerSub: Int,
+      maxIter: Int,
+      seed: Long
+  ): Array[Array[Array[Double]]] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors))
+    try {
+      val futures = (0 until m).map { s =>
+        pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
+          override def call(): Array[Array[Double]] = {
+            val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
+            lloyds(sub, math.min(kPerSub, sub.length), maxIter, seed + 31 * (s + 1))
+          }
+        })
+      }
+      futures.map(_.get()).toArray
+    } finally pool.shutdown()
+  }
+
   /** Fit coarse centroids + per-subspace residual codebooks on the
     * bounded driver sample, then PQ-encode the whole corpus in ONE
     * zero-shuffle distributed pass (both assignment and encoding are
@@ -639,6 +781,10 @@ object IvfKnnOps {
     *   from the residual sample and quantize in the rotated space —
     *   balances variance across subspaces when dimensions are
     *   correlated or unevenly scaled; identity (plain PQ) when off.
+    * @param opqIters 0 = parametric rotation only; >0 runs the full
+    *   alternating optimization ([[opqRotationFull]]: codebook fit ↔
+    *   Procrustes rotation solve) for that many rounds on the
+    *   driver sample.
     */
   def buildPqIndex(
       corpus: DataFrame,
@@ -650,7 +796,8 @@ object IvfKnnOps {
       seed: Long = 42L,
       maxIter: Int = 10,
       maxSample: Int = 65536,
-      opq: Boolean = false
+      opq: Boolean = false,
+      opqIters: Int = 0
   ): PqIndex = {
     require(kPerSub <= 256, "PQ codes are single bytes: kPerSub must be <= 256")
     val vecs = corpus.select(col(vecCol).cast("array<double>"))
@@ -669,25 +816,15 @@ object IvfKnnOps {
       val c = centers(nearest(v, centers))
       Array.tabulate(dim)(i => v(i) - c(i))
     }
-    val rotation = if (opq) opqRotation(rawResiduals, m) else null
-    val residuals = if (rotation == null) rawResiduals else rawResiduals.map(matVec(rotation, _))
-    // the m subspace fits are independent — run them on a driver
-    // thread pool (the fit is the dominant cost of buildPqIndex;
-    // deterministic: each subspace keeps its own seed)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(m, Runtime.getRuntime.availableProcessors))
-    val subBooks =
-      try {
-        val futures = (0 until m).map { s =>
-          pool.submit(new java.util.concurrent.Callable[Array[Array[Double]]] {
-            override def call(): Array[Array[Double]] = {
-              val sub = residuals.map(r => java.util.Arrays.copyOfRange(r, s * subDim, (s + 1) * subDim))
-              lloyds(sub, math.min(kPerSub, sub.length), maxIter, seed + 31 * (s + 1))
-            }
-          })
-        }
-        futures.map(_.get()).toArray
-      } finally pool.shutdown()
+    val (rotation, subBooks) =
+      if (opq && opqIters > 0) {
+        val (r, b) = opqRotationFull(rawResiduals, m, kPerSub, seed, iters = opqIters, fitIter = maxIter)
+        (r, b)
+      } else {
+        val rot = if (opq) opqRotation(rawResiduals, m) else null
+        val residuals = if (rot == null) rawResiduals else rawResiduals.map(matVec(rot, _))
+        (rot, fitSubBooks(residuals, m, subDim, kPerSub, maxIter, seed))
+      }
     val books = PqCodebooks(m, subDim, subBooks, rotation)
     val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
     val listCol = ColumnBridge.column(

@@ -94,7 +94,12 @@ object MixOps {
     df.select(col(idCol), inline(chunks))
   }
 
-  private case class PackedDoc(doc_id: Long, n_tokens: Long, bin_id: Long)
+  /** Public on purpose: Spark's generated deserializer invokes the
+    * accessors from janino-compiled code, which cannot see a
+    * Scala-private class — codegen would fail and silently fall
+    * back to the interpreted path on every packSequences call.
+    */
+  case class PackedDoc(doc_id: Long, n_tokens: Long, bin_id: Long)
 
   /** First-fit-decreasing sequence packing: assign docs to bins of
     * at most `maxTokens` tokens each — the training-batch packing

@@ -263,6 +263,41 @@ class DatasetIoIvfSpec extends SparkSpec {
     (0L until 10L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)}"))
   }
 
+  test("full OPQ (alternating Procrustes) matches-or-beats parametric OPQ and keeps planted retrieval") {
+    val rng = new scala.util.Random(23)
+    // correlated + anisotropic: PCA alone is a good but not jointly
+    // optimal rotation; the alternating loop refines against the
+    // actual codebooks
+    val rows = (0L until 400L).map { i =>
+      val a = rng.nextGaussian() * 8; val b = rng.nextGaussian() * 5
+      val base = Array(a, 0.7 * a + rng.nextGaussian(), b, 0.5 * b + rng.nextGaussian(),
+        rng.nextGaussian() * 0.2, rng.nextGaussian() * 0.2, rng.nextGaussian() * 0.1, rng.nextGaussian() * 0.1)
+      (i, base)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def twinErr(opqIters: Int): Double = {
+      val twins = df.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+      val idx = IvfKnnOps.buildPqIndex(df.union(twins), "vec_id", "embedding",
+        nLists = 4, m = 4, kPerSub = 16, maxIter = 8, opq = true, opqIters = opqIters)
+      if (opqIters > 0) {
+        val r = idx.codebooks.rotation
+        for (i <- r.indices; j <- r.indices) {
+          val dot = r.indices.map(k => r(i)(k) * r(j)(k)).sum
+          assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-6, s"full-OPQ RRt[$i][$j]=$dot")
+        }
+      }
+      val pq = IvfKnnOps.pqTopK(df, idx, "vec_id", "embedding", 5, nProbe = 4)
+        .filter($"neighbor_id" === $"query_id" + 100000L)
+      val errs = pq.select("l2sq").as[Double].collect()
+      assert(errs.nonEmpty)
+      errs.sum / errs.length
+    }
+    val parametric = twinErr(0)
+    val full = twinErr(4)
+    assert(full <= parametric * 1.02,
+      s"full OPQ $full should not regress vs parametric $parametric")
+  }
+
   test("IVF-PQ re-rank: short-list re-scored on raw vectors matches exact L2 ranking over the candidate set") {
     val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val queries = emb.filter($"vec_id" < 10)
