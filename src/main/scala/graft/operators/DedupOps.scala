@@ -482,6 +482,26 @@ object DedupOps {
     clean.unionByName(suspects.join(contaminatedIds, Seq(idCol), "left_anti"))
   }
 
+  /** Streaming-safe corpus-membership dedup: the Bloom probe alone,
+    * no verify join — the stream-side twin of [[dedupAgainstCorpus]]
+    * for `readStream → filter → writeStream` ingestion against a
+    * static reference corpus. Bloom false positives drop
+    * conservatively (a clean doc is lost at ≤ fpp probability —
+    * tune fpp down when that matters); true members are NEVER kept,
+    * since Bloom has no false negatives.
+    */
+  def dedupAgainstCorpusStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      expectedCorpusItems: Long = 1000000L,
+      fpp: Double = 0.0001
+  ): DataFrame = {
+    val bf = bloomOf(corpus.select(xxhash64(col(textCol)).as("__k")), expectedCorpusItems, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    docs.filter(!graft.functions.CurationExpressions.inBloom(xxhash64(col(textCol)), bc))
+  }
+
   /** Streaming-safe decontamination: the Bloom probe alone, no
     * verify join (distinct + anti-join don't stream). The probe is
     * a stateless scan-stage filter, so this runs identically on a

@@ -192,6 +192,23 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpusStream drops corpus members from a live stream (bloom-only, stateless)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = Seq("beta", "delta").toDF("text")
+    val ms = MemoryStream[(Long, String)](spark)
+    val stream = ms.toDF().toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainstCorpusStream(stream, corpus, "text", expectedCorpusItems = 100L)
+    val q = out.writeStream.format("memory").queryName("corpus_stream_dedup")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_stream_dedup").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), kept.toString)
+    } finally q.stop()
+  }
+
   test("decontaminate: eval docs shorter than n use the whole-window rule") {
     val evalDf = Seq("tiny eval snippet").toDF("text") // 3 tokens < n=5 -> one whole-window shingle
     val docs = Seq(
