@@ -838,6 +838,49 @@ object IvfKnnOps {
     PqIndex(centroids, books, encoded)
   }
 
+  /** Persist a PQ index: the m-byte codes partitioned by list (the
+    * same partition-pruned on-disk layout as [[saveIndex]] — probes
+    * read only their lists), plus tiny sidecar tables for the
+    * coarse centroids, subspace codebooks, optional OPQ rotation,
+    * and shape meta. Everything a fresh session needs to probe
+    * without refitting.
+    */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    index.encoded.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    val spark = index.encoded.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val b = index.codebooks
+    b.centers.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case (c, k) => (s, k, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val rotRows: Seq[(Int, Seq[Double])] =
+      Option(b.rotation).map(_.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq).getOrElse(Nil)
+    rotRows.toDF("row", "values")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    Seq((b.m, b.subDim)).toDF("m", "subDim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val (m, subDim) = (meta.getInt(0), meta.getInt(1))
+    val bookRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val centers = (0 until m).map { s =>
+      bookRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }.toArray
+    val rotRows = spark.read.parquet(s"$path/rotation")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val rotation = if (rotRows.isEmpty) null else rotRows.sortBy(_._1).map(_._2)
+    PqIndex(centroids, PqCodebooks(m, subDim, centers, rotation),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   /** Top-k by APPROXIMATE L2 over PQ codes, probing nProbe lists —
     * candidates are scored from m-byte codes (never the raw
     * vectors), ranked ascending distance with id tie-break through

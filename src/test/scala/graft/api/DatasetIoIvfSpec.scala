@@ -263,6 +263,26 @@ class DatasetIoIvfSpec extends SparkSpec {
     (0L until 10L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)}"))
   }
 
+  test("PQ index save/load round-trips codes, codebooks, and the OPQ rotation; probes work after reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqidx").toFile.getAbsolutePath
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val corpus = emb.union(queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    val built = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 8, m = 8, opq = true)
+    IvfKnnOps.savePqIndex(built, dir)
+    val loaded = IvfKnnOps.loadPqIndex(spark, dir)
+    assert(loaded.codebooks.m == built.codebooks.m && loaded.codebooks.subDim == built.codebooks.subDim)
+    assert(loaded.codebooks.rotation != null)
+    for (i <- built.codebooks.rotation.indices; j <- built.codebooks.rotation.indices)
+      assert(loaded.codebooks.rotation(i)(j) == built.codebooks.rotation(i)(j))
+    for (s <- 0 until built.codebooks.m; k <- built.codebooks.centers(s).indices)
+      assert(java.util.Arrays.equals(loaded.codebooks.centers(s)(k), built.codebooks.centers(s)(k)))
+    val top1 = IvfKnnOps.pqTopK(queries, loaded, "vec_id", "embedding", 5, nProbe = 8)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)} after reload"))
+  }
+
   test("full OPQ (alternating Procrustes) matches-or-beats parametric OPQ and keeps planted retrieval") {
     val rng = new scala.util.Random(23)
     // correlated + anisotropic: PCA alone is a good but not jointly
