@@ -864,6 +864,33 @@ object IvfKnnOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental append against a PERSISTED PQ index: new vectors
+    * are assigned with the frozen coarse quantizer and encoded with
+    * the frozen codebooks (rotation included), then appended to
+    * only the list partitions they land in — O(new rows)
+    * maintenance, same contract as [[appendToSavedIndex]]. Refit
+    * offline when the data distribution drifts from the frozen
+    * quantizers.
+    */
+  def appendToSavedPqIndex(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val idx = loadPqIndex(spark, path)
+    val centers = idx.centroids.sortBy(_._1).map(_._2)
+    val withList = rows.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      ColumnBridge.column(NearestCentroid(ColumnBridge.expression(col(vecCol)), centers)).as("list_id"))
+    withList.select(
+      col("id"), col("list_id"),
+      ColumnBridge.column(PqEncode(
+        ColumnBridge.expression(col("__v")), centers, idx.codebooks,
+        ColumnBridge.expression(col("list_id")))).as("codes"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+  }
+
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)

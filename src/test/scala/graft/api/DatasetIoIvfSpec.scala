@@ -283,6 +283,30 @@ class DatasetIoIvfSpec extends SparkSpec {
     (0L until 5L).foreach(q => assert(top1(q) == q + 100000L, s"query $q top1 ${top1(q)} after reload"))
   }
 
+  test("appendToSavedPqIndex encodes with frozen quantizers and lands only in touched list partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqapp").toFile.getAbsolutePath
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val built = IvfKnnOps.buildPqIndex(emb, "vec_id", "embedding", nLists = 8, m = 8, opq = true)
+    IvfKnnOps.savePqIndex(built, dir)
+    val partsBefore = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(f => f.getName -> f.lastModified()).toMap
+    // append an exact twin of query 3 — one vector, one list partition
+    val twin = emb.filter($"vec_id" === 3L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    IvfKnnOps.appendToSavedPqIndex(spark, dir, twin, "vec_id", "embedding")
+    val loaded = IvfKnnOps.loadPqIndex(spark, dir)
+    assert(loaded.encoded.count() == built.encoded.count() + 1)
+    // the appended twin is retrievable with the frozen quantizers
+    val top1 = IvfKnnOps.pqTopK(emb.filter($"vec_id" === 3L), loaded, "vec_id", "embedding", 3, nProbe = 8)
+      .filter($"rank" === 1).select("neighbor_id").as[Long].collect()
+    assert(top1.toSeq == Seq(100003L), top1.toSeq.toString)
+    // only the twin's landing partition gained files
+    val partsAfter = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(f => f.getName -> f.lastModified()).toMap
+    val touched = partsAfter.keySet.filter(k => !partsBefore.contains(k) || partsBefore(k) != partsAfter(k))
+    assert(touched.size <= 1, s"append touched $touched")
+  }
+
   test("full OPQ (alternating Procrustes) matches-or-beats parametric OPQ and keeps planted retrieval") {
     val rng = new scala.util.Random(23)
     // correlated + anisotropic: PCA alone is a good but not jointly
