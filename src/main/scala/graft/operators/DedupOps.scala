@@ -453,6 +453,24 @@ object DedupOps {
     * for the exact verify: a broadcast semi-join against the real
     * eval-shingle set, which also clears Bloom false positives.
     */
+  /** Distinct eval-set shingle hashes + their broadcast Bloom —
+    * shared by the exact and streaming decontaminate paths.
+    */
+  private def evalShingleBloom(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      n: Int,
+      expectedEvalShingles: Long,
+      fpp: Double
+  ): (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
+    val evalShingles = evalSet
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    val bf = bloomOf(evalShingles, expectedEvalShingles, fpp)
+    (evalShingles, docs.sparkSession.sparkContext.broadcast(bf))
+  }
+
   def decontaminate(
       docs: DataFrame,
       evalSet: DataFrame,
@@ -462,11 +480,7 @@ object DedupOps {
       expectedEvalShingles: Long = 1000000L,
       fpp: Double = 0.001
   ): DataFrame = {
-    val evalShingles = evalSet
-      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
-      .distinct()
-    val bf = bloomOf(evalShingles, expectedEvalShingles, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val (evalShingles, bc) = evalShingleBloom(docs, evalSet, textCol, n, expectedEvalShingles, fpp)
     val shingles = HE.shingleHashesText(col(textCol), n)
     // null text has no shingles and cannot be contaminated — without
     // the coalesce the null probe fails BOTH branch filters and the
@@ -521,11 +535,7 @@ object DedupOps {
       expectedEvalShingles: Long = 1000000L,
       fpp: Double = 0.0001
   ): DataFrame = {
-    val evalShingles = evalSet
-      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
-      .distinct()
-    val bf = bloomOf(evalShingles, expectedEvalShingles, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val (_, bc) = evalShingleBloom(docs, evalSet, textCol, n, expectedEvalShingles, fpp)
     docs.filter(!coalesce(exists(HE.shingleHashesText(col(textCol), n),
       s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
   }
@@ -559,11 +569,7 @@ object DedupOps {
       maxSample: Int = 65536
   ): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val rdd0 = df.select(col(vecCol).cast("array<double>"))
-      .where(col(vecCol).isNotNull).rdd
-    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
-    val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
-      .map(_.getSeq[Double](0).toArray)
+    val sample = IvfKnnOps.sampleVectors(df, vecCol, maxSample)
     // empty / all-null input -> zero duplicate pairs, not a crash
     // (a scheduled pipeline may legitimately hit an empty partition)
     if (sample.isEmpty) {

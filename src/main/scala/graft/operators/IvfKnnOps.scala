@@ -152,6 +152,21 @@ object IvfKnnOps {
     if (kk < k) centers ++ Array.fill(k - kk)(centers(0).clone()) else centers
   }
 
+  /** Bounded vector sample SPREAD across partitions (a global
+    * limit() is a storage-order prefix — on date/tenant-clustered
+    * layouts a quantizer would only ever see the first files).
+    * Per-partition prefixes of maxSample/P rows cover every file;
+    * one job, no count. Null vectors are skipped (they would NPE
+    * the collect).
+    */
+  private[operators] def sampleVectors(df: DataFrame, vecCol: String, maxSample: Int): Array[Array[Double]] = {
+    val rdd0 = df.select(col(vecCol).cast("array<double>"))
+      .where(col(vecCol).isNotNull).rdd
+    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
+    rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
+      .map(_.getSeq[Double](0).toArray)
+  }
+
   /** Fit centroids and assign every corpus row to a list.
     * `assigned` = corpus + `list_id`; persist it partitioned by
     * list_id for probe-time partition pruning.
@@ -169,21 +184,8 @@ object IvfKnnOps {
       maxIter: Int = 10,
       maxSample: Int = 65536
   ): IvfIndex = {
-    val vecs = corpus.select(col(vecCol).cast("array<double>"))
-      .where(col(vecCol).isNotNull) // null vecs would NPE the sample collect
-    val sampled = if (sampleFraction < 1.0) vecs.sample(sampleFraction, seed) else vecs
-    // bounded collect SPREAD across partitions (a global limit() is
-    // a storage-order prefix — on date/tenant-clustered layouts the
-    // quantizer would only ever see the first files and ANN recall
-    // silently craters). Per-partition prefixes of maxSample/P rows
-    // cover every file; one job, no count.
-    val rdd0 = sampled.rdd
-    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
-    val sample = rdd0
-      .mapPartitions(it => it.take(perPart))
-      .collect()
-      .take(maxSample)
-      .map(_.getSeq[Double](0).toArray)
+    val sampled = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
+    val sample = sampleVectors(sampled, vecCol, maxSample)
     val centers = lloyds(sample, nLists, maxIter, seed)
     val centroids = centers.zipWithIndex.map { case (cn, i) => (i, cn) }
     val assigned = corpus.withColumn(
@@ -281,14 +283,7 @@ object IvfKnnOps {
       books: PqCodebooks,
       elemIsFloat: Boolean
   ): ArrayData = {
-    val n = arr.numElements()
-    val raw = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      raw(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
-      i += 1
-    }
+    val raw = residualOf(arr, centroid, elemIsFloat)
     val res = if (books.rotation == null) raw else matVec(books.rotation, raw)
     val codes = new Array[Byte](books.m)
     var s = 0
@@ -351,6 +346,18 @@ object IvfKnnOps {
     acc
   }
 
+  private def residualOf(arr: ArrayData, centroid: Array[Double], elemIsFloat: Boolean): Array[Double] = {
+    val n = arr.numElements()
+    val raw = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      raw(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
+      i += 1
+    }
+    raw
+  }
+
   /** Dense row-major mat·vec — public: invoked from generated code. */
   def matVec(mat: Array[Array[Double]], v: Array[Double]): Array[Double] = {
     val out = new Array[Double](mat.length)
@@ -378,15 +385,7 @@ object IvfKnnOps {
       rotation: Array[Array[Double]],
       elemIsFloat: Boolean
   ): ArrayData = {
-    val n = arr.numElements()
-    val raw = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      raw(i) = v - (if (i < centroid.length) centroid(i) else 0.0)
-      i += 1
-    }
-    new GenericArrayData(matVec(rotation, raw))
+    new GenericArrayData(matVec(rotation, residualOf(arr, centroid, elemIsFloat)))
   }
 
   /** ADC distance in the ROTATED residual space: Σ (rq − dec)².
@@ -800,12 +799,7 @@ object IvfKnnOps {
       opqIters: Int = 0
   ): PqIndex = {
     require(kPerSub <= 256, "PQ codes are single bytes: kPerSub must be <= 256")
-    val vecs = corpus.select(col(vecCol).cast("array<double>"))
-      .where(col(vecCol).isNotNull) // null vecs would NPE the sample collect
-    val rdd0 = vecs.rdd
-    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
-    val sample = rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
-      .map(_.getSeq[Double](0).toArray)
+    val sample = sampleVectors(corpus, vecCol, maxSample)
     require(sample.nonEmpty, "empty corpus for PQ fit")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
@@ -817,10 +811,9 @@ object IvfKnnOps {
       Array.tabulate(dim)(i => v(i) - c(i))
     }
     val (rotation, subBooks) =
-      if (opq && opqIters > 0) {
-        val (r, b) = opqRotationFull(rawResiduals, m, kPerSub, seed, iters = opqIters, fitIter = maxIter)
-        (r, b)
-      } else {
+      if (opq && opqIters > 0)
+        opqRotationFull(rawResiduals, m, kPerSub, seed, iters = opqIters, fitIter = maxIter)
+      else {
         val rot = if (opq) opqRotation(rawResiduals, m) else null
         val residuals = if (rot == null) rawResiduals else rawResiduals.map(matVec(rot, _))
         (rot, fitSubBooks(residuals, m, subDim, kPerSub, maxIter, seed))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => TF, TextStatsExpression => TSE}
+import graft.functions.{TextFunctions => TF, TextStatsExpression => TSE, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -112,11 +112,10 @@ object TextOps {
         (ab, c) => concat(ab, lit(" "), c)))
       .otherwise(array().cast("array<string>"))
     val ng = size(grams).cast("double")
-    val vf = graft.functions.VectorFunctions
-    df.withColumn("dup_line_frac", vf.hround(lit(1.0) - dl / nl, 6))
+    df.withColumn("dup_line_frac", VF.hround(lit(1.0) - dl / nl, 6))
       .withColumn("dup_line_char_frac",
-        vf.hround((lineChars - distinctChars) / greatest(lineChars, lit(1.0)), 6))
-      .withColumn("dup_3gram_frac", vf.hround(
+        VF.hround((lineChars - distinctChars) / greatest(lineChars, lit(1.0)), 6))
+      .withColumn("dup_3gram_frac", VF.hround(
         when(ng > 0, lit(1.0) - size(array_distinct(grams)).cast("double") / ng).otherwise(0.0), 6))
   }
 
