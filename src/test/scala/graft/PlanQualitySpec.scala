@@ -179,6 +179,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("chunking is a pure scan-stage generator — zero shuffle, no join") {
+    val p = planOf(q("q_chunk"))
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quantile filter: one aggregate for the threshold, broadcast back — the fact side never shuffles") {
+    val p = planOf(q("q_quantile_filter"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the fact-side scan feeds the filter without an exchange of its
+    // own: the only exchange below the join is the 1-row aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("per-source quota is one hash shuffle on the group key, no global sort") {
+    val p = planOf(q("q_mix_quota"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p) // tree + details for ONE exchange
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("semantic dedup is ONE cluster-bucket exchange; assignment rides the scan") {
+    val p = planOf(q("q_semantic_dedup"))
+    assert(p.contains("nearest_centroid"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("corpus-membership dedup: bloom-negative branch reaches the union with no join above it") {
     val p = planOf(q("q_corpus_dedup"))
     assert(p.contains("in_bloom"), p)
