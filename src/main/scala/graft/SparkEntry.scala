@@ -1007,7 +1007,7 @@ object SparkEntry {
 
     "q_pack" ->
       """SELECT count(*) AS n_docs,
-        |  SUM(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''])) AS total_tokens,
+        |  CAST(SUM(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''])) AS BIGINT) AS total_tokens,
         |  count(DISTINCT doc_id) AS n_distinct_docs,
         |  CAST(0 AS BIGINT) AS n_violations
         |FROM documents""".stripMargin,
