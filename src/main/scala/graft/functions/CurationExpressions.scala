@@ -87,4 +87,66 @@ object CurationExpressions {
 
   def inBloom(c: Column, bloom: Broadcast[BloomFilter]): Column =
     ColumnBridge.column(InBloom(ColumnBridge.expression(c), bloom))
+
+  /** xxhash64(seed 42) of one line — EXACTLY Spark's `xxhash64`
+    * column function on the same string, which is what lets the
+    * count pass use the built-in and the scrub kernel agree with it.
+    */
+  def lineHash64(line: String): Long = {
+    val u = UTF8String.fromString(line)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Drop every line of `text` whose hash is in `dupHashes`
+    * (sorted), rejoin the survivors with the delimiter — the fused
+    * split→hash→filter→join kernel behind [[ScrubDuplicatedLines]].
+    * Documents whose every line is boilerplate come back as "".
+    */
+  def scrubLinesKernel(text: UTF8String, delimiter: String, dupHashes: Array[Long]): UTF8String = {
+    val parts = text.toString.split(java.util.regex.Pattern.quote(delimiter), -1)
+    val sb = new java.lang.StringBuilder(text.numBytes)
+    var first = true
+    var i = 0
+    while (i < parts.length) {
+      if (java.util.Arrays.binarySearch(dupHashes, lineHash64(parts(i))) < 0) {
+        if (!first) sb.append(delimiter)
+        sb.append(parts(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** CCNet-style line scrub: remove lines whose hash appears in the
+    * (driver-bounded, sorted) duplicated-line set. The set rides
+    * into generated code as a reference object — a primitive long
+    * array probed by binary search, no boxing, no broadcast join,
+    * and above all NO corpus shuffle: the scrub is a pure scan-stage
+    * map.
+    */
+  case class ScrubDuplicatedLines(child: Expression, delimiter: String, dupHashes: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "scrub_duplicated_lines"
+    override protected def withNewChildInternal(newChild: Expression): ScrubDuplicatedLines =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      scrubLinesKernel(input.asInstanceOf[UTF8String], delimiter, dupHashes)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val delimRef = ctx.addReferenceObj("graftScrubDelim", delimiter, "java.lang.String")
+      val hashRef = ctx.addReferenceObj("graftDupLineHashes", dupHashes, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.CurationExpressions.scrubLinesKernel($a, $delimRef, $hashRef);")
+    }
+  }
+
+  def scrubDuplicatedLines(c: Column, delimiter: String, dupHashes: Array[Long]): Column =
+    ColumnBridge.column(ScrubDuplicatedLines(ColumnBridge.expression(c), delimiter, dupHashes))
 }

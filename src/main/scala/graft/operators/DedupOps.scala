@@ -438,6 +438,66 @@ object DedupOps {
     clean.unionByName(suspects)
   }
 
+  /** Hashes of lines occurring ≥ `minCount` times across the corpus
+    * — the duplicated-boilerplate set for [[dedupLines]].
+    * `xxhash64` on the raw line (empty lines included: a corpus-wide
+    * repeated blank is boilerplate like any other repeated line).
+    *
+    * Shape: explode is scan-stage; the groupBy map-side-combines, so
+    * the ONE exchange carries (hash, partial count) for distinct
+    * hashes per partition, never the line text.
+    */
+  def duplicatedLineHashes(
+      df: DataFrame,
+      textCol: String,
+      delimiter: String = "\n",
+      minCount: Int = 2
+  ): DataFrame =
+    df.select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(delimiter))).as("__line"))
+      .select(xxhash64(col("__line")).as("line_hash"))
+      .groupBy("line_hash").count()
+      .filter(col("count") >= minCount)
+      .select("line_hash")
+
+  /** CCNet-style line-level corpus dedup: drop every line that
+    * appears ≥ `minCount` times ACROSS the corpus (navigation bars,
+    * cookie banners, boilerplate footers), keep the rest of each
+    * document in order. The cleaned text lands in `outputCol`; docs
+    * that were pure boilerplate come back as "".
+    *
+    * Shape: one count pass whose exchange carries only distinct
+    * line hashes (see [[duplicatedLineHashes]]); the duplicated set
+    * — boilerplate lines, a tiny fraction of distinct lines — is
+    * collected (driver-bounded by `maxDupHashes`, 8 B per hash) and
+    * rides into the scan as a sorted primitive array, so the scrub
+    * itself is a ZERO-shuffle codegen'd map
+    * ([[graft.functions.CurationExpressions.ScrubDuplicatedLines]]).
+    * The corpus text never shuffles. If a corpus legitimately has
+    * more than `maxDupHashes` duplicated lines, raise the cap
+    * (driver memory is the only constraint) or pre-restrict with a
+    * higher `minCount`.
+    */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delimiter: String = "\n",
+      minCount: Int = 2,
+      outputCol: String = "text_clean",
+      maxDupHashes: Int = 1 << 23
+  ): DataFrame = {
+    val dup = duplicatedLineHashes(df, textCol, delimiter, minCount)
+      .limit(maxDupHashes + 1)
+      .collect()
+      .map(_.getLong(0))
+    require(dup.length <= maxDupHashes,
+      s"more than $maxDupHashes duplicated lines; raise maxDupHashes or minCount")
+    java.util.Arrays.sort(dup)
+    df.withColumn(outputCol,
+      graft.functions.CurationExpressions.scrubDuplicatedLines(col(textCol), delimiter, dup))
+  }
+
   /** Remove training docs that share any word `n`-gram with an
     * evaluation set — benchmark decontamination (the GPT-3/PaLM
     * style n-gram overlap rule). Identity is the shingle hash from

@@ -346,6 +346,147 @@ object IvfKnnOps {
     acc
   }
 
+  /** Plain-PQ query residual q − centroid(list) — public: invoked
+    * from generated code. The LUT path needs the residual as a
+    * column even without an OPQ rotation.
+    */
+  def queryResidualKernel(arr: ArrayData, centroid: Array[Double], elemIsFloat: Boolean): ArrayData =
+    new GenericArrayData(residualOf(arr, centroid, elemIsFloat))
+
+  /** ADC lookup table for one (query, probed list) pair: a
+    * flattened m×stride array where entry [s·stride + c] =
+    * ‖res[s·subDim..(s+1)·subDim) − centers(s)(c)‖². Per-candidate
+    * scoring then reads m table entries ([[pqAdcLutKernel]]) instead
+    * of doing m·subDim float ops — the classic IVF-ADC distance
+    * table (Jégou et al. 2011 §IV.A). Table cost m·k·subDim ops is
+    * paid ONCE per probe row and amortizes over every candidate in
+    * the probed list (list sizes at scale ≫ k). Summation order per
+    * entry matches [[pqDistanceRotatedKernel]] (j ascending within
+    * the subspace), so LUT scores are bit-identical to the direct
+    * rotated kernel. Public: invoked from generated code.
+    */
+  def pqLutKernel(res: ArrayData, books: PqCodebooks): ArrayData = {
+    val stride = lutStride(books)
+    val dim = res.numElements()
+    val lut = new Array[Double](books.m * stride)
+    var s = 0
+    while (s < books.m) {
+      val cs = books.centers(s)
+      val off = s * books.subDim
+      var c = 0
+      while (c < cs.length) {
+        val cent = cs(c)
+        var acc = 0.0
+        var j = 0
+        while (j < books.subDim) {
+          val idx = off + j
+          val x = (if (idx < dim) res.getDouble(idx) else 0.0) - cent(j)
+          acc += x * x
+          j += 1
+        }
+        lut(s * stride + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** Σ_s lut[s·stride + codes(s)] — m array reads + adds per
+    * candidate. Public: invoked from generated code.
+    */
+  def pqAdcLutKernel(codes: ArrayData, lut: ArrayData, m: Int, stride: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * stride + (codes.getByte(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
+
+  private def lutStride(books: PqCodebooks): Int = {
+    var mx = 0
+    var s = 0
+    while (s < books.centers.length) { if (books.centers(s).length > mx) mx = books.centers(s).length; s += 1 }
+    mx
+  }
+
+  /** q − centroid(list) as a codegen'd expression (the no-rotation
+    * twin of [[RotateResidual]]).
+    */
+  case class QueryResidual(child: Expression, listExpr: Expression, centroids: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = child
+    override def right: Expression = listExpr
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+    override def prettyName: String = "query_residual"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QueryResidual =
+      copy(child = l, listExpr = r)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(vec: Any, list: Any): Any =
+      queryResidualKernel(vec.asInstanceOf[ArrayData], centroids(list.asInstanceOf[Int]), elemIsFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftPqCentroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, l) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.queryResidualKernel($v, $centRef[$l], $elemIsFloat);")
+    }
+  }
+
+  /** Residual → flattened ADC table ([[pqLutKernel]]). Evaluated on
+    * the probe side BEFORE the candidate join: |Q|·nProbe rows each
+    * carry m·k doubles, paid once per probed list rather than per
+    * candidate.
+    */
+  case class PqLut(child: Expression, books: PqCodebooks) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+    override def prettyName: String = "pq_lut"
+    override protected def withNewChildInternal(newChild: Expression): PqLut = copy(child = newChild)
+
+    override def nullSafeEval(res: Any): Any =
+      pqLutKernel(res.asInstanceOf[ArrayData], books)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val bookRef = ctx.addReferenceObj("graftPqBooks", books, classOf[PqCodebooks].getName)
+      nullSafeCodeGen(ctx, ev, r =>
+        s"${ev.value} = graft.operators.IvfKnnOps.pqLutKernel($r, $bookRef);")
+    }
+  }
+
+  /** (codes, lut) → approximate L2² via m table lookups. */
+  case class PqAdcLut(codes: Expression, lut: Expression, m: Int, stride: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def left: Expression = codes
+    override def right: Expression = lut
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "pq_adc_lut"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcLut =
+      copy(codes = l, lut = r)
+
+    override def nullSafeEval(c: Any, t: Any): Any =
+      java.lang.Double.valueOf(pqAdcLutKernel(
+        c.asInstanceOf[ArrayData], t.asInstanceOf[ArrayData], m, stride))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, t) =>
+        s"${ev.value} = graft.operators.IvfKnnOps.pqAdcLutKernel($c, $t, $m, $stride);")
+  }
+
   private def residualOf(arr: ArrayData, centroid: Array[Double], elemIsFloat: Boolean): Array[Double] = {
     val n = arr.numElements()
     val raw = new Array[Double](n)
@@ -905,6 +1046,19 @@ object IvfKnnOps {
     * candidates are scored from m-byte codes (never the raw
     * vectors), ranked ascending distance with id tie-break through
     * the bounded TopK aggregate.
+    *
+    * @param lut precompute the per-(query, list) ADC distance table
+    *   ([[pqLutKernel]]) on the probe side, so each candidate costs
+    *   m lookups instead of m·subDim float ops. MEASURED SLOWER
+    *   here and left off by default: at 40 M candidates (dim 512,
+    *   m 16, 10 k-vector lists) direct scored 8.0 s vs LUT 14.1 s,
+    *   and at the 20× ScaleProbe (dim 64) 2.1 s vs 2.7 s — per-
+    *   candidate join/aggregate row machinery costs ~µs while the
+    *   saved arithmetic is ~0.1 µs, so the LUT's m·k-double rows
+    *   only fatten the probe broadcast. The classic FAISS win
+    *   requires a tight columnar scan loop; in Spark's row-at-a-time
+    *   pipeline the flag exists for completeness and for engines
+    *   layered on batch scoring.
     */
   def pqTopK(
       queries: DataFrame,
@@ -912,7 +1066,8 @@ object IvfKnnOps {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      lut: Boolean = false
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -925,30 +1080,46 @@ object IvfKnnOps {
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "list_id")
     val centers = index.centroids.sortBy(_._1).map(_._2)
-    // OPQ: rotate the query residual ONCE per (query, probed list)
-    // row — |Q|·nProbe rotations total — so the per-candidate ADC
-    // stays O(dim); plain PQ scores straight from (qv, centroid)
+    val books = index.codebooks
+    // The query-side prep happens ONCE per (query, probed list) row
+    // — |Q|·nProbe rotations/tables total — so the per-candidate ADC
+    // stays O(dim) (direct) or O(m) (LUT).
+    val residual =
+      if (books.rotation == null)
+        ColumnBridge.column(QueryResidual(
+          ColumnBridge.expression(col("qv")),
+          ColumnBridge.expression(col("list_id")), centers))
+      else
+        ColumnBridge.column(RotateResidual(
+          ColumnBridge.expression(col("qv")),
+          ColumnBridge.expression(col("list_id")),
+          centers, books.rotation))
     val probeSide =
-      if (index.codebooks.rotation == null) probes
-      else probes.withColumn("rqv", ColumnBridge.column(RotateResidual(
-        ColumnBridge.expression(col("qv")),
-        ColumnBridge.expression(col("list_id")),
-        centers, index.codebooks.rotation)))
+      if (lut)
+        probes.select(col("query_id"), col("list_id"),
+          ColumnBridge.column(PqLut(ColumnBridge.expression(residual), books)).as("lut"))
+      else if (books.rotation == null) probes
+      else probes.withColumn("rqv", residual)
     val joined = index.encoded
       .join(broadcast(probeSide), Seq("list_id"))
       .filter(col("query_id") =!= col("id"))
-    val scored =
-      (if (index.codebooks.rotation == null)
-        joined.withColumn("dist", ColumnBridge.column(PqDistance(
+    val distCol =
+      if (lut)
+        ColumnBridge.column(PqAdcLut(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("lut")), books.m, lutStride(books)))
+      else if (books.rotation == null)
+        ColumnBridge.column(PqDistance(
           ColumnBridge.expression(col("codes")),
           ColumnBridge.expression(col("qv")),
           ColumnBridge.expression(col("list_id")),
-          centers, index.codebooks)))
+          centers, books))
       else
-        joined.withColumn("dist", ColumnBridge.column(PqDistanceRotated(
+        ColumnBridge.column(PqDistanceRotated(
           ColumnBridge.expression(col("codes")),
           ColumnBridge.expression(col("rqv")),
-          index.codebooks))))
+          books))
+    val scored = joined.withColumn("dist", distCol)
       // TopK keeps the LARGEST scores: negate distance for ascending-L2 ranking
       .select(col("query_id"), col("id").as("neighbor_id"),
         (-VF.hround(col("dist"), 6)).as("cosine"))

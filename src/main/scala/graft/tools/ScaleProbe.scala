@@ -54,6 +54,15 @@ object ScaleProbe {
     var index: graft.operators.IvfKnnOps.IvfIndex = null
     time("ivfBuild") { index = graft.operators.IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 64, maxIter = 5) }
     time("ivfTopK")(graft.operators.IvfKnnOps.topK(queries, index, "vec_id", "embedding", 5, nProbe = 8).count())
+    // PQ ADC: many-query batch so the per-candidate arithmetic, not
+    // the fit, dominates — the LUT-vs-direct delta is the signal
+    var pqIndex: graft.operators.IvfKnnOps.PqIndex = null
+    time("pqBuild") { pqIndex = graft.operators.IvfKnnOps.buildPqIndex(emb, "vec_id", "embedding", nLists = 64, m = 8, maxIter = 5) }
+    pqIndex = pqIndex.copy(encoded = pqIndex.encoded.cache())
+    pqIndex.encoded.count()
+    val pqQueries = emb.filter(col("vec_id") < 500)
+    time("pqTopK direct")(graft.operators.IvfKnnOps.pqTopK(pqQueries, pqIndex, "vec_id", "embedding", 5, nProbe = 8, lut = false).count())
+    time("pqTopK lut")(graft.operators.IvfKnnOps.pqTopK(pqQueries, pqIndex, "vec_id", "embedding", 5, nProbe = 8, lut = true).count())
     spark.stop()
   }
 }

@@ -375,4 +375,23 @@ class DatasetIoIvfSpec extends SparkSpec {
       assert(byRank == byRank.sorted, s"rank order not ascending in l2sq: $byRank")
     }
   }
+
+  test("ADC LUT path returns the same ranking and distances as the direct kernels (plain PQ and OPQ)") {
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    val corpus = emb.union(queries.select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+    for (opq <- Seq(false, true)) {
+      val index = IvfKnnOps.buildPqIndex(corpus, "vec_id", "embedding", nLists = 8, m = 8, opq = opq)
+      def rows(lut: Boolean) =
+        IvfKnnOps.pqTopK(queries, index, "vec_id", "embedding", 5, nProbe = 8, lut = lut)
+          .select("query_id", "neighbor_id", "l2sq", "rank")
+          .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      val direct = rows(lut = false)
+      val viaLut = rows(lut = true)
+      // the LUT entry accumulates (res − center)² in the same j-order
+      // as the direct kernel, so rotated scores are bit-identical and
+      // plain-PQ scores agree after the 6dp output round
+      assert(viaLut.toSeq == direct.toSeq, s"opq=$opq: LUT ranking diverged from direct kernels")
+    }
+  }
 }
