@@ -642,6 +642,41 @@ object SparkEntry {
       graft.streaming.EventStreams.topKPerWindow(events, 3)
         .select(col("window_start"), col("event_type"), col("event_id"),
           hround(col("value"), 6).as("value"), col("rank"))
+    }),
+
+    // ---- C16: binned range join — customers whose balance falls in
+    //      a ±50 window around a supplier's balance. Written as a
+    //      theta join Spark would plan a BroadcastNestedLoopJoin that
+    //      scans |points|·|intervals| pairs; the binned rewrite is a
+    //      hash equi-join on bin ids whose shuffle is linear in both
+    //      inputs. The oracle replays the plain BETWEEN predicate —
+    //      both engines evaluate the same IEEE double arithmetic, so
+    //      boundary rows agree exactly. ----
+    "q_range_join" -> ((s, dir) => {
+      val c = BioLoader.load(s, t(dir, "customer")).select("c_custkey", "c_acctbal")
+      val iv = BioLoader.load(s, t(dir, "supplier"))
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - lit(50.0)).as("lo"), (col("s_acctbal") + lit(50.0)).as("hi"))
+      graft.operators.RangeJoinOps
+        .pointInInterval(c, "c_acctbal", iv, "lo", "hi", binWidth = 100.0)
+        .select(col("c_custkey"), col("s_suppkey"), hround(col("c_acctbal"), 2).as("bal"))
+    }),
+
+    // ---- K18: per-group heavy hitters via the bounded SpaceSaving
+    //      aggregate. capacity (32768) exceeds the distinct partkeys
+    //      at both correctness SFs, so no eviction fires and counts
+    //      are EXACT — the oracle is the top-k window over exact
+    //      counts with the same (cnt desc, item asc) tie-break. At
+    //      scale the same plan ships groups·capacity summary entries
+    //      instead of one row per distinct (group, item). ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.HeavyHittersAggregate
+          .heavyHitters(col("l_partkey").cast("string"), capacity = 32768, k = 10).as("hh"))
+        .select(col("l_returnflag"), posexplode(col("hh")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("partkey"), col("col.cnt").as("cnt"))
     })
   )
 
@@ -1135,6 +1170,22 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
         |                           ORDER BY value DESC, event_id) AS rank
         |      FROM events)
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c_custkey, s_suppkey,
+        |  floor((c_acctbal) * 100 + 0.5) / 100 AS bal
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal - 50.0 AND c.c_acctbal <= s.s_acctbal + 50.0""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT l_returnflag, CAST(rank AS BIGINT) AS rank, partkey, cnt
+        |FROM (
+        |  SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS partkey,
+        |    count(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, CAST(l_partkey AS VARCHAR) ASC) AS rank
+        |  FROM lineitem GROUP BY 1, 2
+        |) WHERE rank <= 10""".stripMargin
   )
 }

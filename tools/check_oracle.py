@@ -1,5 +1,5 @@
 import duckdb, json, glob, os, hashlib, sys
-out = "/tmp/verify_out_r3"
+out = "/tmp/verify_out_r5"
 sf = "/root/testdata/sf0.01"
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 con = duckdb.connect()
