@@ -677,6 +677,34 @@ object SparkEntry {
         .select(col("l_returnflag"), posexplode(col("hh")))
         .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
           col("col.item").as("partkey"), col("col.cnt").as("cnt"))
+    }),
+
+    // ---- G5: temperature-based source re-balancing (sample ∝ n^α).
+    //      lang is the skewed "source" here (en 44% → zh/es/de/fr);
+    //      α = 0.5 up-weights the small languages. The coin is pure
+    //      integer arithmetic on doc_id and the rates are
+    //      floor-rounded to 1e-6, so DuckDB replays the whole
+    //      operator — WHICH rows survive, not just how many. ----
+    "q_temp_sample" -> ((s, dir) => {
+      MixOps.temperatureSample(BioLoader.load(s, t(dir, "documents")),
+        "lang", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .select("doc_id", "lang")
+    }),
+
+    // ---- X8: byte-level BPE tokenizer. Train distributes the word
+    //      count (one shuffle, bounded driver dict), encode/decode
+    //      are codegen'd per-row kernels. The oracle grades the
+    //      LOSSLESSNESS CONTRACT — byte-level BPE must reconstruct
+    //      every document exactly, so md5(decode(encode(text)))
+    //      equals DuckDB's md5(text) per doc; any encode/decode/
+    //      merge-table bug breaks the hash. ----
+    "q_bpe" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val codec = graft.operators.TokenizerOps.trainBpe(docs, "text", vocabSize = 512)
+      docs.select(col("doc_id"),
+        md5(graft.operators.TokenizerOps.decode(
+          graft.operators.TokenizerOps.encode(col("text"), codec), codec)).as("rt_md5"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
     })
   )
 
@@ -1186,6 +1214,23 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
         |                       ORDER BY count(*) DESC, CAST(l_partkey AS VARCHAR) ASC) AS rank
         |  FROM lineitem GROUP BY 1, 2
-        |) WHERE rank <= 10""".stripMargin
+        |) WHERE rank <= 10""".stripMargin,
+
+    "q_temp_sample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT lang,
+        |    floor(least(1.0,
+        |      0.5 * sum(n) OVER () * (pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()) / n) * 1000000 + 0.5) / 1000000 AS rate
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ((((d.doc_id % 999983) + 999983) % 999983) * 480879 % 999983)::DOUBLE / 999983.0 < r.rate""".stripMargin,
+
+    "q_bpe" ->
+      """SELECT doc_id, md5(text) AS rt_md5, strlen(text)::BIGINT AS n_bytes
+        |FROM documents""".stripMargin
   )
 }

@@ -94,6 +94,59 @@ object MixOps {
     df.select(col(idCol), inline(chunks))
   }
 
+  /** Temperature-based source re-balancing — the mixture-weights
+    * step of corpus assembly ("sample sources ∝ nᵅ", the multilingual
+    * / multi-corpus sampling rule of mBERT/XLM-R/Gopher). Source s
+    * with n_s docs gets target share p_s = n_sᵅ / Σ n_tᵅ; every doc
+    * of s then survives an independent deterministic coin with rate
+    * min(1, targetFraction·N·p_s / n_s). α = 1 reduces to uniform
+    * targetFraction sampling; α < 1 up-weights small sources
+    * (rates can saturate at 1 — the realized total then undershoots
+    * targetFraction·N, the standard behavior of capped temperature
+    * sampling).
+    *
+    * Scale shape: per-source counts are ONE partial-agg shuffle of a
+    * #sources-row frame; rates derive from windows over that tiny
+    * frame and broadcast back — the doc side is scanned once and
+    * never shuffles. The coin is a pure arithmetic hash of the id
+    * (u = ((id mod P)·A mod P)/P, P = 999983 prime), so the sample
+    * is reproducible row-for-row on any cluster layout AND
+    * replayable in ANSI SQL — which is what makes it
+    * oracle-checkable. Rates round to 1e-6 on both sides; u has
+    * denominator P coprime to 10⁶, so u == rate is impossible and
+    * the strict-< boundary is unambiguous.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      alpha: Double,
+      targetFraction: Double,
+      seed: Long = 0L
+  ): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1.0, s"targetFraction must be in (0,1], got $targetFraction")
+    val P = 999983L
+    val mult = ((480879L + seed) % P + P) % P // 2654435761 mod P, seed-shifted
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
+    val all = Window.partitionBy()
+    val rates = counts
+      .withColumn("__w", pow(col("__n"), lit(alpha)))
+      .withColumn("__rate",
+        // floor-based half-up rounding to 1e-6 — Spark round is
+        // HALF_UP via BigDecimal, DuckDB's is half-even; this exact
+        // formulation is replayable in any engine
+        floor(least(lit(1.0),
+          lit(targetFraction) * sum(col("__n")).over(all) * (col("__w") / sum(col("__w")).over(all)) / col("__n"))
+          * 1e6 + lit(0.5)) / 1e6)
+      .select(col(sourceCol), col("__rate"))
+    val u = (((col(idCol).cast("long") % P + P) % P) * mult % P).cast("double") / lit(P.toDouble)
+    df.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
+        col(sourceCol) <=> col("__src"))
+      .filter(u < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   /** Public on purpose: Spark's generated deserializer invokes the
     * accessors from janino-compiled code, which cannot see a
     * Scala-private class — codegen would fail and silently fall

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * replication factor is span/binWidth); too large → many false
   * candidates share a bin and the residual filter does the work.
   * Both degrade gracefully; neither changes the result.
+  *
+  * Streaming: `pointInInterval` works unchanged with a STREAMING
+  * point side against a static interval table (a stream-static
+  * equi-join — with `broadcastIntervals` the stream is enriched in
+  * place with zero shuffle and no state store), the
+  * "tag live events with their containing windows" ingestion shape.
   */
 object RangeJoinOps {
 

@@ -91,6 +91,49 @@ class MixSpec extends SparkSpec {
     assert(over == 0, "chunked pieces can never overflow a bin")
   }
 
+  test("temperatureSample: alpha=1 reduces to uniform targetFraction sampling") {
+    val df = (1L to 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val out = MixOps.temperatureSample(df, "src", "id", alpha = 1.0, targetFraction = 0.25)
+    val n = out.count()
+    // deterministic hash coin: realized fraction within a few percent of target
+    assert(math.abs(n / 4000.0 - 0.25) < 0.03, s"got $n of 4000")
+  }
+
+  test("temperatureSample: alpha<1 up-weights small sources, saturates tiny ones at keep-all") {
+    // skewed: big=6000, mid=1000, tiny=8 (rates ≈ 0.28 / 0.69 / capped 1)
+    val df = ((1L to 6000L).map(i => (i, "big")) ++ (6001L to 7000L).map(i => (i, "mid"))
+      ++ (7001L to 7008L).map(i => (i, "tiny"))).toDF("id", "src")
+    val out = MixOps.temperatureSample(df, "src", "id", alpha = 0.5, targetFraction = 0.35).cache()
+    val by = out.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBig = by.getOrElse("big", 0L); val nMid = by.getOrElse("mid", 0L); val nTiny = by.getOrElse("tiny", 0L)
+    // realized keep-rates must order inversely to source size
+    assert(nTiny.toDouble / 8 > nMid.toDouble / 1000, s"tiny ${nTiny}/8 vs mid ${nMid}/1000")
+    assert(nMid.toDouble / 1000 > nBig.toDouble / 6000, s"mid ${nMid}/1000 vs big ${nBig}/6000")
+    // tiny source's rate saturates at 1 → every doc kept
+    assert(nTiny === 8L, s"tiny source should keep all 8, kept $nTiny")
+    out.unpersist()
+  }
+
+  test("temperatureSample is deterministic and layout-independent") {
+    val df = (1L to 2000L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val a = MixOps.temperatureSample(df, "src", "id", 0.7, 0.4).select("id").as[Long].collect().sorted.toSeq
+    val b = MixOps.temperatureSample(df.repartition(13), "src", "id", 0.7, 0.4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // different seed → different sample
+    val c = MixOps.temperatureSample(df, "src", "id", 0.7, 0.4, seed = 7L).select("id").as[Long].collect().sorted.toSeq
+    assert(a !== c)
+  }
+
+  test("temperatureSample plan: rates broadcast back — the doc side never shuffles") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = MixOps.temperatureSample(df, "lang", "doc_id", 0.5, 0.5)
+    val p = out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("BioLoader reads ORC (native Spark datasource)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.orc(s"$dir/data.orc")

@@ -13,8 +13,9 @@ class RangeJoinSpec extends SparkSpec {
 
   // deterministic pseudo-random fixture spanning negative and positive
   // coordinates, with interval spans well above and below binWidth
-  private lazy val points =
-    (1 to 400).map(i => (i.toLong, ((i * 7919) % 2001 - 1000).toDouble / 3.0)).toDF("p_id", "p_x")
+  private lazy val pointRows =
+    (1 to 400).map(i => (i.toLong, ((i * 7919) % 2001 - 1000).toDouble / 3.0))
+  private lazy val points = pointRows.toDF("p_id", "p_x")
   private lazy val intervals =
     (1 to 60).map { i =>
       val lo = ((i * 104729) % 1801 - 900).toDouble / 3.0
@@ -99,6 +100,22 @@ class RangeJoinSpec extends SparkSpec {
     val pb = planOf(bcast)
     assert(pb.contains("BroadcastHashJoin"), pb)
     assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"), pb)
+  }
+
+  test("stream-static (M10): the identical operator enriches a stream, matching the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Double)](spark)
+    val streamed = RangeJoinOps.pointInInterval(
+      ms.toDF().toDF("p_id", "p_x"), "p_x", intervals, "iv_lo", "iv_hi",
+      binWidth = 10.0, broadcastIntervals = true)
+    val q = streamed.writeStream.format("memory").queryName("range_stream").outputMode("append").start()
+    try {
+      ms.addData(pointRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("range_stream").select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(got === thetaPairs())
+      assert(got.nonEmpty)
+    } finally q.stop()
   }
 
   test("column-name collision across sides is rejected") {
