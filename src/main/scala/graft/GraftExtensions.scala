@@ -95,6 +95,15 @@ object GraftExtensions {
       }
     ),
     (
+      new FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[graft.functions.HeavyHittersAggregate.HeavyHitters].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => {
+        arity("heavy_hitters", children, 3)
+        graft.functions.HeavyHittersAggregate.HeavyHitters(
+          children.head, intArg(children(1), "capacity"), intArg(children(2), "k"))
+      }
+    ),
+    (
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.CurationExpressions.UnicodeNormalize].getName, "unicode_normalize"),
       (children: Seq[Expression]) => {

@@ -164,6 +164,15 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("heavy_hitters works from SQL as a grouped aggregate") {
+    GraftExtensions.register(spark)
+    Seq("x", "x", "x", "y", "y", "z").toDF("item").createOrReplaceTempView("hh_in")
+    val rows = spark.sql(
+      "SELECT e.item, e.cnt FROM (SELECT heavy_hitters(item, 16, 2) AS hh FROM hh_in) " +
+        "LATERAL VIEW explode(hh) t AS e ORDER BY e.cnt DESC").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("x", 3L), ("y", 2L)))
+  }
+
   test("SQL builders reject wrong arity with a named error, not IndexOutOfBounds") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] { spark.sql("SELECT top_k(1.0D)").collect() }
