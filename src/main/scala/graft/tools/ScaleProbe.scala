@@ -63,6 +63,27 @@ object ScaleProbe {
     val pqQueries = emb.filter(col("vec_id") < 500)
     time("pqTopK direct")(graft.operators.IvfKnnOps.pqTopK(pqQueries, pqIndex, "vec_id", "embedding", 5, nProbe = 8, lut = false).count())
     time("pqTopK lut")(graft.operators.IvfKnnOps.pqTopK(pqQueries, pqIndex, "vec_id", "embedding", 5, nProbe = 8, lut = true).count())
+
+    // r5 operators: range join density stress, BPE train+encode
+    // throughput, heavy hitters far past summary capacity
+    val nPts = n0 * mult * 10
+    val pts = spark.range(nPts).select(col("id").as("p_id"),
+      (pmod(col("id") * 7919L, lit(200000L)).cast("double") / 10.0).as("p_x"))
+    val ivs = spark.range(2000).select(col("id").as("iv_id"),
+      (pmod(col("id") * 104729L, lit(190000L)).cast("double") / 10.0).as("lo"))
+      .withColumn("hi", col("lo") + lit(40.0))
+    time(s"rangeJoin ($nPts pts x 2000 ivs)")(
+      graft.operators.RangeJoinOps.pointInInterval(pts, "p_x", ivs, "lo", "hi", binWidth = 50.0).count())
+    var codec: graft.operators.TokenizerOps.BpeCodec = null
+    time("bpeTrain (20x corpus)") { codec = graft.operators.TokenizerOps.trainBpe(docs, "text", vocabSize = 512) }
+    time("bpeEncode (20x corpus)")(
+      docs.select(sum(size(graft.operators.TokenizerOps.encode(col("text"), codec)))).head())
+    // capacity 256 << ~2k distinct tokens → constant eviction, the
+    // worst case for the summary heap
+    time("heavyHitters (evicting, 20x corpus)")(
+      docs.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .agg(graft.functions.HeavyHittersAggregate.heavyHitters(col("tok"), 256, 20).as("hh"))
+        .head())
     spark.stop()
   }
 }
