@@ -1226,8 +1226,8 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN r USING (lang)
-        |WHERE ((((d.doc_id % 999983) + 999983) % 999983) * 480879 % 999983)::DOUBLE / 999983.0 < r.rate""".stripMargin,
+        |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+        |WHERE (((((d.doc_id % 999983) + 999983) % 999983) * 480879 % 999983) * 104729 % 999983)::DOUBLE / 999983.0 < r.rate""".stripMargin,
 
     "q_bpe" ->
       """SELECT doc_id, md5(text) AS rt_md5, strlen(text)::BIGINT AS n_bytes

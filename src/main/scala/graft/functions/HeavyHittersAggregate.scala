@@ -7,7 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -116,11 +116,16 @@ object HeavyHittersAggregate {
       k: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0
-  ) extends TypedImperativeAggregate[Summary] {
+  ) extends TypedImperativeAggregate[Summary] with ImplicitCastInputTypes {
     require(capacity >= 1, "capacity must be >= 1")
     require(k >= 1 && k <= capacity, "k must be in [1, capacity]")
 
     override def children: Seq[Expression] = Seq(item)
+    // analysis inserts a cast for any castable item type (longs,
+    // dates, ...) instead of a runtime ClassCastException. Return
+    // type inferred: AbstractDataType is private[sql], but
+    // Seq[DataType] satisfies the covariant override.
+    override def inputTypes = Seq(StringType)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(
       StructType(Seq(

@@ -108,9 +108,12 @@ object MixOps {
     * Scale shape: per-source counts are ONE partial-agg shuffle of a
     * #sources-row frame; rates derive from windows over that tiny
     * frame and broadcast back — the doc side is scanned once and
-    * never shuffles. The coin is a pure arithmetic hash of the id
-    * (u = ((id mod P)·A mod P)/P, P = 999983 prime), so the sample
-    * is reproducible row-for-row on any cluster layout AND
+    * never shuffles. The coin is a pure arithmetic hash of the id —
+    * two multiplicative rounds mod the prime P = 999983 with the
+    * seed as an ADDITIVE term between them (u = (((id·A mod P) +
+    * seed)·B mod P)/P), so no seed value can degenerate the
+    * multipliers and every seed yields a full-period permutation of
+    * residues. Reproducible row-for-row on any cluster layout AND
     * replayable in ANSI SQL — which is what makes it
     * oracle-checkable. Rates round to 1e-6 on both sides; u has
     * denominator P coprime to 10⁶, so u == rate is impossible and
@@ -127,7 +130,7 @@ object MixOps {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(targetFraction > 0 && targetFraction <= 1.0, s"targetFraction must be in (0,1], got $targetFraction")
     val P = 999983L
-    val mult = ((480879L + seed) % P + P) % P // 2654435761 mod P, seed-shifted
+    val seedOff = (seed % P + P) % P // additive only — multipliers are fixed constants
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
     val all = Window.partitionBy()
     val rates = counts
@@ -140,7 +143,8 @@ object MixOps {
           lit(targetFraction) * sum(col("__n")).over(all) * (col("__w") / sum(col("__w")).over(all)) / col("__n"))
           * 1e6 + lit(0.5)) / 1e6)
       .select(col(sourceCol), col("__rate"))
-    val u = (((col(idCol).cast("long") % P + P) % P) * mult % P).cast("double") / lit(P.toDouble)
+    val u = ((((col(idCol).cast("long") % P + P) % P) * 480879L % P + seedOff) * 104729L % P)
+      .cast("double") / lit(P.toDouble)
     df.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
         col(sourceCol) <=> col("__src"))
       .filter(u < col("__rate"))

@@ -54,7 +54,18 @@ object TokenizerOps {
   private def isSegWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** Java-regex form of [[isSegWs]]'s char set. Only ever passed as
+    * a COLUMN literal (`lit(SegmentPattern)`) — routing it through a
+    * SQL string literal would corrupt it: Spark's unescapeSQLString
+    * rewrites `\x0B` to the literal chars 'x','0','B' and `\f` to
+    * 'f', silently making letters "whitespace" at train time while
+    * the encode kernel uses the real set.
+    */
   private val SegmentPattern = "[ \\t\\n\\x0B\\f\\r]+|[^ \\t\\n\\x0B\\f\\r]+"
+
+  /** adjacent-pair key: left id in the high 32 bits, right in the low. */
+  @inline private def pairKey(a: Int, b: Int): Long =
+    (a.toLong << 32) | (b.toLong & 0xffffffffL)
 
   /** Trained codec: vocab id → byte sequence (ids 0..255 are the
     * single bytes), plus the merge table as parallel arrays
@@ -87,46 +98,72 @@ object TokenizerOps {
       rankMap
     }
 
-    /** GPT-2-style greedy encode of one segment's bytes: repeatedly
-      * apply the LOWEST-RANK applicable merge until none applies.
+    /** GPT-2-style greedy encode of one segment's bytes: always
+      * apply the LOWEST-RANK applicable merge first (ties leftmost).
+      *
+      * Linked-list + priority-queue formulation — O(n log n), not
+      * the O(n²) rescan-per-merge loop, so a space-free 100 KB CJK
+      * document costs ~10⁶ heap ops instead of ~10¹⁰ pair probes.
+      * Candidates encode as (rank << 32 | position) longs whose
+      * natural order IS (rank, leftmost); stale entries are dropped
+      * lazily by re-checking the pair under the position. Order of
+      * results is identical to the round-based "apply the best pair
+      * everywhere, rescan" formulation: a merge can only CREATE
+      * pairs involving its new token, and any merge consuming that
+      * token was necessarily learned later, so newly created
+      * candidates always rank after the one being applied.
       */
     private def encodeSegment(bytes: Array[Byte], out: mutable.ArrayBuffer[Int]): Unit = {
-      if (bytes.isEmpty) return
-      var ids = new Array[Int](bytes.length)
+      val n = bytes.length
+      if (n == 0) return
+      if (n == 1) { out += (bytes(0) & 0xff); return }
+      val ids = new Array[Int](n)
+      val prevIdx = new Array[Int](n)
+      val nextIdx = new Array[Int](n)
+      val alive = new Array[Boolean](n)
       var i = 0
-      while (i < bytes.length) { ids(i) = bytes(i) & 0xff; i += 1 }
-      var n = ids.length
-      var done = false
-      while (!done && n > 1) {
-        // find the lowest-rank adjacent pair
-        var bestRank = Int.MaxValue
-        var bestId = -1
-        var j = 0
-        while (j < n - 1) {
-          val hit = ranks.get((ids(j).toLong << 32) | (ids(j + 1).toLong & 0xffffffffL))
-          if (hit != null && hit(0) < bestRank) { bestRank = hit(0); bestId = hit(1) }
-          j += 1
-        }
-        if (bestId < 0) done = true
-        else {
-          // merge every occurrence of that pair left-to-right
-          val pair = mergePairs(bestRank)
-          val next = new Array[Int](n)
-          var w = 0
-          var r = 0
-          while (r < n) {
-            if (r < n - 1 && ((ids(r).toLong << 32) | (ids(r + 1).toLong & 0xffffffffL)) == pair) {
-              next(w) = bestId; w += 1; r += 2
-            } else {
-              next(w) = ids(r); w += 1; r += 1
-            }
-          }
-          ids = next
-          n = w
+      while (i < n) {
+        ids(i) = bytes(i) & 0xff
+        prevIdx(i) = i - 1
+        nextIdx(i) = i + 1
+        alive(i) = true
+        i += 1
+      }
+      val pq = new java.util.PriorityQueue[java.lang.Long](math.max(4, n))
+      def push(pos: Int): Unit = {
+        val nx = nextIdx(pos)
+        if (nx < n) {
+          val hit = ranks.get(pairKey(ids(pos), ids(nx)))
+          if (hit != null) pq.add((hit(0).toLong << 32) | pos.toLong)
         }
       }
-      var k = 0
-      while (k < n) { out += ids(k); k += 1 }
+      i = 0
+      while (i < n - 1) { push(i); i += 1 }
+      while (!pq.isEmpty) {
+        val top = pq.poll().longValue()
+        val rank = (top >>> 32).toInt
+        val pos = (top & 0xffffffffL).toInt
+        if (alive(pos)) {
+          val nx = nextIdx(pos)
+          if (nx < n && alive(nx)) {
+            val hit = ranks.get(pairKey(ids(pos), ids(nx)))
+            // stale unless the pair under this position still maps
+            // to the popped rank
+            if (hit != null && hit(0) == rank) {
+              ids(pos) = hit(1)
+              alive(nx) = false
+              val nn = nextIdx(nx)
+              nextIdx(pos) = nn
+              if (nn < n) prevIdx(nn) = pos
+              push(pos)
+              val pv = prevIdx(pos)
+              if (pv >= 0) push(pv)
+            }
+          }
+        }
+      }
+      var p = 0
+      while (p < n) { out += ids(p); p = nextIdx(p) }
     }
 
     def encode(text: String): Array[Int] = {
@@ -236,7 +273,7 @@ object TokenizerOps {
     require(vocabSize >= 256, s"vocabSize must be >= 256, got $vocabSize")
     require(maxDictWords > 0, "maxDictWords must be positive")
     val dict: Array[(String, Long)] = df
-      .select(explode(expr(s"regexp_extract_all(${quoteCol(textCol)}, '$SegmentPattern', 0)")).as("__seg"))
+      .select(explode(regexp_extract_all(col(textCol), lit(SegmentPattern), lit(0))).as("__seg"))
       .groupBy(col("__seg")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__n").desc, col("__seg"))
       .limit(maxDictWords)
@@ -262,7 +299,7 @@ object TokenizerOps {
         val c = counts(w)
         var i = 0
         while (i < word.length - 1) {
-          val key = (word(i).toLong << 32) | (word(i + 1).toLong & 0xffffffffL)
+          val key = pairKey(word(i), word(i + 1))
           pairCounts(key) = pairCounts.getOrElse(key, 0L) + c
           i += 1
         }
@@ -284,28 +321,7 @@ object TokenizerOps {
         // apply the merge to every word
         w = 0
         while (w < words.length) {
-          val word = words(w)
-          if (word.length > 1) {
-            var hit = false
-            var i = 0
-            while (!hit && i < word.length - 1) {
-              if (((word(i).toLong << 32) | (word(i + 1).toLong & 0xffffffffL)) == bestKey) hit = true
-              i += 1
-            }
-            if (hit) {
-              val next = new Array[Int](word.length)
-              var out = 0
-              var r = 0
-              while (r < word.length) {
-                if (r < word.length - 1 && ((word(r).toLong << 32) | (word(r + 1).toLong & 0xffffffffL)) == bestKey) {
-                  next(out) = newId; out += 1; r += 2
-                } else {
-                  next(out) = word(r); out += 1; r += 1
-                }
-              }
-              words(w) = java.util.Arrays.copyOf(next, out)
-            }
-          }
+          words(w) = mergeAll(words(w), bestKey, newId)
           w += 1
         }
         m += 1
@@ -314,5 +330,29 @@ object TokenizerOps {
     new BpeCodec(vocab.toArray, mergePairs.toArray, mergeIds.toArray)
   }
 
-  private def quoteCol(name: String): String = s"`${name.replace("`", "``")}`"
+  /** Replace every (left-to-right, non-overlapping) occurrence of
+    * the pair `key` with `newId`; returns the input array unchanged
+    * when the pair is absent.
+    */
+  private def mergeAll(word: Array[Int], key: Long, newId: Int): Array[Int] = {
+    if (word.length < 2) return word
+    var hit = false
+    var i = 0
+    while (!hit && i < word.length - 1) {
+      if (pairKey(word(i), word(i + 1)) == key) hit = true
+      i += 1
+    }
+    if (!hit) return word
+    val next = new Array[Int](word.length)
+    var out = 0
+    var r = 0
+    while (r < word.length) {
+      if (r < word.length - 1 && pairKey(word(r), word(r + 1)) == key) {
+        next(out) = newId; out += 1; r += 2
+      } else {
+        next(out) = word(r); out += 1; r += 1
+      }
+    }
+    java.util.Arrays.copyOf(next, out)
+  }
 }

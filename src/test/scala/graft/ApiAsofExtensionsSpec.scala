@@ -173,6 +173,15 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("x", 3L), ("y", 2L)))
   }
 
+  test("heavy_hitters implicit-casts non-string items instead of a runtime ClassCastException") {
+    GraftExtensions.register(spark)
+    Seq(5L, 5L, 9L).toDF("k").createOrReplaceTempView("hh_long")
+    val rows = spark.sql(
+      "SELECT e.item, e.cnt FROM (SELECT heavy_hitters(k, 8, 1) AS hh FROM hh_long) " +
+        "LATERAL VIEW explode(hh) t AS e").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("5", 2L)))
+  }
+
   test("SQL builders reject wrong arity with a named error, not IndexOutOfBounds") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] { spark.sql("SELECT top_k(1.0D)").collect() }

@@ -126,6 +126,15 @@ class MixSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("temperatureSample: no seed degenerates the coin (multipliers are constants, seed is additive)") {
+    val df = (1L to 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    // 519104/519105 zeroed/unit-ified the old seed-shifted multiplier
+    for (seed <- Seq(519104L, 519105L, -999983L * 3)) {
+      val n = MixOps.temperatureSample(df, "src", "id", 1.0, 0.25, seed).count()
+      assert(math.abs(n / 4000.0 - 0.25) < 0.05, s"seed=$seed kept $n of 4000")
+    }
+  }
+
   test("temperatureSample plan: rates broadcast back — the doc side never shuffles") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = MixOps.temperatureSample(df, "lang", "doc_id", 0.5, 0.5)

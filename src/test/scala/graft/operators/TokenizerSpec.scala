@@ -74,6 +74,72 @@ class TokenizerSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("train-side segmentation matches the encode kernel (SQL-literal escape regression)") {
+    // under the old expr()-string path, unescapeSQLString turned
+    // \x0B and \f into the LITERAL chars x/0/B/f — 'fox' was split
+    // at train time and (f,o) could never be the first merge
+    val df = Seq((1L, "fox fox")).toDF("id", "text")
+    val c = TokenizerOps.trainBpe(df, "text", vocabSize = 257)
+    assert(c.mergePairs(0) === (('f'.toLong << 32) | 'o'.toLong))
+    // vertical tab is whitespace on BOTH sides: it segments alone
+    // and never merges into a letter run
+    val df2 = Seq((1L, "ab\u000Bab ab\u000Bab")).toDF("id", "text")
+    val c2 = TokenizerOps.trainBpe(df2, "text", vocabSize = 258)
+    assert(c2.encode("ab\u000Bab").toSeq === Seq(c2.mergeIds(0), 0x0B, c2.mergeIds(0)))
+  }
+
+  test("heap-based encode equals the round-based reference formulation on random text") {
+    def referenceEncode(c: TokenizerOps.BpeCodec, text: String): Seq[Int] = {
+      val ws = Set(' ', '\t', '\n', '\u000B', '\f', '\r')
+      val ranks = c.mergePairs.zipWithIndex.toMap
+      def key(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < text.length) {
+        val w = ws(text.charAt(i)); val st = i
+        while (i < text.length && ws(text.charAt(i)) == w) i += 1
+        var ids = text.substring(st, i).getBytes("UTF-8").map(_ & 0xff).toVector
+        var cont = ids.length > 1
+        while (cont) {
+          val best = ids.indices.dropRight(1).flatMap(j => ranks.get(key(ids(j), ids(j + 1)))).minOption
+          best match {
+            case None => cont = false
+            case Some(r) =>
+              val k = c.mergePairs(r); val nid = c.mergeIds(r)
+              val buf = scala.collection.mutable.ArrayBuffer[Int]()
+              var j = 0
+              while (j < ids.length) {
+                if (j < ids.length - 1 && key(ids(j), ids(j + 1)) == k) { buf += nid; j += 2 }
+                else { buf += ids(j); j += 1 }
+              }
+              ids = buf.toVector
+              cont = ids.length > 1
+          }
+        }
+        out ++= ids
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "the quick brown fox jumps over lazy dog num 0123 \t\n\u000B\f\ré"
+    val strs = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    strs.foreach { s =>
+      assert(codec.encode(s).toSeq === referenceEncode(codec, s), s"mismatch on ${s.take(40)}")
+    }
+  }
+
+  test("space-free documents encode in near-linear time (heap formulation, not O(n^2))") {
+    // 200 KB of CJK-ish space-free text; the old rescan loop would
+    // take minutes here, the heap version milliseconds
+    val big = "你好世界" * 50000
+    val t0 = System.nanoTime()
+    val ids = codec.encode(big)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(codec.decode(ids) === big)
+    assert(secs < 5.0, f"encode took $secs%.1f s")
+  }
+
   test("vocabSize caps merges; exhausted pair space stops early instead of looping") {
     val tiny = Seq((1L, "aa")).toDF("id", "text")
     val c = TokenizerOps.trainBpe(tiny, "text", vocabSize = 1000)
