@@ -705,6 +705,28 @@ object SparkEntry {
         md5(graft.operators.TokenizerOps.decode(
           graft.operators.TokenizerOps.encode(col("text"), codec), codec)).as("rt_md5"),
         octet_length(col("text")).cast("long").as("n_bytes"))
+    }),
+
+    // ---- X8b: token-boundary chunking. overlap = 0 chunks must
+    //      reassemble into the document byte-for-byte (byte-level
+    //      BPE is lossless), so the oracle is md5-of-reassembly vs
+    //      DuckDB's md5(text) — any window-arithmetic, slice, or
+    //      decode bug breaks the hash. The chunker itself is
+    //      zero-shuffle; the groupBy here is just the reassembly
+    //      harness. ----
+    "q_bpe_chunk" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val codec = graft.operators.TokenizerOps.trainBpe(docs, "text", vocabSize = 512)
+      graft.operators.TokenizerOps.chunkByTokens(docs, "doc_id", "text", codec, maxTokens = 64)
+        .groupBy(col("doc_id"))
+        .agg(
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            x => x.getField("chunk_text")), "")).as("reassembled_md5"),
+          count(lit(1)).as("n_chunks"),
+          max(col("n_tokens")).cast("long").as("max_chunk_tokens"))
+        .select(col("doc_id"), col("reassembled_md5"),
+          (col("max_chunk_tokens") <= 64L).as("within_budget"))
     })
   )
 
@@ -1231,6 +1253,10 @@ object SparkEntry {
 
     "q_bpe" ->
       """SELECT doc_id, md5(text) AS rt_md5, strlen(text)::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_bpe_chunk" ->
+      """SELECT doc_id, md5(text) AS reassembled_md5, TRUE AS within_budget
         |FROM documents""".stripMargin
   )
 }

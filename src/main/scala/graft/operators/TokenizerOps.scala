@@ -330,6 +330,45 @@ object TokenizerOps {
     new BpeCodec(vocab.toArray, mergePairs.toArray, mergeIds.toArray)
   }
 
+  /** Split documents into overlapping windows of REAL tokenizer
+    * tokens — the LLM-training chunker. Unlike [[MixOps.chunkDocs]]
+    * (whitespace tokens, normalized whitespace in the output), the
+    * windows here are measured in the same units the training batch
+    * consumes, and because byte-level BPE is lossless each chunk's
+    * text is the EXACT byte span of the original document —
+    * `overlap = 0` chunks concatenate back to the document verbatim
+    * (the invariant the driver query oracles via md5).
+    *
+    * Chunk i covers tokens [i·stride, i·stride + maxTokens), stride
+    * = maxTokens − overlap; a doc of n tokens yields 1 + ⌈max(n −
+    * maxTokens, 0) / stride⌉ chunks. Pure scan-stage expressions
+    * (encode → slice → decode) + one inline generator — zero
+    * shuffle.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      codec: BpeCodec,
+      maxTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val ids = encode(col(textCol), codec)
+    val n = size(ids)
+    val k = floor((greatest(n - maxTokens, lit(0)) + lit(stride - 1)).cast("double") / stride).cast("int")
+    val chunks = transform(sequence(lit(0), k), i => {
+      val window = slice(ids, i * stride + 1, lit(maxTokens))
+      struct(
+        i.cast("long").as("chunk_id"),
+        decode(window, codec).as("chunk_text"),
+        size(window).cast("long").as("n_tokens"))
+    })
+    df.select(col(idCol), inline(chunks))
+  }
+
   /** Replace every (left-to-right, non-overlapping) occurrence of
     * the pair `key` with `newId`; returns the input array unchanged
     * when the pair is absent.

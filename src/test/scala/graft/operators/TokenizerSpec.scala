@@ -140,6 +140,38 @@ class TokenizerSpec extends SparkSpec {
     assert(secs < 5.0, f"encode took $secs%.1f s")
   }
 
+  test("chunkByTokens: overlap=0 chunks reassemble byte-exactly; budget respected; empty doc kept") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(80)
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, "")).toDF("doc_id", "text"))
+    val c = TokenizerOps.trainBpe(docs, "text", vocabSize = 400)
+    val chunks = TokenizerOps.chunkByTokens(docs, "doc_id", "text", c, maxTokens = 32).cache()
+    assert(chunks.filter($"n_tokens" > 32).count() === 0)
+    val reassembled = chunks.groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"chunk_id", $"chunk_text"))),
+        x => x.getField("chunk_text")), "").as("re"))
+    val bad = reassembled.join(docs, "doc_id").filter($"re" =!= $"text").count()
+    assert(bad === 0)
+    // the empty doc still yields its one (empty) chunk
+    assert(chunks.filter($"doc_id" === 90001L).count() === 1)
+    chunks.unpersist()
+  }
+
+  test("chunkByTokens: overlapping windows share exactly `overlap` tokens of context") {
+    val doc = Seq((1L, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val out = TokenizerOps.chunkByTokens(doc, "doc_id", "text", codec, maxTokens = 16, overlap = 4)
+      .orderBy("chunk_id").collect()
+    val fullIds = codec.encode(("tok " * 100).trim)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val start = i * 12 // stride = 16 - 4
+      val expect = fullIds.slice(start, start + 16)
+      assert(r.getLong(3) === expect.length.toLong, s"chunk $i token count")
+      assert(r.getString(2) === codec.decode(expect), s"chunk $i text")
+    }
+    // every token covered: last chunk reaches the end
+    assert((out.length - 1) * 12 + 16 >= fullIds.length)
+  }
+
   test("vocabSize caps merges; exhausted pair space stops early instead of looping") {
     val tiny = Seq((1L, "aa")).toDF("id", "text")
     val c = TokenizerOps.trainBpe(tiny, "text", vocabSize = 1000)
