@@ -727,6 +727,26 @@ object SparkEntry {
           max(col("n_tokens")).cast("long").as("max_chunk_tokens"))
         .select(col("doc_id"), col("reassembled_md5"),
           (col("max_chunk_tokens") <= 64L).as("within_budget"))
+    }),
+
+    // ---- X9: trained quality classifier (LR over hashed bag-of-
+    //      words, the GPT-3/LLaMA filtering recipe). The task is
+    //      planted separable: every doc appears raw (label 0) and
+    //      with a marker appended (label 1) — shared features carry
+    //      exactly conflicting signal, so a correct trainer must
+    //      drive them to zero and separate on the marker alone. The
+    //      oracle IS the labeling rule; 100% training accuracy is
+    //      the hash-checkable contract. ----
+    "q_quality_clf" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
+      val labeled = docs.select(col("doc_id"), col("text"), lit(0.0).as("label"))
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" qualmarker")).as("text"), lit(1.0).as("label")))
+      val dim = 1 << 16
+      val w = graft.operators.ClassifierOps.trainTextClassifier(
+        labeled, "text", "label", dim = dim, epochs = 25)
+      labeled.select(col("doc_id"),
+        (graft.operators.ClassifierOps.score(col("text"), w, dim) > 0.5).cast("long").as("pred"))
     })
   )
 
@@ -1257,6 +1277,11 @@ object SparkEntry {
 
     "q_bpe_chunk" ->
       """SELECT doc_id, md5(text) AS reassembled_md5, TRUE AS within_budget
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_quality_clf" ->
+      """SELECT doc_id, 0::BIGINT AS pred FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, 1::BIGINT FROM documents""".stripMargin
   )
 }
