@@ -747,6 +747,18 @@ object SparkEntry {
         labeled, "text", "label", dim = dim, epochs = 25)
       labeled.select(col("doc_id"),
         (graft.operators.ClassifierOps.score(col("text"), w, dim) > 0.5).cast("long").as("pred"))
+    }),
+
+    // ---- G6: weighted sampling without replacement (Efraimidis-
+    //      Spirakis), k per language, weight = doc length. The
+    //      bounded TopK aggregate carries groups·k entries through
+    //      the exchange — no window sort; the deterministic coin +
+    //      key + tie-break replay verbatim in DuckDB, so the oracle
+    //      checks WHICH docs are sampled, at which rank. ----
+    "q_weighted_sample" -> ((s, dir) => {
+      MixOps.weightedSamplePerGroup(BioLoader.load(s, t(dir, "documents")),
+        "lang", "doc_id", "n_chars", k = 5)
+        .select("lang", "rank", "doc_id")
     })
   )
 
@@ -1282,6 +1294,18 @@ object SparkEntry {
     "q_quality_clf" ->
       """SELECT doc_id, 0::BIGINT AS pred FROM documents
         |UNION ALL
-        |SELECT doc_id + 1000000, 1::BIGINT FROM documents""".stripMargin
+        |SELECT doc_id + 1000000, 1::BIGINT FROM documents""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (((((doc_id % 999983 + 999983) % 999983) * 480879 % 999983) * 104729 % 999983) + 1)::DOUBLE / 999984.0 AS uu
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |)
+        |SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ln(uu) / n_chars DESC, doc_id ASC) AS rk
+        |  FROM u)
+        |WHERE rk <= 5""".stripMargin
   )
 }

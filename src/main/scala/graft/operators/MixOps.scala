@@ -129,8 +129,6 @@ object MixOps {
   ): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(targetFraction > 0 && targetFraction <= 1.0, s"targetFraction must be in (0,1], got $targetFraction")
-    val P = 999983L
-    val seedOff = (seed % P + P) % P // additive only — multipliers are fixed constants
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
     val all = Window.partitionBy()
     val rates = counts
@@ -143,12 +141,65 @@ object MixOps {
           lit(targetFraction) * sum(col("__n")).over(all) * (col("__w") / sum(col("__w")).over(all)) / col("__n"))
           * 1e6 + lit(0.5)) / 1e6)
       .select(col(sourceCol), col("__rate"))
-    val u = ((((col(idCol).cast("long") % P + P) % P) * 480879L % P + seedOff) * 104729L % P)
-      .cast("double") / lit(P.toDouble)
+    val u = portableHash(col(idCol), seed).cast("double") / lit(HashP.toDouble)
     df.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
         col(sourceCol) <=> col("__src"))
       .filter(u < col("__rate"))
       .drop("__src", "__rate")
+  }
+
+  /** prime modulus of the portable per-row coin — coprime to 10⁶ so
+    * a 1e-6-rounded rate can never exactly equal a hash residue.
+    */
+  private val HashP = 999983L
+
+  /** Deterministic uniform residue in [0, P): two multiplicative
+    * rounds mod the prime with the seed as an ADDITIVE middle term —
+    * no seed value can degenerate the fixed multipliers. Pure
+    * integer arithmetic (max intermediate ~2·10¹¹), replayable
+    * verbatim in ANSI SQL, layout-independent.
+    */
+  private def portableHash(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+    val P = HashP
+    val seedOff = (seed % P + P) % P
+    (((id.cast("long") % P + P) % P) * 480879L % P + seedOff) * 104729L % P
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per group — the
+    * Efraimidis–Spirakis one-pass scheme: each row draws key
+    * u^(1/w) (computed as ln(u)/w, the same monotone order) from a
+    * deterministic uniform u, and the k largest keys per group are
+    * the sample. Inclusion probability is proportional to weight
+    * without replacement — the principled "keep the best-weighted k
+    * docs per domain, reproducibly" primitive.
+    *
+    * Scale shape: the bounded [[graft.functions.TopKAggregate]]
+    * buffer, NOT a row_number window — map-side partial heaps, the
+    * exchange carries groups·k entries, nothing globally sorted.
+    * Deterministic coin → same sample on any cluster layout, and
+    * the whole operator (coin, key, tie-break) replays in ANSI SQL,
+    * which is what makes it oracle-checkable.
+    *
+    * Rows with weight ≤ 0 or null are excluded (E-S requires
+    * positive weights).
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long = 0L
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // u in (0, 1]: +1 shifts the residue off zero so ln(u) is finite
+    val u = (portableHash(col(idCol), seed) + lit(1L)).cast("double") / lit((HashP + 1).toDouble)
+    val key = log(u) / col(weightCol)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topK(key, col(idCol).cast("long"), k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"), col("col.id").as(idCol))
   }
 
   /** Public on purpose: Spark's generated deserializer invokes the

@@ -143,6 +143,49 @@ class MixSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("weightedSamplePerGroup matches the window formulation of Efraimidis-Spirakis exactly") {
+    val df = (1L to 3000L).map(i => (i, s"g${i % 5}", 1.0 + (i * 13 % 97))).toDF("id", "grp", "w")
+    val got = MixOps.weightedSamplePerGroup(df, "grp", "id", "w", k = 7, seed = 3L)
+      .select($"grp", $"rank", $"id").as[(String, Long, Long)].collect().toSet
+    // reference: same coin/key via a row_number window
+    val P = 999983L
+    val u = ((($"id" % P + P) % P) * 480879L % P + 3L) * 104729L % P + 1L
+    val key = log(u.cast("double") / (P + 1).toDouble) / $"w"
+    val w7 = org.apache.spark.sql.expressions.Window.partitionBy($"grp").orderBy(key.desc, $"id".asc)
+    val expect = df.withColumn("rank", row_number().over(w7)).filter($"rank" <= 7)
+      .select($"grp", $"rank".cast("long"), $"id").as[(String, Long, Long)].collect().toSet
+    assert(got === expect)
+    assert(got.size === 35)
+  }
+
+  test("weightedSamplePerGroup: heavy weights dominate inclusion; zero/null weights excluded; layout-independent") {
+    val base = (1L to 200L).map(i => (i, "g", 1.0)) :+ ((999L, "g", 500.0))
+    val df = (base :+ ((1000L, "g", 0.0))).toDF("id", "grp", "w")
+      .unionByName(Seq((1001L, "g", null.asInstanceOf[java.lang.Double])).toDF("id", "grp", "w"))
+    // the 500x-weighted row should make the k=5 sample in nearly every seed
+    val hits = (1 to 20).count { s =>
+      MixOps.weightedSamplePerGroup(df, "grp", "id", "w", k = 5, seed = s.toLong)
+        .filter($"id" === 999L).count() == 1
+    }
+    assert(hits >= 16, s"heavy row sampled only $hits/20 seeds")
+    // excluded rows never appear
+    val all = MixOps.weightedSamplePerGroup(df, "grp", "id", "w", k = 300, seed = 1L)
+    assert(all.filter($"id" >= 1000L).count() === 0)
+    // deterministic across partitioning
+    val a = MixOps.weightedSamplePerGroup(df, "grp", "id", "w", 5, 42L).select("id").as[Long].collect().sorted.toSeq
+    val b = MixOps.weightedSamplePerGroup(df.repartition(17), "grp", "id", "w", 5, 42L).select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("weightedSamplePerGroup plan: bounded TopK aggregate with map-side partials, no window sort") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}", 1.0)).toDF("id", "grp", "w")
+    val p = MixOps.weightedSamplePerGroup(df, "grp", "id", "w", 3)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.split("ObjectHashAggregate").length >= 3, s"no partial phase:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("BioLoader reads ORC (native Spark datasource)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.orc(s"$dir/data.orc")
