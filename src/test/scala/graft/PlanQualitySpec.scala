@@ -215,4 +215,35 @@ class PlanQualitySpec extends SparkSpec {
     assert("LeftAnti".r.findAllIn(p).size == 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("range join plans as a hash equi-join on bins — never the BNLJ a theta join would get") {
+    val p = planOf(q("q_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("temperature sample broadcasts the tiny rates frame — the doc side never shuffles") {
+    val p = planOf(q("q_temp_sample"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("heavy hitters and weighted sample aggregate with map-side partials, no window sort") {
+    for (name <- Seq("q_heavy_hitters", "q_weighted_sample")) {
+      val p = planOf(q(name))
+      assert(p.contains("ObjectHashAggregate"), s"$name:\n$p")
+      assert(p.split("ObjectHashAggregate").length >= 3, s"$name has no partial phase:\n$p")
+      assert(!p.contains("Window"), s"$name:\n$p")
+    }
+  }
+
+  test("BPE scoring-side queries stay zero-shuffle scan projections (encode/decode/chunk inline)") {
+    // q_bpe is a pure per-row projection; q_bpe_chunk's only
+    // exchange is the reassembly harness groupBy, not the chunker
+    val p = planOf(q("q_bpe"))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("bpe_"), p)
+    val pc = planOf(q("q_bpe_chunk"))
+    assert("Exchange".r.findAllIn(pc).size <= 4, pc) // one hash exchange (tree+details naming)
+  }
 }
