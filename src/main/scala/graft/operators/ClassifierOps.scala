@@ -44,24 +44,29 @@ object ClassifierOps {
   def featurizeKernel(text: UTF8String, dim: Int): Array[Int] = {
     val hashes = graft.functions.HashExpressions.tokenHashKernel(text, HashSeed)
     if (hashes.isEmpty) return Array.emptyIntArray
-    val set = new java.util.TreeSet[Integer]()
+    // primitive sort + in-place dedup — this runs per row in the
+    // scoring hot path; no boxed TreeSet
+    val idxs = new Array[Int](hashes.length)
     var i = 0
     while (i < hashes.length) {
-      set.add(((hashes(i) % dim + dim) % dim).toInt)
+      idxs(i) = ((hashes(i) % dim + dim) % dim).toInt
       i += 1
     }
-    val out = new Array[Int](set.size)
-    val it = set.iterator()
+    java.util.Arrays.sort(idxs)
+    var w = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    while (i < idxs.length) {
+      if (i == 0 || idxs(i) != idxs(i - 1)) { idxs(w) = idxs(i); w += 1 }
+      i += 1
+    }
+    if (w == idxs.length) idxs else java.util.Arrays.copyOf(idxs, w)
   }
 
-  /** σ(w·φ(text) + b); weights has length dim+1, bias last. Public:
-    * invoked from generated code.
+  /** σ(w·φ + b) over pre-extracted indices — the ONE implementation
+    * both the scoring expression and the training gradient use, so
+    * the two paths cannot drift.
     */
-  def scoreKernel(text: UTF8String, weights: Array[Double], dim: Int): Double = {
-    val idx = featurizeKernel(text, dim)
+  private def sigmoidDot(idx: Array[Int], weights: Array[Double], dim: Int): Double = {
     var dot = weights(dim)
     if (idx.nonEmpty) {
       val v = 1.0 / math.sqrt(idx.length.toDouble)
@@ -70,6 +75,12 @@ object ClassifierOps {
     }
     1.0 / (1.0 + math.exp(-dot))
   }
+
+  /** σ(w·φ(text) + b); weights has length dim+1, bias last. Public:
+    * invoked from generated code.
+    */
+  def scoreKernel(text: UTF8String, weights: Array[Double], dim: Int): Double =
+    sigmoidDot(featurizeKernel(text, dim), weights, dim)
 
   /** predicted quality in (0,1) as a Catalyst expression. */
   case class TextLrScore(child: Expression, weights: Array[Double], dim: Int)
@@ -129,13 +140,9 @@ object ClassifierOps {
       val grad = data.rdd.treeAggregate(new Array[Double](dim + 1))(
         seqOp = (g, row) => {
           val (idx, y) = row
-          val wv = bcW.value
-          var dot = wv(dim)
+          val err = sigmoidDot(idx, bcW.value, dim) - y
           val v = if (idx.isEmpty) 0.0 else 1.0 / math.sqrt(idx.length.toDouble)
           var i = 0
-          while (i < idx.length) { dot += wv(idx(i)) * v; i += 1 }
-          val err = 1.0 / (1.0 + math.exp(-dot)) - y
-          i = 0
           while (i < idx.length) { g(idx(i)) += err * v; i += 1 }
           g(dim) += err
           g

@@ -45,6 +45,14 @@ object RangeJoinOps {
   private def binOf(c: Column, binWidth: Double): Column =
     floor(c.cast("double") / lit(binWidth)).cast("long")
 
+  /** One row per bin the [startCol, endCol] interval covers
+    * (inverted and null-bounded intervals drop, matching SQL range
+    * predicates on them).
+    */
+  private def explodeBins(df: DataFrame, startCol: String, endCol: String, binWidth: Double, binName: String): DataFrame =
+    df.filter(col(startCol) <= col(endCol))
+      .withColumn(binName, explode(sequence(binOf(col(startCol), binWidth), binOf(col(endCol), binWidth))))
+
   /** Inner join of `points` rows to every `intervals` row whose
     * [startCol, endCol] (inclusive both ends) contains the point.
     * Output carries all columns of both inputs (names must be
@@ -66,9 +74,7 @@ object RangeJoinOps {
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     requireDisjoint(points, intervals)
-    val binned = intervals
-      .filter(col(startCol) <= col(endCol))
-      .withColumn(IBin, explode(sequence(binOf(col(startCol), binWidth), binOf(col(endCol), binWidth))))
+    val binned = explodeBins(intervals, startCol, endCol, binWidth, IBin)
     val right = if (broadcastIntervals) broadcast(binned) else binned
     points
       .withColumn(PBin, binOf(col(pointCol), binWidth))
@@ -98,12 +104,8 @@ object RangeJoinOps {
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     requireDisjoint(left, right)
-    val lb = left
-      .filter(col(lStartCol) <= col(lEndCol))
-      .withColumn(LBin, explode(sequence(binOf(col(lStartCol), binWidth), binOf(col(lEndCol), binWidth))))
-    val rb0 = right
-      .filter(col(rStartCol) <= col(rEndCol))
-      .withColumn(RBin, explode(sequence(binOf(col(rStartCol), binWidth), binOf(col(rEndCol), binWidth))))
+    val lb = explodeBins(left, lStartCol, lEndCol, binWidth, LBin)
+    val rb0 = explodeBins(right, rStartCol, rEndCol, binWidth, RBin)
     val rb = if (broadcastRight) broadcast(rb0) else rb0
     lb.join(
         rb,

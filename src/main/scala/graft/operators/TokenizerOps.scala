@@ -67,6 +67,44 @@ object TokenizerOps {
   @inline private def pairKey(a: Int, b: Int): Long =
     (a.toLong << 32) | (b.toLong & 0xffffffffL)
 
+  /** Minimal primitive long min-heap — encodeSegment runs per row,
+    * and `PriorityQueue[java.lang.Long]` would box every merge
+    * candidate on that hot path.
+    */
+  private final class LongMinHeap(initialCapacity: Int) {
+    private var arr = new Array[Long](math.max(4, initialCapacity))
+    private var n = 0
+    def isEmpty: Boolean = n == 0
+    def add(v: Long): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+      arr(n) = v
+      n += 1
+      var i = n - 1
+      while (i > 0 && arr((i - 1) >> 1) > arr(i)) {
+        val p = (i - 1) >> 1
+        val t = arr(i); arr(i) = arr(p); arr(p) = t
+        i = p
+      }
+    }
+    def poll(): Long = {
+      val r = arr(0)
+      n -= 1
+      arr(0) = arr(n)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val rr = l + 1
+        var m = i
+        if (l < n && arr(l) < arr(m)) m = l
+        if (rr < n && arr(rr) < arr(m)) m = rr
+        if (m == i) done = true
+        else { val t = arr(i); arr(i) = arr(m); arr(m) = t; i = m }
+      }
+      r
+    }
+  }
+
   /** Trained codec: vocab id → byte sequence (ids 0..255 are the
     * single bytes), plus the merge table as parallel arrays
     * (pairKey = left<<32|right, in rank order). The encode-side
@@ -129,7 +167,7 @@ object TokenizerOps {
         alive(i) = true
         i += 1
       }
-      val pq = new java.util.PriorityQueue[java.lang.Long](math.max(4, n))
+      val pq = new LongMinHeap(n)
       def push(pos: Int): Unit = {
         val nx = nextIdx(pos)
         if (nx < n) {
@@ -140,7 +178,7 @@ object TokenizerOps {
       i = 0
       while (i < n - 1) { push(i); i += 1 }
       while (!pq.isEmpty) {
-        val top = pq.poll().longValue()
+        val top = pq.poll()
         val rank = (top >>> 32).toInt
         val pos = (top & 0xffffffffL).toInt
         if (alive(pos)) {
