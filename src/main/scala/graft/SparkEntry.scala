@@ -759,6 +759,18 @@ object SparkEntry {
       MixOps.weightedSamplePerGroup(BioLoader.load(s, t(dir, "documents")),
         "lang", "doc_id", "n_chars", k = 5)
         .select("lang", "rank", "doc_id")
+    }),
+
+    // ---- D11: exact 7-token span overlap (the Lee-et-al exact-
+    //      substring dedup signal). Planted twins share their whole
+    //      text as spans; the oracle computes TRUE shared k-grams in
+    //      SQL, so it also proves the 64-bit span hashes introduced
+    //      no false pairs at this scale. ----
+    "q_span_overlap" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
+      val planted = docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("prefix sentinel words "), col("text")).as("text")))
+      graft.operators.DedupOps.spanOverlapPairs(planted, "doc_id", "text", k = 7)
     })
   )
 
@@ -1306,6 +1318,20 @@ object SparkEntry {
         |  SELECT lang, doc_id,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ln(uu) / n_chars DESC, doc_id ASC) AS rk
         |  FROM u)
-        |WHERE rk <= 5""".stripMargin
+        |WHERE rk <= 5""".stripMargin,
+
+    "q_span_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'prefix sentinel words ' || text FROM documents
+        |), t AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks FROM d
+        |), g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 6], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 6)) AS u(i)
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id""".stripMargin
   )
 }

@@ -131,6 +131,47 @@ object DedupOps {
     *     total. Right choice when duplication is known to be low
     *     and shuffle volume dominates.
     */
+  /** Exact k-token span overlap pairs — the "exact substring dedup"
+    * signal (Lee et al., Deduplicating Training Data Makes Language
+    * Models Better: docs sharing a verbatim ≥k-token run): a pair
+    * reports when the two docs contain ANY identical contiguous
+    * k-token window. Complements [[ngramJaccard]] (thresholded
+    * whole-doc similarity) and [[decontaminate]] (doc-vs-eval-set);
+    * this is doc-vs-doc, single-span sensitivity.
+    *
+    * Shape: the standard one-shuffle bucket plan — distinct span
+    * hashes per doc from the fused text kernel, ONE
+    * groupBy(span-hash) with capped id collection (a span shared by
+    * more than maxBucket docs is boilerplate, not duplication — cap
+    * overflow drops it, the usual skew guard), bucket-local ordered
+    * pair emission, distinct. Spans are 64-bit xxh64 hashes: a
+    * false pair needs a hash collision (~(#distinct spans)²/2⁶⁵ —
+    * negligible below ~10⁸ spans; re-verify pairs downstream if
+    * that matters at your scale).
+    */
+  def spanOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // strict window semantics: a doc with fewer than k tokens has no
+    // k-token span (the fused text kernel's short-doc fallback emits
+    // a whole-doc shingle for minhash parity — wrong here), so
+    // tokenize once, gate on length, shingle the token array
+    val spans = df
+      .select(col(idCol).as("id"), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("id"), explode(HE.shingleHashes(col("__toks"), k)).as("span"))
+    spans.groupBy("span")
+      .agg(PG.cappedCollectList(col("id"), maxBucket + 1).as("m"))
+      .filter(size(col("m")) between (2, maxBucket))
+      .select(PG.idPairs(col("m")).as(Seq("id_a", "id_b")))
+      .distinct()
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

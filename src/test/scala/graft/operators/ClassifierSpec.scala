@@ -56,6 +56,25 @@ class ClassifierSpec extends SparkSpec {
     assert(e.getMessage.contains("no labeled rows"))
   }
 
+  test("score runs unchanged on a stream — stateless scan expression, identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, String)](spark)
+    val scored = ms.toDF().toDF("id", "text")
+      .select($"id", ClassifierOps.score($"text", weights, Dim).as("p"))
+    val q = scored.writeStream.format("memory").queryName("clf_stream").outputMode("append").start()
+    try {
+      val rows = Seq((1L, "decent text qualmarker"), (2L, "decent text"))
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("clf_stream").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = rows.toDF("id", "text")
+        .select($"id", ClassifierOps.score($"text", weights, Dim).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === batch)
+      assert(got(1L) > got(2L))
+    } finally q.stop()
+  }
+
   test("featurization is deterministic and shared between train and score paths") {
     val a = ClassifierOps.featurizeKernel(org.apache.spark.unsafe.types.UTF8String.fromString("Hello World hello"), Dim)
     val b = ClassifierOps.featurizeKernel(org.apache.spark.unsafe.types.UTF8String.fromString("hello  world"), Dim)
