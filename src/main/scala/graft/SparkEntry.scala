@@ -506,6 +506,16 @@ object SparkEntry {
         .select("doc_id", "quality")
     }),
 
+    // ---- G2b: per-GROUP percentile gate (top 20% by quality
+    //      WITHIN each language — high-resource languages cannot
+    //      crowd out the rest). Thresholds = one groupBy percentile
+    //      aggregate broadcast back; fact side never shuffles. ----
+    "q_group_quantile" -> ((s, dir) => {
+      val scored = TextOps.qualityScore(BioLoader.load(s, t(dir, "documents")), "text")
+      MixOps.filterByQuantilePerGroup(scored, "quality", "lang", 0.8)
+        .select("doc_id", "lang", "quality")
+    }),
+
     // ---- G4: token-window chunking with overlap (cut docs to
     //      <=50 tokens, 10-token context overlap) ----
     "q_chunk" -> ((s, dir) => {
@@ -1122,6 +1132,28 @@ object SparkEntry {
         |  FROM g
         |), thr AS (SELECT quantile_cont(quality, 0.8) AS t FROM s)
         |SELECT doc_id, quality FROM s, thr WHERE quality >= t""".stripMargin,
+
+    "q_group_quantile" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks,
+        |    greatest(length(text), 1)::DOUBLE AS nchar
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    list_sum([length(x) FOR x IN toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nchar AS pd,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nchar AS dd,
+        |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS ur,
+        |    CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
+        |  FROM f
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    floor((0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur) * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM g
+        |), thr AS (SELECT lang, quantile_cont(quality, 0.8) AS t FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr USING (lang) WHERE s.quality >= t""".stripMargin,
 
     "q_chunk" ->
       """WITH t AS (

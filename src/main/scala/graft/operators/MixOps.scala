@@ -148,6 +148,37 @@ object MixOps {
       .drop("__src", "__rate")
   }
 
+  /** Per-GROUP percentile gate — [[filterByQuantile]] with a
+    * separate threshold per source/language ("top 20% by quality
+    * WITHIN each language", so a high-resource language cannot
+    * crowd out the rest — the per-group twin of the global gate).
+    *
+    * Thresholds come from ONE groupBy aggregate over the (small)
+    * group dimension and broadcast back; the fact side is scanned
+    * once and never shuffles. Exact linear-interpolation
+    * `percentile` (≡ ANSI quantile_cont — oracle-checkable);
+    * `exact=false` switches to `approx_percentile` when group count
+    * × buffer matters at scale. Null-group rows gate against the
+    * null group's own threshold (null-safe join), matching the
+    * global operator's keep-everything-comparable behavior.
+    */
+  def filterByQuantilePerGroup(
+      df: DataFrame,
+      scoreCol: String,
+      groupCol: String,
+      q: Double,
+      exact: Boolean = true
+  ): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val thr =
+      if (exact) df.groupBy(col(groupCol).as("__g")).agg(percentile(col(scoreCol), lit(q)).as("__thr"))
+      else df.groupBy(col(groupCol).as("__g"))
+        .agg(approx_percentile(col(scoreCol), lit(q), lit(10000)).cast("double").as("__thr"))
+    df.join(broadcast(thr), col(groupCol) <=> col("__g"))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** prime modulus of the portable per-row coin — coprime to 10⁶ so
     * a 1e-6-rounded rate can never exactly equal a hash residue.
     */

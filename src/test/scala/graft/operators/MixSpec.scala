@@ -143,6 +143,30 @@ class MixSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("filterByQuantilePerGroup: independent thresholds per group; null group gated on its own") {
+    val df = ((1 to 100).map(i => (i.toLong, "hi", i.toDouble)) ++
+      (101 to 200).map(i => (i.toLong, "lo", (i - 100).toDouble / 10.0)))
+      .toDF("id", "grp", "score")
+      .unionByName(Seq((300L, null.asInstanceOf[String], 5.0), (301L, null.asInstanceOf[String], 1.0))
+        .toDF("id", "grp", "score"))
+    val kept = MixOps.filterByQuantilePerGroup(df, "score", "grp", 0.8).cache()
+    // each non-null group keeps its own top 20% (interpolated p80 of
+    // 1..100 is 80.2 → scores 81..100 pass)
+    val by = kept.groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(by("hi") === 20L && by("lo") === 20L, by.toString)
+    // a global gate would keep ZERO of "lo" (its max 10.0 < hi's p80) — per-group must not
+    assert(kept.filter($"grp" === "lo").count() > 0)
+    // null-group rows compare against the null group's threshold (p80 of {5,1})
+    assert(kept.filter($"grp".isNull).select("id").as[Long].collect().toSeq === Seq(300L))
+    kept.unpersist()
+    // plan: thresholds broadcast — fact side never shuffles
+    val p = MixOps.filterByQuantilePerGroup(df, "score", "grp", 0.8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("weightedSamplePerGroup matches the window formulation of Efraimidis-Spirakis exactly") {
     val df = (1L to 3000L).map(i => (i, s"g${i % 5}", 1.0 + (i * 13 % 97))).toDF("id", "grp", "w")
     val got = MixOps.weightedSamplePerGroup(df, "grp", "id", "w", k = 7, seed = 3L)
