@@ -771,6 +771,24 @@ object SparkEntry {
         .select("lang", "rank", "doc_id")
     }),
 
+    // ---- N9: per-feature two-group differential test (Welch t,
+    //      normal-approx p, BH rank) — the differential-abundance
+    //      analysis downstream of every omics load. One partial-agg
+    //      groupBy; every number through the erf polynomial is pure
+    //      arithmetic the oracle replays term by term. ----
+    "q_difftest" -> ((s, dir) => {
+      val long = BioLoader.load(s, t(dir, "lineitem"))
+        .filter(col("l_returnflag").isin("A", "N"))
+        .select((col("l_partkey") % 100).as("feature"), col("l_returnflag").as("grp"),
+          col("l_quantity").as("v"))
+      StatsOps.differentialTest(long, "feature", "v", "grp", "A", "N")
+        .select(col("feature"), col("n_a"), col("n_b"),
+          hround(col("t_stat"), 6).as("t_stat"),
+          hround(col("df_welch"), 4).as("df_welch"),
+          hround(col("p_value"), 6).as("p_value"),
+          col("bh_rank"))
+    }),
+
     // ---- D11: exact 7-token span overlap (the Lee-et-al exact-
     //      substring dedup signal). Planted twins share their whole
     //      text as spans; the oracle computes TRUE shared k-grams in
@@ -1351,6 +1369,45 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ln(uu) / n_chars DESC, doc_id ASC) AS rk
         |  FROM u)
         |WHERE rk <= 5""".stripMargin,
+
+    "q_difftest" ->
+      """WITH s AS (
+        |  SELECT l_partkey % 100 AS feature, l_returnflag AS g, l_quantity AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N')
+        |), a AS (
+        |  SELECT feature,
+        |    count(CASE WHEN g = 'A' THEN 1 END) AS n_a,
+        |    avg(CASE WHEN g = 'A' THEN v END) AS mean_a,
+        |    var_samp(CASE WHEN g = 'A' THEN v END) AS var_a,
+        |    count(CASE WHEN g = 'N' THEN 1 END) AS n_b,
+        |    avg(CASE WHEN g = 'N' THEN v END) AS mean_b,
+        |    var_samp(CASE WHEN g = 'N' THEN v END) AS var_b
+        |  FROM s GROUP BY 1
+        |  HAVING count(CASE WHEN g = 'A' THEN 1 END) >= 2
+        |     AND count(CASE WHEN g = 'N' THEN 1 END) >= 2
+        |), tc AS (
+        |  SELECT feature, n_a, n_b,
+        |    (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+        |    pow(var_a / n_a + var_b / n_b, 2)
+        |      / (pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)) AS df_welch
+        |  FROM a
+        |), pz AS (
+        |  SELECT feature, n_a, n_b, t_stat, df_welch,
+        |    1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0))) AS sf,
+        |    abs(t_stat) / sqrt(2.0) AS z
+        |  FROM tc WHERE t_stat IS NOT NULL
+        |), p AS (
+        |  SELECT feature, n_a, n_b, t_stat, df_welch,
+        |    sf * (0.254829592 + sf * (-0.284496736 + sf * (1.421413741
+        |      + sf * (-1.453152027 + sf * 1.061405429)))) * exp(-z * z) AS p_value
+        |  FROM pz
+        |)
+        |SELECT feature, n_a, n_b,
+        |  floor(t_stat * 1000000 + 0.5) / 1000000 AS t_stat,
+        |  floor(df_welch * 10000 + 0.5) / 10000 AS df_welch,
+        |  floor(p_value * 1000000 + 0.5) / 1000000 AS p_value,
+        |  ROW_NUMBER() OVER (ORDER BY p_value ASC, feature ASC) AS bh_rank
+        |FROM p""".stripMargin,
 
     "q_span_overlap" ->
       """WITH d AS (

@@ -63,6 +63,79 @@ object StatsOps {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-feature two-group differential test over a LONG table
+    * (sample, feature, value, group) — the differential-abundance
+    * shape downstream of every omics load ("which taxa differ
+    * between cases and controls"). Emits, per feature: group
+    * means/variances/counts, the Welch t-statistic, its
+    * Welch–Satterthwaite degrees of freedom, and a normal-
+    * approximation two-sided p-value plus its Benjamini–Hochberg
+    * rank (the standard FDR ordering; with BH the rejection set at
+    * level α is {features with rank r where p(r) ≤ α·r/m} — the
+    * caller applies the cut).
+    *
+    * Everything through the t-statistic is pure arithmetic over ONE
+    * partial-agg groupBy of the long table (no per-feature collect,
+    * no window over raw rows) — which is also what makes it
+    * oracle-checkable in ANSI SQL. The p-value uses the normal
+    * approximation Φ(-|t|)·2 (erf via Abramowitz–Stegun 7.1.26,
+    * |err| < 1.5e-7): exact enough for ranking and for the df sizes
+    * omics tables have; BH ranking only needs the ORDER of
+    * p-values, which equals the order of |t| only within equal df —
+    * hence rank is computed on the p-value itself.
+    *
+    * Features present in only one group yield null t (no variance
+    * contrast) and are excluded from the ranked output.
+    */
+  def differentialTest(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    val agg = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(featureCol))
+      .agg(
+        count(when(col(groupCol) === groupA, 1)).as("n_a"),
+        avg(when(col(groupCol) === groupA, col(valueCol))).as("mean_a"),
+        var_samp(when(col(groupCol) === groupA, col(valueCol))).as("var_a"),
+        count(when(col(groupCol) === groupB, 1)).as("n_b"),
+        avg(when(col(groupCol) === groupB, col(valueCol))).as("mean_b"),
+        var_samp(when(col(groupCol) === groupB, col(valueCol))).as("var_b"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val sa = col("var_a") / col("n_a")
+    val sb = col("var_b") / col("n_b")
+    val t = (col("mean_a") - col("mean_b")) / sqrt(sa + sb)
+    val dfw = (sa + sb) * (sa + sb) /
+      (sa * sa / (col("n_a") - 1) + sb * sb / (col("n_b") - 1))
+    val stats = agg
+      .withColumn("t_stat", t)
+      .withColumn("df_welch", dfw)
+      .filter(col("t_stat").isNotNull)
+      .withColumn("p_value", normalTwoSided(col("t_stat")))
+    // BH rank: ascending p, deterministic tie-break by feature
+    val w = Window.orderBy(col("p_value").asc, col(featureCol).asc)
+    stats.withColumn("bh_rank", row_number().over(w).cast("long"))
+  }
+
+  /** 2·Φ(−|t|) via the Abramowitz–Stegun 7.1.26 erf polynomial —
+    * column arithmetic only, so the oracle can replay it term by
+    * term.
+    */
+  private def normalTwoSided(t: Column): Column = {
+    val z = abs(t) / math.sqrt(2.0)
+    val s = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = s * (lit(0.254829592) +
+      s * (lit(-0.284496736) +
+        s * (lit(1.421413741) +
+          s * (lit(-1.453152027) + s * lit(1.061405429)))))
+    val erfc = poly * exp(-z * z)
+    erfc // two-sided p = erfc(|t|/sqrt(2))
+  }
+
   /** Hierarchical rollup: re-aggregate a long fact table after a
     * broadcast join to a (feature → level) mapping — e.g. OTU →
     * genus/phylum taxonomy rollup.
