@@ -799,6 +799,257 @@ object SparkEntry {
       val planted = docs.unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("prefix sentinel words "), col("text")).as("text")))
       graft.operators.DedupOps.spanOverlapPairs(planted, "doc_id", "text", k = 7)
+    }),
+
+    // ---- C15: bucketed co-located join — both sides written
+    //      bucketBy(key), so the repeated equi-join plans with NO
+    //      Exchange (the 100-TB fact table shuffles once at write
+    //      time instead of per query). The oracle is the plain
+    //      join, exactly as q_salted_join's is. ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders")).select("o_custkey", "o_totalprice")
+      val c = BioLoader.load(s, t(dir, "customer"))
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      // per-invocation table names: suites sharing the session must
+      // not overwrite each other's bucket layout mid-plan
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      graft.operators.BucketOps.writeBucketed(o, s"graft_bkt_orders_$tag", "o_custkey", 8)
+      graft.operators.BucketOps.writeBucketed(c, s"graft_bkt_customer_$tag", "o_custkey", 8)
+      graft.operators.BucketOps
+        .colocatedJoin(s, s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag", "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), hround(sum("o_totalprice"), 2).as("sum_price"))
+    }),
+
+    // ---- C8: deterministic shuffle with the permutation
+    //      materialized — the coin is the portable multiplicative
+    //      hash, so DuckDB replays the ENTIRE row order, not just
+    //      the membership ----
+    "q_shuffle" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      SplitOps.shuffledWithPosition(o, "o_orderkey", seed = 7L)
+    }),
+
+    // ---- T7: training-shard export — range-sharded parquet,
+    //      read back. The oracle grades content preservation plus
+    //      the shard-count contract (n_shards rides every row; a
+    //      collapsed or split shard layout breaks it). Order inside
+    //      shards is spec-asserted (ExportOps spec). ----
+    "q_shards" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/shards"
+      graft.operators.ExportOps.writeShards(li, out, shardCount = 8, Seq("l_orderkey", "l_linenumber"))
+      val back = s.read.parquet(out)
+      val nFiles = back.select(input_file_name()).distinct().count()
+      back.withColumn("n_shards", lit(nFiles))
+    }),
+
+    // ---- C14: fingerprint cache / materialize-once checkpoint —
+    //      first call computes + writes, second call must serve the
+    //      identical result from the fingerprint-keyed parquet (the
+    //      hit path is what's returned and graded) ----
+    "q_checkpoint" -> ((s, dir) => {
+      val agg = BioLoader.load(s, t(dir, "lineitem"))
+        .groupBy("l_returnflag")
+        .agg(hround(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      val cacheDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      graft.api.CacheOps.checkpoint(agg, cacheDir).count() // miss path: compute + write
+      graft.api.CacheOps.checkpoint(agg, cacheDir)         // hit path: read-back is graded
+    }),
+
+    // ---- L11: Bioset accessor family composed end-to-end:
+    //      classEncode → decode (round-trip: decoded == original
+    //      label) → renameColumn → castColumn → removeColumns →
+    //      sortBy → selectRows(first 100 positions) → addItem ----
+    "q_accessors" -> ((s, dir) => {
+      val c = BioLoader.load(s, t(dir, "customer"))
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      val encoded = LabelOps.classEncode(c, "c_mktsegment")
+      val dict = LabelOps.labelDictionary(c, "c_mktsegment")
+      val roles = graft.sources.ColumnInference.inferRoles(
+        encoded, sampleColumn = Some("c_custkey"), targetColumn = Some("c_mktsegment"))
+      var ds = graft.api.LoadDataset.GraftDataset(
+        encoded, roles, dict, Some(graft.sources.ColumnInference.Classification))
+      ds = ds.copy(df = ds.decode())
+      ds = ds.copy(df = ds.renameColumn("c_mktsegment", "segment"))
+      ds = ds.copy(df = ds.castColumn("c_nationkey", org.apache.spark.sql.types.StringType))
+      ds = ds.copy(df = ds.removeColumns("c_acctbal"))
+      ds = ds.copy(df = ds.sortBy("c_custkey"))
+      ds = ds.copy(df = ds.selectRows(0L until 100L))
+      val enc = ds.df.schema("encoded_labels").dataType
+      val minusOne: Any = enc match {
+        case org.apache.spark.sql.types.IntegerType => -1
+        case _                                      => -1L
+      }
+      ds.addItem(Map(
+        "c_custkey" -> -1L, "segment" -> "SYNTH", "c_nationkey" -> "99",
+        "encoded_labels" -> minusOne, "decoded_labels" -> "SYNTH"))
+        .select(col("c_custkey"), col("segment"), col("c_nationkey").as("nation"),
+          col("decoded_labels"), col("encoded_labels").cast("long").as("encoded_labels"))
+    }),
+
+    // ---- L9 + L6b: the full load_dataset pipeline over the
+    //      reference's file-convention layout: a staged
+    //      data.parquet with a metadata.parquet BESIDE it that is
+    //      discovered automatically, broadcast-joined on the
+    //      inferred sample column, roles inferred, labels encoded.
+    //      The oracle replays join + dictionary encode. ----
+    "q_load_pipeline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-load").toString
+      val data = BioLoader.load(s, t(dir, "lineitem"))
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("samples"), col("l_linenumber"), col("l_quantity"))
+      val meta = BioLoader.load(s, t(dir, "orders"))
+        .select(col("o_orderkey").as("samples"), col("o_orderstatus").as("labels"), col("o_totalprice"))
+      graft.operators.ExportOps.writeSingleFile(data, s"$tmp/data.parquet")
+      graft.operators.ExportOps.writeSingleFile(meta, s"$tmp/metadata.parquet")
+      val ds = graft.api.LoadDataset.load(s,
+        graft.api.LoadDataset.Config(dataFiles = Seq(s"$tmp/data.parquet")))
+      ds.df.select(col("samples"), col("labels"),
+        col(LabelOps.TargetColumn).cast("long").as(LabelOps.TargetColumn),
+        hround(col("o_totalprice"), 2).as("o_totalprice"),
+        col("l_linenumber"), hround(col("l_quantity"), 2).as("l_quantity"))
+    }),
+
+    // ---- L10: DatasetIO save/load round-trip — splits land in
+    //      separate directories, roles/labels/task ride the JSON
+    //      sidecar; everything graded comes from the LOADED dataset
+    //      (split frames + sidecar fields as columns) ----
+    "q_dataset_io" -> ((s, dir) => {
+      val c = BioLoader.load(s, t(dir, "customer"))
+        .select(col("c_custkey").as("samples"), col("c_mktsegment").as("labels"), col("c_acctbal"))
+      val encoded = LabelOps.classEncode(c, "labels")
+      val dict = LabelOps.labelDictionary(c, "labels")
+      val roles = graft.sources.ColumnInference.inferRoles(encoded, targetColumn = Some("labels"))
+      val ds = graft.api.LoadDataset.GraftDataset(
+        encoded, roles, dict, Some(graft.sources.ColumnInference.Classification))
+      val coin = pmod(col("samples") * lit(40503L), lit(10000L))
+      val splits = Map(
+        "train" -> encoded.filter(coin >= 2000L),
+        "test" -> encoded.filter(coin < 2000L))
+      val path = java.nio.file.Files.createTempDirectory("graft-io").toString + "/ds"
+      graft.api.DatasetIO.save(ds, path, splits)
+      val (frames, loaded) = graft.api.DatasetIO.load(s, path)
+      frames.toSeq.sortBy(_._1)
+        .map { case (name, df) => df.withColumn("split", lit(name)) }
+        .reduce(_.unionByName(_))
+        .select(col("samples"), col("labels"),
+          col(LabelOps.TargetColumn).cast("long").as(LabelOps.TargetColumn),
+          hround(col("c_acctbal"), 2).as("c_acctbal"), col("split"),
+          lit(loaded.roles.targetColumn.getOrElse("")).as("target_role"),
+          lit(loaded.labelNames.mkString(",")).as("label_dict"),
+          lit(loaded.task.map(_.toString).getOrElse("")).as("task"))
+    }),
+
+    // ---- D6: one-call dedupAll = exact md5 dedup, then MinHash-LSH
+    //      near-dup drop (higher id of each verified pair). The
+    //      oracle replays BOTH stages: min-id-per-md5 survivors,
+    //      anti-joined against the true 3-gram-jaccard ≥ 0.7 pair
+    //      set computed over those survivors. ----
+    "q_dedup_all" -> ((s, dir) => {
+      graft.operators.DedupOps.dedupAll(
+        BioLoader.load(s, t(dir, "documents")).select("doc_id", "text"),
+        "doc_id", "text", shingleSize = 3, threshold = 0.7)
+        .select("doc_id")
+    }),
+
+    // ---- L5 + T3: column-role + task-type inference. The inputs
+    //      are renamed to the reference's conventional names; the
+    //      inferred assignment is deterministic given the schema, so
+    //      the oracle is the expected golden table. ----
+    "q_infer_roles" -> ((s, dir) => {
+      val df = BioLoader.load(s, t(dir, "orders")).select(
+        col("o_orderkey").as("samples"), col("o_custkey").as("batch_id"),
+        col("o_orderstatus").as("labels"), col("o_totalprice"), col("o_orderpriority"))
+      val roles = graft.sources.ColumnInference.inferRoles(df)
+      val taskCls = graft.sources.ColumnInference.inferTask(df, roles.targetColumn.get)
+      val taskReg = graft.sources.ColumnInference.inferTask(df, "o_totalprice")
+      import s.implicits._
+      (roles.sampleColumn.map(("sample_column", _)).toSeq ++
+        roles.batchColumn.map(("batch_column", _)).toSeq ++
+        roles.targetColumn.map(("target_column", _)).toSeq ++
+        roles.dataColumns.map(("data_column", _)) ++
+        Seq(("task:labels", taskCls.toString), ("task:o_totalprice", taskReg.toString)))
+        .toDF("role", "column_name")
+    }),
+
+    // ---- L4: feature metadata → StructField.metadata, persisted
+    //      THROUGH parquet and read back from the schema — the
+    //      values are data-dependent (distinct counts), so the
+    //      oracle recomputes them from the table ----
+    "q_feature_meta" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val stats = li.select(feats.map(c => countDistinct(col(c)).as(c)): _*).collect()(0)
+      val meta = feats.zipWithIndex.map { case (c, i) =>
+        c -> Map("n_distinct" -> stats.getLong(i).toString, "featureType" -> "Abundance")
+      }.toMap
+      val annotated = graft.operators.MetadataOps.attachFeatureMetadata(
+        li.select(feats.map(col): _*), meta)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fmeta").toString + "/t"
+      annotated.write.mode("overwrite").parquet(tmp)
+      val back = s.read.parquet(tmp)
+      val rows = back.schema.fields.flatMap { f =>
+        Seq("n_distinct", "featureType").collect {
+          case k if f.metadata.contains(k) => (f.name, k, f.metadata.getString(k))
+        }
+      }
+      import s.implicits._
+      rows.toSeq.toDF("feature", "meta_key", "meta_value")
+    }),
+
+    // ---- L6: NPZ sparse round-trip — a bounded key-filtered slice
+    //      is written as a scipy-CSR npz, then read back through the
+    //      ROW-RANGE-SPLIT reader path (the 1-TB-single-file scale
+    //      path), and must reproduce the source table slice ----
+    "q_npz_roundtrip" -> ((s, dir) => {
+      val rows = BioLoader.load(s, t(dir, "customer"))
+        .filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"),
+          col("c_acctbal").cast("double"))
+        .collect() // bounded by the key filter: ≤ 1000 rows at any SF
+      val path = java.nio.file.Files.createTempFile("graft", ".npz").toString
+      graft.sources.NpzWriter.writeCsr(path, nRows = 1001L, nCols = 32L,
+        rows.map(_.getLong(0)), rows.map(_.getLong(1)), rows.map(_.getDouble(2)))
+      graft.sources.NpzReader.readSplit(s, path, rowsPerTask = 256)
+        .select(col("row"), col("col"), hround(col("value"), 2).as("value"))
+    }),
+
+    // ---- L8: Arrow IPC round-trip — a bounded key-filtered slice
+    //      exported as a .arrow file (magic ARROW1), read back by
+    //      the streaming batch reader ----
+    "q_arrow_roundtrip" -> ((s, dir) => {
+      val sup = BioLoader.load(s, t(dir, "supplier"))
+        .filter(col("s_suppkey") <= 200)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+      val path = java.nio.file.Files.createTempFile("graft", ".arrow").toString
+      graft.sources.ArrowIpcWriter.write(sup, path, batchRows = 64)
+      graft.sources.ArrowIpcReader.read(s, Seq(path))
+        .select(col("s_suppkey"), col("s_name"), hround(col("s_acctbal"), 2).as("s_acctbal"))
+    }),
+
+    // ---- S6c: PQ index persistence + frozen-quantizer append —
+    //      the index is built WITHOUT the planted twins, persisted,
+    //      the twins appended through the frozen coarse quantizer +
+    //      codebooks (touching only their landed list partitions),
+    //      and retrieval runs against the RELOADED index: each
+    //      query's appended twin encodes to the query's own code,
+    //      so it must surface at rank 1 ----
+    "q_pq_persist" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val index = IvfKnnOps.buildPqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, maxIter = 5)
+      val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+      IvfKnnOps.savePqIndex(index, path)
+      IvfKnnOps.appendToSavedPqIndex(s, path,
+        queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val loaded = IvfKnnOps.loadPqIndex(s, path)
+      IvfKnnOps.pqTopK(queries, loaded, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id", "rank")
     })
   )
 
@@ -806,9 +1057,9 @@ object SparkEntry {
     * complete set of word-3-gram jaccard ≥ 0.7 pairs (minhash's LSH
     * candidates and ngram's PPJoin prefixes are both lossless here).
     */
-  private val ngramJaccardOracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM documents
+  private def ngramJaccardPairsSqlFrom(src: String): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') IF x <> ''] AS t FROM $src
       |), sh AS (
       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
@@ -819,6 +1070,8 @@ object SparkEntry {
       |  floor((len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1000000 + 0.5) / 1000000 AS jaccard
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin
+
+  private val ngramJaccardOracleSql: String = ngramJaccardPairsSqlFrom("documents")
 
   def oracleSql: Map[String, String] = Map(
     "q_load_project" ->
@@ -1421,6 +1674,110 @@ object SparkEntry {
         |  FROM t, UNNEST(generate_series(1, len(toks) - 6)) AS u(i)
         |)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id""".stripMargin
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id""".stripMargin,
+
+    // the oracle is the PLAIN join — bucketing must not change results
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the portable coin replays the ENTIRE permutation
+    "q_shuffle" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER (ORDER BY (o_orderkey * 40503 + 7) % 999983, o_orderkey) - 1 AS pos
+        |FROM orders""".stripMargin,
+
+    "q_shards" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(8 AS BIGINT) AS n_shards
+        |FROM lineitem""".stripMargin,
+
+    "q_checkpoint" ->
+      """SELECT l_returnflag, floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_accessors" ->
+      """WITH first100 AS (
+        |  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer ORDER BY c_custkey LIMIT 100
+        |), dict AS (
+        |  SELECT c_mktsegment AS seg, dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS code
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |)
+        |SELECT f.c_custkey, f.c_mktsegment AS segment, CAST(f.c_nationkey AS VARCHAR) AS nation,
+        |  f.c_mktsegment AS decoded_labels, CAST(d.code AS BIGINT) AS encoded_labels
+        |FROM first100 f JOIN dict d ON f.c_mktsegment = d.seg
+        |UNION ALL
+        |SELECT -1, 'SYNTH', '99', 'SYNTH', -1""".stripMargin,
+
+    "q_load_pipeline" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey AS samples, o.o_orderstatus AS labels, o.o_totalprice,
+        |         l.l_linenumber, l.l_quantity
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey % 7 = 0
+        |)
+        |SELECT samples, labels,
+        |  CAST(dense_rank() OVER (ORDER BY labels) - 1 AS BIGINT) AS encoded_labels,
+        |  floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+        |  l_linenumber,
+        |  floor(l_quantity * 100 + 0.5) / 100 AS l_quantity
+        |FROM j""".stripMargin,
+
+    "q_dataset_io" ->
+      """WITH dict AS (
+        |  SELECT string_agg(seg, ',' ORDER BY seg) AS d
+        |  FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+        |)
+        |SELECT c_custkey AS samples, c_mktsegment AS labels,
+        |  CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS encoded_labels,
+        |  floor(c_acctbal * 100 + 0.5) / 100 AS c_acctbal,
+        |  CASE WHEN (c_custkey * 40503) % 10000 < 2000 THEN 'test' ELSE 'train' END AS split,
+        |  'labels' AS target_role,
+        |  (SELECT d FROM dict) AS label_dict,
+        |  'Classification' AS task
+        |FROM customer""".stripMargin,
+
+    // both stages replayed: md5 survivors, then true-jaccard losers
+    // computed OVER THE SURVIVORS (a dup pair among non-survivors
+    // must not delete anything)
+    "q_dedup_all" ->
+      s"""WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        |), sdocs AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+        |)
+        |SELECT doc_id FROM surv
+        |WHERE doc_id NOT IN (SELECT id_b FROM (${ngramJaccardPairsSqlFrom("sdocs")}))""".stripMargin,
+
+    "q_infer_roles" ->
+      """SELECT * FROM (VALUES
+        |  ('sample_column', 'samples'),
+        |  ('batch_column', 'batch_id'),
+        |  ('target_column', 'labels'),
+        |  ('data_column', 'o_totalprice'),
+        |  ('task:labels', 'Classification'),
+        |  ('task:o_totalprice', 'Regression')
+        |) AS t(role, column_name)""".stripMargin,
+
+    "q_feature_meta" ->
+      """SELECT 'l_quantity' AS feature, 'n_distinct' AS meta_key, CAST(count(DISTINCT l_quantity) AS VARCHAR) AS meta_value FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'featureType', 'Abundance'
+        |UNION ALL SELECT 'l_extendedprice', 'n_distinct', CAST(count(DISTINCT l_extendedprice) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', 'featureType', 'Abundance'
+        |UNION ALL SELECT 'l_discount', 'n_distinct', CAST(count(DISTINCT l_discount) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_discount', 'featureType', 'Abundance'""".stripMargin,
+
+    "q_npz_roundtrip" ->
+      """SELECT c_custkey AS "row", CAST(c_nationkey AS BIGINT) AS "col",
+        |  floor(c_acctbal * 100 + 0.5) / 100 AS value
+        |FROM customer WHERE c_custkey <= 1000""".stripMargin,
+
+    "q_arrow_roundtrip" ->
+      """SELECT s_suppkey, s_name, floor(s_acctbal * 100 + 0.5) / 100 AS s_acctbal
+        |FROM supplier WHERE s_suppkey <= 200""".stripMargin,
+
+    "q_pq_persist" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin
   )
 }

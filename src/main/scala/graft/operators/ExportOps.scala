@@ -29,6 +29,27 @@ object ExportOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Materialize as ONE parquet file at `path` (not a directory) —
+    * the reference's single-file dataset layout, which metadata
+    * auto-discovery matches by exact basename (`metadata.parquet`
+    * beside `data.parquet`). One writer task: only for
+    * driver-bounded frames (metadata tables, fixtures); sharded
+    * corpora go through [[writeShards]].
+    */
+  def writeSingleFile(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = path + ".__stage__"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val target = new Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(part, target)
+    fs.delete(new Path(stage), true)
+  }
+
   /** Interleaved (round-robin by hash) sharding — equal-sized
     * shards when the order key is skewed; order within shard still
     * deterministic.

@@ -103,4 +103,19 @@ object SplitOps {
     */
   def deterministicShuffle(df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame =
     df.orderBy(xxhash64(lit(seed) +: keyCols.map(col): _*))
+
+  /** Deterministic shuffle with the permutation MATERIALIZED as a
+    * 0-based position column — the reference's shuffle returns an
+    * explicit row order, which on a cluster must be data, not
+    * partition order. The coin is the same SQL-portable
+    * multiplicative hash family as [[graft.operators.MixOps]]'s
+    * (`(id·40503 + seed) mod 999983`), so the full permutation is
+    * replayable by any ANSI engine; ties break on the id itself.
+    * One range sort + a partition-ordered zipWithIndex — no global
+    * window.
+    */
+  def shuffledWithPosition(df: DataFrame, idCol: String, seed: Long = 42L, posCol: String = "pos"): DataFrame = {
+    val coin = pmod(col(idCol) * lit(40503L) + lit(seed), lit(999983L))
+    ReshapeOps.withRowIndex(df.orderBy(coin, col(idCol)), posCol)
+  }
 }

@@ -1,6 +1,6 @@
 import duckdb, json, glob, os, hashlib, sys
-out = "/tmp/verify_out_r5"
-sf = "/root/testdata/sf0.01"
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out_r6"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
