@@ -1658,8 +1658,8 @@ object SparkEntry {
         |SELECT feature, n_a, n_b,
         |  floor(t_stat * 1000000 + 0.5) / 1000000 AS t_stat,
         |  floor(df_welch * 10000 + 0.5) / 10000 AS df_welch,
-        |  floor(p_value * 1000000 + 0.5) / 1000000 AS p_value,
-        |  ROW_NUMBER() OVER (ORDER BY p_value ASC, feature ASC) AS bh_rank
+        |  floor(p.p_value * 1000000 + 0.5) / 1000000 AS p_value,
+        |  ROW_NUMBER() OVER (ORDER BY floor(p.p_value * 1000000 + 0.5) / 1000000 ASC, feature ASC) AS bh_rank
         |FROM p""".stripMargin,
 
     "q_span_overlap" ->

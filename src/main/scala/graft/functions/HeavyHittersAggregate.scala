@@ -33,10 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * that is the oracle-checkable regime the driver query runs in;
   * size `capacity` above the expected distinct count when exactness
   * matters. Merge sums per-item counts and errors and keeps the
-  * `capacity` largest (mergeable-summaries style); a merge-trim adds
-  * at most the largest trimmed count to the error of surviving
-  * items, which the err field does not track — bounds are exact only
-  * until the first trim, approximate-with-documented-slack after.
+  * `capacity` largest (mergeable-summaries style); a merge-trim
+  * folds the largest trimmed estimate into every survivor's err, so
+  * estimate − err ≤ true count holds in the distributed (post-merge)
+  * case too, not just per-partition.
   *
   * Output: array<struct<item, cnt, err>> sorted by (cnt DESC, item
   * ASC) — a deterministic total order — truncated to `k`.
@@ -154,12 +154,19 @@ object HeavyHittersAggregate {
         val (c0, e0) = combined.getOrElse(it, (0L, 0L))
         combined(it) = (c0 + c, e0 + e)
       }
-      val kept = combined.toIndexedSeq
+      val sorted = combined.toIndexedSeq
         .map { case (it, (c, e)) => (it, c, e) }
         .sortBy { case (it, c, _) => (-c, it) }
-        .take(b1.capacity)
+      val kept = sorted.take(b1.capacity)
+      // merge-trim absorbs the discarded mass into the survivors'
+      // error (mergeable-summaries style): any trimmed item's true
+      // count is ≤ the largest trimmed estimate, so widening every
+      // survivor's err by it keeps est − err ≤ true count valid
+      // across merges instead of silently lapsing after the first
+      // trim
+      val trimSlack = if (sorted.length > b1.capacity) sorted(b1.capacity)._2 else 0L
       val out = new Summary(b1.capacity)
-      kept.foreach { case (it, c, e) => out.add(it, c, e) }
+      kept.foreach { case (it, c, e) => out.add(it, c, e + trimSlack) }
       out
     }
 

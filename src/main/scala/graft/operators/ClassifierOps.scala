@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -84,7 +84,9 @@ object ClassifierOps {
 
   /** predicted quality in (0,1) as a Catalyst expression. */
   case class TextLrScore(child: Expression, weights: Array[Double], dim: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
+    // return type inferred: AbstractDataType is private[sql]
+    override def inputTypes = Seq(StringType)
     require(weights.length == dim + 1, s"weights must have dim+1 entries, got ${weights.length} for dim $dim")
     override def dataType: DataType = DoubleType
     override def prettyName: String = "text_lr_score"

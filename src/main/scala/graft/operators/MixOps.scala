@@ -106,9 +106,10 @@ object MixOps {
     * sampling).
     *
     * Scale shape: per-source counts are ONE partial-agg shuffle of a
-    * #sources-row frame; rates derive from windows over that tiny
-    * frame and broadcast back — the doc side is scanned once and
-    * never shuffles. The coin is a pure arithmetic hash of the id —
+    * #sources-row frame; rates derive on the driver from that tiny
+    * frame in a fixed source-sorted summation order (run-to-run
+    * deterministic to the last ulp) and broadcast back — the doc
+    * side is scanned once and never shuffles. The coin is a pure arithmetic hash of the id —
     * two multiplicative rounds mod the prime P = 999983 with the
     * seed as an ADDITIVE term between them (u = (((id·A mod P) +
     * seed)·B mod P)/P), so no seed value can degenerate the
@@ -129,21 +130,34 @@ object MixOps {
   ): DataFrame = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
     require(targetFraction > 0 && targetFraction <= 1.0, s"targetFraction must be in (0,1], got $targetFraction")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).cast("double").as("__n"))
-    val all = Window.partitionBy()
-    val rates = counts
-      .withColumn("__w", pow(col("__n"), lit(alpha)))
-      .withColumn("__rate",
-        // floor-based half-up rounding to 1e-6 — Spark round is
-        // HALF_UP via BigDecimal, DuckDB's is half-even; this exact
-        // formulation is replayable in any engine
-        floor(least(lit(1.0),
-          lit(targetFraction) * sum(col("__n")).over(all) * (col("__w") / sum(col("__w")).over(all)) / col("__n"))
-          * 1e6 + lit(0.5)) / 1e6)
-      .select(col(sourceCol), col("__rate"))
+    // per-source counts: one partial-agg shuffle of a #sources-row
+    // frame, then the rate derivation runs on the DRIVER in a fixed
+    // (source-sorted) summation order — Σn is exact integer math and
+    // Σw folds in one deterministic order, so no window-row-order
+    // ulp wobble can flip a rate at the 1e-6 floor boundary between
+    // runs or cluster layouts
+    val countRows = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+      .sortBy { case (src, _) => if (src == null) "" else src.toString }
+    val totalN = countRows.map(_._2).sum
+    val sumW = countRows.foldLeft(0.0) { case (acc, (_, n)) => acc + math.pow(n.toDouble, alpha) }
+    val rateRows = countRows.map { case (src, n) =>
+      val w = math.pow(n.toDouble, alpha)
+      // floor-based half-up rounding to 1e-6 — Spark round is
+      // HALF_UP via BigDecimal, DuckDB's is half-even; this exact
+      // formulation is replayable in any engine
+      val rate = math.floor(math.min(1.0,
+        targetFraction * totalN.toDouble * (w / sumW) / n.toDouble) * 1e6 + 0.5) / 1e6
+      org.apache.spark.sql.Row(src, rate)
+    }
+    val spark = df.sparkSession
+    val rates = spark.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(sourceCol).copy(name = "__src"),
+        org.apache.spark.sql.types.StructField("__rate", org.apache.spark.sql.types.DoubleType, nullable = false))))
     val u = portableHash(col(idCol), seed).cast("double") / lit(HashP.toDouble)
-    df.join(broadcast(rates.withColumnRenamed(sourceCol, "__src")),
-        col(sourceCol) <=> col("__src"))
+    df.join(broadcast(rates), col(sourceCol) <=> col("__src"))
       .filter(u < col("__rate"))
       .drop("__src", "__rate")
   }

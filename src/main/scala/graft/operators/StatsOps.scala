@@ -116,8 +116,12 @@ object StatsOps {
       .withColumn("df_welch", dfw)
       .filter(col("t_stat").isNotNull)
       .withColumn("p_value", normalTwoSided(col("t_stat")))
-    // BH rank: ascending p, deterministic tie-break by feature
-    val w = Window.orderBy(col("p_value").asc, col(featureCol).asc)
+    // BH rank: ascending p, deterministic tie-break by feature. Rank
+    // on the 1e-6-rounded p (the grid both engines emit), not the
+    // raw exp() chain — a 1-ulp libm difference between JVM and
+    // another engine must not be able to permute near-tied rows.
+    val pGrid = floor(col("p_value") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val w = Window.orderBy(pGrid.asc, col(featureCol).asc)
     stats.withColumn("bh_rank", row_number().over(w).cast("long"))
   }
 

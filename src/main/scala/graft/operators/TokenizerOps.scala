@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
@@ -250,7 +250,9 @@ object TokenizerOps {
   }
 
   /** text → array<int> token ids. */
-  case class BpeEncode(child: Expression, codec: BpeCodec) extends UnaryExpression {
+  case class BpeEncode(child: Expression, codec: BpeCodec) extends UnaryExpression with ImplicitCastInputTypes {
+    // return type inferred: AbstractDataType is private[sql]
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "bpe_encode"
     override protected def withNewChildInternal(newChild: Expression): BpeEncode = copy(child = newChild)
@@ -266,7 +268,9 @@ object TokenizerOps {
   }
 
   /** array<int> token ids → text. */
-  case class BpeDecode(child: Expression, codec: BpeCodec) extends UnaryExpression {
+  case class BpeDecode(child: Expression, codec: BpeCodec) extends UnaryExpression with ImplicitCastInputTypes {
+    // return type inferred: AbstractDataType is private[sql]
+    override def inputTypes = Seq(ArrayType(IntegerType))
     override def dataType: DataType = StringType
     override def prettyName: String = "bpe_decode"
     override protected def withNewChildInternal(newChild: Expression): BpeDecode = copy(child = newChild)

@@ -209,19 +209,80 @@ object EventStreams {
       .select(col(idCol), col(textCol))
   }
 
-  final case class BandState(lastSeenMs: Long)
   final case class BandDoc(band: Long, doc_id: Long, ts: java.sql.Timestamp, text: String)
   final case class BandVerdict(doc_id: Long, ts: java.sql.Timestamp, text: String, hit: Int)
 
+  /** Per-band dedup state machine for [[streamingMinhashDedup]]'s
+    * streaming branch, on Spark 4's transformWithState: state is
+    * one lastSeen timestamp per band; an event-time timer evicts
+    * the marker once the watermark passes lastSeen + TTL (timers
+    * that fire early — because the marker refreshed — re-arm).
+    * Declaring `ts` as the OUTPUT event-time column is what makes
+    * the downstream windowed aggregation legal without touching
+    * the chained-stateful correctness checker: every verdict
+    * carries its input row's own event time, which is ≥ the
+    * watermark by construction.
+    */
+  private class BandDedupProcessor(stateTtlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, BandDoc, BandVerdict] {
+    @transient private var lastSeen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        band: Long,
+        rows: Iterator[BandDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[BandVerdict] = {
+      // deterministic in-batch ordering: earlier (ts, id) owns the band
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      var seen = if (lastSeen.exists()) Some(lastSeen.get()) else None
+      val out = sorted.map { r =>
+        // hit only within the TTL gap: state that outlived its TTL
+        // but has not yet been evicted (eviction waits for the
+        // WATERMARK to pass lastSeen+TTL) must not count, or the
+        // stream over-drops relative to the batch twin's gap
+        // semantics
+        val hit = if (seen.exists(s => r.ts.getTime - s <= stateTtlMs)) 1 else 0
+        val t = r.ts.getTime
+        seen = Some(math.max(t, seen.getOrElse(t)))
+        BandVerdict(r.doc_id, r.ts, r.text, hit)
+      }
+      seen.foreach { s =>
+        lastSeen.update(s)
+        // evict once the watermark passes the TTL (kept strictly
+        // ahead of the current watermark)
+        getHandle.registerTimer(
+          math.max(s + stateTtlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        band: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[BandVerdict] = {
+      if (lastSeen.exists()) {
+        val s = lastSeen.get()
+        if (timerValues.getCurrentWatermarkInMs() >= s + stateTtlMs) lastSeen.clear()
+        else getHandle.registerTimer(math.max(s + stateTtlMs, timerValues.getCurrentWatermarkInMs() + 1))
+      }
+      Iterator.empty
+    }
+  }
+
   /** Streaming MinHash-LSH near-dedup WITHIN the stream.
     *
-    * REQUIRED SESSION CONF (streaming runs only): set
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
-    * before starting the query — Spark's static checker rejects any
-    * flatMapGroupsWithState followed by an aggregation, including
-    * this one, whose emissions provably never fall behind the
-    * watermark (see the NOTE at the end of this doc). Batch-twin
-    * calls need no conf.
+    * REQUIRED SESSION CONF (streaming runs only):
+    * `spark.sql.streaming.stateStore.providerClass=org.apache.spark.
+    * sql.execution.streaming.state.RocksDBStateStoreProvider` —
+    * transformWithState runs on the RocksDB state store (the
+    * provider any large deployment runs anyway). No correctness
+    * checks are disabled. Batch-twin calls need no conf.
     *
     * Band keys live in the state store: each of a doc's LSH band
     * keys is a
@@ -233,12 +294,14 @@ object EventStreams {
     * 1−(1−s^r)^b), not just exact-signature collisions.
     *
     * Shape: explode to band keys (stateless, codegen) →
-    * flatMapGroupsWithState keyed BY BAND (state = one lastSeen
-    * timestamp per distinct band inside the TTL — evicted by
-    * event-time timeout) emitting per-band verdicts → windowed
-    * doc-level combine (kept iff zero band hits). Per-band state is
-    * one long; total state is O(distinct bands in horizon), the
-    * same O(n·bands) budget as the batch shuffle.
+    * transformWithState keyed BY BAND (state = one lastSeen
+    * timestamp per distinct band inside the TTL — evicted by an
+    * event-time timer) emitting per-band verdicts WITH `ts`
+    * declared as the output event-time column (SPARK-47960), which
+    * legalizes the downstream windowed doc-level combine (kept iff
+    * zero band hits). Per-band state is one long; total state is
+    * O(distinct bands in horizon), the same O(n·bands) budget as
+    * the batch shuffle.
     *
     * Batch twin (the oracle): same TTL semantics via a per-band
     * lag — a band row is a hit iff the previous (ts, doc_id)
@@ -247,15 +310,6 @@ object EventStreams {
     * the state-store behavior; streaming eviction lands at the
     * next watermark crossing past the TTL, so the stream converges
     * to the twin as the watermark advances).
-    *
-    * NOTE (chained stateful operators): Spark's static checker
-    * rejects flatMapGroupsWithState followed by an aggregation
-    * because a state op COULD emit rows behind the watermark. This
-    * one cannot — verdicts carry the input row's own event time and
-    * are emitted in the arrival micro-batch (timeouts emit
-    * nothing) — so the caller must acknowledge with
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
-    * for the streaming run.
     */
   def streamingMinhashDedup(
       docs: DataFrame,
@@ -297,37 +351,13 @@ object EventStreams {
       } else {
         banded.as[BandDoc]
           .groupByKey(_.band)
-          .flatMapGroupsWithState[BandState, BandVerdict](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-            (_: Long, rows: Iterator[BandDoc], state: GroupState[BandState]) =>
-              if (state.hasTimedOut) { state.remove(); Iterator.empty }
-              else {
-                // deterministic in-batch ordering: earlier (ts, id) owns the band
-                val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-                var seen = state.getOption
-                val out = sorted.map { r =>
-                  // hit only within the TTL gap: state that outlived
-                  // its TTL but has not yet been evicted (eviction
-                  // waits for the WATERMARK to pass lastSeen+TTL)
-                  // must not count, or the stream over-drops
-                  // relative to the batch twin's gap semantics
-                  val hit =
-                    if (seen.exists(s => r.ts.getTime - s.lastSeenMs <= stateTtlMs)) 1 else 0
-                  val t = r.ts.getTime
-                  seen = Some(BandState(math.max(t, seen.map(_.lastSeenMs).getOrElse(t))))
-                  BandVerdict(r.doc_id, r.ts, r.text, hit)
-                }
-                seen.foreach { st =>
-                  state.update(st)
-                  // evict the band marker once the watermark passes its
-                  // TTL (kept strictly ahead of the current watermark)
-                  state.setTimeoutTimestamp(
-                    math.max(st.lastSeenMs + stateTtlMs, state.getCurrentWatermarkMs() + 1))
-                }
-                out.iterator
-              }
-          }.toDF()
+          .transformWithState[BandVerdict](
+            new BandDedupProcessor(stateTtlMs), "ts", OutputMode.Append)
+          .toDF()
       }
-    val vdf = if (isStreaming) verdicts.withWatermark("ts", watermark) else verdicts
+    // the transformWithState output already carries `ts` as its
+    // event-time column; the batch twin needs no watermark at all
+    val vdf = verdicts
     vdf.groupBy(window(col("ts"), windowLen), col("doc_id"))
       .agg(first(col("text")).as(textCol), max(col("hit")).as("__hits"))
       .filter(col("__hits") === 0)

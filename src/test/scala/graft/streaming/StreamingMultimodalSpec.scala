@@ -309,9 +309,10 @@ class StreamingMultimodalSpec extends SparkSpec {
     val stream = ms.toDF().toDF("doc_id", "ts", "text")
     val out = EventStreams.streamingMinhashDedup(stream, "doc_id", "text",
       shingleSize = 3, rowsPerBand = 2, watermark = "10 seconds", windowLen = "1 minute")
-    // acknowledged: verdicts ride the arrival micro-batch with their
-    // own event time, so the chained-stateful hazard cannot occur
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // transformWithState runs on the RocksDB state store (the
+    // production provider); no correctness checks are disabled
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = out.writeStream.format("memory").queryName("mh_stream_dedup")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -326,7 +327,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(kept.intersect(Set(1L, 2L, 3L)) == Set(1L, 3L), s"stream kept $kept")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -356,7 +357,8 @@ class StreamingMultimodalSpec extends SparkSpec {
     val out = EventStreams.streamingMinhashDedup(stream, "doc_id", "text",
       shingleSize = 3, rowsPerBand = 2, stateTtlMs = 1000L,
       watermark = "5 seconds", windowLen = "1 minute")
-    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = out.writeStream.format("memory").queryName("mh_ttl_dedup")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
@@ -372,7 +374,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(kept.intersect(Set(1L, 2L)) == Set(1L, 2L), s"stream kept $kept")
     } finally {
       q.stop()
-      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
