@@ -1050,8 +1050,163 @@ object SparkEntry {
       IvfKnnOps.pqTopK(queries, loaded, "vec_id", "embedding", 5, nProbe = 4)
         .filter(col("rank") === 1)
         .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // ---- M4: streaming exact-dedup within the watermark — a REAL
+    //      streaming run (file source → dropDuplicatesWithin
+    //      Watermark → memory sink); with a horizon wider than the
+    //      event span the output keys are exactly the distinct
+    //      keys, whichever arrival won each ----
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+        streamTable(s, dir, "events", EventsSchema), "ts")
+      val kept = graft.streaming.EventStreams
+        .streamingDedup(ev, Seq("user_id", "event_type"), watermark = "36500 days")
+      runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup")
+    }),
+
+    // ---- M10: streaming range enrich — the SAME binned equi-join
+    //      as q_range_join with the point side streamed; the join is
+    //      row-local against the broadcast intervals, so the stream
+    //      result equals the batch result and shares its oracle ----
+    "q_stream_range_join" -> ((s, dir) => {
+      val c = streamTable(s, dir, "customer", CustomerSchema)
+        .select("c_custkey", "c_acctbal")
+      val iv = BioLoader.load(s, t(dir, "supplier"))
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - lit(50.0)).as("lo"), (col("s_acctbal") + lit(50.0)).as("hi"))
+      val joined = graft.operators.RangeJoinOps
+        .pointInInterval(c, "c_acctbal", iv, "lo", "hi", binWidth = 100.0, broadcastIntervals = true)
+        .select(col("c_custkey"), col("s_suppkey"), hround(col("c_acctbal"), 2).as("bal"))
+      runStreamToMemory(joined, "m10range")
+    }),
+
+    // ---- M9: streaming corpus-membership dedup — Bloom-only probe
+    //      (no false negatives: members are NEVER kept; fpp 1e-9
+    //      makes a false-positive drop vanishingly unlikely, so the
+    //      exact NOT-IN oracle holds) ----
+    "q_stream_corpus_dedup" -> ((s, dir) => {
+      val docs = streamTable(s, dir, "documents", DocsSchema)
+      val corpus = BioLoader.load(s, t(dir, "documents")).filter(col("doc_id") % 2 === 0)
+      val kept = DedupOps.dedupAgainstCorpusStream(docs, corpus, "text",
+        expectedCorpusItems = 100000L, fpp = 1e-9)
+      runStreamToMemory(kept.select("doc_id"), "m9corpus")
+    }),
+
+    // ---- M8: streaming decontamination — Bloom-only 5-gram probe
+    //      against the planted eval set (same fixture as the batch
+    //      q_decontaminate, same true-intersection oracle;
+    //      contaminated docs are NEVER kept, and fpp 1e-9 keeps the
+    //      false-positive direction out of the sample) ----
+    "q_stream_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val evalDf = Seq(
+        "the secret holdout benchmark sentence for contamination screening",
+        "another hidden evaluation phrase guarded against training data leakage"
+      ).toDF("text")
+      val docs = streamTable(s, dir, "documents", DocsSchema)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" the secret holdout benchmark sentence for contamination screening")))
+          .otherwise(col("text")))
+      val kept = DedupOps.decontaminateStream(docs, evalDf, "text",
+        n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
+      runStreamToMemory(kept.select("doc_id"), "m8decon")
+    }),
+
+    // ---- M6: stream-vs-static-corpus NEAR dedup. Synthetic
+    //      disjoint-vocabulary docs (tokens carry the doc id) make
+    //      band collisions structural: a doc shares bands with the
+    //      corpus iff its text IS a corpus text — so streaming the
+    //      whole table against the even-id half must keep exactly
+    //      the odd ids. The far-future pusher advances the
+    //      watermark so every real window emits. ----
+    "q_stream_corpus_near" -> ((s, dir) => {
+      val stream = synthDocStream(s, dir, idShift = 0L)
+        .unionByName(watermarkPusher(s, dir))
+      val corpus = BioLoader.load(s, t(dir, "documents"))
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), synthTextOf(col("doc_id")).as("text"))
+      val kept = graft.streaming.EventStreams.streamingDedupAgainstCorpus(
+        stream, corpus, "doc_id", "text", shingleSize = 3,
+        watermark = "10 seconds", windowLen = "1 minute")
+      runStreamToMemory(kept, "m6near").filter(col("doc_id") < PusherId).select("doc_id")
+    }),
+
+    // ---- M7: streaming MinHash-LSH dedup WITHIN the stream
+    //      (transformWithState band state machine on the RocksDB
+    //      store). Each synthetic doc arrives twice — original and
+    //      id+1000000 twin with IDENTICAL text — in one batch; the
+    //      earlier (ts, id) owns every band, so exactly the
+    //      originals survive the doc-level combine. ----
+    "q_stream_minhash" -> ((s, dir) => {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = synthDocStream(s, dir, idShift = 0L)
+        .unionByName(synthDocStream(s, dir, idShift = 1000000L))
+        .unionByName(watermarkPusher(s, dir))
+      val kept = graft.streaming.EventStreams.streamingMinhashDedup(
+        stream, "doc_id", "text", shingleSize = 3,
+        watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
+      runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
     })
   )
+
+  private val EventsSchema =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+  private val CustomerSchema =
+    "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
+  private val DocsSchema =
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+  private val PusherId = 9000000L
+
+  /** File-source stream over ONE table's parquet in the SF dir —
+    * FileStreamSource wants a directory, so stream the dir with a
+    * per-table glob filter.
+    */
+  private def streamTable(s: SparkSession, dir: String, table: String, schema: String): DataFrame =
+    s.readStream.schema(schema).option("pathGlobFilter", s"$table.parquet").parquet(dir)
+
+  /** Synthetic disjoint-vocabulary text: 10 tokens, each embedding
+    * doc_id·100+i — no two docs share a token, so no two docs share
+    * a shingle, and LSH band collisions happen iff texts are equal.
+    */
+  private def synthTextOf(id: Column): Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(9)),
+      i => concat(lit("tok"), (id * 100 + i).cast("string"))))
+
+  /** documents.parquet streamed with synthetic text; `idShift`
+    * re-ids the rows (text stays keyed to the ORIGINAL id, so a
+    * shifted stream is an exact-text twin of the unshifted one).
+    */
+  private def synthDocStream(s: SparkSession, dir: String, idShift: Long): DataFrame =
+    streamTable(s, dir, "documents", DocsSchema)
+      .select((col("doc_id") + idShift).as("doc_id"), synthTextOf(col("doc_id")).as("text"),
+        expr("timestamp'2024-01-01 00:00:00'").as("ts"))
+
+  /** One far-future row (streamed from nation.parquet) that pushes
+    * the watermark past every real window; its own window never
+    * closes, so it never reaches the sink.
+    */
+  private def watermarkPusher(s: SparkSession, dir: String): DataFrame =
+    streamTable(s, dir, "nation", "n_nationkey INT, n_name STRING, n_regionkey INT")
+      .filter(col("n_nationkey") === 0)
+      .select(lit(PusherId).as("doc_id"), lit("zz yy xx ww vv uu").as("text"),
+        expr("timestamp'2024-01-02 00:00:00'").as("ts"))
+
+  /** Run a streaming frame to completion into a uniquely-named
+    * memory sink and return the sink table — the harness that lets
+    * the driver's batch-compare grade a genuine streaming
+    * execution.
+    */
+  private def runStreamToMemory(df: DataFrame, prefix: String): DataFrame = {
+    val name = prefix + java.lang.Long.toHexString(System.nanoTime())
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    df.sparkSession.table(name)
+  }
 
   /** Shared by q_dedup_minhash and q_ngram_jaccard — both emit the
     * complete set of word-3-gram jaccard ≥ 0.7 pairs (minhash's LSH
@@ -1778,6 +1933,56 @@ object SparkEntry {
 
     "q_pq_persist" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
-        |FROM embeddings WHERE vec_id < 10""".stripMargin
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+
+    // identical to q_range_join: the streamed binned join must be
+    // result-equal to the batch one
+    "q_stream_range_join" ->
+      """SELECT c_custkey, s_suppkey,
+        |  floor((c_acctbal) * 100 + 0.5) / 100 AS bal
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal - 50.0 AND c.c_acctbal <= s.s_acctbal + 50.0""".stripMargin,
+
+    "q_stream_corpus_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+
+    // same planted fixture and true-5-gram-intersection oracle as
+    // the batch q_decontaminate
+    "q_stream_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT * FROM (VALUES
+        |    ('the secret holdout benchmark sentence for contamination screening'),
+        |    ('another hidden evaluation phrase guarded against training data leakage')) v(text)
+        |), evt AS (
+        |  SELECT [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM ev
+        |), evsh AS (
+        |  SELECT flatten(list(CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS es
+        |  FROM evt
+        |), d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' the secret holdout benchmark sentence for contamination screening'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM d
+        |), dsh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM dt
+        |)
+        |SELECT doc_id FROM dsh, evsh WHERE NOT list_has_any(s, es)""".stripMargin,
+
+    "q_stream_corpus_near" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_stream_minhash" ->
+      """SELECT doc_id FROM documents""".stripMargin
   )
 }
