@@ -1052,6 +1052,34 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // ---- M1 (video): REAL ISO-BMFF container codec — synthetic
+    //      but VALID MP4 box trees are generated per row (dims/
+    //      duration/frames derive from doc_id), parsed back by the
+    //      video branch of the mime dispatch; the oracle recomputes
+    //      the generating formulas. Exact: all values are small
+    //      integers, lossless through the float feature vector. ----
+    "q_multimodal_video" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = BioLoader.load(s, t(dir, "documents")).select(col("doc_id")).filter(col("doc_id") < 300)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("bytes", BinaryType, nullable = true)))
+      val blobs = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, graft.multimodal.Mp4.synth(
+          width = (64 + id % 32).toInt, height = (48 + id % 16).toInt,
+          durationMs = 1000 + id * 10, frameCount = 24 + id % 8))
+      }, schema)
+      val media = graft.multimodal.MultimodalOps.asMediaFrame(blobs, "doc_id", "bytes", "video/mp4")
+      val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8,
+        decode = graft.multimodal.MultimodalOps.codecFor("video/mp4", 8))
+      feats.select(col("media_id"),
+        col("features")(0).cast("long").as("width"),
+        col("features")(1).cast("long").as("height"),
+        col("features")(2).cast("long").as("duration_ms"),
+        col("features")(3).cast("long").as("n_frames"))
+    }),
+
     // ---- M4: streaming exact-dedup within the watermark — a REAL
     //      streaming run (file source → dropDuplicatesWithin
     //      Watermark → memory sink); with a horizon wider than the
@@ -1934,6 +1962,14 @@ object SparkEntry {
     "q_pq_persist" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_multimodal_video" ->
+      """SELECT doc_id AS media_id,
+        |  64 + doc_id % 32 AS width,
+        |  48 + doc_id % 16 AS height,
+        |  1000 + doc_id * 10 AS duration_ms,
+        |  24 + doc_id % 8 AS n_frames
+        |FROM documents WHERE doc_id < 300""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,

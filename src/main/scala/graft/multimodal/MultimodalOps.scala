@@ -10,11 +10,11 @@ import org.apache.spark.sql.types._
   * struct — the same "content + metadata schema" split the
   * reference applies to omics values (features/metadata.py
   * ValueWithMetadata). All Spark-side mechanics (schema, batched
-  * per-partition processing, partition sizing) are real; the codec
-  * itself is a pluggable function because media codecs are
-  * environment-specific — the default here is a DETERMINISTIC STUB
-  * (content-hash-derived pseudo-features) standing in for a JNI/
-  * library decoder.
+  * per-partition processing, partition sizing) are real, and so are
+  * the codecs for image (JDK ImageIO), audio (javax.sound PCM) and
+  * video (ISO-BMFF container parsing, [[Mp4]]); only exotic mimes
+  * fall back to a DETERMINISTIC STUB standing in for a JNI/library
+  * decoder.
   *
   * Scale notes: decode runs via `mapPartitions` (operator category
   * (d) — genuine per-partition imperative work on opaque bytes,
@@ -186,8 +186,23 @@ object MultimodalOps {
     }
   }
 
+  /** REAL video codec over the ISO-BMFF container structure
+    * ([[Mp4]]): `[width, height, durationMs, frameCount, fps,
+    * trackCount]` padded to `dim` — the metadata a curation
+    * pipeline filters and frame-samples on, parsed from the box
+    * tree with no native decoder. Non-BMFF bytes → null. Pixel
+    * decode stays environment-specific (JNI codec in the deployment
+    * image), exactly like image GPU inference.
+    */
+  def videoDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
+    val m = Mp4.parse(bytes)
+    if (m == null) null
+    else Array(m.width.toFloat, m.height.toFloat, m.durationMs.toFloat,
+      m.frameCount.toFloat, m.fps.toFloat, m.trackCount.toFloat).padTo(dim, 0.0f).take(dim)
+  }
+
   /** Deterministic stand-in decoder for mime types with no JDK
-    * codec (video, proprietary formats): never parses media, just
+    * codec (proprietary formats): never parses media, just
     * mixes content bytes into `dim` floats — same schema/batching
     * contract as [[imageDecode]]/[[audioDecode]]; swap in a JNI
     * codec in the deployment image.
@@ -261,13 +276,15 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Mime-dispatched codec: JDK codecs where they exist, the
-    * deterministic stub elsewhere (video and anything exotic —
-    * bind a JNI decoder there in the deployment image).
+  /** Mime-dispatched codec: JDK codecs for image/audio, the
+    * ISO-BMFF container parser for video, the deterministic stub
+    * for anything exotic (bind a JNI decoder there in the
+    * deployment image).
     */
   def codecFor(mime: String, dim: Int = 8): Array[Byte] => Array[Float] =
     if (mime.startsWith("image/")) imageDecode(dim)
     else if (mime.startsWith("audio/")) audioDecode(dim)
+    else if (mime.startsWith("video/")) videoDecode(dim)
     else stubDecode(dim)
 
   /** Frame sampling for time-based media: emit (media_id, frame_idx)

@@ -175,6 +175,26 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(MultimodalOps.imageDecode(8)("not an image".getBytes) == null)
   }
 
+  test("real video codec (ISO-BMFF): box-tree metadata round-trips; garbage and truncation are null") {
+    import graft.multimodal.Mp4
+    val bytes = Mp4.synth(width = 640, height = 360, durationMs = 12345L, frameCount = 300L)
+    val m = Mp4.parse(bytes)
+    assert(m != null)
+    assert(m.width == 640 && m.height == 360, s"dims: $m")
+    assert(m.durationMs == 12345L && m.frameCount == 300L, s"dur/frames: $m")
+    assert(m.trackCount == 1 && math.abs(m.fps - 300000.0 / 12345.0) < 1e-6, s"fps: $m")
+    // mime dispatch lands on the container parser
+    val f = MultimodalOps.codecFor("video/mp4", 8)(bytes)
+    assert(f != null && f(0) == 640f && f(1) == 360f && f(2) == 12345f && f(3) == 300f, s"feats: ${f.toSeq}")
+    // non-BMFF and truncated inputs are null, never a crash
+    assert(Mp4.parse("not a video at all".getBytes) == null)
+    assert(Mp4.parse(bytes.take(20)) == null)
+    assert(Mp4.parse(Array.emptyByteArray) == null)
+    // box sizes that overrun the buffer must not loop or throw
+    val corrupt = bytes.clone(); corrupt(0) = 0x7f.toByte
+    assert(Mp4.parse(corrupt) == null)
+  }
+
   test("real audio codec (JDK sampled): WAV features — rate, duration, RMS, zero crossings") {
     // 100ms of a 440 Hz sine at 8 kHz, 16-bit mono PCM
     val rate = 8000f
