@@ -67,10 +67,14 @@ object BioLoader {
       validateShardLimit: Int = 32
   ): DataFrame = {
     require(paths.nonEmpty, "at least one data file must be specified")
+    // http(s) URLs: fetch-once into the local cache (reference
+    // download manager parity — see HttpFetch); s3a/hdfs/file pass
+    // straight through to Spark's own readers
+    val localized = HttpFetch.localize(paths)
     // zip archives: driver-side unpack (reference loads zipped CSVs,
     // tests/test_load.py:983 — archives are sidecar-scale by nature;
     // at data scale use gz/bz2, which Spark's readers stream natively)
-    val expanded = paths.flatMap(p => if (rawExtension(p) == "zip") unzip(p) else Seq(p))
+    val expanded = localized.flatMap(p => if (rawExtension(p) == "zip") unzip(p) else Seq(p))
     require(expanded.nonEmpty, s"no loadable files (empty zip archive?) in $paths")
     val exts = expanded.map(extensionOf).distinct
     require(exts.size == 1, s"all files in one load must share a format, got $exts")

@@ -455,4 +455,52 @@ class SourcesSpec extends SparkSpec {
     val projected = annotated.select("otu1")
     assert(MetadataOps.featureMetadataOf(projected, "otu1").getString("taxonomy") == "g__Akkermansia")
   }
+
+  test("HTTP ingestion: fetch-once cache, conditional-GET revalidation, refresh on change") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val notModified = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var body = "id,v\n1,10\n2,20\n"
+    @volatile var etag = "\"v1\""
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data.csv", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        hits.incrementAndGet()
+        val inm = Option(x.getRequestHeaders.getFirst("If-None-Match"))
+        if (inm.contains(etag)) {
+          notModified.incrementAndGet()
+          x.sendResponseHeaders(304, -1); x.close()
+        } else {
+          val bytes = body.getBytes("UTF-8")
+          x.getResponseHeaders.add("ETag", etag)
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes); x.close()
+        }
+      }
+    })
+    server.start()
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-http").toString
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/data.csv"
+      // first load: fetched + cached; extension dispatch still sees .csv
+      val p1 = HttpFetch.cached(url, cacheDir)
+      assert(p1.endsWith("data.csv"))
+      val df1 = BioLoader.load(spark, Seq(p1))
+      assert(df1.count() == 2 && df1.columns.toSeq == Seq("id", "v"))
+      // second fetch revalidates: 304, bytes reused
+      val p2 = HttpFetch.cached(url, cacheDir)
+      assert(p2 == p1 && notModified.get() == 1)
+      // content + etag change: refresh replaces the cached bytes
+      body = "id,v\n1,10\n2,20\n3,30\n"; etag = "\"v2\""
+      HttpFetch.cached(url, cacheDir)
+      assert(spark.read.option("header", "true").csv(p1).count() == 3)
+      assert(hits.get() == 3)
+      // the BioLoader path accepts the URL directly (per-test cache dir
+      // not injectable there; uses the default — still loopback-only)
+      val viaLoader = BioLoader.load(spark, Seq(url))
+      assert(viaLoader.count() == 3)
+    } finally {
+      server.stop(0)
+    }
+  }
 }
