@@ -172,6 +172,78 @@ object DedupOps {
       .distinct()
   }
 
+  /** "No silent caps" telemetry, shared by the *OverflowReport
+    * family: exact member counts for buckets PAST `maxBucket` — the
+    * buckets the capped-collect pass drops wholesale. One count-only
+    * partial-agg shuffle (one long per bucket — far lighter than the
+    * element-collecting pass it diagnoses). `n_lost_pairs` is the
+    * candidate pairs this bucket would have emitted (LSH redundancy
+    * may still surface some of them through other buckets).
+    */
+  private def overflowReport(keyed: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+      .withColumn("n_lost_pairs", (col("n_members") * (col("n_members") - 1) / 2).cast("long"))
+
+  /** Overflowed MinHash bands for [[minhashLsh]]'s cap settings —
+    * run when a dedup pass on a skewed corpus reports suspiciously
+    * few pairs; at 100 TB this report IS the cap-tuning signal.
+    * Returns (band, n_members, n_lost_pairs).
+    */
+  def minhashOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), HE.shingleHashesText(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(explode(HE.minhashBandKeys(col("sh"), numHashes, rowsPerBand)).as("band"))
+    overflowReport(banded, Seq("band"), maxBucket)
+  }
+
+  /** Overflowed SimHash quarter-buckets for [[simhash]]'s cap
+    * settings. Returns (q, k, n_members, n_lost_pairs).
+    */
+  def simhashOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val quarters = df
+      .select(HE.simhashText(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("b"))
+      .select(col("b.q"), col("b.k"))
+    overflowReport(quarters, Seq("q", "k"), maxBucket)
+  }
+
+  /** Overflowed span-hash buckets for [[spanOverlapPairs]]'s cap
+    * settings — a span shared by more than maxBucket docs is
+    * boilerplate the capped pass drops; this names it with exact
+    * counts. Returns (span, n_members, n_lost_pairs).
+    */
+  def spanOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 13,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val spans = df
+      .select(graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(explode(HE.shingleHashes(col("__toks"), k)).as("span"))
+    overflowReport(spans, Seq("span"), maxBucket)
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

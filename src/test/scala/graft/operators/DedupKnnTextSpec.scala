@@ -204,4 +204,42 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
     assert(r.getInt(3) == 2)
   }
+
+  test("overflow telemetry names exactly what the capped collect drops (planted 20x-dup bucket)") {
+    // 20 identical docs + 2 unrelated ones; maxBucket 10 → every
+    // band the twins share overflows; the unrelated docs' bands don't
+    val twins = (1L to 20L).map(i => (i, "the same duplicated boilerplate sentence appears in every one of these documents"))
+    val others = Seq(
+      (100L, "completely unrelated text about catalyst physical plans and shuffle exchanges"),
+      (101L, "another distinct document concerning parquet footers and column statistics"))
+    val df = (twins ++ others).toDF("doc_id", "text")
+
+    val report = DedupOps.minhashOverflowReport(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, maxBucket = 10)
+      .collect()
+    // identical docs share ALL 16 bands, each with the full 20 members
+    assert(report.length == 16, s"bands overflowed: ${report.length}")
+    assert(report.forall(_.getAs[Long]("n_members") == 20L))
+    assert(report.forall(_.getAs[Long]("n_lost_pairs") == 190L))
+
+    // consistency: the capped pass emits ZERO pairs for the planted
+    // bucket at this cap — the report accounts for every lost pair
+    val pairs = DedupOps.minhashLsh(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.7, maxBucket = 10)
+    assert(pairs.count() == 0)
+    // ...and with the cap raised past the bucket, all 190 pairs surface
+    val uncapped = DedupOps.minhashLsh(df, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.7, maxBucket = 100)
+    assert(uncapped.count() == 190)
+
+    // span-hash flavor: every 3-token span of the twin text overflows
+    val spanReport = DedupOps.spanOverflowReport(df, "doc_id", "text", k = 3, maxBucket = 10)
+    assert(spanReport.collect().forall(_.getAs[Long]("n_members") == 20L))
+    assert(spanReport.count() > 0)
+
+    // simhash flavor: the 4 quarter-buckets of the shared signature
+    val simReport = DedupOps.simhashOverflowReport(df, "doc_id", "text", maxBucket = 10)
+    assert(simReport.count() == 4)
+    assert(simReport.collect().forall(_.getAs[Long]("n_members") >= 20L))
+  }
 }
