@@ -1052,6 +1052,24 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // ---- N10: k-group differential test (Kruskal–Wallis rank
+    //      ANOVA over the 3 return flags). Ranks, tie correction,
+    //      H, and the df=2 chi² survival exp(−H/2) are all plain
+    //      arithmetic the oracle replays term by term; rank sums
+    //      are multiples of 0.5 (exact in double), so only the
+    //      3-term Σ R²/n carries fp variance — absorbed by the
+    //      1e-6 grid like every other oracled statistic. ----
+    "q_difftest_k" -> ((s, dir) => {
+      val long = BioLoader.load(s, t(dir, "lineitem"))
+        .select((col("l_partkey") % 100).as("feature"), col("l_returnflag").as("grp"),
+          col("l_quantity").as("v"))
+      StatsOps.kruskalWallis(long, "feature", "v", "grp", Seq("A", "N", "R"))
+        .select(col("feature"), col("n_total"),
+          hround(col("h_stat"), 6).as("h_stat"),
+          hround(col("p_value"), 6).as("p_value"),
+          col("bh_rank"))
+    }),
+
     // ---- M1 (video): REAL ISO-BMFF container codec — synthetic
     //      but VALID MP4 box trees are generated per row (dims/
     //      duration/frames derive from doc_id), parsed back by the
@@ -1962,6 +1980,37 @@ object SparkEntry {
     "q_pq_persist" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_difftest_k" ->
+      """WITH s AS (
+        |  SELECT l_partkey % 100 AS feature, l_returnflag AS grp, l_quantity AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+        |), r AS (
+        |  SELECT feature, grp,
+        |    RANK() OVER (PARTITION BY feature ORDER BY v)
+        |      + (COUNT(*) OVER (PARTITION BY feature, v) - 1) / 2.0 AS rr
+        |  FROM s
+        |), pg AS (
+        |  SELECT feature, grp, COUNT(*) AS n, SUM(rr) AS R FROM r GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT feature, CAST(SUM(t*t*t - t) AS DOUBLE) AS tsum
+        |  FROM (SELECT feature, v, COUNT(*) AS t FROM s GROUP BY 1, 2) GROUP BY 1
+        |), st AS (
+        |  SELECT feature, CAST(SUM(n) AS BIGINT) AS n_total, SUM(R*R/n) AS rss
+        |  FROM pg GROUP BY 1 HAVING COUNT(*) = 3
+        |), hh AS (
+        |  SELECT feature, n_total,
+        |    (12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * rss
+        |      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+        |    / (1.0 - tsum / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))) AS h
+        |  FROM st JOIN ties USING (feature)
+        |  WHERE 1.0 - tsum / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) > 0
+        |)
+        |SELECT feature, n_total,
+        |  floor(h * 1000000 + 0.5) / 1000000 AS h_stat,
+        |  floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 AS p_value,
+        |  ROW_NUMBER() OVER (ORDER BY floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 ASC, feature ASC) AS bh_rank
+        |FROM hh""".stripMargin,
 
     "q_multimodal_video" ->
       """SELECT doc_id AS media_id,

@@ -125,6 +125,102 @@ object StatsOps {
     stats.withColumn("bh_rank", row_number().over(w).cast("long"))
   }
 
+  /** k-group differential test: Kruskal–Wallis rank ANOVA per
+    * feature — the k-group complement to the two-group Welch
+    * [[differentialTest]] (reference differential-abundance
+    * workflows compare ≥2 phenotype groups; rank-based matches the
+    * nonparametric tests microbiome pipelines default to).
+    *
+    * Statistic: average ranks within each feature (ties get the
+    * mean rank), H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), divided by
+    * the tie correction 1 − Σ(t³−t)/(N³−N); p = chi² survival at
+    * k−1 df. Every arithmetic step is plain column math an ANSI
+    * oracle replays term by term (for even df the survival is the
+    * closed-form Poisson series; odd df adds the same A&S erfc
+    * chain the Welch test uses).
+    *
+    * Shape: one rank window per feature (hash partition by feature
+    * + sort — the canonical KW shape), then two partial-agg
+    * reductions over (feature, group) / (feature, value) frames.
+    * Features missing any of `groups`, or fully tied (tie
+    * correction 0), are excluded. BH rank as in
+    * [[differentialTest]]: 1e-6-grid p ascending, feature
+    * tie-break.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      groupCol: String,
+      groups: Seq[String]
+  ): DataFrame = {
+    require(groups.size >= 2, "need at least 2 groups")
+    val k = groups.size
+    val filtered = df
+      .filter(col(groupCol).isin(groups: _*))
+      .filter(col(valueCol).isNotNull)
+      .select(col(featureCol), col(groupCol), col(valueCol))
+    val wOrd = Window.partitionBy(featureCol).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(featureCol), col(valueCol))
+    val ranked = filtered
+      .withColumn("__r", rank().over(wOrd) + (count(lit(1)).over(wTie) - 1) / 2.0)
+    val perGroup = ranked
+      .groupBy(col(featureCol), col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum("__r").as("__R"))
+    val ties = filtered
+      .groupBy(col(featureCol), col(valueCol)).agg(count(lit(1)).as("__t"))
+      .groupBy(col(featureCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tsum"))
+    val stats = perGroup
+      .groupBy(col(featureCol))
+      .agg(
+        sum("__n").as("n_total"),
+        count(lit(1)).as("__kp"),
+        sum(col("__R") * col("__R") / col("__n")).as("__rss"))
+      .filter(col("__kp") === k)
+      .join(ties, Seq(featureCol))
+    val n = col("n_total").cast("double")
+    val h0 = lit(12.0) / (n * (n + lit(1.0))) * col("__rss") - lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) - col("__tsum").cast("double") / (n * n * n - n)
+    val withH = stats
+      .filter(corr > 0)
+      .withColumn("h_stat", h0 / corr)
+      .withColumn("p_value", chi2Survival(h0 / corr, k - 1))
+    val pGrid = floor(col("p_value") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val w = Window.orderBy(pGrid.asc, col(featureCol).asc)
+    withH
+      .withColumn("bh_rank", row_number().over(w).cast("long"))
+      .select(col(featureCol), col("n_total"), col("h_stat"), col("p_value"), col("bh_rank"))
+  }
+
+  /** Chi-squared survival S(x; df) as plan-time-unrolled column
+    * arithmetic: even df → exp(−x/2)·Σ_{i<df/2}(x/2)^i/i!; odd df
+    * adds erfc(√(x/2)) (the A&S chain) plus the half-integer-gamma
+    * series — both shapes an oracle replays exactly.
+    */
+  private def chi2Survival(x: Column, df: Int): Column = {
+    require(df >= 1, "df >= 1")
+    val half = x / lit(2.0)
+    if (df % 2 == 0) {
+      val terms = (0 until df / 2).map { i =>
+        val fact = (1 to i).foldLeft(1.0)(_ * _)
+        pow(half, lit(i.toDouble)) / lit(fact)
+      }
+      exp(-half) * terms.reduce(_ + _)
+    } else {
+      // Γ(i + 1/2) = (2i)!/(4^i i!) √π
+      def gammaHalf(i: Int): Double = {
+        var g = math.sqrt(math.Pi)
+        var j = 1
+        while (j <= i) { g *= (j - 0.5); j += 1 }
+        g
+      }
+      val base = normalTwoSided(sqrt(x)) // erfc(√(x/2))
+      val extra = (1 to (df - 1) / 2).map(i => pow(half, lit(i - 0.5)) / lit(gammaHalf(i)))
+      if (extra.isEmpty) base else base + exp(-half) * extra.reduce(_ + _)
+    }
+  }
+
   /** 2·Φ(−|t|) via the Abramowitz–Stegun 7.1.26 erf polynomial —
     * column arithmetic only, so the oracle can replay it term by
     * term.
