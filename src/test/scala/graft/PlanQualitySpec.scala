@@ -56,6 +56,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("bucketed co-located join never exchanges on the join key") {
+    val p = planOf(q("q_bucketed_join"))
+    // both sides arrive pre-bucketed: the only Exchange allowed is
+    // the downstream groupBy's, never one on the join key
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"), p)
+  }
+
   test("dedup plans never contain a cartesian or nested-loop join") {
     for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_embed_dedup")) {
       val p = planOf(q(name))
