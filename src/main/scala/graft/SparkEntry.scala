@@ -1172,8 +1172,11 @@ object SparkEntry {
       val corpus = BioLoader.load(s, t(dir, "documents"))
         .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), synthTextOf(col("doc_id")).as("text"))
+      // 4 bands (16 hashes): twins share ALL bands whatever the band
+      // count, so the planted oracle is band-count-invariant — the
+      // smaller signature quarters the stream-side state and shuffle
       val kept = graft.streaming.EventStreams.streamingDedupAgainstCorpus(
-        stream, corpus, "doc_id", "text", shingleSize = 3,
+        stream, corpus, "doc_id", "text", shingleSize = 3, numHashes = 16,
         watermark = "10 seconds", windowLen = "1 minute")
       runStreamToMemory(kept, "m6near").filter(col("doc_id") < PusherId).select("doc_id")
     }),
@@ -1190,8 +1193,10 @@ object SparkEntry {
       val stream = synthDocStream(s, dir, idShift = 0L)
         .unionByName(synthDocStream(s, dir, idShift = 1000000L))
         .unionByName(watermarkPusher(s, dir))
+      // 4 bands (16 hashes) — see q_stream_corpus_near; quarters the
+      // RocksDB band-state population
       val kept = graft.streaming.EventStreams.streamingMinhashDedup(
-        stream, "doc_id", "text", shingleSize = 3,
+        stream, "doc_id", "text", shingleSize = 3, numHashes = 16,
         watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
       runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
     })
