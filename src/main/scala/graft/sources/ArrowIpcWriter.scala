@@ -16,22 +16,66 @@ import scala.jdk.CollectionConverters._
   * arrow round-trip surface (biodata.py:194 EXTENSION_MAP;
   * arrow_dataset.py save path) on Spark's bundled Arrow Java.
   *
-  * Driver-side utility for fixtures and bounded interop exports
-  * (rows are collected once) — large corpora export sharded parquet
-  * via [[graft.operators.ExportOps]]. Scalar types only, matching
-  * the reader's coverage.
+  * [[write]] is the driver-side path for fixtures and bounded
+  * interop exports (rows are collected once); [[writeDir]] is the
+  * DISTRIBUTED path — one arrow file per partition through the
+  * Hadoop FileSystem, the sharded layout arrow-native consumers
+  * expect at corpus scale. Scalar types only, matching the reader's
+  * coverage.
   */
 object ArrowIpcWriter {
 
   def write(df: DataFrame, path: String, batchRows: Int = 4096): Unit = {
     val sparkSchema = df.schema
-    val arrowSchema = new Schema(sparkSchema.fields.map(toArrowField).toSeq.asJava)
     val rows = df.collect()
+    val out = new FileOutputStream(path)
+    try writeRows(rows.iterator, sparkSchema, out.getChannel, batchRows)
+    finally out.close()
+  }
+
+  /** DISTRIBUTED Arrow export: one `part-NNNNN.arrow` file per
+    * partition under `dir`, written through the Hadoop FileSystem
+    * (works on HDFS/S3/file) — the sharded-arrow layout HF-style
+    * datasets interop with, at corpus scale. Read back with
+    * [[ArrowIpcReader.read]] over the part files. `_SUCCESS` marks
+    * a complete export.
+    */
+  def writeDir(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+    import org.apache.hadoop.fs.Path
+    val sparkSchema = df.schema
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
+    val dirPath = new Path(dir)
+    val fs0 = dirPath.getFileSystem(confSer.value)
+    if (fs0.exists(dirPath)) fs0.delete(dirPath, true)
+    fs0.mkdirs(dirPath)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val part = new Path(dir, f"part-$pid%05d.arrow")
+        val fs = part.getFileSystem(confSer.value)
+        val out = fs.create(part, true)
+        val ch = java.nio.channels.Channels.newChannel(out)
+        try writeRows(rows, sparkSchema, ch, batchRows)
+        finally { ch.close(); out.close() }
+        Iterator.single(1)
+      }
+    }.count()
+    val ok = fs0.create(new Path(dirPath, "_SUCCESS"), true)
+    ok.close()
+  }
+
+  private def writeRows(
+      rows: Iterator[org.apache.spark.sql.Row],
+      sparkSchema: StructType,
+      channel: java.nio.channels.WritableByteChannel,
+      batchRows: Int
+  ): Unit = {
+    val arrowSchema = new Schema(sparkSchema.fields.map(toArrowField).toSeq.asJava)
     val allocator = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(arrowSchema, allocator)
-      val out = new FileOutputStream(path)
-      val writer = new ArrowFileWriter(root, null, out.getChannel)
+      val writer = new ArrowFileWriter(root, null, channel)
       try {
         writer.start()
         rows.grouped(batchRows).foreach { batch =>
@@ -45,7 +89,7 @@ object ArrowIpcWriter {
           writer.writeBatch()
         }
         writer.end()
-      } finally { writer.close(); out.close(); root.close() }
+      } finally { writer.close(); root.close() }
     } finally allocator.close()
   }
 

@@ -126,6 +126,23 @@ class SourcesSpec extends SparkSpec {
     assert(triples == Set((0L, 1L, 5.0), (1L, 0L, 7.0)))
   }
 
+  test("ArrowIpcWriter.writeDir: distributed sharded export, one arrow file per partition, reader round-trip") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("name", concat(lit("n"), col("id")))
+      .withColumn("v", when(col("id") % 97 === 0, lit(null).cast("double")).otherwise(col("id") * 0.5))
+      .repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrowdir").toString + "/out"
+    ArrowIpcWriter.writeDir(df, dir, batchRows = 128)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".arrow")).map(_.getAbsolutePath).sorted
+    assert(parts.length == 4, s"parts: ${parts.length}")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val back = ArrowIpcReader.read(spark, parts.toSeq)
+    assert(back.count() == 1000)
+    assert(back.filter(col("v").isNull).count() == 11) // ids 0,97,...,970
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == 499500L)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v"))
+  }
+
   test("ArrowIpcReader round-trips an IPC file written with Arrow Java") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
