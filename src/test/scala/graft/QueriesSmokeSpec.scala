@@ -6,9 +6,28 @@ package graft
   */
 class QueriesSmokeSpec extends SparkSpec {
 
+  /** Queries whose DESIGNED plan contains a BroadcastNestedLoopJoin
+    * against a provably tiny broadcast side: the knn family scores
+    * every query row against broadcast centroids / the broadcast
+    * brute-force candidate set, and the gate/packing operators cross
+    * in a 1-row broadcast scalar threshold. A BNLJ there is the
+    * right plan; anywhere else it's a scale bug.
+    */
+  private val tinyBroadcastBnlj = Set(
+    "q_knn_brute", "q_knn_ivf", "q_knn_opq", "q_knn_pq", "q_knn_pq_rerank",
+    "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      // global scale guard: no cartesian anywhere; nested-loop joins
+      // only in the allowlisted tiny-broadcast patterns
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!tinyBroadcastBnlj.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BroadcastNestedLoopJoin")
+      val n = df.count()
       assert(n > 0, s"$name returned no rows")
     }
   }
