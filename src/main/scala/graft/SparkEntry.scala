@@ -1203,17 +1203,27 @@ object SparkEntry {
     //      earlier (ts, id) owns every band, so exactly the
     //      originals survive the doc-level combine. ----
     "q_stream_minhash" -> ((s, dir) => {
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // transformWithState needs the RocksDB provider; restore the
+      // session's previous provider afterwards so queries running
+      // later in the same session keep their own state store
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val stream = synthDocStream(s, dir, idShift = 0L)
-        .unionByName(synthDocStream(s, dir, idShift = 1000000L))
-        .unionByName(watermarkPusher(s, dir))
-      // 4 bands (16 hashes) — see q_stream_corpus_near; quarters the
-      // RocksDB band-state population
-      val kept = graft.streaming.EventStreams.streamingMinhashDedup(
-        stream, "doc_id", "text", shingleSize = 3, numHashes = 16,
-        watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
-      runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
+      try {
+        val stream = synthDocStream(s, dir, idShift = 0L)
+          .unionByName(synthDocStream(s, dir, idShift = 1000000L))
+          .unionByName(watermarkPusher(s, dir))
+        // 4 bands (16 hashes) — see q_stream_corpus_near; quarters the
+        // RocksDB band-state population
+        val kept = graft.streaming.EventStreams.streamingMinhashDedup(
+          stream, "doc_id", "text", shingleSize = 3, numHashes = 16,
+          watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
+        runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
     })
   )
 
