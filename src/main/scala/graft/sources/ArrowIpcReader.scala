@@ -19,8 +19,9 @@ import java.nio.channels.Channels
   * (magic `ARROW1`) and the stream format are both handled.
   *
   * Types covered: the scalar types the reference round-trips
-  * (ints, floats, bool, utf8, binary, date/timestamp). Nested types
-  * are out of scope for r1 (the reference's omics tables are flat).
+  * (ints, floats, bool, utf8, binary, date/timestamp) plus
+  * list<scalar> — the embedding-column shape. Deeper nesting is out
+  * of scope (the reference's omics tables are flat).
   */
 object ArrowIpcReader {
 
@@ -117,6 +118,13 @@ object ArrowIpcReader {
       case x: DateDayVector       => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
       case x: TimeStampMicroVector => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(x.get(i) * 1000L))
       case x: TimeStampMilliVector => new java.sql.Timestamp(x.get(i))
+      case x: org.apache.arrow.vector.complex.ListVector =>
+        // list<scalar> (embedding columns): elements materialize via
+        // the inner vector over the offset range
+        val inner = x.getDataVector.asInstanceOf[FieldVector]
+        val start = x.getOffsetBuffer.getInt(i * 4L)
+        val end = x.getOffsetBuffer.getInt((i + 1) * 4L)
+        (start until end).map(j => cell(inner, j))
       case other => throw new UnsupportedOperationException(s"arrow type ${other.getClass.getSimpleName} not supported")
     }
   }
@@ -135,6 +143,9 @@ object ArrowIpcReader {
       case _: ArrowType.Binary    => BinaryType
       case _: ArrowType.Date      => DateType
       case _: ArrowType.Timestamp => TimestampType
+      case _: ArrowType.List =>
+        val child = f.getChildren.get(0)
+        ArrayType(arrowToSpark(child), containsNull = child.isNullable)
       case other => throw new UnsupportedOperationException(s"arrow type $other not supported")
     }
   }

@@ -20,8 +20,8 @@ import scala.jdk.CollectionConverters._
   * interop exports (rows are collected once); [[writeDir]] is the
   * DISTRIBUTED path — one arrow file per partition through the
   * Hadoop FileSystem, the sharded layout arrow-native consumers
-  * expect at corpus scale. Scalar types only, matching the reader's
-  * coverage.
+  * expect at corpus scale. Scalars plus list<scalar>
+  * (embedding columns), matching the reader's coverage.
   */
 object ArrowIpcWriter {
 
@@ -93,21 +93,59 @@ object ArrowIpcWriter {
     } finally allocator.close()
   }
 
-  private def toArrowField(f: StructField): Field = {
-    val t: ArrowType = f.dataType match {
-      case LongType    => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case StringType  => ArrowType.Utf8.INSTANCE
-      case BinaryType  => ArrowType.Binary.INSTANCE
-      case other       => throw new UnsupportedOperationException(s"spark type $other not supported for arrow export")
-    }
-    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  private def scalarArrowType(dt: DataType): ArrowType = dt match {
+    case LongType    => new ArrowType.Int(64, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case StringType  => ArrowType.Utf8.INSTANCE
+    case BinaryType  => ArrowType.Binary.INSTANCE
+    case other       => throw new UnsupportedOperationException(s"spark type $other not supported for arrow export")
+  }
+
+  private def toArrowField(f: StructField): Field = f.dataType match {
+    // list<numeric> — the embedding-column shape; element field is
+    // the conventional "$data$" child
+    case ArrayType(elem, containsNull) =>
+      val child = new Field("$data$", new FieldType(containsNull, scalarArrowType(elem), null), null)
+      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
+        java.util.Collections.singletonList(child))
+    case dt =>
+      new Field(f.name, new FieldType(f.nullable, scalarArrowType(dt), null), null)
   }
 
   private def setCell(v: FieldVector, i: Int, value: Any, dt: DataType): Unit =
+    v match {
+      case lv: org.apache.arrow.vector.complex.ListVector =>
+        val w = lv.getWriter
+        w.setPosition(i)
+        if (value == null) w.writeNull()
+        else {
+          val elem = dt.asInstanceOf[ArrayType].elementType
+          w.startList()
+          value.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
+            if (e == null) elem match {
+              case FloatType   => w.float4().writeNull()
+              case DoubleType  => w.float8().writeNull()
+              case LongType    => w.bigInt().writeNull()
+              case IntegerType => w.integer().writeNull()
+              case other       => throw new UnsupportedOperationException(s"null list element of $other")
+            }
+            else elem match {
+              case FloatType   => w.float4().writeFloat4(e.asInstanceOf[Float])
+              case DoubleType  => w.float8().writeFloat8(e.asInstanceOf[Double])
+              case LongType    => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+              case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+              case other       => throw new UnsupportedOperationException(s"list element type $other not supported")
+            }
+          }
+          w.endList()
+        }
+      case _ => setScalarCell(v, i, value)
+    }
+
+  private def setScalarCell(v: FieldVector, i: Int, value: Any): Unit =
     if (value == null) v.asInstanceOf[BaseValueVector with FieldVector] match {
       case x: BigIntVector    => x.setNull(i)
       case x: IntVector       => x.setNull(i)

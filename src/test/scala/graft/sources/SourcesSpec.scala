@@ -143,6 +143,26 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq == Seq("id", "name", "v"))
   }
 
+  test("Arrow IPC round-trips list<float> embedding columns (real embeddings table slice)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 50)
+    val path = java.io.File.createTempFile("graft-emb", ".arrow").getAbsolutePath
+    ArrowIpcWriter.write(emb, path, batchRows = 16)
+    val back = ArrowIpcReader.read(spark, Seq(path))
+    assert(back.schema("embedding").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == orig.keySet && got.size == 50)
+    orig.foreach { case (id, v) => assert(got(id) == v, s"vec $id differs") }
+    // empty list and null list survive too
+    val edge = Seq((1L, Seq(1.5f, -2.5f)), (2L, Seq.empty[Float]), (3L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "vec")
+    val p2 = java.io.File.createTempFile("graft-edge", ".arrow").getAbsolutePath
+    ArrowIpcWriter.write(edge, p2)
+    val eb = ArrowIpcReader.read(spark, Seq(p2)).collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](1))).toMap
+    assert(eb(1L).contains(Seq(1.5f, -2.5f)) && eb(2L).contains(Seq.empty[Float]) && eb(3L).isEmpty, eb.toString)
+  }
+
   test("ArrowIpcReader round-trips an IPC file written with Arrow Java") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._
