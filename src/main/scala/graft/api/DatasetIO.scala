@@ -18,18 +18,46 @@ import java.nio.file.{Files, Paths}
   */
 object DatasetIO {
 
-  def save(ds: LoadDataset.GraftDataset, path: String, splits: Map[String, DataFrame] = Map.empty): Unit = {
+  /** @param format "parquet" (default) or "arrow" — arrow splits
+    *   are written as sharded IPC files (one per partition,
+    *   [[graft.sources.ArrowIpcWriter.writeDir]]), the layout
+    *   HF-style arrow datasets interop with; the sidecar records
+    *   the choice so load() needs no hint. StructField.metadata
+    *   annotations persist through parquet only — the arrow path
+    *   relies on the sidecar for roles/labels/task (IPC schema
+    *   metadata is not mapped).
+    */
+  def save(
+      ds: LoadDataset.GraftDataset,
+      path: String,
+      splits: Map[String, DataFrame] = Map.empty,
+      format: String = "parquet"
+  ): Unit = {
+    require(format == "parquet" || format == "arrow", s"unsupported format $format")
     val all = if (splits.nonEmpty) splits else Map("train" -> ds.df)
-    all.foreach { case (name, df) => df.write.mode("overwrite").parquet(s"$path/$name") }
-    val info = renderInfo(ds, all.keys.toSeq.sorted)
+    all.foreach { case (name, df) =>
+      if (format == "arrow") graft.sources.ArrowIpcWriter.writeDir(df, s"$path/$name")
+      else df.write.mode("overwrite").parquet(s"$path/$name")
+    }
+    val info = renderInfo(ds, all.keys.toSeq.sorted, format)
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(s"$path/graft_info.json"), info)
   }
 
+  private def readSplit(spark: SparkSession, dir: String, format: String): DataFrame =
+    if (format == "arrow") {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".arrow")).map(_.toUri.getPath).sorted
+      graft.sources.ArrowIpcReader.read(spark, parts.toSeq)
+    } else spark.read.parquet(dir)
+
   def load(spark: SparkSession, path: String): (Map[String, DataFrame], LoadDataset.GraftDataset) = {
     val info = Files.readString(Paths.get(s"$path/graft_info.json"))
     val splits = strListField(info, "splits")
-    val frames = splits.map(s => s -> spark.read.parquet(s"$path/$s")).toMap
+    val format = strField(info, "format").getOrElse("parquet")
+    val frames = splits.map(s => s -> readSplit(spark, s"$path/$s", format)).toMap
     val primary = frames.getOrElse("train", frames.values.head)
     val roles = ColumnInference.Roles(
       strField(info, "sample_column"),
@@ -46,7 +74,7 @@ object DatasetIO {
   }
 
   // minimal JSON (flat schema, controlled keys — no library dependency)
-  private def renderInfo(ds: LoadDataset.GraftDataset, splits: Seq[String]): String = {
+  private def renderInfo(ds: LoadDataset.GraftDataset, splits: Seq[String], format: String = "parquet"): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def arr(xs: Seq[String]) = xs.map(q).mkString("[", ",", "]")
     def opt(o: Option[String]) = o.map(q).getOrElse("null")
@@ -55,6 +83,7 @@ object DatasetIO {
       case ColumnInference.Classification => "classification"
     }
     s"""{
+       |  "format": ${q(format)},
        |  "splits": ${arr(splits)},
        |  "sample_column": ${opt(ds.roles.sampleColumn)},
        |  "batch_column": ${opt(ds.roles.batchColumn)},

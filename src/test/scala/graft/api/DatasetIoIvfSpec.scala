@@ -29,6 +29,26 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(loaded("train").schema("otu1").metadata.getString("graft.featureType") == "Abundance")
   }
 
+  test("DatasetIO format=arrow: sharded IPC splits round-trip with the sidecar, format auto-detected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io-arrow").toFile.getAbsolutePath
+    val src = java.nio.file.Files.createTempDirectory("graft-io-arrow-src").toFile.getAbsolutePath
+    Seq(("s1", "sick", 3L), ("s2", "healthy", 0L), ("s3", "sick", 7L), ("s4", "healthy", 2L))
+      .toDF("samples", "diagnosis", "otu1").write.parquet(s"$src/d.parquet")
+    val ds = LoadDataset.load(spark, LoadDataset.Config(
+      dataFiles = Seq(s"$src/d.parquet"), targetColumn = Some("diagnosis"), experimentType = "otu"))
+    DatasetIO.save(ds, dir, Map("train" -> ds.df.repartition(2)), format = "arrow")
+    // splits landed as sharded .arrow files with a _SUCCESS marker
+    val files = new java.io.File(s"$dir/train").listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".arrow")) >= 1 && files.contains("_SUCCESS"), files.mkString(","))
+    val (loaded, meta) = DatasetIO.load(spark, dir) // format from the sidecar, no hint
+    assert(loaded("train").count() == 4)
+    assert(loaded("train").select("samples", "diagnosis").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set("s1" -> "sick", "s2" -> "healthy", "s3" -> "sick", "s4" -> "healthy"))
+    assert(meta.labelNames == Seq("healthy", "sick"))
+    assert(meta.roles.targetColumn.contains("diagnosis"))
+  }
+
   test("decode inverts classEncode through a DatasetIO save/load round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dec").toFile.getAbsolutePath
     val src = java.nio.file.Files.createTempDirectory("graft-dec-src").toFile.getAbsolutePath
