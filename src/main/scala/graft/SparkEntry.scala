@@ -811,15 +811,19 @@ object SparkEntry {
       val c = BioLoader.load(s, t(dir, "customer"))
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
       // per-invocation table names: suites sharing the session must
-      // not overwrite each other's bucket layout mid-plan. GC bucket
-      // tables older than 10 min (wall-clock mtime — previous JVMs'
-      // tables are catalog-orphaned dirs) so the warehouse doesn't
-      // grow without bound across runs.
+      // not overwrite each other's bucket layout mid-plan. Table
+      // names embed this JVM's start time, and GC only touches
+      // entries from OTHER JVMs that are also stale by mtime — a
+      // concurrent JVM sharing the warehouse keeps its live bucket
+      // tables no matter how long its query runs.
+      val jvmTag = java.lang.Long.toHexString(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
       val whUri = s.conf.get("spark.sql.warehouse.dir")
       val wh = new java.io.File(whUri.stripPrefix("file:"))
-      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+      val cutoff = System.currentTimeMillis() - 2 * 60 * 60 * 1000L
       Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_bkt_") && f.lastModified() < cutoff)
+        .filter(f => f.getName.startsWith("graft_bkt_") &&
+          !f.getName.contains(s"_j${jvmTag}_") && f.lastModified() < cutoff)
         .foreach { f =>
           s.sql(s"DROP TABLE IF EXISTS ${f.getName}")
           if (f.exists()) { // orphan dir from an earlier JVM
@@ -827,7 +831,7 @@ object SparkEntry {
               .forEach(p => java.nio.file.Files.deleteIfExists(p))
           }
         }
-      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val tag = s"j${jvmTag}_${java.lang.Long.toHexString(System.nanoTime())}"
       graft.operators.BucketOps.writeBucketed(o, s"graft_bkt_orders_$tag", "o_custkey", 8)
       graft.operators.BucketOps.writeBucketed(c, s"graft_bkt_customer_$tag", "o_custkey", 8)
       graft.operators.BucketOps

@@ -48,8 +48,13 @@ object DatasetIO {
     if (format == "arrow") {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // the writer's job-commit marker: without it the export died
+      // midway and the part files present are an incomplete split
+      require(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+        s"arrow split at $dir has no _SUCCESS marker — incomplete export")
+      // fully-qualified paths (scheme kept) so hdfs/s3a splits load
       val parts = fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.endsWith(".arrow")).map(_.toUri.getPath).sorted
+        .filter(_.getName.endsWith(".arrow")).map(_.toString).sorted
       graft.sources.ArrowIpcReader.read(spark, parts.toSeq)
     } else spark.read.parquet(dir)
 

@@ -3,11 +3,14 @@ package graft.sources
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowStreamReader}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import java.io.{BufferedInputStream, FileInputStream}
-import java.nio.channels.Channels
+import java.io.BufferedInputStream
+import java.nio.ByteBuffer
+import java.nio.channels.{Channels, SeekableByteChannel}
 
 /** Arrow IPC (.arrow) file reader — the reference's `.arrow` format
   * support (biodata.py:194 EXTENSION_MAP) re-expressed on Spark's
@@ -27,27 +30,54 @@ object ArrowIpcReader {
 
   def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "no arrow files given")
-    val schema = readSchema(paths.head)
+    // files open through the Hadoop FileSystem, so hdfs:///s3a://
+    // part files (the writeDir targets) load back without a local
+    // copy step
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = readSchema(paths.head, confSer.value)
     val indexed = paths.zipWithIndex.map { case (p, i) => (i, p) }
     val rdd = spark.sparkContext
       .parallelize(indexed, indexed.size)
-      .flatMap { case (_, path) => readRows(path) }
+      .flatMap { case (_, path) => readRows(path, confSer.value) }
     spark.createDataFrame(rdd, schema)
   }
 
-  private def isFileFormat(path: String): Boolean = {
-    val in = new FileInputStream(path)
+  /** SeekableByteChannel over any Hadoop FS input stream — what
+    * ArrowFileReader needs to chase the footer on hdfs/s3a/file.
+    */
+  private final class HadoopSeekableChannel(in: FSDataInputStream, len: Long)
+      extends SeekableByteChannel {
+    private var closed = false
+    override def read(dst: ByteBuffer): Int = {
+      val buf = new Array[Byte](dst.remaining())
+      val n = in.read(buf, 0, buf.length)
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def write(src: ByteBuffer): Int = throw new UnsupportedOperationException("read-only")
+    override def position(): Long = in.getPos
+    override def position(p: Long): SeekableByteChannel = { in.seek(p); this }
+    override def size(): Long = len
+    override def truncate(l: Long): SeekableByteChannel = throw new UnsupportedOperationException("read-only")
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = { closed = true; in.close() }
+  }
+
+  private def isFileFormat(path: String, conf: Configuration): Boolean = {
+    val p = new HPath(path)
+    val in = p.getFileSystem(conf).open(p)
     try {
       val magic = new Array[Byte](6)
-      val n = in.read(magic)
+      val n = in.read(magic, 0, 6)
       n == 6 && new String(magic, "ASCII") == "ARROW1"
     } finally in.close()
   }
 
-  private[sources] def readSchema(path: String): StructType = {
+  private[sources] def readSchema(path: String, conf: Configuration = new Configuration()): StructType = {
     val allocator = new RootAllocator()
     try {
-      withReader(path, allocator) { root =>
+      withReader(path, conf, allocator) { (root, _) =>
         StructType(root.getSchema.getFields.toArray.map { f0 =>
           val f = f0.asInstanceOf[org.apache.arrow.vector.types.pojo.Field]
           StructField(f.getName, arrowToSpark(f), nullable = f.isNullable)
@@ -56,39 +86,30 @@ object ArrowIpcReader {
     } finally allocator.close()
   }
 
-  private def withReader[T](path: String, allocator: RootAllocator)(f: VectorSchemaRoot => T): T = {
-    if (isFileFormat(path)) {
-      val ch = new FileInputStream(path).getChannel
+  private def withReader[T](path: String, conf: Configuration, allocator: RootAllocator)(
+      f: (VectorSchemaRoot, () => Boolean) => T): T = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    if (isFileFormat(path, conf)) {
+      val ch = new HadoopSeekableChannel(fs.open(p), fs.getFileStatus(p).getLen)
       val reader = new ArrowFileReader(ch, allocator)
-      try f(reader.getVectorSchemaRoot)
+      try f(reader.getVectorSchemaRoot, () => reader.loadNextBatch())
       finally { reader.close(); ch.close() }
     } else {
-      val in = new BufferedInputStream(new FileInputStream(path))
+      val in = new BufferedInputStream(fs.open(p))
       val reader = new ArrowStreamReader(Channels.newChannel(in), allocator)
-      try f(reader.getVectorSchemaRoot)
+      try f(reader.getVectorSchemaRoot, () => reader.loadNextBatch())
       finally { reader.close(); in.close() }
     }
   }
 
-  private[sources] def readRows(path: String): Iterator[Row] = {
+  private[sources] def readRows(path: String, conf: Configuration = new Configuration()): Iterator[Row] = {
     // materialize per batch; iterator wrapper keeps one batch in memory
     val allocator = new RootAllocator()
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
-      if (isFileFormat(path)) {
-        val ch = new FileInputStream(path).getChannel
-        val reader = new ArrowFileReader(ch, allocator)
-        try {
-          val root = reader.getVectorSchemaRoot
-          while (reader.loadNextBatch()) rows ++= batchRows(root)
-        } finally { reader.close(); ch.close() }
-      } else {
-        val in = new BufferedInputStream(new FileInputStream(path))
-        val reader = new ArrowStreamReader(Channels.newChannel(in), allocator)
-        try {
-          val root = reader.getVectorSchemaRoot
-          while (reader.loadNextBatch()) rows ++= batchRows(root)
-        } finally { reader.close(); in.close() }
+      withReader(path, conf, allocator) { (root, next) =>
+        while (next()) rows ++= batchRows(root)
       }
     } finally allocator.close()
     rows.iterator

@@ -52,12 +52,25 @@ object ArrowIpcWriter {
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
+        // task-commit protocol: write to an attempt-unique temp name,
+        // rename into place only after a full successful write — a
+        // task death mid-write leaves a .tmp the reader never lists,
+        // and speculative/retried attempts race benignly (first
+        // rename wins, losers discard their temp)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val part = new Path(dir, f"part-$pid%05d.arrow")
+        val tmp = new Path(dir, f".part-$pid%05d-$attempt%d.arrow.tmp")
         val fs = part.getFileSystem(confSer.value)
-        val out = fs.create(part, true)
+        val out = fs.create(tmp, true)
         val ch = java.nio.channels.Channels.newChannel(out)
-        try writeRows(rows, sparkSchema, ch, batchRows)
-        finally { ch.close(); out.close() }
+        try {
+          try writeRows(rows, sparkSchema, ch, batchRows)
+          finally { ch.close(); out.close() }
+          if (fs.exists(part) || !fs.rename(tmp, part)) fs.delete(tmp, false)
+        } catch {
+          case e: Throwable => fs.delete(tmp, false); throw e
+        }
         Iterator.single(1)
       }
     }.count()

@@ -62,20 +62,27 @@ object HttpFetch {
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .build()
-    val tmp = dir.resolve(s"$key-$base.part")
-    val resp = client.send(reqB.build(), HttpResponse.BodyHandlers.ofFile(tmp))
-    resp.statusCode() match {
-      case 304 =>
-        Files.deleteIfExists(tmp) // revalidated: cached bytes stand
-      case code if code >= 200 && code < 300 =>
-        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        writeMeta(metaPath,
-          resp.headers().firstValue("ETag").map("etag" -> _).toScala.toMap ++
-            resp.headers().firstValue("Last-Modified").map("last-modified" -> _).toScala.toMap)
-      case code =>
-        Files.deleteIfExists(tmp)
-        if (Files.exists(target)) () // stale cache beats a hard failure on refresh
-        else throw new java.io.IOException(s"GET $url returned $code and no cached copy exists")
+    // per-fetch unique temp: concurrent fetches of the same URL
+    // (two processes or two driver threads) must not interleave
+    // writes into a shared .part before the atomic move
+    val tmp = Files.createTempFile(dir, s"$key-", ".part")
+    try {
+      val resp = client.send(reqB.build(), HttpResponse.BodyHandlers.ofFile(tmp))
+      resp.statusCode() match {
+        case 304 =>
+          Files.deleteIfExists(tmp) // revalidated: cached bytes stand
+        case code if code >= 200 && code < 300 =>
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          writeMeta(metaPath,
+            resp.headers().firstValue("ETag").map("etag" -> _).toScala.toMap ++
+              resp.headers().firstValue("Last-Modified").map("last-modified" -> _).toScala.toMap)
+        case code =>
+          Files.deleteIfExists(tmp)
+          if (Files.exists(target)) () // stale cache beats a hard failure on refresh
+          else throw new java.io.IOException(s"GET $url returned $code and no cached copy exists")
+      }
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
     }
     target.toString
   }
