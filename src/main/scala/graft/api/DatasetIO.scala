@@ -3,7 +3,7 @@ package graft.api
 import graft.sources.ColumnInference
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import java.nio.file.{Files, Paths}
+
 
 /** Persist / restore a [[LoadDataset.GraftDataset]] — the
   * reference's `save_to_disk` / `load_from_disk` + DatasetDict
@@ -40,8 +40,15 @@ object DatasetIO {
       else df.write.mode("overwrite").parquet(s"$path/$name")
     }
     val info = renderInfo(ds, all.keys.toSeq.sorted, format)
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(Paths.get(s"$path/graft_info.json"), info)
+    // sidecar goes through the Hadoop FS like the split data — a
+    // scheme-qualified path (file://, hdfs://, s3a://) must land the
+    // sidecar next to its splits, not in a literal "file:" local dir
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(ds.df.sparkSession.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "graft_info.json"), true)
+    try out.write(info.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def readSplit(spark: SparkSession, dir: String, format: String): DataFrame =
@@ -59,7 +66,13 @@ object DatasetIO {
     } else spark.read.parquet(dir)
 
   def load(spark: SparkSession, path: String): (Map[String, DataFrame], LoadDataset.GraftDataset) = {
-    val info = Files.readString(Paths.get(s"$path/graft_info.json"))
+    val info = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/graft_info.json")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
     val splits = strListField(info, "splits")
     val format = strField(info, "format").getOrElse("parquet")
     val frames = splits.map(s => s -> readSplit(spark, s"$path/$s", format)).toMap
