@@ -801,6 +801,45 @@ object SparkEntry {
       graft.operators.DedupOps.spanOverlapPairs(planted, "doc_id", "text", k = 7)
     }),
 
+    // ---- D12: skew-overflow telemetry — disjoint-vocabulary docs
+    //      replicated a controlled number of times make bucket
+    //      membership structural (a bucket is one (doc, span) or
+    //      (doc, band); its member count is the replication factor),
+    //      so the exact overflow counts the report must emit are
+    //      closed-form in SQL. r ∈ {40,50,60,70} with maxBucket=50
+    //      → only r=60 and r=70 buckets may appear. ----
+    "q_overflow_report" -> ((s, dir) => {
+      val base = BioLoader.load(s, t(dir, "documents")).select("doc_id")
+        .orderBy("doc_id").limit(20)
+        .withColumn("r", (lit(40) + (col("doc_id") % 4) * 10).cast("int"))
+      // span family: per-doc T = 16 + doc_id%5 distinct tokens → a
+      // doc contributes T-6 span buckets (k=7), each of size r
+      val spanDocs = base
+        .select(col("doc_id"), explode(sequence(lit(1), col("r"))).as("c"))
+        .select((col("doc_id") * 1000 + col("c")).as("id"),
+          concat_ws(" ", transform(
+            sequence(lit(0L), lit(15L) + col("doc_id") % 5),
+            i => concat(lit("d"), col("doc_id").cast("string"), lit("w"), i.cast("string")))).as("text"))
+      val spanRep = graft.operators.DedupOps
+        .spanOverflowReport(spanDocs, "id", "text", k = 7, maxBucket = 50)
+        .groupBy("n_members")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_lost_pairs").as("lost_pairs"))
+        .select(lit("span").as("family"), col("n_members"), col("n_buckets"), col("lost_pairs"))
+      // minhash family: identical copies share all 4 bands (16
+      // hashes / 4 rows), so a doc contributes 4 band buckets of
+      // size r; disjoint vocab keeps cross-doc bands distinct
+      val mhDocs = base
+        .select(col("doc_id"), explode(sequence(lit(1), col("r"))).as("c"))
+        .select((col("doc_id") * 1000 + col("c")).as("id"), synthTextOf(col("doc_id")).as("text"))
+      val mhRep = graft.operators.DedupOps
+        .minhashOverflowReport(mhDocs, "id", "text",
+          shingleSize = 3, numHashes = 16, rowsPerBand = 4, maxBucket = 50)
+        .groupBy("n_members")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_lost_pairs").as("lost_pairs"))
+        .select(lit("minhash").as("family"), col("n_members"), col("n_buckets"), col("lost_pairs"))
+      spanRep.unionByName(mhRep)
+    }),
+
     // ---- C15: bucketed co-located join — both sides written
     //      bucketBy(key), so the repeated equi-join plans with NO
     //      Exchange (the 100-TB fact table shuffles once at write
@@ -1910,6 +1949,23 @@ object SparkEntry {
         |)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id""".stripMargin,
+
+    // closed-form replay of the planted overflow fixture: bucket
+    // sizes equal the replication factor r, span buckets per doc =
+    // (16 + doc_id%5) - 6, minhash band buckets per doc = 4
+    "q_overflow_report" ->
+      """WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+        |     p AS (SELECT doc_id, 40 + (doc_id % 4) * 10 AS r,
+        |                  10 + (doc_id % 5) AS n_spans FROM d)
+        |SELECT 'span' AS family, CAST(r AS BIGINT) AS n_members,
+        |       CAST(SUM(n_spans) AS BIGINT) AS n_buckets,
+        |       CAST(SUM(n_spans) * (r * (r - 1) // 2) AS BIGINT) AS lost_pairs
+        |FROM p WHERE r > 50 GROUP BY r
+        |UNION ALL
+        |SELECT 'minhash' AS family, CAST(r AS BIGINT) AS n_members,
+        |       CAST(4 * COUNT(*) AS BIGINT) AS n_buckets,
+        |       CAST(4 * COUNT(*) * (r * (r - 1) // 2) AS BIGINT) AS lost_pairs
+        |FROM p WHERE r > 50 GROUP BY r""".stripMargin,
 
     // the oracle is the PLAIN join — bucketing must not change results
     "q_bucketed_join" ->
