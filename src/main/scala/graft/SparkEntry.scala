@@ -1161,7 +1161,7 @@ object SparkEntry {
     //      Watermark → memory sink); with a horizon wider than the
     //      event span the output keys are exactly the distinct
     //      keys, whichever arrival won each ----
-    "q_stream_dedup" -> ((s, dir) => {
+    "q_stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       val ev = BioLoader.nanosToTimestamp(
         streamTable(s, dir, "events", EventsSchema), "ts")
       val kept = graft.streaming.EventStreams
@@ -1173,7 +1173,7 @@ object SparkEntry {
     //      as q_range_join with the point side streamed; the join is
     //      row-local against the broadcast intervals, so the stream
     //      result equals the batch result and shares its oracle ----
-    "q_stream_range_join" -> ((s, dir) => {
+    "q_stream_range_join" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       val c = streamTable(s, dir, "customer", CustomerSchema)
         .select("c_custkey", "c_acctbal")
       val iv = BioLoader.load(s, t(dir, "supplier"))
@@ -1189,7 +1189,7 @@ object SparkEntry {
     //      (no false negatives: members are NEVER kept; fpp 1e-9
     //      makes a false-positive drop vanishingly unlikely, so the
     //      exact NOT-IN oracle holds) ----
-    "q_stream_corpus_dedup" -> ((s, dir) => {
+    "q_stream_corpus_dedup" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       val docs = streamTable(s, dir, "documents", DocsSchema)
       val corpus = BioLoader.load(s, t(dir, "documents")).filter(col("doc_id") % 2 === 0)
       val kept = DedupOps.dedupAgainstCorpusStream(docs, corpus, "text",
@@ -1202,7 +1202,7 @@ object SparkEntry {
     //      q_decontaminate, same true-intersection oracle;
     //      contaminated docs are NEVER kept, and fpp 1e-9 keeps the
     //      false-positive direction out of the sample) ----
-    "q_stream_decontaminate" -> ((s, dir) => {
+    "q_stream_decontaminate" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       import s.implicits._
       val evalDf = Seq(
         "the secret holdout benchmark sentence for contamination screening",
@@ -1224,7 +1224,7 @@ object SparkEntry {
     //      whole table against the even-id half must keep exactly
     //      the odd ids. The far-future pusher advances the
     //      watermark so every real window emits. ----
-    "q_stream_corpus_near" -> ((s, dir) => {
+    "q_stream_corpus_near" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       val stream = synthDocStream(s, dir, idShift = 0L)
         .unionByName(watermarkPusher(s, dir))
       val corpus = BioLoader.load(s, t(dir, "documents"))
@@ -1245,7 +1245,7 @@ object SparkEntry {
     //      id+1000000 twin with IDENTICAL text — in one batch; the
     //      earlier (ts, id) owns every band, so exactly the
     //      originals survive the doc-level combine. ----
-    "q_stream_minhash" -> ((s, dir) => {
+    "q_stream_minhash" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
       // transformWithState needs the RocksDB provider; restore the
       // session's previous provider afterwards so queries running
       // later in the same session keep their own state store

@@ -19,6 +19,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Scope the stream's state-partition count to `body` and restore
+    * the previous setting after. A streaming query fixes its
+    * state-store partition count from `spark.sql.shuffle.partitions`
+    * at START (one store instance — one RocksDB — per partition per
+    * stateful operator), so a small stream paying 32 store
+    * instantiations for a few thousand rows should start under a
+    * smaller count; the big-cluster default stays untouched for
+    * everything outside the scope. Fewer state partitions is a
+    * per-stream capacity choice, not a semantics change — results
+    * are partition-count-invariant.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Tumbling-window counts/sums per event type with a watermark
     * for state eviction. At scale the state store only holds open
     * windows per (window, type) — closed windows emit and evict.
