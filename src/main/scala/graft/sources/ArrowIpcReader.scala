@@ -22,9 +22,10 @@ import java.nio.channels.{Channels, SeekableByteChannel}
   * (magic `ARROW1`) and the stream format are both handled.
   *
   * Types covered: the scalar types the reference round-trips
-  * (ints, floats, bool, utf8, binary, date/timestamp) plus
-  * list<scalar> — the embedding-column shape. Deeper nesting is out
-  * of scope (the reference's omics tables are flat).
+  * (ints, floats, bool, utf8, binary, date/timestamp) plus struct
+  * and list<T> for any supported T — embedding columns
+  * (list<float>), ValueWithMetadata-shaped struct columns
+  * (features/metadata.py:60-90), and list<struct>.
   */
 object ArrowIpcReader {
 
@@ -140,12 +141,16 @@ object ArrowIpcReader {
       case x: TimeStampMicroVector => java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(x.get(i) * 1000L))
       case x: TimeStampMilliVector => new java.sql.Timestamp(x.get(i))
       case x: org.apache.arrow.vector.complex.ListVector =>
-        // list<scalar> (embedding columns): elements materialize via
-        // the inner vector over the offset range
+        // list<T>: elements materialize via the inner vector over
+        // the offset range — `cell` recursion covers scalar, struct
+        // and nested-list elements alike
         val inner = x.getDataVector.asInstanceOf[FieldVector]
         val start = x.getOffsetBuffer.getInt(i * 4L)
         val end = x.getOffsetBuffer.getInt((i + 1) * 4L)
         (start until end).map(j => cell(inner, j))
+      case x: org.apache.arrow.vector.complex.StructVector =>
+        Row.fromSeq(x.getChildrenFromFields.toArray.toIndexedSeq
+          .map(c => cell(c.asInstanceOf[FieldVector], i)))
       case other => throw new UnsupportedOperationException(s"arrow type ${other.getClass.getSimpleName} not supported")
     }
   }
@@ -167,6 +172,11 @@ object ArrowIpcReader {
       case _: ArrowType.List =>
         val child = f.getChildren.get(0)
         ArrayType(arrowToSpark(child), containsNull = child.isNullable)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.toArray.map { c0 =>
+          val c = c0.asInstanceOf[org.apache.arrow.vector.types.pojo.Field]
+          StructField(c.getName, arrowToSpark(c), nullable = c.isNullable)
+        })
       case other => throw new UnsupportedOperationException(s"arrow type $other not supported")
     }
   }

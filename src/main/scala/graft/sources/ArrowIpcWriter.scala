@@ -20,8 +20,9 @@ import scala.jdk.CollectionConverters._
   * interop exports (rows are collected once); [[writeDir]] is the
   * DISTRIBUTED path — one arrow file per partition through the
   * Hadoop FileSystem, the sharded layout arrow-native consumers
-  * expect at corpus scale. Scalars plus list<scalar>
-  * (embedding columns), matching the reader's coverage.
+  * expect at corpus scale. Scalars, struct, and list<T> for any
+  * supported T (embedding columns, ValueWithMetadata-shaped struct
+  * columns), matching the reader's coverage.
   */
 object ArrowIpcWriter {
 
@@ -117,43 +118,51 @@ object ArrowIpcWriter {
     case other       => throw new UnsupportedOperationException(s"spark type $other not supported for arrow export")
   }
 
-  private def toArrowField(f: StructField): Field = f.dataType match {
-    // list<numeric> — the embedding-column shape; element field is
-    // the conventional "$data$" child
+  private def toArrowField(f: StructField): Field =
+    toArrowFieldNamed(f.name, f.dataType, f.nullable)
+
+  /** Recursive Spark→Arrow field mapping: scalars, struct,
+    * list<T> for any supported T (so list<struct> too). List
+    * element field keeps the conventional "$data$" child name.
+    */
+  private def toArrowFieldNamed(name: String, dt: DataType, nullable: Boolean): Field = dt match {
     case ArrayType(elem, containsNull) =>
-      val child = new Field("$data$", new FieldType(containsNull, scalarArrowType(elem), null), null)
-      new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE, null),
-        java.util.Collections.singletonList(child))
-    case dt =>
-      new Field(f.name, new FieldType(f.nullable, scalarArrowType(dt), null), null)
+      new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+        java.util.Collections.singletonList(toArrowFieldNamed("$data$", elem, containsNull)))
+    case StructType(fields) =>
+      new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+        fields.map(sf => toArrowFieldNamed(sf.name, sf.dataType, sf.nullable)).toSeq.asJava)
+    case other =>
+      new Field(name, new FieldType(nullable, scalarArrowType(other), null), null)
   }
 
   private def setCell(v: FieldVector, i: Int, value: Any, dt: DataType): Unit =
     v match {
       case lv: org.apache.arrow.vector.complex.ListVector =>
-        val w = lv.getWriter
-        w.setPosition(i)
-        if (value == null) w.writeNull()
+        // offset-level write (startNewValue/endValue) instead of the
+        // writer API: recursion then covers ANY element type —
+        // scalars, structs, nested lists — with one code path
+        if (value == null) lv.setNull(i)
         else {
           val elem = dt.asInstanceOf[ArrayType].elementType
-          w.startList()
-          value.asInstanceOf[scala.collection.Seq[Any]].foreach { e =>
-            if (e == null) elem match {
-              case FloatType   => w.float4().writeNull()
-              case DoubleType  => w.float8().writeNull()
-              case LongType    => w.bigInt().writeNull()
-              case IntegerType => w.integer().writeNull()
-              case other       => throw new UnsupportedOperationException(s"null list element of $other")
-            }
-            else elem match {
-              case FloatType   => w.float4().writeFloat4(e.asInstanceOf[Float])
-              case DoubleType  => w.float8().writeFloat8(e.asInstanceOf[Double])
-              case LongType    => w.bigInt().writeBigInt(e.asInstanceOf[Long])
-              case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
-              case other       => throw new UnsupportedOperationException(s"list element type $other not supported")
-            }
+          val start = lv.startNewValue(i)
+          val inner = lv.getDataVector.asInstanceOf[FieldVector]
+          val seq = value.asInstanceOf[scala.collection.Seq[Any]]
+          var j = 0
+          seq.foreach { e => setCell(inner, start + j, e, elem); j += 1 }
+          lv.endValue(i, seq.length)
+        }
+      case sv: org.apache.arrow.vector.complex.StructVector =>
+        while (i >= sv.getValueCapacity) sv.reAlloc()
+        if (value == null) sv.setNull(i)
+        else {
+          sv.setIndexDefined(i)
+          val st = dt.asInstanceOf[StructType]
+          val row = value.asInstanceOf[org.apache.spark.sql.Row]
+          st.fields.zipWithIndex.foreach { case (sf, j) =>
+            setCell(sv.getChildByOrdinal(j).asInstanceOf[FieldVector], i,
+              if (row.isNullAt(j)) null else row.get(j), sf.dataType)
           }
-          w.endList()
         }
       case _ => setScalarCell(v, i, value)
     }

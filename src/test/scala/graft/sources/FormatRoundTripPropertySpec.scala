@@ -83,4 +83,42 @@ class FormatRoundTripPropertySpec extends SparkSpec {
       assert(back == expected, s"trial $trial: ${back.size} vs ${expected.size}")
     }
   }
+
+  test("property: Arrow IPC round-trips nested struct / list<struct> / list<list<long>> with nulls") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 1 + rng.nextInt(200)
+      val rows: Seq[(Long, (Int, String), Seq[(Long, String)], Seq[Seq[Long]])] =
+        (0 until n).map { i =>
+          (i.toLong,
+            (rng.nextInt(100), if (rng.nextInt(4) == 0) null else "v" + rng.nextInt(1000)),
+            (0 until rng.nextInt(4)).map(j => (j.toLong * i, "t" + rng.nextInt(100))),
+            (0 until rng.nextInt(3)).map(_ => (0 until rng.nextInt(4)).map(_ => rng.nextLong() % 1000).toSeq))
+        }
+      val df = rows.toDF("id", "st", "tags", "mat")
+      val path = java.io.File.createTempFile(s"prop-arrow-nest-$trial", ".arrow").getAbsolutePath
+      ArrowIpcWriter.write(df, path, batchRows = 1 + rng.nextInt(64))
+      val back = ArrowIpcReader.read(spark, Seq(path))
+        .as[(Long, (Int, Option[String]), Seq[(Long, String)], Seq[Seq[Long]])].collect()
+        .map { case (id, (a, b), tags, mat) => (id, (a, b.orNull), tags, mat) }.toSet
+      assert(back == rows.toSet, s"trial $trial: ${back.size} vs ${rows.size}")
+    }
+  }
+
+  test("property: nested columns survive the sharded writeDir → read path too") {
+    val rng = new scala.util.Random(29)
+    val n = 200
+    val rows = (0 until n).map { i =>
+      (i.toLong, (i % 7, "s" + i), (0 until (i % 3)).map(j => (j.toLong, "x" + (i + j))))
+    }
+    val df = rows.toDF("id", "st", "tags").repartition(5)
+    val dir = java.nio.file.Files.createTempDirectory("prop-arrow-dir").toString + "/out"
+    ArrowIpcWriter.writeDir(df, dir)
+    val parts = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".arrow"))
+      .map(_.getAbsolutePath).sorted
+    assert(parts.nonEmpty)
+    val back = ArrowIpcReader.read(spark, parts.toIndexedSeq)
+      .as[(Long, (Int, String), Seq[(Long, String)])].collect().toSet
+    assert(back == rows.toSet)
+  }
 }
