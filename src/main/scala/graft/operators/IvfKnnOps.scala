@@ -998,13 +998,42 @@ object IvfKnnOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Compact a persisted PQ index's codes directory: every
+    * [[appendToSavedPqIndex]] adds one parquet file per touched
+    * list partition, so a continuously-appended index accretes
+    * small files linearly (the r7 probe measured 64 files/append —
+    * 704 after 10 appends on a 64-list index) until scan overhead,
+    * not data volume, dominates probes. Rewrites the codes to one
+    * file per list (atomic swap via a staging dir + rename), the
+    * layout [[savePqIndex]] starts from. Run as periodic
+    * maintenance after append bursts, like any LSM-ish layout.
+    */
+  def compactSavedPqIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val codes = new HPath(s"$path/codes")
+    val fs = codes.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new HPath(s"$path/.codes.compact")
+    spark.read.parquet(codes.toString)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
+    val old = new HPath(s"$path/.codes.old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(codes, old), s"compact: cannot stage out $codes")
+    if (!fs.rename(staging, codes)) { // roll back, keep the index usable
+      fs.rename(old, codes)
+      throw new java.io.IOException(s"compact: cannot swap $staging into place")
+    }
+    fs.delete(old, true)
+  }
+
   /** Incremental append against a PERSISTED PQ index: new vectors
     * are assigned with the frozen coarse quantizer and encoded with
     * the frozen codebooks (rotation included), then appended to
     * only the list partitions they land in — O(new rows)
     * maintenance, same contract as [[appendToSavedIndex]]. Refit
     * offline when the data distribution drifts from the frozen
-    * quantizers.
+    * quantizers. File-count hygiene: each append adds a file per
+    * touched list; run [[compactSavedPqIndex]] after append bursts.
     */
   def appendToSavedPqIndex(
       spark: SparkSession,

@@ -93,6 +93,68 @@ object HttpFetch {
   def localize(paths: Seq[String], cacheDir: String = defaultCacheDir): Seq[String] =
     paths.map(p => if (isHttp(p)) cached(p, cacheDir) else p)
 
+  /** DISTRIBUTED fetch of a URL list — the many-files side of the
+    * reference's download manager, shaped for a cluster: each task
+    * fetches its partition's URLs and lands the bytes in `destDir`
+    * through the Hadoop FileSystem (shared storage on a real
+    * cluster), content-addressed by URL so re-runs skip files
+    * already landed. Per-file temp+rename gives the same
+    * task-commit safety as the arrow writer. Returns
+    * (url, path, n_bytes, task) — `task` is the fetching partition,
+    * useful for probing distribution.
+    *
+    * This is the `readMediaDir`-style ingestion path: fetch the
+    * corpus once onto storage Spark reads natively, then load with
+    * BioLoader/binaryFile readers. The driver-side [[cached]] stays
+    * the right call for single sidecar/fixture files.
+    */
+  def fetchToDir(urls: org.apache.spark.sql.DataFrame, urlCol: String, destDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = urls.sparkSession
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rows = urls.select(org.apache.spark.sql.functions.col(urlCol).cast("string"))
+      .rdd.mapPartitions { it =>
+        val dest = new HPath(destDir)
+        val fs = dest.getFileSystem(confSer.value)
+        fs.mkdirs(dest)
+        val client = HttpClient.newBuilder()
+          .followRedirects(HttpClient.Redirect.NORMAL)
+          .build()
+        val task = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(-1)
+        it.map { r =>
+          val url = r.getString(0)
+          val base = {
+            val raw = url.substring(url.lastIndexOf('/') + 1)
+            val clean = raw.takeWhile(c => c != '?' && c != '#')
+            if (clean.nonEmpty) clean else "download"
+          }
+          val target = new HPath(dest, s"${sha256Hex(url)}-$base")
+          val n =
+            if (fs.exists(target)) fs.getFileStatus(target).getLen
+            else {
+              val resp = client.send(
+                HttpRequest.newBuilder(URI.create(url)).GET().build(),
+                HttpResponse.BodyHandlers.ofByteArray())
+              require(resp.statusCode() >= 200 && resp.statusCode() < 300,
+                s"GET $url returned ${resp.statusCode()}")
+              val body = resp.body()
+              val tmp = new HPath(dest, s".${sha256Hex(url)}-$base.${java.util.UUID.randomUUID()}.tmp")
+              val out = fs.create(tmp, true)
+              try out.write(body) finally out.close()
+              if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+              body.length.toLong
+            }
+          org.apache.spark.sql.Row(url, target.toString, n, task)
+        }
+      }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("task", org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
   private def sha256Hex(s: String): String =
     MessageDigest.getInstance("SHA-256").digest(s.getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString.take(32)

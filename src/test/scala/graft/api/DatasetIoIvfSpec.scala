@@ -327,6 +327,37 @@ class DatasetIoIvfSpec extends SparkSpec {
     assert(touched.size <= 1, s"append touched $touched")
   }
 
+  test("compactSavedPqIndex rewrites accreted append files to one per list, preserving rows and retrieval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcompact").toFile.getAbsolutePath
+    val emb = BioLoader.load(spark, s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val built = IvfKnnOps.buildPqIndex(emb, "vec_id", "embedding", nLists = 8, m = 8)
+    IvfKnnOps.savePqIndex(built, dir)
+    for (a <- 1 to 5) {
+      val batch = emb.limit(50).select(($"vec_id" + 100000L * a).as("vec_id"), $"embedding")
+      IvfKnnOps.appendToSavedPqIndex(spark, dir, batch, "vec_id", "embedding")
+    }
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$dir/codes"))
+    }
+    val rowsBefore = spark.read.parquet(s"$dir/codes").count()
+    val filesBefore = parquetFiles().size
+    assert(filesBefore > 8, s"appends should accrete files, saw $filesBefore")
+    IvfKnnOps.compactSavedPqIndex(spark, dir)
+    assert(parquetFiles().size <= 8, s"compact left ${parquetFiles().size} files")
+    assert(!new java.io.File(s"$dir/.codes.old").exists())
+    assert(!new java.io.File(s"$dir/.codes.compact").exists())
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(after.count() == rowsBefore)
+    // partition pruning still works and the appended twins retrieve
+    val loaded = IvfKnnOps.loadPqIndex(spark, dir)
+    val top1 = IvfKnnOps.pqTopK(emb.filter($"vec_id" === 7L), loaded, "vec_id", "embedding", 3, nProbe = 8)
+      .filter($"rank" === 1).select("neighbor_id").as[Long].collect()
+    assert(top1.length == 1)
+  }
+
   test("full OPQ (alternating Procrustes) matches-or-beats parametric OPQ and keeps planted retrieval") {
     val rng = new scala.util.Random(23)
     // correlated + anisotropic: PCA alone is a good but not jointly

@@ -540,4 +540,46 @@ class SourcesSpec extends SparkSpec {
       server.stop(0)
     }
   }
+
+  test("HTTP ingestion: fetchToDir fetches a URL list from executors across multiple tasks") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val name = x.getRequestURI.getPath.stripPrefix("/")
+        val bytes = s"payload-of-$name".getBytes("UTF-8")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    server.start()
+    val destDir = java.nio.file.Files.createTempDirectory("graft-fetchdir").toString + "/media"
+    try {
+      val port = server.getAddress.getPort
+      val urls = (0 until 20).map(i => s"http://127.0.0.1:$port/file$i.bin").toDF("url")
+        .repartition(4)
+      val report = HttpFetch.fetchToDir(urls, "url", destDir).collect()
+      assert(report.length == 20)
+      // really distributed: more than one task did the fetching
+      assert(report.map(_.getInt(3)).distinct.length > 1)
+      report.foreach { r =>
+        val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+        val got = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(new java.net.URI(r.getString(1)).getPath match {
+            case p if p.nonEmpty => p
+            case _               => r.getString(1)
+          })), "UTF-8")
+        assert(got == s"payload-of-$name")
+        assert(r.getLong(2) == got.length.toLong)
+      }
+      // no temp leftovers, and a re-run skips everything already landed
+      // (hidden files are Hadoop local-FS .crc sidecars, not ours)
+      val files = new java.io.File(destDir).listFiles.map(_.getName).filterNot(_.startsWith("."))
+      assert(files.length == 20 && !files.exists(_.endsWith(".tmp")))
+      val again = HttpFetch.fetchToDir(urls, "url", destDir).collect()
+      assert(again.length == 20)
+    } finally {
+      server.stop(0)
+    }
+  }
 }
