@@ -1155,20 +1155,38 @@ object SparkEntry {
       val schema = StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("bytes", BinaryType, nullable = true)))
+      // COMPLETE MJPEG files (real mdat + sample table, 2 JPEG
+      // frames each): frame 0 is solid gray 8+16·(id%16) — a
+      // quantization-bucket center, so the keyframe's decoded mean
+      // divides back to id%16 exactly despite JPEG loss (±2 of a
+      // ±8-wide bucket). Grades the pixel decode path end-to-end.
       val blobs = s.createDataFrame(ids.rdd.map { r =>
         val id = r.getLong(0)
-        org.apache.spark.sql.Row(id, graft.multimodal.Mp4.synth(
-          width = (64 + id % 32).toInt, height = (48 + id % 16).toInt,
-          durationMs = 1000 + id * 10, frameCount = 24 + id % 8))
+        def jpeg(gray: Int, w: Int, h: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val w = (64 + id % 32).toInt
+        val h = (48 + id % 16).toInt
+        val gray = (8 + 16 * (id % 16)).toInt
+        org.apache.spark.sql.Row(id, graft.multimodal.Mp4.synthMjpeg(
+          width = w, height = h, durationMs = 1000 + id * 10,
+          frames = Seq(jpeg(gray, w, h), jpeg(255 - gray, w, h))))
       }, schema)
       val media = graft.multimodal.MultimodalOps.asMediaFrame(blobs, "doc_id", "bytes", "video/mp4")
-      val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 8,
-        decode = graft.multimodal.MultimodalOps.codecFor("video/mp4", 8))
+      val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 9,
+        decode = graft.multimodal.MultimodalOps.codecFor("video/mp4", 9))
       feats.select(col("media_id"),
         col("features")(0).cast("long").as("width"),
         col("features")(1).cast("long").as("height"),
         col("features")(2).cast("long").as("duration_ms"),
-        col("features")(3).cast("long").as("n_frames"))
+        col("features")(3).cast("long").as("n_frames"),
+        floor(col("features")(6) / 16.0).cast("long").as("kf_gray_bucket"))
     }),
 
     // ---- M4: streaming exact-dedup within the watermark — a REAL
@@ -2126,7 +2144,8 @@ object SparkEntry {
         |  64 + doc_id % 32 AS width,
         |  48 + doc_id % 16 AS height,
         |  1000 + doc_id * 10 AS duration_ms,
-        |  24 + doc_id % 8 AS n_frames
+        |  CAST(2 AS BIGINT) AS n_frames,
+        |  doc_id % 16 AS kf_gray_bucket
         |FROM documents WHERE doc_id < 300""".stripMargin,
 
     "q_stream_dedup" ->

@@ -101,23 +101,114 @@ object Mp4 {
     }
   }
 
+  /** First video track's sample table — what frame extraction
+    * needs: the sample-entry format fourcc plus per-sample byte
+    * ranges. Covered layouts: all samples in ONE chunk (cumulative
+    * offsets from the single stco entry — the synthMjpeg layout and
+    * the common simple-remux case) or one sample per chunk (offsets
+    * are the stco table). Anything needing full stsc chunk-run
+    * resolution returns null, as does anything that isn't ISO-BMFF.
+    */
+  final case class SampleTable(format: String, offsets: Array[Long], sizes: Array[Long])
+
+  def samples(bytes: Array[Byte]): SampleTable = {
+    try {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      def kids(from: Long, until: Long): Seq[(String, Long, Long)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var off = from
+        var ok = true
+        while (ok && off + 8 <= until) {
+          val size0 = u32(bb, off.toInt)
+          val name = new String(Array(bb.get(off.toInt + 4), bb.get(off.toInt + 5),
+            bb.get(off.toInt + 6), bb.get(off.toInt + 7)), "ASCII")
+          var header = 8L
+          val size =
+            if (size0 == 1L) { header = 16L; bb.getLong(off.toInt + 8) }
+            else if (size0 == 0L) until - off
+            else size0
+          if (size < header || off + size > until) ok = false
+          else { out += ((name, off + header, size - header)); off += size }
+        }
+        out.toSeq
+      }
+      def child(from: Long, len: Long, name: String): Option[(Long, Long)] =
+        kids(from, from + len).collectFirst { case (n, b, l) if n == name => (b, l) }
+      val top = kids(0L, bytes.length.toLong)
+      val stblOpt = for {
+        (moovB, moovL) <- top.collectFirst { case ("moov", b, l) => (b, l) }
+        (trakB, trakL) <- kids(moovB, moovB + moovL).collectFirst {
+          case ("trak", b, l) if child(b, l, "mdia").exists { case (mb, ml) =>
+            child(mb, ml, "hdlr").exists { case (hb, hl) =>
+              hl >= 12 && new String(Array(bb.get(hb.toInt + 8), bb.get(hb.toInt + 9),
+                bb.get(hb.toInt + 10), bb.get(hb.toInt + 11)), "ASCII") == "vide"
+            }
+          } => (b, l)
+        }
+        (mdiaB, mdiaL) <- child(trakB, trakL, "mdia")
+        (minfB, minfL) <- child(mdiaB, mdiaL, "minf")
+        stbl <- child(minfB, minfL, "stbl")
+      } yield stbl
+      stblOpt match {
+        case None => null
+        case Some((sb, sl)) =>
+          val fmt = child(sb, sl, "stsd").collect {
+            case (b, l) if l >= 16 =>
+              new String(Array(bb.get(b.toInt + 12), bb.get(b.toInt + 13),
+                bb.get(b.toInt + 14), bb.get(b.toInt + 15)), "ASCII")
+          }.orNull
+          val sizes = child(sb, sl, "stsz").collect { case (b, l) if l >= 12 =>
+            val uniform = u32(bb, b.toInt + 4)
+            val n = u32(bb, b.toInt + 8).toInt
+            if (uniform > 0) Array.fill(n)(uniform)
+            else if (l >= 12 + 4L * n) Array.tabulate(n)(i => u32(bb, b.toInt + 12 + 4 * i))
+            else null
+          }.orNull
+          val chunks = child(sb, sl, "stco").collect { case (b, l) if l >= 8 =>
+            val n = u32(bb, b.toInt + 4).toInt
+            if (l >= 8 + 4L * n) Array.tabulate(n)(i => u32(bb, b.toInt + 8 + 4 * i)) else null
+          }.orNull
+          if (fmt == null || sizes == null || chunks == null || sizes.isEmpty) null
+          else if (chunks.length == 1) {
+            val offsets = sizes.scanLeft(chunks(0))(_ + _).init
+            SampleTable(fmt, offsets, sizes)
+          } else if (chunks.length == sizes.length) SampleTable(fmt, chunks, sizes)
+          else null
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Bytes of sample `i` per [[samples]]; null when unavailable. */
+  def frame(bytes: Array[Byte], i: Int): Array[Byte] = {
+    val st = samples(bytes)
+    if (st == null || i < 0 || i >= st.sizes.length) null
+    else {
+      val off = st.offsets(i)
+      val len = st.sizes(i)
+      if (off < 0 || off + len > bytes.length) null
+      else java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+    }
+  }
+
   /** Synthesize a minimal VALID ISO-BMFF container (ftyp + moov with
     * one video track; no mdat — metadata-only, like a remuxed
     * header). Deterministic fixture/synthetic-corpus generator for
     * the parser and the driver query; timescale 1000 so durations
     * are in ms.
     */
+  private def box(name: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(8 + payload.length).put(name.getBytes("ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def full(name: String, body: ByteBuffer => Unit, len: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(len).order(ByteOrder.BIG_ENDIAN)
+    body(bb)
+    box(name, bb.array())
+  }
+
   def synth(width: Int, height: Int, durationMs: Long, frameCount: Long): Array[Byte] = {
-    def box(name: String, payload: Array[Byte]): Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
-      bb.putInt(8 + payload.length).put(name.getBytes("ASCII")).put(payload)
-      bb.array()
-    }
-    def full(name: String, body: ByteBuffer => Unit, len: Int): Array[Byte] = {
-      val bb = ByteBuffer.allocate(len).order(ByteOrder.BIG_ENDIAN)
-      body(bb)
-      box(name, bb.array())
-    }
     val ftyp = box("ftyp", {
       val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
       bb.put("isom".getBytes("ASCII")).putInt(0x200).put("isom".getBytes("ASCII")).put("iso2".getBytes("ASCII"))
@@ -178,5 +269,92 @@ object Mp4 {
     val trak = box("trak", tkhd ++ mdia)
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ moov
+  }
+
+  /** Synthesize a COMPLETE Motion-JPEG ISO-BMFF file: the given
+    * frames (each an independent JPEG — that is MJPEG's contract)
+    * in one mdat chunk, with a real sample table (stsd 'jpeg',
+    * stts, stsc, per-sample stsz, single-entry stco). This is the
+    * decodable-video fixture: [[samples]]/[[frame]] recover each
+    * frame's exact bytes, and any JPEG decoder renders them.
+    * Layout is ftyp ++ mdat ++ moov so the chunk offset is known
+    * before moov is sized.
+    */
+  def synthMjpeg(width: Int, height: Int, durationMs: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    val ftyp = box("ftyp", {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      bb.put("isom".getBytes("ASCII")).putInt(0x200).put("isom".getBytes("ASCII")).put("iso2".getBytes("ASCII"))
+      bb.array()
+    })
+    val mdatPayload = frames.reduce(_ ++ _)
+    val mdat = box("mdat", mdatPayload)
+    val chunkOffset = ftyp.length + 8 // first frame byte, absolute
+    val n = frames.size
+    val mvhd = full("mvhd", bb => {
+      bb.putInt(0); bb.putInt(0).putInt(0)
+      bb.putInt(1000); bb.putInt(durationMs.toInt)
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0); bb.putLong(0)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2)
+    }, 100)
+    val tkhd = full("tkhd", bb => {
+      bb.putInt(7); bb.putInt(0).putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(durationMs.toInt); bb.putLong(0)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(width << 16); bb.putInt(height << 16)
+    }, 84)
+    val mdhd = full("mdhd", bb => {
+      bb.putInt(0); bb.putInt(0).putInt(0); bb.putInt(1000); bb.putInt(durationMs.toInt)
+      bb.putShort(0x55c4.toShort); bb.putShort(0)
+    }, 24)
+    val hdlr = full("hdlr", bb => {
+      bb.putInt(0); bb.putInt(0); bb.put("vide".getBytes("ASCII"))
+      bb.putInt(0).putInt(0).putInt(0); bb.put(0.toByte)
+    }, 25)
+    val stsd = full("stsd", bb => {
+      bb.putInt(0)       // version + flags
+      bb.putInt(1)       // entry count
+      bb.putInt(86)      // VisualSampleEntry size
+      bb.put("jpeg".getBytes("ASCII"))
+      (0 until 6).foreach(_ => bb.put(0.toByte)) // reserved
+      bb.putShort(1)     // data_reference_index
+      bb.putShort(0); bb.putShort(0) // pre_defined, reserved
+      (0 until 3).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putShort(width.toShort); bb.putShort(height.toShort)
+      bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+      bb.putInt(0)       // reserved
+      bb.putShort(1)     // frame_count per sample
+      (0 until 32).foreach(_ => bb.put(0.toByte)) // compressorname
+      bb.putShort(24)    // depth
+      bb.putShort(-1)    // pre_defined
+    }, 8 + 86)
+    val stts = full("stts", bb => {
+      bb.putInt(0); bb.putInt(1)
+      bb.putInt(n); bb.putInt(math.max(1, (durationMs / n).toInt))
+    }, 16)
+    val stsc = full("stsc", bb => {
+      bb.putInt(0); bb.putInt(1)
+      bb.putInt(1); bb.putInt(n); bb.putInt(1)
+    }, 20)
+    val stsz = full("stsz", bb => {
+      bb.putInt(0); bb.putInt(0); bb.putInt(n)
+      frames.foreach(f => bb.putInt(f.length))
+    }, 12 + 4 * n)
+    val stco = full("stco", bb => {
+      bb.putInt(0); bb.putInt(1); bb.putInt(chunkOffset)
+    }, 12)
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
   }
 }

@@ -197,8 +197,28 @@ object MultimodalOps {
   def videoDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
     val m = Mp4.parse(bytes)
     if (m == null) null
-    else Array(m.width.toFloat, m.height.toFloat, m.durationMs.toFloat,
-      m.frameCount.toFloat, m.fps.toFloat, m.trackCount.toFloat).padTo(dim, 0.0f).take(dim)
+    else {
+      val head = Array(m.width.toFloat, m.height.toFloat, m.durationMs.toFloat,
+        m.frameCount.toFloat, m.fps.toFloat, m.trackCount.toFloat)
+      // REAL pixel decode when the codec is in JDK reach: MJPEG
+      // ('jpeg'/'mjpa' sample entries) stores every frame as an
+      // independent JPEG, so the keyframe renders through ImageIO —
+      // [meanR, meanG, meanB] of frame 0 ride features 6..8.
+      // Other codecs (avc1/hvc1...) keep the zero pad; bind a JNI
+      // decoder for those in the deployment image.
+      val kf =
+        if (dim <= head.length) null
+        else {
+          val st = Mp4.samples(bytes)
+          if (st == null || !(st.format == "jpeg" || st.format == "mjpa")) null
+          else {
+            val f0 = Mp4.frame(bytes, 0)
+            if (f0 == null) null else imageDecode(5)(f0) // [w, h, meanR, meanG, meanB]
+          }
+        }
+      val tail = if (kf == null) Array.empty[Float] else kf.drop(2)
+      (head ++ tail).padTo(dim, 0.0f).take(dim)
+    }
   }
 
   /** Deterministic stand-in decoder for mime types with no JDK

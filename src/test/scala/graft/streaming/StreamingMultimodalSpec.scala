@@ -195,6 +195,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(Mp4.parse(corrupt) == null)
   }
 
+  test("MJPEG keyframe decode: synthMjpeg sample table round-trips frames; pixels render via ImageIO") {
+    import graft.multimodal.Mp4
+    def jpegOfGray(gray: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(40, 120, 200).map(jpegOfGray(_, 32, 24))
+    val bytes = Mp4.synthMjpeg(width = 32, height = 24, durationMs = 3000L, frames = frames)
+    // container metadata still parses (frame count from the real stsz)
+    val m = Mp4.parse(bytes)
+    assert(m != null && m.width == 32 && m.height == 24 && m.frameCount == 3L, s"meta: $m")
+    // the sample table recovers each frame's EXACT bytes
+    val st = Mp4.samples(bytes)
+    assert(st != null && st.format == "jpeg" && st.sizes.length == 3, s"samples: $st")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(java.util.Arrays.equals(Mp4.frame(bytes, i), f), s"frame $i bytes") }
+    assert(Mp4.frame(bytes, 3) == null && Mp4.frame(bytes, -1) == null)
+    // keyframe pixels decode through the mime-dispatched codec:
+    // features 6..8 are frame 0's mean RGB (solid gray 40 ± jpeg loss)
+    val f = MultimodalOps.codecFor("video/mp4", 9)(bytes)
+    assert(f != null && f.length == 9, s"feats: ${Option(f).map(_.toSeq)}")
+    assert(f(0) == 32f && f(1) == 24f && f(3) == 3f, s"head: ${f.toSeq}")
+    Seq(f(6), f(7), f(8)).foreach(c => assert(math.abs(c - 40f) <= 2f, s"kf rgb: ${f.toSeq}"))
+    // dim too small for pixels → metadata head only, no decode cost
+    val small = MultimodalOps.codecFor("video/mp4", 6)(bytes)
+    assert(small.toSeq == Seq(32f, 24f, 3000f, 3f, 1f, 1f))
+    // samples() on garbage / metadata-only containers is null, never a throw
+    assert(Mp4.samples("garbage".getBytes) == null)
+    assert(Mp4.samples(Mp4.synth(64, 48, 1000L, 24L)) == null)
+  }
+
   test("real audio codec (JDK sampled): WAV features — rate, duration, RMS, zero crossings") {
     // 100ms of a 440 Hz sine at 8 kHz, 16-bit mono PCM
     val rate = 8000f
