@@ -1194,19 +1194,23 @@ object SparkEntry {
     //      Watermark → memory sink); with a horizon wider than the
     //      event span the output keys are exactly the distinct
     //      keys, whichever arrival won each ----
-    "q_stream_dedup" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_dedup" -> ((s, dir) => {
       val ev = BioLoader.nanosToTimestamp(
         streamTable(s, dir, "events", EventsSchema), "ts")
       val kept = graft.streaming.EventStreams
         .streamingDedup(ev, Seq("user_id", "event_type"), watermark = "36500 days")
-      runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup")
+      // scope the knob to the stream START only — eager batch-side
+      // prep (corpus blooms, band tables) keeps session parallelism
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup")
+      }
     }),
 
     // ---- M10: streaming range enrich — the SAME binned equi-join
     //      as q_range_join with the point side streamed; the join is
     //      row-local against the broadcast intervals, so the stream
     //      result equals the batch result and shares its oracle ----
-    "q_stream_range_join" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_range_join" -> ((s, dir) => {
       val c = streamTable(s, dir, "customer", CustomerSchema)
         .select("c_custkey", "c_acctbal")
       val iv = BioLoader.load(s, t(dir, "supplier"))
@@ -1215,19 +1219,24 @@ object SparkEntry {
       val joined = graft.operators.RangeJoinOps
         .pointInInterval(c, "c_acctbal", iv, "lo", "hi", binWidth = 100.0, broadcastIntervals = true)
         .select(col("c_custkey"), col("s_suppkey"), hround(col("c_acctbal"), 2).as("bal"))
-      runStreamToMemory(joined, "m10range")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(joined, "m10range")
+      }
     }),
 
     // ---- M9: streaming corpus-membership dedup — Bloom-only probe
     //      (no false negatives: members are NEVER kept; fpp 1e-9
     //      makes a false-positive drop vanishingly unlikely, so the
     //      exact NOT-IN oracle holds) ----
-    "q_stream_corpus_dedup" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_corpus_dedup" -> ((s, dir) => {
       val docs = streamTable(s, dir, "documents", DocsSchema)
       val corpus = BioLoader.load(s, t(dir, "documents")).filter(col("doc_id") % 2 === 0)
+      // the corpus bloom builds eagerly here, at session parallelism
       val kept = DedupOps.dedupAgainstCorpusStream(docs, corpus, "text",
         expectedCorpusItems = 100000L, fpp = 1e-9)
-      runStreamToMemory(kept.select("doc_id"), "m9corpus")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(kept.select("doc_id"), "m9corpus")
+      }
     }),
 
     // ---- M8: streaming decontamination — Bloom-only 5-gram probe
@@ -1235,7 +1244,7 @@ object SparkEntry {
     //      q_decontaminate, same true-intersection oracle;
     //      contaminated docs are NEVER kept, and fpp 1e-9 keeps the
     //      false-positive direction out of the sample) ----
-    "q_stream_decontaminate" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val evalDf = Seq(
         "the secret holdout benchmark sentence for contamination screening",
@@ -1247,7 +1256,9 @@ object SparkEntry {
           .otherwise(col("text")))
       val kept = DedupOps.decontaminateStream(docs, evalDf, "text",
         n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
-      runStreamToMemory(kept.select("doc_id"), "m8decon")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(kept.select("doc_id"), "m8decon")
+      }
     }),
 
     // ---- M6: stream-vs-static-corpus NEAR dedup. Synthetic
@@ -1257,7 +1268,7 @@ object SparkEntry {
     //      whole table against the even-id half must keep exactly
     //      the odd ids. The far-future pusher advances the
     //      watermark so every real window emits. ----
-    "q_stream_corpus_near" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_corpus_near" -> ((s, dir) => {
       val stream = synthDocStream(s, dir, idShift = 0L)
         .unionByName(watermarkPusher(s, dir))
       val corpus = BioLoader.load(s, t(dir, "documents"))
@@ -1269,7 +1280,9 @@ object SparkEntry {
       val kept = graft.streaming.EventStreams.streamingDedupAgainstCorpus(
         stream, corpus, "doc_id", "text", shingleSize = 3, numHashes = 16,
         watermark = "10 seconds", windowLen = "1 minute")
-      runStreamToMemory(kept, "m6near").filter(col("doc_id") < PusherId).select("doc_id")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(kept, "m6near").filter(col("doc_id") < PusherId).select("doc_id")
+      }
     }),
 
     // ---- M7: streaming MinHash-LSH dedup WITHIN the stream
@@ -1278,7 +1291,7 @@ object SparkEntry {
     //      id+1000000 twin with IDENTICAL text — in one batch; the
     //      earlier (ts, id) owns every band, so exactly the
     //      originals survive the doc-level combine. ----
-    "q_stream_minhash" -> ((s, dir) => graft.streaming.EventStreams.withStatePartitions(s, 8) {
+    "q_stream_minhash" -> ((s, dir) => {
       // transformWithState needs the RocksDB provider; restore the
       // session's previous provider afterwards so queries running
       // later in the same session keep their own state store
@@ -1295,7 +1308,9 @@ object SparkEntry {
         val kept = graft.streaming.EventStreams.streamingMinhashDedup(
           stream, "doc_id", "text", shingleSize = 3, numHashes = 16,
           watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
-        runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
+        graft.streaming.EventStreams.withStatePartitions(s, 8) {
+          runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
+        }
       } finally prev match {
         case Some(v) => s.conf.set(provKey, v)
         case None    => s.conf.unset(provKey)

@@ -160,7 +160,14 @@ object Mp4 {
           val sizes = child(sb, sl, "stsz").collect { case (b, l) if l >= 12 =>
             val uniform = u32(bb, b.toInt + 4)
             val n = u32(bb, b.toInt + 8).toInt
-            if (uniform > 0) Array.fill(n)(uniform)
+            // sample count is attacker-controlled input: n samples
+            // cannot outnumber the file's bytes, and allocating from
+            // an unvalidated count would OOM (not NonFatal) instead
+            // of returning the contractual null
+            if (n < 0 || n > bytes.length) null
+            else if (uniform > 0) {
+              if (uniform * n > bytes.length) null else Array.fill(n)(uniform)
+            }
             else if (l >= 12 + 4L * n) Array.tabulate(n)(i => u32(bb, b.toInt + 12 + 4 * i))
             else null
           }.orNull
@@ -179,8 +186,13 @@ object Mp4 {
   }
 
   /** Bytes of sample `i` per [[samples]]; null when unavailable. */
-  def frame(bytes: Array[Byte], i: Int): Array[Byte] = {
-    val st = samples(bytes)
+  def frame(bytes: Array[Byte], i: Int): Array[Byte] =
+    frame(bytes, samples(bytes), i)
+
+  /** Sample extraction against an already-parsed table — per-row
+    * decoders parse the box tree once and extract many frames.
+    */
+  def frame(bytes: Array[Byte], st: SampleTable, i: Int): Array[Byte] = {
     if (st == null || i < 0 || i >= st.sizes.length) null
     else {
       val off = st.offsets(i)

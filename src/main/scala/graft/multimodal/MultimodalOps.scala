@@ -212,7 +212,7 @@ object MultimodalOps {
           val st = Mp4.samples(bytes)
           if (st == null || !(st.format == "jpeg" || st.format == "mjpa")) null
           else {
-            val f0 = Mp4.frame(bytes, 0)
+            val f0 = Mp4.frame(bytes, st, 0) // reuse the parsed table
             if (f0 == null) null else imageDecode(5)(f0) // [w, h, meanR, meanG, meanB]
           }
         }

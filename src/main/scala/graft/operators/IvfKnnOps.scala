@@ -1007,6 +1007,14 @@ object IvfKnnOps {
     * file per list (atomic swap via a staging dir + rename), the
     * layout [[savePqIndex]] starts from. Run as periodic
     * maintenance after append bursts, like any LSM-ish layout.
+    *
+    * Maintenance-window contract (this is a dir-swap, not a
+    * transaction — there is no manifest to commit atomically):
+    * quiesce concurrent readers/appenders for the swap instant; a
+    * crash between the two renames leaves `codes` staged out as
+    * `.codes.old` (recoverable by renaming back), and an append
+    * that races the swap can land in the staged-out dir and be
+    * dropped. Same contract as Hive-style rename-based rewrites.
     */
   def compactSavedPqIndex(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
@@ -1018,9 +1026,13 @@ object IvfKnnOps {
       .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
     val old = new HPath(s"$path/.codes.old")
     if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(codes, old), s"compact: cannot stage out $codes")
+    if (!fs.rename(codes, old)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"compact: cannot stage out $codes")
+    }
     if (!fs.rename(staging, codes)) { // roll back, keep the index usable
       fs.rename(old, codes)
+      fs.delete(staging, true)
       throw new java.io.IOException(s"compact: cannot swap $staging into place")
     }
     fs.delete(old, true)

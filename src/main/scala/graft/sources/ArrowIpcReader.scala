@@ -69,9 +69,12 @@ object ArrowIpcReader {
     val p = new HPath(path)
     val in = p.getFileSystem(conf).open(p)
     try {
+      // readFully: a single read() on a remote FS may legally return
+      // short and misclassify a file-format arrow as stream format
       val magic = new Array[Byte](6)
-      val n = in.read(magic, 0, 6)
-      n == 6 && new String(magic, "ASCII") == "ARROW1"
+      try in.readFully(magic, 0, 6)
+      catch { case _: java.io.EOFException => return false }
+      new String(magic, "ASCII") == "ARROW1"
     } finally in.close()
   }
 

@@ -41,14 +41,19 @@ object HttpFetch {
     * return the local file path. The cached name keeps the URL's
     * basename so format dispatch by extension still works.
     */
+  /** URL basename for cache/destination file naming; format dispatch
+    * by extension keeps working off it.
+    */
+  private def baseNameOf(url: String): String = {
+    val raw = url.substring(url.lastIndexOf('/') + 1)
+    val clean = raw.takeWhile(c => c != '?' && c != '#')
+    if (clean.nonEmpty) clean else "download"
+  }
+
   def cached(url: String, cacheDir: String = defaultCacheDir): String = {
     val dir = Paths.get(cacheDir)
     Files.createDirectories(dir)
-    val base = {
-      val raw = url.substring(url.lastIndexOf('/') + 1)
-      val clean = raw.takeWhile(c => c != '?' && c != '#')
-      if (clean.nonEmpty) clean else "download"
-    }
+    val base = baseNameOf(url)
     val key = sha256Hex(url)
     val target = dir.resolve(s"$key-$base")
     val metaPath = dir.resolve(s"$key-$base.meta")
@@ -98,21 +103,36 @@ object HttpFetch {
     * fetches its partition's URLs and lands the bytes in `destDir`
     * through the Hadoop FileSystem (shared storage on a real
     * cluster), content-addressed by URL so re-runs skip files
-    * already landed. Per-file temp+rename gives the same
-    * task-commit safety as the arrow writer. Returns
-    * (url, path, n_bytes, task) — `task` is the fetching partition,
-    * useful for probing distribution.
+    * already landed. Bodies STREAM from the socket to the
+    * filesystem (never buffered whole — media files exceed heap);
+    * per-file temp+rename gives the same task-commit safety as the
+    * arrow writer. Fetch failures never kill the job: each URL
+    * reports its own `status` (HTTP code, or -1 for transport
+    * errors) with a null `path`, so one dead link in a million-URL
+    * corpus costs one report row, not the job. Timeouts bound the
+    * damage an unresponsive host can do to a task.
+    *
+    * Returns (url, path, n_bytes, status, task) — `task` is the
+    * fetching partition, useful for probing distribution.
     *
     * This is the `readMediaDir`-style ingestion path: fetch the
     * corpus once onto storage Spark reads natively, then load with
     * BioLoader/binaryFile readers. The driver-side [[cached]] stays
     * the right call for single sidecar/fixture files.
     */
-  def fetchToDir(urls: org.apache.spark.sql.DataFrame, urlCol: String, destDir: String): org.apache.spark.sql.DataFrame = {
+  def fetchToDir(
+      urls: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      destDir: String,
+      connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+      requestTimeout: java.time.Duration = java.time.Duration.ofMinutes(10)
+  ): org.apache.spark.sql.DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = urls.sparkSession
     val confSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val connectMs = connectTimeout.toMillis
+    val requestMs = requestTimeout.toMillis
     val rows = urls.select(org.apache.spark.sql.functions.col(urlCol).cast("string"))
       .rdd.mapPartitions { it =>
         val dest = new HPath(destDir)
@@ -120,38 +140,51 @@ object HttpFetch {
         fs.mkdirs(dest)
         val client = HttpClient.newBuilder()
           .followRedirects(HttpClient.Redirect.NORMAL)
+          .connectTimeout(java.time.Duration.ofMillis(connectMs))
           .build()
         val task = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(-1)
         it.map { r =>
           val url = r.getString(0)
-          val base = {
-            val raw = url.substring(url.lastIndexOf('/') + 1)
-            val clean = raw.takeWhile(c => c != '?' && c != '#')
-            if (clean.nonEmpty) clean else "download"
-          }
-          val target = new HPath(dest, s"${sha256Hex(url)}-$base")
-          val n =
-            if (fs.exists(target)) fs.getFileStatus(target).getLen
-            else {
-              val resp = client.send(
-                HttpRequest.newBuilder(URI.create(url)).GET().build(),
-                HttpResponse.BodyHandlers.ofByteArray())
-              require(resp.statusCode() >= 200 && resp.statusCode() < 300,
-                s"GET $url returned ${resp.statusCode()}")
-              val body = resp.body()
-              val tmp = new HPath(dest, s".${sha256Hex(url)}-$base.${java.util.UUID.randomUUID()}.tmp")
-              val out = fs.create(tmp, true)
-              try out.write(body) finally out.close()
-              if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
-              body.length.toLong
+          val target = new HPath(dest, s"${sha256Hex(url)}-${baseNameOf(url)}")
+          if (fs.exists(target))
+            org.apache.spark.sql.Row(url, target.toString, fs.getFileStatus(target).getLen, 200, task)
+          else {
+            try {
+              val req = HttpRequest.newBuilder(URI.create(url)).GET()
+                .timeout(java.time.Duration.ofMillis(requestMs)).build()
+              val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+              val code = resp.statusCode()
+              if (code < 200 || code >= 300) {
+                resp.body().close()
+                org.apache.spark.sql.Row(url, null, 0L, code, task)
+              } else {
+                val tmp = new HPath(dest, s".${sha256Hex(url)}-${baseNameOf(url)}.${java.util.UUID.randomUUID()}.tmp")
+                val out = fs.create(tmp, true)
+                val in = resp.body()
+                var n = 0L
+                try {
+                  val buf = new Array[Byte](64 * 1024)
+                  var read = in.read(buf)
+                  while (read >= 0) {
+                    if (read > 0) { out.write(buf, 0, read); n += read }
+                    read = in.read(buf)
+                  }
+                } finally { in.close(); out.close() }
+                if (fs.exists(target) || !fs.rename(tmp, target)) fs.delete(tmp, false)
+                org.apache.spark.sql.Row(url, target.toString, n, code, task)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                org.apache.spark.sql.Row(url, null, 0L, -1, task)
             }
-          org.apache.spark.sql.Row(url, target.toString, n, task)
+          }
         }
       }
     spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType, nullable = true),
       org.apache.spark.sql.types.StructField("n_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("task", org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 

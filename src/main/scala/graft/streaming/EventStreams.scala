@@ -29,6 +29,13 @@ object EventStreams {
     * everything outside the scope. Fewer state partitions is a
     * per-stream capacity choice, not a semantics change — results
     * are partition-count-invariant.
+    *
+    * Scope discipline: the setting applies to EVERY shuffle planned
+    * while `body` runs — including any static subplan inside the
+    * streaming query's microbatches — so wrap only the query start
+    * (the `writeStream.start()` call path), never eager batch prep
+    * like corpus bloom builds, and size `n` for the stream's whole
+    * plan, not just its state.
     */
   def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

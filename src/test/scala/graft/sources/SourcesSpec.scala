@@ -561,8 +561,9 @@ class SourcesSpec extends SparkSpec {
       val report = HttpFetch.fetchToDir(urls, "url", destDir).collect()
       assert(report.length == 20)
       // really distributed: more than one task did the fetching
-      assert(report.map(_.getInt(3)).distinct.length > 1)
+      assert(report.map(_.getInt(4)).distinct.length > 1)
       report.foreach { r =>
+        assert(r.getInt(3) == 200)
         val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
         val got = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(new java.net.URI(r.getString(1)).getPath match {
@@ -577,7 +578,18 @@ class SourcesSpec extends SparkSpec {
       val files = new java.io.File(destDir).listFiles.map(_.getName).filterNot(_.startsWith("."))
       assert(files.length == 20 && !files.exists(_.endsWith(".tmp")))
       val again = HttpFetch.fetchToDir(urls, "url", destDir).collect()
-      assert(again.length == 20)
+      assert(again.length == 20 && again.forall(_.getInt(3) == 200))
+      // a dead host costs one report row, never the job: status -1,
+      // path null, the good URL in the same batch still lands
+      val mixed = Seq(
+        s"http://127.0.0.1:$port/ok.bin",
+        "http://127.0.0.1:1/unroutable.bin"
+      ).toDF("url")
+      val mixedRep = HttpFetch.fetchToDir(mixed, "url", destDir,
+          requestTimeout = java.time.Duration.ofSeconds(10))
+        .collect().map(r => r.getString(0) -> (r.getInt(3), Option(r.getString(1)))).toMap
+      assert(mixedRep(s"http://127.0.0.1:$port/ok.bin")._1 == 200)
+      assert(mixedRep("http://127.0.0.1:1/unroutable.bin") == ((-1, None)))
     } finally {
       server.stop(0)
     }
