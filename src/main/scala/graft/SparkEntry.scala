@@ -340,6 +340,21 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S8: recall@k harness — the nBits/probes/nProbe tuning
+    //      loop as an operator: approx vs exact joined on the pair
+    //      key, per-query hit counts. Planted twins make the
+    //      expected recall structural: the exact top-1 is the
+    //      cosine-1.0 twin, which shares the query's LSH bucket by
+    //      identity, so recall@1 is exactly 1.0 per query. ----
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 20)
+      val corpus = emb.union(queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val exact = KnnOps.bruteForceTopK(queries, corpus, "vec_id", "embedding", 1)
+      val approx = KnnOps.lshTopK(queries, corpus, "vec_id", "embedding", 1, nBits = 10)
+      KnnOps.recallAtK(approx, exact, 1)
+    }),
+
     // ---- S4: IVF ANN top-k — same planted-NN retrieval gate as
     //      q_knn_lsh: the twin lands in the query's own nearest
     //      list (identical vector → identical centroid assignment),
@@ -1189,6 +1204,38 @@ object SparkEntry {
         floor(col("features")(6) / 16.0).cast("long").as("kf_gray_bucket"))
     }),
 
+    // ---- M1b: per-frame video decode — MJPEG blobs (written
+    //      MULTI-chunk: samplesPerChunk=2 forces full stsc run
+    //      resolution) explode to (media_id, frame_idx, features);
+    //      frame f of doc d is solid gray at bucket (d+5f)%16, so
+    //      every decoded frame's mean divides back exactly ----
+    "q_video_frames" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = BioLoader.load(s, t(dir, "documents")).select(col("doc_id")).filter(col("doc_id") < 200)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("bytes", BinaryType, nullable = true)))
+      val blobs = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        def jpeg(gray: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < 32) { var x = 0; while (x < 48) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val frames = (0 until 3).map(f => jpeg((8 + 16 * ((id + 5 * f) % 16)).toInt))
+        org.apache.spark.sql.Row(id, graft.multimodal.Mp4.synthMjpeg(
+          width = 48, height = 32, durationMs = 3000L, frames = frames, samplesPerChunk = 2))
+      }, schema)
+      val media = graft.multimodal.MultimodalOps.asMediaFrame(blobs, "doc_id", "bytes", "video/mp4")
+      graft.multimodal.MultimodalOps.decodeFrames(media, stride = 1, dim = 5)
+        .select(col("media_id"), col("frame_idx"),
+          floor(col("features")(2) / 16.0).cast("long").as("gray_bucket"))
+    }),
+
     // ---- M4: streaming exact-dedup within the watermark — a REAL
     //      streaming run (file source → dropDuplicatesWithin
     //      Watermark → memory sink); with a horizon wider than the
@@ -1574,6 +1621,13 @@ object SparkEntry {
     "q_knn_lsh" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // planted twins: exact top-1 is the cosine-1.0 twin, retrieved
+    // by LSH from the query's own bucket → recall@1 = 1.0 per query
+    "q_knn_recall" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS n_hit,
+        |  CAST(1 AS BIGINT) AS n_exact, 1.0 AS recall
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "q_knn_ivf" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
@@ -2162,6 +2216,14 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_frames,
         |  doc_id % 16 AS kf_gray_bucket
         |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // frame f of doc d is solid gray at bucket (d + 5f) % 16
+    "q_video_frames" ->
+      """SELECT doc_id AS media_id, CAST(f.frame_idx AS INTEGER) AS frame_idx,
+        |  (doc_id + 5 * f.frame_idx) % 16 AS gray_bucket
+        |FROM documents
+        |CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS frame_idx) f
+        |WHERE doc_id < 200""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,

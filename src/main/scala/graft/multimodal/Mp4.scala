@@ -103,11 +103,11 @@ object Mp4 {
 
   /** First video track's sample table — what frame extraction
     * needs: the sample-entry format fourcc plus per-sample byte
-    * ranges. Covered layouts: all samples in ONE chunk (cumulative
-    * offsets from the single stco entry — the synthMjpeg layout and
-    * the common simple-remux case) or one sample per chunk (offsets
-    * are the stco table). Anything needing full stsc chunk-run
-    * resolution returns null, as does anything that isn't ISO-BMFF.
+    * ranges. Resolution order: single-chunk cumulative (the common
+    * simple-remux case), full stsc chunk-run resolution (first_chunk
+    * runs × samples_per_chunk against the stco table), then the
+    * degenerate one-sample-per-chunk layout. Null for anything that
+    * isn't ISO-BMFF or whose tables don't resolve.
     */
   final case class SampleTable(format: String, offsets: Array[Long], sizes: Array[Long])
 
@@ -173,12 +173,37 @@ object Mp4 {
           }.orNull
           val chunks = child(sb, sl, "stco").collect { case (b, l) if l >= 8 =>
             val n = u32(bb, b.toInt + 4).toInt
-            if (l >= 8 + 4L * n) Array.tabulate(n)(i => u32(bb, b.toInt + 8 + 4 * i)) else null
+            if (n >= 0 && l >= 8 + 4L * n) Array.tabulate(n)(i => u32(bb, b.toInt + 8 + 4 * i)) else null
+          }.orNull
+          // stsc chunk runs: (first_chunk [1-based], samples_per_chunk)
+          val runs = child(sb, sl, "stsc").collect { case (b, l) if l >= 8 =>
+            val n = u32(bb, b.toInt + 4).toInt
+            if (n >= 0 && l >= 8 + 12L * n)
+              Array.tabulate(n)(i => (u32(bb, b.toInt + 8 + 12 * i), u32(bb, b.toInt + 12 + 12 * i)))
+            else null
           }.orNull
           if (fmt == null || sizes == null || chunks == null || sizes.isEmpty) null
           else if (chunks.length == 1) {
             val offsets = sizes.scanLeft(chunks(0))(_ + _).init
             SampleTable(fmt, offsets, sizes)
+          } else if (runs != null && runs.nonEmpty) {
+            // full resolution: walk chunks in order, per-chunk count
+            // from the active stsc run, offsets cumulative in-chunk
+            val offsets = new Array[Long](sizes.length)
+            var s = 0
+            var run = 0
+            var c = 0
+            while (c < chunks.length && s < sizes.length) {
+              while (run + 1 < runs.length && runs(run + 1)._1 <= c + 1) run += 1
+              val perChunk = runs(run)._2.toInt
+              var within = 0
+              var off = chunks(c)
+              while (within < perChunk && s < sizes.length) {
+                offsets(s) = off; off += sizes(s); s += 1; within += 1
+              }
+              c += 1
+            }
+            if (s == sizes.length) SampleTable(fmt, offsets, sizes) else null
           } else if (chunks.length == sizes.length) SampleTable(fmt, chunks, sizes)
           else null
       }
@@ -290,10 +315,15 @@ object Mp4 {
     * decodable-video fixture: [[samples]]/[[frame]] recover each
     * frame's exact bytes, and any JPEG decoder renders them.
     * Layout is ftyp ++ mdat ++ moov so the chunk offset is known
-    * before moov is sized.
+    * before moov is sized. `samplesPerChunk` < frame count writes a
+    * MULTI-chunk layout (contiguous chunks, real stsc runs + one
+    * stco entry per chunk) — the fixture for full chunk-run
+    * resolution.
     */
-  def synthMjpeg(width: Int, height: Int, durationMs: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+  def synthMjpeg(width: Int, height: Int, durationMs: Long, frames: Seq[Array[Byte]],
+      samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
     require(frames.nonEmpty, "at least one frame")
+    require(samplesPerChunk >= 1, "samplesPerChunk >= 1")
     val ftyp = box("ftyp", {
       val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
       bb.put("isom".getBytes("ASCII")).putInt(0x200).put("isom".getBytes("ASCII")).put("iso2".getBytes("ASCII"))
@@ -351,17 +381,31 @@ object Mp4 {
       bb.putInt(0); bb.putInt(1)
       bb.putInt(n); bb.putInt(math.max(1, (durationMs / n).toInt))
     }, 16)
+    // chunk plan: groups of samplesPerChunk contiguous frames; stsc
+    // runs compress to (first_chunk, count) transitions, stco holds
+    // one absolute offset per chunk
+    val chunkCounts = frames.grouped(math.min(samplesPerChunk, n)).map(_.size).toArray
+    val chunkOffsets = {
+      val frameLens = frames.map(_.length.toLong)
+      val starts = frameLens.scanLeft(chunkOffset.toLong)(_ + _).init
+      var idx = 0
+      chunkCounts.map { cnt => val o = starts(idx); idx += cnt; o }
+    }
+    val stscRuns = chunkCounts.zipWithIndex
+      .filter { case (cnt, i) => i == 0 || cnt != chunkCounts(i - 1) }
+      .map { case (cnt, i) => (i + 1, cnt) }
     val stsc = full("stsc", bb => {
-      bb.putInt(0); bb.putInt(1)
-      bb.putInt(1); bb.putInt(n); bb.putInt(1)
-    }, 20)
+      bb.putInt(0); bb.putInt(stscRuns.length)
+      stscRuns.foreach { case (first, cnt) => bb.putInt(first); bb.putInt(cnt); bb.putInt(1) }
+    }, 8 + 12 * stscRuns.length)
     val stsz = full("stsz", bb => {
       bb.putInt(0); bb.putInt(0); bb.putInt(n)
       frames.foreach(f => bb.putInt(f.length))
     }, 12 + 4 * n)
     val stco = full("stco", bb => {
-      bb.putInt(0); bb.putInt(1); bb.putInt(chunkOffset)
-    }, 12)
+      bb.putInt(0); bb.putInt(chunkOffsets.length)
+      chunkOffsets.foreach(o => bb.putInt(o.toInt))
+    }, 8 + 4 * chunkOffsets.length)
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = box("minf", stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)

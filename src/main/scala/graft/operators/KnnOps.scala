@@ -82,4 +82,28 @@ object KnnOps {
     // several buckets, and duplicates must not occupy top-k slots
     rankTopK(scored.select("query_id", "neighbor_id", "cosine").distinct(), k)
   }
+
+  /** Recall@k of an approximate retrieval against an exact one —
+    * the tuning harness for nBits/probes/nProbe: both inputs are
+    * (query_id, neighbor_id[, rank]) frames (any of the topK
+    * variants here or in IvfKnnOps); rows past rank k are ignored
+    * when a rank column is present. Per query:
+    * (n_hit, n_exact, recall). One semi join on the pair key + two
+    * partial-agg groupBys — linear in the result sets, never in
+    * the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def top(df: DataFrame): DataFrame = {
+      val d = if (df.columns.contains("rank")) df.filter(col("rank") <= k) else df
+      d.select("query_id", "neighbor_id")
+    }
+    val hits = top(exact).join(top(approx), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    top(exact).groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_exact")).as("recall"))
+  }
 }

@@ -205,6 +205,33 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(r.getInt(3) == 2)
   }
 
+  test("recallAtK: per-query hit fractions against exact retrieval; rank rows past k ignored") {
+    // exact top-2 per query vs an approx that got one of two right
+    // for q1, both for q2, none for q3 (and q3 missing from approx
+    // entirely must still report 0, not vanish)
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3), // rank 3 ignored at k=2
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 77L, 2),
+      (2L, 21L, 1), (2L, 20L, 2), // order differs — membership is what counts
+      (1L, 99L, 3)                // past-k approx row must not count
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = KnnOps.recallAtK(approx, exact, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 2L, 0.5)), s"q1: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1.0)), s"q2: ${got(2L)}")
+    assert(got(3L) == ((0L, 2L, 0.0)), s"q3: ${got(3L)}")
+    // rank-less frames: everything present counts
+    val noRank = KnnOps.recallAtK(
+      approx.select("query_id", "neighbor_id"),
+      exact.filter($"rank" <= 2).select("query_id", "neighbor_id"), 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(noRank(2L) == 1.0 && noRank(3L) == 0.0)
+  }
+
   test("overflow telemetry names exactly what the capped collect drops (planted 20x-dup bucket)") {
     // 20 identical docs + 2 unrelated ones; maxBucket 10 → every
     // band the twins share overflows; the unrelated docs' bands don't

@@ -228,6 +228,55 @@ class StreamingMultimodalSpec extends SparkSpec {
     // samples() on garbage / metadata-only containers is null, never a throw
     assert(Mp4.samples("garbage".getBytes) == null)
     assert(Mp4.samples(Mp4.synth(64, 48, 1000L, 24L)) == null)
+    // crafted stsz sample count past the file length → null, not OOM
+    val huge = bytes.clone()
+    val stszAt = {
+      def find(pat: Array[Byte]): Int = huge.indices.indexWhere(i =>
+        i + pat.length <= huge.length && pat.indices.forall(j => huge(i + j) == pat(j)))
+      find("stsz".getBytes("ASCII"))
+    }
+    assert(stszAt > 0)
+    // overwrite the count word (body offset +8 after the fourcc) with 0x7FF00000
+    val cntAt = stszAt + 4 + 8
+    huge(cntAt) = 0x7f.toByte; huge(cntAt + 1) = 0xf0.toByte; huge(cntAt + 2) = 0; huge(cntAt + 3) = 0
+    assert(Mp4.samples(huge) == null)
+  }
+
+  test("MJPEG multi-chunk layout: full stsc run resolution; decodeFrames explodes per-frame features") {
+    import graft.multimodal.Mp4
+    def jpegOfGray(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 24; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // 5 frames, 2 per chunk → chunks (2,2,1), stsc runs (1,2),(3,1)
+    val grays = Seq(24, 72, 120, 168, 216)
+    val frames = grays.map(jpegOfGray)
+    val bytes = Mp4.synthMjpeg(32, 24, 5000L, frames, samplesPerChunk = 2)
+    val st = Mp4.samples(bytes)
+    assert(st != null && st.sizes.length == 5, s"samples: $st")
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(java.util.Arrays.equals(Mp4.frame(bytes, st, i), f), s"frame $i bytes (multi-chunk)") }
+
+    // decodeFrames: one row per frame with rendered pixel means
+    val blobs = Seq((7L, bytes)).toDF("doc_id", "bytes")
+    val media = MultimodalOps.asMediaFrame(blobs, "doc_id", "bytes", "video/mp4")
+    val rows = MultimodalOps.decodeFrames(media, stride = 1, dim = 5)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    assert(rows.size == 5, s"rows: ${rows.keySet}")
+    grays.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(rows(i)(2) - g) <= 2f, s"frame $i mean ${rows(i)} vs $g") }
+    // stride skips frames deterministically
+    val strided = MultimodalOps.decodeFrames(media, stride = 2, dim = 5)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted
+    assert(strided.toSeq == Seq(0, 2, 4))
+    // non-MJPEG media emit nothing (no rows, no throw)
+    val metaOnly = Seq((8L, Mp4.synth(64, 48, 1000L, 24L))).toDF("doc_id", "bytes")
+    assert(MultimodalOps.decodeFrames(
+      MultimodalOps.asMediaFrame(metaOnly, "doc_id", "bytes", "video/mp4")).count() == 0)
   }
 
   test("real audio codec (JDK sampled): WAV features — rate, duration, RMS, zero crossings") {
