@@ -15,7 +15,9 @@ class QueriesSmokeSpec extends SparkSpec {
     */
   private val tinyBroadcastBnlj = Set(
     "q_knn_brute", "q_knn_ivf", "q_knn_opq", "q_knn_pq", "q_knn_pq_rerank",
-    "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter")
+    "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter",
+    // composes bruteForceTopK — the same broadcast-queries scoring BNLJ
+    "q_knn_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
