@@ -1362,6 +1362,46 @@ object SparkEntry {
         case Some(v) => s.conf.set(provKey, v)
         case None    => s.conf.unset(provKey)
       }
+    }),
+
+    // ---- BM25 full-text retrieval: top-20 docs for a fixed 4-term
+    //      query (Lucene idf variant, k1=1.2, b=0.75). Scores snap
+    //      to the 1e-6 grid BEFORE the top-k cut and ties break by
+    //      doc_id, so the ranking is stable across engines. ----
+    "q_bm25" -> ((s, dir) => {
+      RetrievalOps.bm25TopK(BioLoader.load(s, t(dir, "documents")), "text", "doc_id",
+        Seq("vector", "hash", "stream", "window"), k = 20)
+    }),
+
+    // ---- BM25 persisted inverted index: build → save (term-hash
+    //      bucketed postings + stats sidecar) → search with bucket
+    //      partition pruning. Same oracle as q_bm25: the index
+    //      round-trip must not change a single score. ----
+    "q_bm25_persist" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/idx"
+      RetrievalOps.saveIndex(docs, "text", "doc_id", path, nBuckets = 16)
+      RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
+    }),
+
+    // ---- Bigram-LM quality scoring (CCNet-style): train on the
+    //      corpus, score the corpus. Every probability is a ratio
+    //      of integer counts, so the oracle replays the model
+    //      exactly; the per-doc ln-sum snaps to the 1e-6 grid. ----
+    "q_lm_score" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      LmOps.nllScore(docs, LmOps.trainBigramLm(docs, "text", "doc_id"), "text", "doc_id")
+    }),
+
+    // ---- k-means document clustering (Lloyd's, k=8, 2 update
+    //      rounds, init = embeddings of the 8 smallest vec_ids —
+    //      no RNG). Centroids snap to the 1e-9 grid after each
+    //      update so the oracle's unrolled-iteration replay cannot
+    //      drift; argmin ties break toward the lower cluster id on
+    //      both engines. ----
+    "q_kmeans" -> ((s, dir) => {
+      KMeansOps.fitTransform(
+        BioLoader.load(s, t(dir, "embeddings")), "embedding", "vec_id", k = 8, iters = 2)
     })
   )
 
@@ -2273,6 +2313,101 @@ object SparkEntry {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "q_stream_minhash" ->
-      """SELECT doc_id FROM documents""".stripMargin
+      """SELECT doc_id FROM documents""".stripMargin,
+
+    "q_bm25" -> Bm25OracleSql,
+
+    "q_bm25_persist" -> Bm25OracleSql,
+
+    "q_lm_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1, w2
+        |  FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i, unnest(toks) AS w2 FROM f)
+        |), cnt AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+        |), ctx AS (
+        |  SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT w2)::DOUBLE AS vsz FROM cnt
+        |)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor((-sum(ln((cnt.c12::DOUBLE + 0.5) / (ctx.c1::DOUBLE + 0.5 * v.vsz))) / count(*)) * 1000000 + 0.5) / 1000000 AS nll
+        |FROM b JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2 JOIN ctx ON b.w1 = ctx.w1 CROSS JOIN v
+        |GROUP BY b.doc_id""".stripMargin,
+
+    "q_kmeans" ->
+      """WITH pts AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM pts
+        |), c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v
+        |  FROM pts QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+        |), c0d AS (
+        |  SELECT c, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM c0
+        |), a1 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT p.vec_id, c0d.c, sum((p.x - c0d.x) * (p.x - c0d.x)) AS dist2,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY sum((p.x - c0d.x) * (p.x - c0d.x)), c0d.c) AS rn
+        |    FROM p JOIN c0d ON p.d = c0d.d GROUP BY p.vec_id, c0d.c
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT c0d.c, c0d.d, coalesce(floor(u.m * 1000000000 + 0.5) / 1000000000, c0d.x) AS x
+        |  FROM c0d LEFT JOIN (
+        |    SELECT a1.c, p.d, avg(p.x) AS m
+        |    FROM a1 JOIN p ON a1.vec_id = p.vec_id GROUP BY a1.c, p.d
+        |  ) u ON c0d.c = u.c AND c0d.d = u.d
+        |), a2 AS (
+        |  SELECT vec_id, c FROM (
+        |    SELECT p.vec_id, m1.c, sum((p.x - m1.x) * (p.x - m1.x)) AS dist2,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY sum((p.x - m1.x) * (p.x - m1.x)), m1.c) AS rn
+        |    FROM p JOIN m1 ON p.d = m1.d GROUP BY p.vec_id, m1.c
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT m1.c, m1.d, coalesce(floor(u.m * 1000000000 + 0.5) / 1000000000, m1.x) AS x
+        |  FROM m1 LEFT JOIN (
+        |    SELECT a2.c, p.d, avg(p.x) AS m
+        |    FROM a2 JOIN p ON a2.vec_id = p.vec_id GROUP BY a2.c, p.d
+        |  ) u ON m1.c = u.c AND m1.d = u.d
+        |)
+        |SELECT vec_id, c AS cluster, floor(dist2 * 1000000 + 0.5) / 1000000 AS dist2 FROM (
+        |  SELECT p.vec_id, m2.c, sum((p.x - m2.x) * (p.x - m2.x)) AS dist2,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY sum((p.x - m2.x) * (p.x - m2.x)), m2.c) AS rn
+        |  FROM p JOIN m2 ON p.d = m2.d GROUP BY p.vec_id, m2.c
+        |) WHERE rn = 1""".stripMargin
   )
+
+  /** Shared by q_bm25 and q_bm25_persist — the persisted-index
+    * round-trip must reproduce the direct scoring exactly.
+    */
+  private val Bm25OracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM f
+      |), post AS (
+      |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM f
+      |), tf AS (
+      |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
+      |  WHERE term IN ('vector', 'hash', 'stream', 'window') GROUP BY doc_id, dl, term
+      |), dfreq AS (
+      |  SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |    floor(sum(
+      |      ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5)) * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+      |    ) * 1000000 + 0.5) / 1000000 AS score
+      |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
+      |  GROUP BY tf.doc_id
+      |)
+      |SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 }

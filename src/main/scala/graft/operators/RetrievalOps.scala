@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** BM25 full-text retrieval over a document corpus — the retrieval
+  * primitive a training-data pipeline needs for
+  * decontamination-by-retrieval, quality mining, and near-duplicate
+  * triage beyond hash-based methods (reference semantics: the corpus
+  * query surface of `biosets`' text search utilities; scoring is the
+  * standard Robertson BM25 with Lucene's non-negative idf variant
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`).
+  *
+  * Scale design (the part that must survive 100 TB):
+  *
+  *   - '''Query-time scoring''' never materializes full postings: the
+  *     tokenizer output is filtered to the query's terms BEFORE the
+  *     first shuffle, so the one `groupBy(doc, term)` aggregation
+  *     shuffles only rows that can contribute to the score —
+  *     O(docs containing a query term), not O(total tokens).
+  *   - '''Corpus stats''' (N, avgdl) are a scalar aggregate attached
+  *     as a 1-row broadcast cross join (same pattern as the quantile
+  *     gates); document frequency per query term is a ≤|q|-row
+  *     broadcast.
+  *   - '''Top-k''' is `orderBy(...).limit(k)` — Spark plans
+  *     TakeOrderedAndProject: per-partition heaps, only k rows per
+  *     partition reach the driver-side merge. No global sort, no
+  *     single-partition window over the corpus.
+  *   - '''Persisted index''': [[saveIndex]] writes postings
+  *     partitioned by a stable term-hash bucket, so [[searchIndex]]
+  *     prunes to |query terms| buckets at planning time — the scan
+  *     cost of a query is independent of corpus vocabulary size, and
+  *     the layout is append-friendly (new shards land in the same
+  *     bucket dirs).
+  *
+  * Determinism for the oracle: scores are rounded to the 1e-6 grid
+  * BEFORE ranking, and ties break by doc id, so the top-k cut is
+  * stable across engines and summation orders.
+  */
+object RetrievalOps {
+
+  /** Postings list: one row per (term, doc) with term frequency and
+    * the doc's token length. One projection + explode + ONE shuffle.
+    */
+  def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-level scalars the BM25 formula needs: doc count and
+    * average token length. A single cheap column-pruned scan.
+    */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(size(TF.tokens(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl"))
+
+  /** Score every document containing at least one query term and
+    * keep the top k by BM25. `k1` saturates term frequency, `b`
+    * controls length normalization (standard defaults).
+    */
+  def bm25TopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val post = df
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // selectivity BEFORE the shuffle
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    scoreAndRank(post, corpusStats(df, textCol), k, k1, b)
+  }
+
+  /** Build and persist an inverted index: postings partitioned by a
+    * stable term-hash bucket (query-time partition pruning), plus a
+    * 1-row corpus-stats sidecar. Layout:
+    * `path/postings/bkt=N/...parquet`, `path/stats/...parquet`.
+    */
+  def saveIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      nBuckets: Int = 64
+  ): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    postings(df, textCol, idCol)
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings")
+    corpusStats(df, textCol)
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query a persisted index. The `bkt` predicate prunes partitions
+    * at planning time — only the query terms' bucket directories are
+    * read; document frequency is recomputed from the pruned postings
+    * (exact: a bucket holds every posting of its terms).
+    */
+  def searchIndex(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val statsRow = spark.read.parquet(s"$path/stats")
+    val nBuckets = statsRow.select("n_buckets").head().getInt(0)
+    // Stable bucket ids for the query terms, computed with the same
+    // xxhash64 the writer used (evaluated on a tiny local frame so
+    // writer and reader can never disagree on the hash).
+    val bktIds = spark
+      .createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bkt"))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bkt").isin(bktIds: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf").cast("double").as("tf"))
+    scoreAndRank(post, statsRow.select("n_docs", "avgdl"), k, k1, b)
+  }
+
+  /** Shared scoring tail: idf per term (broadcast), per-doc score
+    * sum, rounded-then-ranked top-k via TakeOrderedAndProject.
+    */
+  private def scoreAndRank(
+      post: DataFrame,
+      stats: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val scored = post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("dfreq") + lit(0.5)) / (col("dfreq") + lit(0.5))))
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("contrib")) * 1e6 + lit(0.5)) / 1e6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+}

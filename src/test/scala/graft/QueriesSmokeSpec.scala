@@ -17,7 +17,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_knn_brute", "q_knn_ivf", "q_knn_opq", "q_knn_pq", "q_knn_pq_rerank",
     "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter",
     // composes bruteForceTopK — the same broadcast-queries scoring BNLJ
-    "q_knn_recall")
+    "q_knn_recall",
+    // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab size
+    "q_bm25", "q_bm25_persist", "q_lm_score")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "banana banana banana"),
+    (2L, "cherry date elderberry fig grape"),
+    (3L, "apple apple apple apple banana banana")
+  ).toDF("doc_id", "text")
+
+  test("postings: tf and dl per (term, doc)") {
+    val p = RetrievalOps.postings(docs, "text", "doc_id")
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(p.contains(("apple", 0L, 4, 2L)))
+    assert(p.contains(("banana", 1L, 3, 3L)))
+    assert(p.contains(("apple", 3L, 6, 4L)))
+    // one row per distinct (term, doc)
+    assert(p.count(_._1 == "banana") == 3)
+  }
+
+  test("bm25TopK matches the closed-form score on a hand fixture") {
+    // Single term "apple": df=2, N=4, avgdl = (4+3+5+6)/4 = 4.5
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 4.5))
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = RetrievalOps.bm25TopK(docs, "text", "doc_id", Seq("apple"), k = 10)
+      .select("doc_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().toList
+    assert(got.map(_._1) == List(3L, 0L)) // tf=4 beats tf=2
+    assert(got.map(_._2) == List(snap(s(4, 6)), snap(s(2, 4))))
+    assert(got.map(_._3) == List(1, 2))
+  }
+
+  test("queries lowercase and dedupe; ties in score break by doc_id") {
+    val tied = Seq((7L, "kiwi melon"), (5L, "kiwi melon")).toDF("doc_id", "text")
+    val got = RetrievalOps.bm25TopK(tied, "text", "doc_id", Seq("KIWI", "kiwi"), k = 1)
+      .select("doc_id").as[Long].collect().toList
+    assert(got == List(5L)) // identical scores — lower doc_id wins the cut
+  }
+
+  test("saveIndex/searchIndex round-trip reproduces direct scoring and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("bm25spec").toString + "/idx"
+    RetrievalOps.saveIndex(docs, "text", "doc_id", path, nBuckets = 8)
+    val direct = RetrievalOps.bm25TopK(docs, "text", "doc_id", Seq("apple", "cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toList
+    val viaIdx = RetrievalOps.searchIndex(spark, path, Seq("apple", "cherry"), k = 10)
+    val got = viaIdx.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toList
+    assert(got == direct)
+    // the postings scan must carry a partition filter on the term bucket
+    val plan = viaIdx.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"), plan)
+  }
+
+  test("input validation") {
+    intercept[IllegalArgumentException](
+      RetrievalOps.bm25TopK(docs, "text", "doc_id", Nil, k = 5))
+    intercept[IllegalArgumentException](
+      RetrievalOps.bm25TopK(docs, "text", "doc_id", Seq("a"), k = 0))
+    intercept[IllegalArgumentException](
+      RetrievalOps.saveIndex(docs, "text", "doc_id", "/tmp/x", nBuckets = 0))
+  }
+}
