@@ -1393,6 +1393,20 @@ object SparkEntry {
       LmOps.nllScore(docs, LmOps.trainBigramLm(docs, "text", "doc_id"), "text", "doc_id")
     }),
 
+    // ---- D7b: distributed connected components (alternating
+    //      large-star / small-star — O(log n) rounds, edges never
+    //      grow). Chain edges (doc i → i+1 within blocks of 8)
+    //      force multi-hop transitivity that single-key grouping
+    //      cannot resolve; components are closed-form:
+    //      component = doc_id − doc_id % 8. ----
+    "q_connected_components" -> ((s, dir) => {
+      val ids = BioLoader.load(s, t(dir, "documents")).select(col("doc_id"))
+      val edges = ids.select(col("doc_id").as("src"))
+        .join(ids.select(col("doc_id").as("dst")), col("dst") === col("src") + 1)
+        .filter(col("src") % 8 =!= 7)
+      GraphOps.connectedComponents(edges)
+    }),
+
     // ---- k-means document clustering (Lloyd's, k=8, 2 update
     //      rounds, init = embeddings of the 8 smallest vec_ids —
     //      no RNG). Centroids snap to the 1e-9 grid after each
@@ -2314,6 +2328,9 @@ object SparkEntry {
 
     "q_stream_minhash" ->
       """SELECT doc_id FROM documents""".stripMargin,
+
+    "q_connected_components" ->
+      """SELECT doc_id AS id, doc_id - doc_id % 8 AS component FROM documents""".stripMargin,
 
     "q_bm25" -> Bm25OracleSql,
 

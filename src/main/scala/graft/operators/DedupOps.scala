@@ -377,9 +377,10 @@ object DedupOps {
     *    threshold: ~2M small rows + a boxed parent map of ≤4M
     *    entries — a few hundred MB, bounded. This is the common
     *    case even at 100 TB corpora.
-    *  - otherwise: iterative min-label propagation — each iteration
-    *    is two small shuffles over the EDGE table; converges in
-    *    O(log diameter) rounds.
+    *  - otherwise: [[GraphOps.connectedComponents]] — alternating
+    *    large-star / small-star over the edge table (edges never
+    *    grow, O(log n) rounds even for chain-shaped clusters where
+    *    plain label propagation needs O(diameter)).
     *
     * Returns (id, cluster_id = component min).
     */
@@ -427,34 +428,9 @@ object DedupOps {
       }
       // fall through to the distributed path when the probe filled up
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      // everyone adopts the min label in their neighborhood (incl. own)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("cluster_id").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .cache()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = updated
-      converged = !changed
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+    GraphOps.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")), maxIterations)
+      .select(col("id"), col("component").as("cluster_id"))
   }
 
   /** Embedding near-dup: hyperplane-LSH bucket join + cosine

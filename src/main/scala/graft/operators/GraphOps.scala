@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the transitive-closure step a
+  * dedup pipeline needs to resolve duplicate PAIRS into duplicate
+  * CLUSTERS (doc A dups B under band 1, B dups C under band 2 ⇒
+  * {A,B,C} is ONE cluster even though A and C never collided).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * algorithm, re-expressed on DataFrames). Each round:
+  *
+  *   - '''large-star''': every node connects its strictly-larger
+  *     neighbors to the minimum of its neighborhood (incl. itself);
+  *   - '''small-star''': every node connects its smaller-or-equal
+  *     neighbors (and itself) to its minimum neighbor.
+  *
+  * Both steps are a groupBy(node) min + an equi-join — partial-agg
+  * shuffles whose output never exceeds the input edge count, and the
+  * graph contracts toward a star per component in '''O(log n)'''
+  * rounds (vs O(diameter) for plain min-label propagation — a chain
+  * of 1M near-dups converges in ~20 rounds, not 1M).
+  *
+  * Ids can be any orderable type (long doc ids, string hashes);
+  * the component label is the minimum id in the component. Only
+  * nodes that appear in at least one edge are labeled — callers
+  * union in singletons if they need total coverage (the dedup
+  * pipelines only cluster docs that collided with something).
+  */
+object GraphOps {
+
+  /** @param edges DataFrame with columns `src`, `dst` (same type).
+    * @return (id, component) for every distinct endpoint, where
+    *   component = min id reachable from it; self-loops and
+    *   duplicate/reversed edges are tolerated.
+    */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // canonical undirected form: (hi > lo), no self loops, distinct.
+    // Each round ends in localCheckpoint: iterative self-reference
+    // would otherwise double the LOGICAL plan depth every round
+    // (cache does not truncate lineage) — analysis cost explodes and
+    // deep trees overflow the stack. Checkpoint blocks are freed by
+    // the ContextCleaner as old round RDDs go out of scope, and the
+    // round count is O(log n)-bounded.
+    var edges = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(
+        greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevCount = edges.count()
+    var converged = prevCount == 0
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // ---- large-star over the symmetrized neighborhood ----
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        // v > u ≥ m, so (v, m) is already (hi, lo)-oriented
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // ---- small-star on the (hi > lo) orientation ----
+      val mins2 = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = afterLarge.join(mins2, "hi")
+        .filter(col("lo") =!= col("m"))
+        // lo > m (m is the min neighbor), so orientation holds
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the edge set is stable (both sides are distinct
+      // canonical sets, so count-equal + one-sided except = equality)
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
+        next.exceptAll(edges).limit(1).isEmpty
+      edges = next
+      prevCount = nextCount
+      iter += 1
+    }
+    // at the fixpoint every edge points a node at its component min
+    val out = edges.select(col("hi").as("id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
+    out
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find ground truth with min-id component labels. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(id => id -> find(id)).toMap
+  }
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain converges in O(log n) rounds, not O(length)") {
+    // a 64-node chain: min-label propagation would need 63 rounds;
+    // large-star/small-star must finish within 10
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    assert(cc(chain, maxIter = 10) == (0L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("star, triangle, disjoint components, reversed/duplicate edges") {
+    val edges = Seq(
+      (5L, 1L), (1L, 9L), (9L, 5L),       // triangle with dup coverage
+      (20L, 21L), (21L, 20L), (20L, 21L), // reversed + duplicate
+      (30L, 31L), (30L, 32L), (30L, 33L)  // star
+    )
+    assert(cc(edges) == unionFind(edges))
+  }
+
+  test("self-loops are dropped") {
+    val got = cc(Seq((7L, 7L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set") {
+    assert(cc(Nil).isEmpty)
+  }
+
+  test("string ids: lexicographic component min") {
+    val got = GraphOps.connectedComponents(
+      Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("randomized graphs match union-find") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 8) {
+      val n = 40 + rnd.nextInt(40)
+      val nEdges = 20 + rnd.nextInt(80)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(cc(edges) == unionFind(edges), s"trial $trial: n=$n edges=$edges")
+    }
+  }
+
+  test("dupClusters distributed path (threshold 0) agrees with the driver path") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
+    val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = DedupOps.dupClusters(pairs, driverEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
+    assert(dist == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 40L -> 40L, 41L -> 40L))
+  }
+}
