@@ -1407,6 +1407,18 @@ object SparkEntry {
       GraphOps.connectedComponents(edges)
     }),
 
+    // ---- Z-order layout: Morton key over (l_partkey, l_suppkey).
+    //      Quantization is BIGINT-only arithmetic, so the oracle
+    //      replays every row's curve cell bit-for-bit. (The write
+    //      path — range-partition on zvalue → per-file span bounds
+    //      on BOTH dims — is pinned by LayoutOpsSpec.) ----
+    "q_zorder" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      LayoutOps.withZValue(li, Seq("l_partkey", "l_suppkey"), bits = 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zvalue"))
+    }),
+
     // ---- k-means document clustering (Lloyd's, k=8, 2 update
     //      rounds, init = embeddings of the 8 smallest vec_ids —
     //      no RNG). Centroids snap to the 1e-9 grid after each
@@ -2336,6 +2348,8 @@ object SparkEntry {
 
     "q_bm25_persist" -> Bm25OracleSql,
 
+    "q_zorder" -> ZorderOracleSql,
+
     "q_lm_score" ->
       """WITH f AS (
         |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
@@ -2399,6 +2413,26 @@ object SparkEntry {
         |  FROM p JOIN m2 ON p.d = m2.d GROUP BY p.vec_id, m2.c
         |) WHERE rn = 1""".stripMargin
   )
+
+  /** Morton interleave replay: bit i of column j lands at position
+    * i·2 + j — the 20 shift terms are generated, not hand-written,
+    * so Spark and DuckDB compute the identical formula.
+    */
+  private val ZorderOracleSql: String = {
+    val terms = (0 until 10).flatMap(i => Seq(
+      s"(((qa >> $i) & 1) << ${2 * i})",
+      s"(((qb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+       |         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb FROM lineitem
+       |), q AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CASE WHEN mxa = mna THEN 0 ELSE ((l_partkey - mna) * 1023) // (mxa - mna) END AS qa,
+       |    CASE WHEN mxb = mnb THEN 0 ELSE ((l_suppkey - mnb) * 1023) // (mxb - mnb) END AS qb
+       |  FROM lineitem, s
+       |)
+       |SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS zvalue FROM q""".stripMargin
+  }
 
   /** Shared by q_bm25 and q_bm25_persist — the persisted-index
     * round-trip must reproduce the direct scoring exactly.

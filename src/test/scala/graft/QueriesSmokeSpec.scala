@@ -18,8 +18,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter",
     // composes bruteForceTopK — the same broadcast-queries scoring BNLJ
     "q_knn_recall",
-    // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab size
-    "q_bm25", "q_bm25_persist", "q_lm_score")
+    // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab
+    // size, z-order column min/max
+    "q_bm25", "q_bm25_persist", "q_lm_score", "q_zorder")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
