@@ -1384,6 +1384,18 @@ object SparkEntry {
       RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
     }),
 
+    // ---- BM25 incremental append: index half the corpus, append
+    //      the other half, search. Stats merge from exact integer
+    //      sums, so the oracle is the SAME full-corpus replay —
+    //      growth must not change a single score. ----
+    "q_bm25_append" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25a").toString + "/idx"
+      RetrievalOps.saveIndex(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", path, nBuckets = 16)
+      RetrievalOps.appendToIndex(s, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
+      RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
+    }),
+
     // ---- Bigram-LM quality scoring (CCNet-style): train on the
     //      corpus, score the corpus. Every probability is a ratio
     //      of integer counts, so the oracle replays the model
@@ -2347,6 +2359,8 @@ object SparkEntry {
     "q_bm25" -> Bm25OracleSql,
 
     "q_bm25_persist" -> Bm25OracleSql,
+
+    "q_bm25_append" -> Bm25OracleSql,
 
     "q_zorder" -> ZorderOracleSql,
 

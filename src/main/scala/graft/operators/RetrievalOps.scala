@@ -52,11 +52,18 @@ object RetrievalOps {
       .agg(count(lit(1)).as("tf"))
 
   /** Corpus-level scalars the BM25 formula needs: doc count and
-    * average token length. A single cheap column-pruned scan.
+    * average token length (plus the EXACT integer token-length sum,
+    * which is what makes incremental stats merges in
+    * [[appendToIndex]] bit-identical to a fresh build — merged
+    * avgdl is the same one division `dl_sum / n_docs`).
+    * A single cheap column-pruned scan.
     */
   def corpusStats(df: DataFrame, textCol: String): DataFrame =
     df.select(size(TF.tokens(col(textCol))).as("__dl"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("__dl")).as("avgdl"))
+      .agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        avg(col("__dl")).as("avgdl"),
+        sum(col("__dl")).cast("long").as("dl_sum"))
 
   /** Score every document containing at least one query term and
     * keep the top k by BM25. `k1` saturates term frequency, `b`
@@ -101,6 +108,40 @@ object RetrievalOps {
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings")
     corpusStats(df, textCol)
       .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append new documents to a persisted index: their postings land
+    * in the same term-hash bucket directories (the layout is
+    * append-friendly by construction — no existing file is touched),
+    * and the stats sidecar is re-derived from exact integer sums, so
+    * a search after N appends scores identically to an index built
+    * fresh over the whole corpus. Doc ids must be new — re-appending
+    * an existing doc would double its postings.
+    */
+  def appendToIndex(
+      spark: SparkSession,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String
+  ): Unit = {
+    val old = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "dl_sum", "n_buckets").head()
+    val nBuckets = old.getInt(2)
+    postings(df, textCol, idCol)
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .write.partitionBy("bkt").mode("append").parquet(s"$path/postings")
+    val add = df.select(size(TF.tokens(col(textCol))).as("__dl"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("s")) // empty batch → 0
+      .head()
+    val nDocs = old.getDouble(0) + add.getDouble(0)
+    val dlSum = old.getLong(1) + add.getLong(1)
+    import spark.implicits._
+    Seq((nDocs, dlSum / nDocs, dlSum, nBuckets))
+      .toDF("n_docs", "avgdl", "dl_sum", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 

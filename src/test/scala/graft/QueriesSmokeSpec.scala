@@ -20,7 +20,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_knn_recall",
     // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab
     // size, z-order column min/max
-    "q_bm25", "q_bm25_persist", "q_lm_score", "q_zorder")
+    "q_bm25", "q_bm25_persist", "q_bm25_append", "q_lm_score", "q_zorder")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

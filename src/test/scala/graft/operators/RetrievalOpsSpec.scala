@@ -58,6 +58,26 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("bkt"), plan)
   }
 
+  test("appendToIndex: incremental build scores identically to a fresh one") {
+    val base = java.nio.file.Files.createTempDirectory("bm25app").toString
+    val fresh = base + "/fresh"
+    val grown = base + "/grown"
+    RetrievalOps.saveIndex(docs, "text", "doc_id", fresh, nBuckets = 8)
+    RetrievalOps.saveIndex(docs.filter($"doc_id" < 2), "text", "doc_id", grown, nBuckets = 8)
+    RetrievalOps.appendToIndex(spark, docs.filter($"doc_id" === 2), "text", "doc_id", grown)
+    RetrievalOps.appendToIndex(spark, docs.filter($"doc_id" === 3), "text", "doc_id", grown)
+    // empty append is a no-op
+    RetrievalOps.appendToIndex(spark, docs.filter($"doc_id" > 99), "text", "doc_id", grown)
+    val q = Seq("apple", "banana", "cherry")
+    val a = RetrievalOps.searchIndex(spark, fresh, q, 10).collect().map(_.toSeq).toList
+    val b = RetrievalOps.searchIndex(spark, grown, q, 10).collect().map(_.toSeq).toList
+    assert(a == b)
+    // merged stats are exactly the fresh-build stats
+    val sf = spark.read.parquet(s"$fresh/stats").select("n_docs", "avgdl", "dl_sum").head()
+    val sg = spark.read.parquet(s"$grown/stats").select("n_docs", "avgdl", "dl_sum").head()
+    assert(sf == sg)
+  }
+
   test("input validation") {
     intercept[IllegalArgumentException](
       RetrievalOps.bm25TopK(docs, "text", "doc_id", Nil, k = 5))
