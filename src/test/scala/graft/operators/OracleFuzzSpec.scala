@@ -192,4 +192,143 @@ class OracleFuzzSpec extends SparkSpec {
       assert(gotSpan == wantSpan, s"trial $trial span k=$k: ${gotSpan.size} vs ${wantSpan.size}")
     }
   }
+
+  test("fuzz: bm25TopK matches a local BM25 replay for random corpora, queries, and k1/b") {
+    val rng = new scala.util.Random(107)
+    for (trial <- 1 to 6) {
+      val vocab = (0 until 8 + rng.nextInt(12)).map("t" + _)
+      val docs = (0 until 30 + rng.nextInt(70)).map { i =>
+        (i.toLong, (0 until 3 + rng.nextInt(15)).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val query = rng.shuffle(vocab).take(1 + rng.nextInt(4))
+      val k1 = 0.5 + rng.nextDouble() * 2
+      val b = rng.nextDouble()
+      val k = 1 + rng.nextInt(20)
+
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val nDocs = docs.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+      val qTerms = query.distinct
+      val dfreq = qTerms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+      val want = docs.flatMap { case (id, _) =>
+        val ts = toks(id)
+        val s = qTerms.filter(t => ts.contains(t)).map { t =>
+          val tf = ts.count(_ == t).toDouble
+          val idf = math.log(1.0 + (nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5))
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * ts.size / avgdl))
+        }.sum
+        if (s > 0.0) Some(id -> math.floor(s * 1e6 + 0.5) / 1e6) else None
+      }.sortBy { case (id, s) => (-s, id) }.take(k)
+      val got = RetrievalOps.bm25TopK(df, "text", "doc_id", query, k, k1, b)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+      assert(got == want, s"trial $trial q=$query k1=$k1 b=$b k=$k: $got vs $want")
+    }
+  }
+
+  test("fuzz: kmeans fitTransform matches a local Lloyd replay for random k, dim, iters") {
+    val rng = new scala.util.Random(109)
+    for (trial <- 1 to 5) {
+      val dim = 2 + rng.nextInt(4)
+      val n = 30 + rng.nextInt(60)
+      val pts = (0 until n).map(i => (i.toLong, Array.fill(dim)(rng.nextGaussian() * 10)))
+      val df = pts.map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+      val k = 2 + rng.nextInt(6)
+      val iters = rng.nextInt(4)
+
+      def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+        var best = 0; var bd = Double.MaxValue
+        for (c <- cs.indices) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+        }
+        best
+      }
+      var cents = pts.sortBy(_._1).take(k).map(_._2.clone).toArray
+      for (_ <- 1 to iters) {
+        val groups = pts.groupBy(p => nearest(p._2, cents))
+        val next = cents.map(_.clone)
+        groups.foreach { case (c, ps) =>
+          for (j <- 0 until dim) {
+            val m = ps.map(_._2(j)).sum / ps.size
+            next(c)(j) = math.floor(m * 1e9 + 0.5) / 1e9
+          }
+        }
+        cents = next
+      }
+      val want = pts.map { case (id, v) =>
+        val c = nearest(v, cents)
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+        (id, c, math.floor(d * 1e6 + 0.5) / 1e6)
+      }.sortBy(_._1)
+      val got = KMeansOps.fitTransform(df, "vec", "id", k, iters)
+        .select("id", "cluster", "dist2").as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial k=$k iters=$iters dim=$dim")
+    }
+  }
+
+  test("fuzz: connectedComponents matches a local union-find for random graphs") {
+    val rng = new scala.util.Random(113)
+    for (trial <- 1 to 6) {
+      val nNodes = 10 + rng.nextInt(60)
+      val edges = (0 until rng.nextInt(120)).map(_ =>
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+      val real = edges.filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(nd => (nd, find(nd))).sorted
+      // self-loop-only nodes drop on both sides; empty edge sets allowed
+      val got =
+        if (edges.isEmpty) Seq.empty
+        else GraphOps.connectedComponents(edges.toDF("src", "dst"))
+          .select("id", "component").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"trial $trial edges=${real.size}: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("fuzz: withZValue matches a local integer quantize+interleave replay") {
+    val rng = new scala.util.Random(127)
+    for (trial <- 1 to 6) {
+      val nCols = 1 + rng.nextInt(3)
+      val bits = 2 + rng.nextInt(14) // nCols * bits ≤ 45 < 62
+      val n = 40 + rng.nextInt(100)
+      val span = 1L << (3 + rng.nextInt(30)) // narrow and wide key ranges
+      val rows = (0 until n).map { i =>
+        (i.toLong, Seq.fill(nCols)(rng.nextLong() % span))
+      }
+      val cols = (0 until nCols).map("c" + _)
+      val df = rows.map { case (id, vs) =>
+        org.apache.spark.sql.Row.fromSeq(id +: vs)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType) +:
+          cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.LongType)))
+      val sdf = spark.createDataFrame(spark.sparkContext.parallelize(df, 4), schema)
+
+      val mins = (0 until nCols).map(j => rows.map(_._2(j)).min)
+      val maxs = (0 until nCols).map(j => rows.map(_._2(j)).max)
+      def quant(x: Long, j: Int): Long =
+        if (maxs(j) == mins(j)) 0L
+        else (BigInt(x - mins(j)) * ((1L << bits) - 1) / BigInt(maxs(j) - mins(j))).toLong
+      val want = rows.map { case (id, vs) =>
+        var acc = 0L
+        for (i <- 0 until bits; j <- 0 until nCols)
+          acc |= ((quant(vs(j), j) >> i) & 1L) << (i * nCols + j)
+        (id, acc)
+      }.sortBy(_._1)
+      val got = LayoutOps.withZValue(sdf, cols, bits)
+        .select("id", "zvalue").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == want, s"trial $trial nCols=$nCols bits=$bits span=$span")
+    }
+  }
 }
