@@ -1440,6 +1440,107 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) => {
       KMeansOps.fitTransform(
         BioLoader.load(s, t(dir, "embeddings")), "embedding", "vec_id", k = 8, iters = 2)
+    }),
+
+    // ---- Alpha diversity (richness / Shannon / Gini–Simpson) per
+    //      sample, computed with the one-shuffle identities
+    //      H = ln T − (Σ v ln v)/T and Σp² = Σv²/T². Samples are
+    //      orders, features parts, abundances quantities. ----
+    "q_alpha_div" -> ((s, dir) => {
+      DiversityOps.alphaDiversity(
+        BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_partkey", "l_quantity")
+    }),
+
+    // ---- Bray–Curtis beta diversity over a 50-sample cohort: the
+    //      sparse shared-feature equi-join decomposition (pairs
+    //      sharing no feature fall out of the outer frame at
+    //      BC = 1). Quadratic OUTPUT is definitional; the feature
+    //      axis stays distributed. ----
+    "q_bray_curtis" -> ((s, dir) => {
+      DiversityOps.brayCurtis(
+        BioLoader.load(s, t(dir, "lineitem")).filter(col("l_orderkey") <= 200),
+        "l_orderkey", "l_partkey", "l_quantity")
+    }),
+
+    // ---- Quantile normalization (Bolstad 2003): every sample
+    //      forced onto the cross-sample mean distribution by
+    //      within-sample rank. row_number ties on
+    //      (value, linenumber) keep both engines on the same cut. ----
+    "q_quantile_norm" -> ((s, dir) => {
+      NormalizeOps.quantileNormalize(
+        BioLoader.load(s, t(dir, "lineitem")), "l_orderkey", "l_extendedprice", "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), hround(col("qnorm"), 6).as("qnorm"))
+    }),
+
+    // ---- Paragraph-level exact dedup (MassiveText-style): chunk
+    //      the corpus deterministically, keep each distinct
+    //      segment's first occurrence in (doc_id, chunk_id) order.
+    //      The fixture unions an id-shifted twin of the even docs,
+    //      so every twin chunk is a later exact copy and must drop
+    //      while all original chunks survive. ----
+    "q_para_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val chunks = MixOps.chunkDocs(docs.unionByName(twins), "doc_id", "text",
+        maxTokens = 50, overlap = 10)
+      DedupOps.keepFirstOccurrence(chunks, col("chunk_text"),
+          Seq(col("doc_id"), col("chunk_id")))
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
+    // ---- Hybrid retrieval: reciprocal-rank fusion of the BM25
+    //      lexical top-50 and the brute-force cosine top-50 for
+    //      query vector 0 (doc_id and vec_id share the id space).
+    //      RRF is rank-only, so the fused scores are exact
+    //      1/(60+r) sums both engines replay. ----
+    "q_rrf_fusion" -> ((s, dir) => {
+      val lexical = RetrievalOps.bm25TopK(
+        BioLoader.load(s, t(dir, "documents")), "text", "doc_id",
+        Seq("vector", "hash", "stream", "window"), k = 50)
+      val emb = BioLoader.load(s, t(dir, "embeddings"))
+      val dense = KnnOps.bruteForceTopK(emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      RetrievalOps.rrfFuse(Seq(lexical.select("doc_id", "rank"), dense),
+        "doc_id", "rank", k = 20)
+    }),
+
+    // ---- Streaming sessionization on Spark's native
+    //      session_window: gap-merged per-user sessions in append
+    //      mode. An events-typed far-future pusher row drives the
+    //      watermark past every real session so they all emit; the
+    //      pusher's own session never closes and is filtered
+    //      anyway. Oracle: batch gaps-and-islands at MICROSECOND
+    //      precision (session_window's merge boundary is inclusive,
+    //      so the break condition is diff > gap). ----
+    "q_stream_sessions" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("user_id"), col("value"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit(PusherId).as("user_id"), lit(0.0).as("value"))
+      val sess = ev.unionByName(pusher)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("start_us"),
+          expr("unix_micros(sw.end)").as("end_us"),
+          col("n_events"), hround(col("total_value"), 6).as("total_value"))
+      // The pusher filter must run on the SINK table, not inside the
+      // streaming plan: a grouping-column predicate pushes below the
+      // EventTimeWatermark node and through the union into the pusher
+      // branch, dropping the pusher row BEFORE the watermark stats see
+      // its far-future timestamp (the watermark then stalls at
+      // max-real-event − delay and the last sessions never emit). The
+      // pusher's own session never closes, so post-filtering is safe.
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(sess, "m11sess")
+      }.filter(col("user_id") =!= PusherId)
     })
   )
 
@@ -1496,7 +1597,25 @@ object SparkEntry {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
       .start()
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      q.processAllAvailable()
+      // processAllAvailable only guarantees INPUT completeness. When
+      // the sources land in different microbatches (two file sources
+      // race their listings), watermark-driven emissions fire in a
+      // trailing NO-DATA batch that starts after it returns — so wait
+      // for batch quiescence: no newly committed batch for 400 ms
+      // (the trigger loop is hot at ProcessingTime(0), so a pending
+      // eviction batch commits within milliseconds), capped at 30 s.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var lastSeen = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      var quietSince = System.nanoTime()
+      while (System.nanoTime() - quietSince < 400L * 1000 * 1000 &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        if (b != lastSeen) { lastSeen = b; quietSince = System.nanoTime() }
+      }
+    } finally q.stop()
     df.sparkSession.table(name)
   }
 
@@ -2425,7 +2544,143 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.vec_id
         |      ORDER BY sum((p.x - m2.x) * (p.x - m2.x)), m2.c) AS rn
         |  FROM p JOIN m2 ON p.d = m2.d GROUP BY p.vec_id, m2.c
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+
+    "q_alpha_div" ->
+      """WITH m AS (
+        |  SELECT l_orderkey AS sample, l_partkey AS feature, sum(CAST(l_quantity AS DOUBLE)) AS v
+        |  FROM lineitem GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS DOUBLE)) > 0
+        |)
+        |SELECT sample, count(*) AS richness,
+        |  floor((ln(sum(v)) - sum(v * ln(v)) / sum(v)) * 1000000 + 0.5) / 1000000 AS shannon,
+        |  floor((1.0 - sum(v * v) / (sum(v) * sum(v))) * 1000000 + 0.5) / 1000000 AS simpson
+        |FROM m GROUP BY sample""".stripMargin,
+
+    "q_bray_curtis" ->
+      """WITH m AS (
+        |  SELECT l_orderkey AS s, l_partkey AS f, sum(CAST(l_quantity AS DOUBLE)) AS v
+        |  FROM lineitem WHERE l_orderkey <= 200
+        |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS DOUBLE)) > 0
+        |), tot AS (
+        |  SELECT s, sum(v) AS t FROM m GROUP BY s
+        |), shared AS (
+        |  SELECT a.s AS sample_a, b.s AS sample_b,
+        |    sum(abs(a.v - b.v)) AS sd, sum(a.v) AS sa, sum(b.v) AS sb
+        |  FROM m a JOIN m b ON a.f = b.f AND a.s < b.s GROUP BY 1, 2
+        |)
+        |SELECT ta.s AS sample_a, tb.s AS sample_b,
+        |  floor((coalesce(sd, 0) + (ta.t - coalesce(sa, 0)) + (tb.t - coalesce(sb, 0)))
+        |        / (ta.t + tb.t) * 1000000 + 0.5) / 1000000 AS bray_curtis
+        |FROM tot ta JOIN tot tb ON ta.s < tb.s
+        |LEFT JOIN shared ON shared.sample_a = ta.s AND shared.sample_b = tb.s""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |                       ORDER BY l_extendedprice, l_linenumber) AS rn
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  floor(avg(l_extendedprice) OVER (PARTITION BY rn) * 1000000 + 0.5) / 1000000 AS qnorm
+        |FROM r""".stripMargin,
+
+    // same chunking CTE as q_chunk, over the twin-union fixture,
+    // then global first-occurrence by (doc_id, chunk_id)
+    "q_para_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 2 = 0
+        |), t AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t
+        |  FROM d
+        |), k AS (
+        |  SELECT doc_id, t, (greatest(len(t) - 50, 0) + 39) // 40 AS kk FROM t
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(t[i*40+1 : i*40+50], ' ') AS chunk_text
+        |  FROM k, UNNEST(generate_series(0, kk)) AS u(i)
+        |), f AS (
+        |  SELECT doc_id, chunk_id, chunk_text,
+        |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch
+        |)
+        |SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5 FROM f WHERE rn = 1""".stripMargin,
+
+    // BM25 top-50 (same CTEs as Bm25OracleSql) ∪ cosine top-50 for
+    // query vector 0 (same rounding discipline as q_knn_brute),
+    // fused by Σ 1/(60 + rank)
+    "q_rrf_fusion" ->
+      """WITH f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM f
+        |), post AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM f
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
+        |  WHERE term IN ('vector', 'hash', 'stream', 'window') GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+        |    ) * 1000000 + 0.5) / 1000000 AS score
+        |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
+        |  GROUP BY tf.doc_id
+        |), lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored ORDER BY score DESC, doc_id LIMIT 50
+        |), densescored AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
+        |), dense AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+        |    FROM densescored
+        |  ) WHERE rank <= 50
+        |), u AS (
+        |  SELECT doc_id, 1.0 / (60.0 + rank) AS rr FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, 1.0 / (60.0 + rank) AS rr FROM dense
+        |), fused AS (
+        |  SELECT doc_id, floor(sum(rr) * 1000000 + 0.5) / 1000000 AS score
+        |  FROM u GROUP BY doc_id
+        |)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM fused ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // gaps-and-islands at MICROSECOND precision; session_window's
+    // merge boundary is INCLUSIVE (an event exactly gap after the
+    // session end still merges — verified against the engine), so
+    // the break is diff > gap
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id, value FROM events
+        |), g AS (
+        |  SELECT user_id, t, value,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk,
+        |    event_id
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, t, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  min(t) AS start_us,
+        |  max(t) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
+        |FROM s GROUP BY user_id, sess""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

@@ -24,6 +24,20 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep each distinct `key`'s FIRST occurrence in `orderCols`
+    * order — the segment-level exact dedup of MassiveText-style
+    * paragraph dedup (chunk the corpus, drop every later copy of a
+    * segment already seen earlier in corpus order). Generalizes
+    * [[exact]] to composite orderings like (doc_id, chunk_id).
+    * ONE hash shuffle on the content key; within a key the window
+    * holds only that key's copies.
+    */
+  def keepFirstOccurrence(df: DataFrame, key: Column, orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exact-dup groups: content key → survivor id + copy count. */
   def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
     df.groupBy(key.as("dup_key"))

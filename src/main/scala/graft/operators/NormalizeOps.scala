@@ -65,5 +65,40 @@ object NormalizeOps {
   def presence(df: DataFrame, valueCol: String, outputCol: String = "present"): DataFrame =
     df.withColumn(outputCol, (col(valueCol) > 0).cast("int"))
 
+  /** Quantile normalization: force every sample onto the common
+    * (cross-sample mean) distribution — the classic microarray /
+    * RNA-seq batch normalization (Bolstad et al. 2003; public
+    * method). Each value is replaced by the mean, across samples,
+    * of the values holding the same within-sample rank.
+    *
+    * Ranks use `row_number` ordered by (value, tieCol) so ties are
+    * deterministic and every engine agrees on the cut (classic QN
+    * averages tied ranks; the row_number variant is the
+    * deterministic choice that stays exactly reproducible at any
+    * parallelism). Samples of unequal size contribute to exactly
+    * the ranks they have — a rank's reference value is the mean
+    * over the samples that reach it.
+    *
+    * Shape: one window shuffle by sample (rank), one
+    * map-side-combinable groupBy(rank) (reference distribution —
+    * at most max-sample-size rows), one sort-merge join back on
+    * rank. No driver-side state; the reference distribution never
+    * materializes beyond a rank-keyed frame.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      sampleCol: String,
+      valueCol: String,
+      tieCol: String,
+      outputCol: String = "qnorm"
+  ): DataFrame = {
+    val w = Window.partitionBy(sampleCol).orderBy(col(valueCol), col(tieCol))
+    val ranked = df.withColumn("__qn_rank", row_number().over(w))
+    val reference = ranked
+      .groupBy(col("__qn_rank"))
+      .agg(avg(col(valueCol)).as(outputCol))
+    ranked.join(reference, "__qn_rank").drop("__qn_rank")
+  }
+
   private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
 }

@@ -175,6 +175,44 @@ object RetrievalOps {
     scoreAndRank(post, statsRow.select("n_docs", "avgdl"), k, k1, b)
   }
 
+  /** Reciprocal-rank fusion of N rankings (Cormack et al. 2009,
+    * public method): `score(d) = Σ_lists 1/(c + rank_list(d))` over
+    * the union of the lists — the standard way to combine lexical
+    * (BM25) and dense (kNN) retrieval without score calibration.
+    *
+    * Inputs are (id, rank) frames — typically already top-k-sized,
+    * so the fuse is a union + ONE tiny groupBy; the plan stays
+    * fully distributed for full-corpus rankings too. Scores are
+    * rounded to the 1e-6 grid before ranking and ties break by id,
+    * so the fused cut is engine-stable (same discipline as
+    * [[bm25TopK]]).
+    *
+    * @param rankings frames each holding `idCol` and `rankCol`
+    *                 (1-based ranks)
+    * @param c        the RRF damping constant (60 in the paper)
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    val parts = rankings.map(_.select(
+      col(idCol).as("doc_id"),
+      (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double"))).as("__rr")))
+    parts.reduce(_.unionByName(_))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("__rr")) * 1e6 + lit(0.5)) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
   /** Shared scoring tail: idf per term (broadcast), per-doc score
     * sum, rounded-then-ranked top-k via TakeOrderedAndProject.
     */

@@ -16,8 +16,11 @@ class QueriesSmokeSpec extends SparkSpec {
   private val tinyBroadcastBnlj = Set(
     "q_knn_brute", "q_knn_ivf", "q_knn_opq", "q_knn_pq", "q_knn_pq_rerank",
     "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter",
-    // composes bruteForceTopK — the same broadcast-queries scoring BNLJ
-    "q_knn_recall",
+    // compose bruteForceTopK — the same broadcast-queries scoring BNLJ
+    "q_knn_recall", "q_rrf_fusion",
+    // pair-frame theta join (s_a < s_b) over broadcast per-sample
+    // totals: inherently nested-loop, side bounded by the cohort size
+    "q_bray_curtis",
     // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab
     // size, z-order column min/max
     "q_bm25", "q_bm25_persist", "q_bm25_append", "q_lm_score", "q_zorder")

@@ -269,4 +269,19 @@ class DedupKnnTextSpec extends SparkSpec {
     assert(simReport.count() == 4)
     assert(simReport.collect().forall(_.getAs[Long]("n_members") >= 20L))
   }
+
+  test("keepFirstOccurrence keeps earliest (doc, chunk) copy of each segment") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"), (2L, 0L, "a"), (0L, 5L, "a")
+    ).toDF("doc_id", "chunk_id", "chunk_text")
+    val kept = DedupOps.keepFirstOccurrence(chunks, col("chunk_text"),
+        Seq(col("doc_id"), col("chunk_id")))
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+    // "a" first occurs at (0,5); "b" at (1,1)
+    assert(kept == Set((0L, 5L), (1L, 1L)))
+    intercept[IllegalArgumentException] {
+      DedupOps.keepFirstOccurrence(chunks, col("chunk_text"), Seq.empty)
+    }
+  }
 }

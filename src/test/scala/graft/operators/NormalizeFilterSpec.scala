@@ -74,4 +74,32 @@ class NormalizeFilterSpec extends SparkSpec {
     val kept = FilterOps.dropSparseSamples(df, "sample", "v", 0.5)
     assert(kept.select("sample").distinct().as[String].collect().sorted.toSeq == Seq("s1", "s2"))
   }
+
+  test("quantileNormalize: every sample lands on the rank-mean distribution") {
+    // A = (2,3,5), B = (1,4,4): rank means 1.5, 3.5, 4.5; the B tie
+    // at 4 splits by tieCol so rank 2 vs 3 is deterministic
+    val df = Seq(
+      ("A", 2.0, 1), ("A", 3.0, 2), ("A", 5.0, 3),
+      ("B", 1.0, 1), ("B", 4.0, 2), ("B", 4.0, 3)
+    ).toDF("sample", "v", "tie")
+    val qn = NormalizeOps.quantileNormalize(df, "sample", "v", "tie")
+      .select("sample", "tie", "qnorm").as[(String, Int, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(qn(("A", 1)) == 1.5 && qn(("A", 2)) == 3.5 && qn(("A", 3)) == 4.5)
+    assert(qn(("B", 1)) == 1.5 && qn(("B", 2)) == 3.5 && qn(("B", 3)) == 4.5)
+  }
+
+  test("quantileNormalize: unequal sample sizes average over reaching samples") {
+    // A = (2,3,5), C = (10,20): rank 1 → (2+10)/2, rank 2 → (3+20)/2,
+    // rank 3 → 5 alone (only A reaches it)
+    val df = Seq(
+      ("A", 2.0, 1), ("A", 3.0, 2), ("A", 5.0, 3),
+      ("C", 10.0, 1), ("C", 20.0, 2)
+    ).toDF("sample", "v", "tie")
+    val qn = NormalizeOps.quantileNormalize(df, "sample", "v", "tie")
+      .select("sample", "v", "qnorm").as[(String, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(qn(("A", 2.0)) == 6.0 && qn(("A", 3.0)) == 11.5 && qn(("A", 5.0)) == 5.0)
+    assert(qn(("C", 10.0)) == 6.0 && qn(("C", 20.0)) == 11.5)
+  }
 }

@@ -86,4 +86,19 @@ class RetrievalOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       RetrievalOps.saveIndex(docs, "text", "doc_id", "/tmp/x", nBuckets = 0))
   }
+
+  test("rrfFuse sums 1/(c+rank) across lists and ranks by fused score") {
+    import spark.implicits._
+    val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "r")
+    val l2 = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "r")
+    val fused = RetrievalOps.rrfFuse(Seq(l1, l2), "id", "r", k = 3)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+    // 2: 1/61+1/62 = .032522; 3: 1/62+1/63 = .032002; 1: 1/61 = .016393
+    assert(fused.map(_._1).toSeq == Seq(2L, 3L, 1L))
+    assert(fused.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(fused(0)._2 == 0.032522 && fused(1)._2 == 0.032002 && fused(2)._2 == 0.016393)
+    intercept[IllegalArgumentException](RetrievalOps.rrfFuse(Nil, "id", "r", 3))
+    intercept[IllegalArgumentException](RetrievalOps.rrfFuse(Seq(l1), "id", "r", 0))
+    intercept[IllegalArgumentException](RetrievalOps.rrfFuse(Seq(l1), "id", "r", 3, c = -1))
+  }
 }
