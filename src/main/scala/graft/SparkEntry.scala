@@ -1541,6 +1541,69 @@ object SparkEntry {
       graft.streaming.EventStreams.withStatePartitions(s, 8) {
         runStreamToMemory(sess, "m11sess")
       }.filter(col("user_id") =!= PusherId)
+    }),
+
+    // ---- HyperLogLog cardinality per group. The md5-based register
+    //      computation and the exact decimal harmonic sum make the
+    //      ESTIMATE itself a deterministic function of the input set
+    //      — an approximate sketch with an exact oracle. ----
+    "q_hll" -> ((s, dir) => {
+      SketchOps.hllCardinality(
+        BioLoader.load(s, t(dir, "lineitem")), Seq("l_returnflag"), "l_orderkey")
+    }),
+
+    // ---- PageRank (3 damped power iterations) on the customer →
+    //      supplier graph from orders ⋈ lineitem. Ranks snap to the
+    //      1e-9 grid each iteration so the unrolled-SQL replay lands on
+    //      bit-identical doubles. Suppliers have no out-edges, so
+    //      the dangling-mass path is structurally exercised. ----
+    "q_pagerank" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
+      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphOps.pageRank(edges, iters = 3)
+    }),
+
+    // ---- CDC merge: apply an orders-derived changelog (updates +
+    //      o_orderkey%37 deletes, version = o_orderkey) to the
+    //      customer snapshot; latest version wins per custkey. ----
+    "q_upsert" -> ((s, dir) => {
+      val snap = BioLoader.load(s, t(dir, "customer"))
+      MergeOps.applyChangelog(snap, changelogFixture(s, dir),
+          Seq("c_custkey"), "version", "op")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          hround(col("c_acctbal"), 6).as("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // ---- SCD2: the same change stream (custkeys ≤ 100) collapsed
+    //      into validity intervals; deletes close intervals without
+    //      opening one. ----
+    "q_scd2" -> ((s, dir) => {
+      MergeOps.scd2(
+        changelogFixture(s, dir).filter(col("c_custkey") <= 100)
+          .select("c_custkey", "c_acctbal", "version", "op"),
+        Seq("c_custkey"), "version", "op")
+        .select(col("c_custkey"), hround(col("c_acctbal"), 6).as("c_acctbal"),
+          col("valid_from"), col("valid_to"))
+    }),
+
+    // ---- Blocked fuzzy join: id-prefixed part names vs a twin with
+    //      one name char deleted for partkey%3 = 0. Prefix-5 blocks
+    //      (id div 10) keep candidates linear; the levenshtein gate
+    //      runs inside the hash join. ----
+    "q_fuzzy_join" -> ((s, dir) => {
+      val base = BioLoader.load(s, t(dir, "part"))
+        .select(col("p_partkey"),
+          concat(lpad(col("p_partkey").cast("string"), 6, "0"), lit("-"), col("p_name")).as("nm"))
+      val left = base.select(col("p_partkey").as("id_l"), col("nm").as("nm_l"))
+      val right = base.select(col("p_partkey").as("id_r"),
+        when(col("p_partkey") % 3 === 0,
+          concat(substring(col("nm"), 1, 9), substring(col("nm"), 11, 100000)))
+          .otherwise(col("nm")).as("nm_r"))
+      FuzzyJoinOps.fuzzyJoin(left, right, "nm_l", "nm_r", maxDist = 1, blockPrefix = 5)
+        .select("id_l", "id_r", "edit_dist")
     })
   )
 
@@ -1550,6 +1613,23 @@ object SparkEntry {
     "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
   private val DocsSchema =
     "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+  /** Deterministic CDC change stream derived from orders: one change
+    * per order against its customer, version = o_orderkey (globally
+    * unique → unique per key), op = D on o_orderkey%37. Shared by
+    * q_upsert / q_scd2 so both views of the same stream stay
+    * consistent.
+    */
+  private def changelogFixture(s: SparkSession, dir: String): DataFrame =
+    BioLoader.load(s, t(dir, "orders"))
+      .select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("u#"), col("o_orderkey")).as("c_name"),
+        (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderkey") % 37 === 0, lit("D")).otherwise(lit("U")).as("op"))
+
   private val PusherId = 9000000L
 
   /** File-source stream over ONE table's parquet in the SF dir —
@@ -2680,7 +2760,149 @@ object SparkEntry {
         |  max(t) + 1800000000 AS end_us,
         |  count(*) AS n_events,
         |  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
-        |FROM s GROUP BY user_id, sess""".stripMargin
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // md5-register HLL replayed digit-by-digit; the harmonic sum is
+    // the exact integer Σ 2^(53−M) in HUGEINT (summation-order-proof),
+    // constants multiplied in the same left-assoc order as the Scala
+    "q_hll" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS grp, md5(CAST(l_orderkey AS VARCHAR)) AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |), idx AS (
+        |  SELECT grp,
+        |    ((instr('0123456789abcdef', substr(h,1,1))-1)*16
+        |      + (instr('0123456789abcdef', substr(h,2,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,3,1))-1) AS reg_idx,
+        |    substr(h,4,13) AS rest
+        |  FROM h
+        |), rk AS (
+        |  SELECT grp, reg_idx,
+        |    length(regexp_extract(rest, '^(0*)', 1)) AS z,
+        |    instr('0123456789abcdef',
+        |      substr(rest, length(regexp_extract(rest, '^(0*)', 1))+1, 1))-1 AS d
+        |  FROM idx
+        |), regs AS (
+        |  SELECT grp, reg_idx,
+        |    max(CASE WHEN z = 13 THEN 53
+        |        ELSE z*4 + (CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                         WHEN d >= 2 THEN 2 ELSE 3 END) + 1 END) AS m
+        |  FROM rk GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT grp, count(*) AS registers_hit,
+        |    sum(CAST(pow(2.0, 53 - m) AS HUGEINT)) AS s
+        |  FROM regs GROUP BY grp
+        |), est AS (
+        |  SELECT grp, registers_hit, 4096 - registers_hit AS v,
+        |    0.7213/(1.0 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0
+        |      / CAST(s + CAST(4096 - registers_hit AS HUGEINT)
+        |                 * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT grp AS l_returnflag,
+        |  floor((CASE WHEN raw <= 10240.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+        |              ELSE raw END) * 1000000 + 0.5)/1000000 AS hll_est,
+        |  registers_hit
+        |FROM est""".stripMargin,
+
+    // 3 unrolled damped power iterations; ranks snap to the 1e-9
+    // grid each round on BOTH sides, so float sum-order noise
+    // (~1e-17) can never survive a round boundary
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, floor((1.0/n)*1000000000 + 0.5)/1000000000 AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT nodes.node,
+        |         floor(((1.0-0.85)/n + 0.85*(coalesce(contrib, 0.0) + dm/n))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 ON c1.cn = nodes.node),
+        |c2 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT nodes.node,
+        |         floor(((1.0-0.85)/n + 0.85*(coalesce(contrib, 0.0) + dm/n))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON c2.cn = nodes.node),
+        |c3 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT nodes.node,
+        |         floor(((1.0-0.85)/n + 0.85*(coalesce(contrib, 0.0) + dm/n))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 ON c3.cn = nodes.node)
+        |SELECT node, rank FROM r3""".stripMargin,
+
+    // latest-version-wins merge of the orders-derived changelog into
+    // the customer snapshot (snapshot rides as version 0)
+    "q_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey, 'u#' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    CAST(o_orderkey % 25 AS INTEGER) AS c_nationkey, o_totalprice AS c_acctbal,
+        |    o_orderpriority AS c_mktsegment, o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |), base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    CAST(0 AS BIGINT) AS version, 'U' AS op FROM customer
+        |), allr AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM ch
+        |), rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+        |  FROM allr
+        |)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  floor(c_acctbal*1000000 + 0.5)/1000000 AS c_acctbal, c_mktsegment
+        |FROM rn WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // lead() runs over ALL changes (deletes provide the closing
+    // boundary), THEN delete rows drop — same order as MergeOps.scd2
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+        |    o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_custkey <= 100
+        |)
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to FROM (
+        |  SELECT c_custkey, floor(c_acctbal*1000000 + 0.5)/1000000 AS c_acctbal,
+        |    version AS valid_from,
+        |    lead(version) OVER (PARTITION BY c_custkey ORDER BY version) AS valid_to, op
+        |  FROM ch
+        |) WHERE op <> 'D'""".stripMargin,
+
+    // identical blocking (prefix-5 equi key + length band) and the
+    // same levenshtein gate — DuckDB's levenshtein is the same
+    // standard metric as Spark's
+    "q_fuzzy_join" ->
+      """WITH base AS (
+        |  SELECT p_partkey, lpad(CAST(p_partkey AS VARCHAR), 6, '0') || '-' || p_name AS nm
+        |  FROM part
+        |), l AS (
+        |  SELECT p_partkey AS id_l, nm AS nm_l FROM base
+        |), r AS (
+        |  SELECT p_partkey AS id_r,
+        |    CASE WHEN p_partkey % 3 = 0
+        |         THEN substr(nm, 1, 9) || substr(nm, 11, 100000) ELSE nm END AS nm_r
+        |  FROM base
+        |)
+        |SELECT id_l, id_r, levenshtein(nm_l, nm_r) AS edit_dist
+        |FROM l JOIN r ON substr(nm_l, 1, 5) = substr(nm_r, 1, 5)
+        |  AND abs(length(nm_l) - length(nm_r)) <= 1
+        |WHERE levenshtein(nm_l, nm_r) <= 1""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the transitive-closure step a
@@ -89,5 +89,67 @@ object GraphOps {
       .union(edges.select(col("lo").as("id"), col("lo").as("component")))
       .distinct()
     out
+  }
+
+  /** PageRank by the damped power method (Page/Brin 1998, public
+    * algorithm) — the link-centrality quality signal of web-scale
+    * corpus curation (rank hosts/docs by the crawl graph, keep the
+    * head).
+    *
+    * Scale shape per iteration: the edge frame (joined once, up
+    * front, with out-degrees and repartitioned+cached by `src`) is
+    * the 100 TB axis; each round joins the node-sized rank frame to
+    * it on `src` (ranks shuffle TO the cached edge partitioning —
+    * the big side never re-shuffles), then ONE map-side-combinable
+    * `groupBy(dst)` sums contributions. Dangling mass (nodes with no
+    * out-edges) is a 1-row aggregate broadcast into the update — no
+    * per-node fanout. Each round ends in `localCheckpoint`: without
+    * it the iterative self-reference doubles logical-plan depth per
+    * round (same discipline as [[connectedComponents]]).
+    *
+    * Determinism: ranks are snapped to the 1e-9 grid after every
+    * update, so float summation-order differences (~1e-17) can
+    * never accumulate across iterations — any engine replaying the
+    * same unrolled arithmetic lands on bit-identical ranks.
+    *
+    * @param edges0  directed edges, columns `src`, `dst`
+    * @param iters   fixed iteration count (unrolled replay friendly)
+    * @param damping the damping factor d in r' = (1−d)/n + d·(…)
+    * @return (node, rank), Σ rank = 1 up to grid rounding
+    */
+  def pageRank(edges0: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
+    val edges = edges0.select(col("src"), col("dst")).distinct()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // the big frame, partitioned once by the per-iteration join key
+    val em = edges.join(outdeg, "src")
+      .repartition(col("src")).persist()
+    var ranks = nodes.select(col("node"), snap(lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = em.join(ranks, em("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("deg")).as("contrib"))
+        val dangling = ranks
+          .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(nodes("node"),
+            snap(lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n))
+              .as("rank"))
+          .localCheckpoint(true)
+      }
+    } finally em.unpersist()
+    ranks
   }
 }

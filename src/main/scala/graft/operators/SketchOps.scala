@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the fixed-state answer to
+  * "how many distinct X" at 100 TB, where exact `count(distinct)`
+  * shuffles every distinct value and a sketch shuffles at most
+  * `m = 2^p` register rows per group (Flajolet et al. 2007,
+  * HyperLogLog — public algorithm).
+  *
+  * Design for oracle-exactness: the hash is `md5` (identical
+  * function in every engine), the register index is the first
+  * `p/4` hex chars, the rank is the hex-digit leading-zero count
+  * of the next 13 chars (52 bits), and the harmonic sum
+  * `Σ 2^{-M_j}` is computed as the EXACT integer `Σ 2^{53-M_j}`
+  * in decimal arithmetic before the one double division — so the
+  * estimate is a deterministic function of the input SET, bit-for-
+  * bit reproducible across engines and partitionings (a float
+  * harmonic sum would be summation-order-dependent). Everything is
+  * built-in column arithmetic — codegen'd, no UDF.
+  *
+  * Scale shape: ONE map-side-combinable `groupBy(group, idx).max`
+  * (partial max collapses each partition to ≤ m rows per group
+  * before the shuffle), then a group-sized final aggregate.
+  * Registers are mergeable by `max` — union two register frames and
+  * re-`max` to combine sketches across days/shards without touching
+  * raw data.
+  */
+object SketchOps {
+
+  private val HexDigits = "0123456789abcdef"
+  private val TwoPow53 = 9007199254740992d // 2^53, exact in double
+
+  /** value of one hex char (both engines: instr(haystack, c) - 1) */
+  private def hexVal(c: Column): Column = instr(lit(HexDigits), c) - 1
+
+  /** HLL register frame: one row per (group, register) hit, with the
+    * max rank. `p` must be a multiple of 4 (hex alignment) in 4..16.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12
+  ): DataFrame = {
+    require(p >= 4 && p <= 16 && p % 4 == 0, s"p must be in {4,8,12,16}, got $p")
+    val nIdxChars = p / 4
+    val h = md5(col(valueCol).cast("string"))
+    // register index from the first p bits (p/4 hex chars)
+    val idx = (1 to nIdxChars)
+      .map(i => hexVal(substring(h, i, 1)))
+      .reduce((a, b) => a * 16 + b)
+    // rank = leading-zero count of the next 52 bits, + 1
+    val rest = substring(h, nIdxChars + 1, 13)
+    val z = length(regexp_extract(rest, "^(0*)", 1)) // leading zero hex chars
+    val firstDigit = hexVal(substring(rest, z + 1, lit(1)))
+    val lz4 = when(firstDigit >= 8, 0)
+      .when(firstDigit >= 4, 1)
+      .when(firstDigit >= 2, 2)
+      .otherwise(3) // digit 1 (0 impossible: it's the first NON-zero)
+    val rank = when(z === 13, lit(53)).otherwise(z * 4 + lz4 + 1)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ idx.as("reg_idx") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("reg_idx"): _*)
+      .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** Per-group HLL cardinality estimate with the standard
+    * small-range (linear-counting) correction. Output:
+    * groupCols + (hll_est, registers_hit), estimate on the 1e-6
+    * grid.
+    */
+  def hllCardinality(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val m = 1 << p
+    val alpha = p match { // Flajolet 2007 bias constants
+      case 4 => 0.673
+      case 8 => 0.7182725932495458 // 0.7213/(1+1.079/256)
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val regs = hllRegisters(df, groupCols, valueCol, p)
+    // EXACT harmonic numerator: Σ 2^(53 - M_j) over hit registers,
+    // in decimal so partial-agg order can't change the rounding;
+    // unhit registers contribute 2^53 each (M = 0).
+    val agg = regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("registers_hit"),
+        sum(pow(lit(2.0), lit(53) - col("max_rank")).cast("decimal(38,0)")).as("__s"))
+    val zeros = (lit(m).cast("decimal(38,0)") - col("registers_hit").cast("decimal(38,0)"))
+    val sFull = (col("__s") + zeros * lit(TwoPow53).cast("decimal(38,0)")).cast("double")
+    val raw = lit(alpha * m.toDouble * m.toDouble * TwoPow53) / sFull
+    val v = lit(m) - col("registers_hit") // empty registers
+    val est = when(raw <= lit(2.5 * m) && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    agg.select(
+      groupCols.map(col) :+
+        (floor(est * 1e6 + lit(0.5)) / 1e6).as("hll_est") :+
+        col("registers_hit"): _*)
+  }
+}

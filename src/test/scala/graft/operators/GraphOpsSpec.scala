@@ -68,6 +68,45 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Local power-method replay with the same 1e-9 snapping. */
+  private def localPageRank(
+      edges: Seq[(String, String)], iters: Int, d: Double = 0.85): Map[String, Double] = {
+    val dedup = edges.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toDouble
+    val out = dedup.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    def snap(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    var r = nodes.map(_ -> snap(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+      dedup.foreach { case (s, t) => contrib(t) += r(s) / out(s) }
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      r = nodes.map(nd => nd -> snap((1.0 - d) / n + d * (contrib(nd) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches a local power-method replay (with dangling mass)") {
+    // b and d have no out-edges → dangling path exercised
+    val edges = Seq(("a", "b"), ("a", "c"), ("c", "b"), ("c", "d"), ("e", "a"))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 4)
+      .as[(String, Double)].collect().toMap
+    val want = localPageRank(edges, iters = 4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 2e-9, s"$k: $v vs ${want(k)}") }
+    // probability mass conserved up to grid rounding
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: star hub out-ranks leaves; duplicate edges collapse") {
+    val star = Seq(("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("l1", "hub"))
+    val r = GraphOps.pageRank(star.toDF("src", "dst"), iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r("hub") > r("l1") && r("l1") == r("l2") && r("l2") == r("l3"))
+    intercept[IllegalArgumentException](GraphOps.pageRank(star.toDF("src", "dst"), 0))
+    intercept[IllegalArgumentException](GraphOps.pageRank(star.toDF("src", "dst"), 1, 1.5))
+  }
+
   test("dupClusters distributed path (threshold 0) agrees with the driver path") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
     val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
