@@ -1158,6 +1158,31 @@ object SparkEntry {
           col("bh_rank"))
     }),
 
+    // ---- N14: PSI drift score — 1998+ orders against the pre-1998
+    //      reference, per priority class, 20 equal bins on total
+    //      price. Each side collapses to ≤ groups×bins rows before
+    //      the join; per-bin terms snap to 1e-9 so the Σ replays. ----
+    "q_drift_psi" -> ((s, dir) => {
+      val ord = BioLoader.load(s, t(dir, "orders"))
+      val ref = ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cur = ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      DriftOps.psi(ref, cur, Seq("o_orderpriority"), "o_totalprice",
+        lo = 0.0, hi = 500000.0, bins = 20)
+    }),
+
+    // ---- N15: two-sample KS statistic per feature — returned 'A'
+    //      vs 'N' lineitems on quantity (50 distinct values → the
+    //      distinct-value window frame stays tiny by construction).
+    //      Every ECDF step is a ratio of exact integer counts. ----
+    "q_ks_test" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select((col("l_partkey") % 50).as("feature"), col("l_returnflag"), col("l_quantity"))
+      DriftOps.ksStatistic(
+        li.filter(col("l_returnflag") === "A"),
+        li.filter(col("l_returnflag") === "N"),
+        Seq("feature"), "l_quantity")
+    }),
+
     // ---- M1 (video): REAL ISO-BMFF container codec — synthetic
     //      but VALID MP4 box trees are generated per row (dims/
     //      duration/frames derive from doc_id), parsed back by the
@@ -2484,6 +2509,60 @@ object SparkEntry {
         |  floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 AS p_value,
         |  ROW_NUMBER() OVER (ORDER BY floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 ASC, feature ASC) AS bh_rank
         |FROM hh""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0
+        |         WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 END AS side,
+        |    CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19) AS BIGINT) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |), c AS (
+        |  SELECT pri, side, bin, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+        |), f AS (
+        |  SELECT pri, side, bin,
+        |    CAST(c AS DOUBLE) / CAST(CAST(SUM(c) OVER (PARTITION BY pri, side) AS BIGINT) AS DOUBLE) AS frac,
+        |    CAST(SUM(c) OVER (PARTITION BY pri, side) AS BIGINT) AS n
+        |  FROM c
+        |), j AS (
+        |  SELECT COALESCE(r.pri, q.pri) AS pri,
+        |    greatest(COALESCE(r.frac, 0.0), 0.000001) AS pe,
+        |    greatest(COALESCE(q.frac, 0.0), 0.000001) AS qe,
+        |    r.n AS n_ref, q.n AS n_cur
+        |  FROM (SELECT * FROM f WHERE side = 0) r
+        |  FULL OUTER JOIN (SELECT * FROM f WHERE side = 1) q
+        |    ON r.pri = q.pri AND r.bin = q.bin
+        |)
+        |SELECT pri AS o_orderpriority,
+        |  floor(SUM(floor((qe - pe) * ln(qe / pe) * 1000000000 + 0.5) / 1000000000) * 1000000 + 0.5) / 1000000 AS psi,
+        |  CAST(COALESCE(MAX(n_ref), 0) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(MAX(n_cur), 0) AS BIGINT) AS n_cur
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH s AS (
+        |  SELECT l_partkey % 50 AS feature, l_quantity AS v,
+        |    CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N') AND l_quantity IS NOT NULL
+        |), c AS (
+        |  SELECT feature, v,
+        |    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM s GROUP BY 1, 2
+        |), w AS (
+        |  SELECT feature,
+        |    CAST(SUM(ca) OVER (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (PARTITION BY feature ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+        |    CAST(SUM(ca) OVER (PARTITION BY feature) AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER (PARTITION BY feature) AS BIGINT) AS nb
+        |  FROM c
+        |)
+        |SELECT feature,
+        |  floor(MAX(abs(
+        |    CASE WHEN na > 0 THEN CAST(cuma AS DOUBLE) / na ELSE 0.0 END -
+        |    CASE WHEN nb > 0 THEN CAST(cumb AS DOUBLE) / nb ELSE 0.0 END)) * 1000000 + 0.5) / 1000000 AS ks_stat,
+        |  MAX(na) AS n_a, MAX(nb) AS n_b
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_multimodal_video" ->
       """SELECT doc_id AS media_id,

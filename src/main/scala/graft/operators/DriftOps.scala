@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between two cohorts of the same
+  * table — the data-quality gate of a continuously-ingested training
+  * corpus (did this week's crawl shift against the reference
+  * sample?) and the monitoring twin of the reference's two-group
+  * differential tests (`StatsOps.differentialTest` asks "is feature
+  * X different between biological groups"; drift asks "is the WHOLE
+  * distribution different between time slices").
+  *
+  * Two standard statistics, both engine-deterministic and
+  * SQL-replayable:
+  *
+  * '''PSI''' (population stability index, the industry drift score):
+  * fixed affine binning of the value range, per-bin population
+  * fractions `p` (reference) and `q` (current), then
+  * `PSI = Σ_bins (q − p) · ln(q / p)` with `max(frac, eps)`
+  * smoothing so empty bins stay finite. Bins empty on BOTH sides
+  * contribute `(eps − eps)·ln 1 = 0`, so enumerating only observed
+  * bins is exact. Each side collapses to at most `groups × bins`
+  * rows in ONE map-side-combinable `groupBy` before anything joins —
+  * the 100 TB row frames never meet, only the tiny histograms do.
+  *
+  * '''KS''' (two-sample Kolmogorov–Smirnov statistic):
+  * `D = max_x |F_a(x) − F_b(x)|` over the pooled observed values.
+  * Computed on the DISTINCT-value frame: `groupBy(group, value)`
+  * side counts (map-side combinable, one shuffle), cumulative sums
+  * by value inside each group window, max absolute ECDF gap. Every
+  * intermediate is a ratio of exact integer counts, so the statistic
+  * is bit-stable across engines. Scale note: the window partition
+  * carries one group's DISTINCT values, not its rows — bounded for
+  * discrete/quantized features (the intended regime); for unbounded
+  * continuous data use [[psi]]'s fixed bins instead.
+  */
+object DriftOps {
+
+  private def snap(c: Column, grid: Double): Column =
+    floor(c * grid + lit(0.5)) / grid
+
+  /** Per-group PSI of `cur` against `ref` over `valueCol`, with
+    * `bins` equal-width bins on [lo, hi] (values outside clamp to
+    * the edge bins, nulls drop). Groups present in only one side
+    * score against an all-`eps` opposite histogram.
+    *
+    * Conventional reading: PSI < 0.1 stable, 0.1–0.25 moderate
+    * shift, > 0.25 major shift.
+    *
+    * @return one row per group: (groupCols*, psi, n_ref, n_cur),
+    *         psi on the 1e-6 grid (per-bin terms snapped to 1e-9 so
+    *         the Σ is rounding-stable cross-engine).
+    */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(eps > 0, s"eps must be positive, got $eps")
+    val width = (hi - lo) / bins
+    val gcols = groupCols.map(col)
+
+    def hist(df: DataFrame, fracName: String, nName: String): DataFrame = {
+      val binned = df
+        .filter(col(valueCol).isNotNull)
+        .select(gcols :+
+          least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)),
+            lit(bins - 1)).cast("long").as("bin"): _*)
+      // tiny frame from here on: ≤ groups × bins rows
+      val counts = binned.groupBy(gcols :+ col("bin"): _*).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(groupCols.map(counts(_)): _*)
+      counts.select(gcols ++ Seq(col("bin"),
+        (col("c").cast("double") / sum(col("c")).over(w)).as(fracName),
+        sum(col("c")).over(w).as(nName)): _*)
+    }
+
+    val p = hist(ref, "p", "n_ref")
+    val q = hist(cur, "q", "n_cur")
+    val joined = p.join(q, groupCols :+ "bin", "full_outer")
+    val pe = greatest(coalesce(col("p"), lit(0.0)), lit(eps))
+    val qe = greatest(coalesce(col("q"), lit(0.0)), lit(eps))
+    joined
+      .select(gcols ++ Seq(
+        snap((qe - pe) * log(qe / pe), 1e9).as("term"),
+        col("n_ref"), col("n_cur")): _*)
+      .groupBy(gcols: _*)
+      .agg(
+        snap(sum(col("term")), 1e6).as("psi"),
+        coalesce(max(col("n_ref")), lit(0L)).as("n_ref"),
+        coalesce(max(col("n_cur")), lit(0L)).as("n_cur"))
+  }
+
+  /** Per-group two-sample KS statistic between cohorts `a` and `b`
+    * over `valueCol` (nulls drop). Groups present in only one
+    * cohort get D = 1 exactly (the empty side's ECDF is 0
+    * everywhere).
+    *
+    * @return one row per group: (groupCols*, ks_stat, n_a, n_b),
+    *         ks_stat on the 1e-6 grid.
+    */
+  def ksStatistic(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val gcols = groupCols.map(col)
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(gcols ++ Seq(col(valueCol).as("v"), lit(tag).as("side")): _*)
+    val pooled = side(a, 0).unionByName(side(b, 1))
+    val counts = pooled
+      .groupBy(gcols :+ col("v"): _*)
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val grp = Window.partitionBy(groupCols.map(counts(_)): _*)
+    val cum = grp.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(gcols ++ Seq(
+        sum(col("ca")).over(cum).as("cuma"),
+        sum(col("cb")).over(cum).as("cumb"),
+        sum(col("ca")).over(grp).as("na"),
+        sum(col("cb")).over(grp).as("nb")): _*)
+      .groupBy(gcols: _*)
+      .agg(
+        snap(max(abs(
+          when(col("na") > 0, col("cuma").cast("double") / col("na")).otherwise(lit(0.0)) -
+          when(col("nb") > 0, col("cumb").cast("double") / col("nb")).otherwise(lit(0.0)))),
+          1e6).as("ks_stat"),
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"))
+  }
+}
