@@ -1568,6 +1568,29 @@ object SparkEntry {
       }.filter(col("user_id") =!= PusherId)
     }),
 
+    // ---- M12: stream-STREAM interval join — view→purchase
+    //      attribution within 1 hour, both sides arriving as
+    //      streams of the same file source. Inner matches emit in
+    //      the batch where both sides land, so the streamed result
+    //      is exactly the batch join the oracle replays. ----
+    "q_stream_join" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+        streamTable(s, dir, "events", EventsSchema), "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+      val joined = graft.streaming.EventStreams.streamIntervalJoin(
+        views, "v_user", "view_ts",
+        purchases, "p_user", "purchase_ts",
+        maxLag = "1 hour", watermark = "36500 days")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(joined.select("view_id", "purchase_id", "v_user"), "m12join")
+      }
+    }),
+
     // ---- HyperLogLog cardinality per group. The md5-based register
     //      computation and the exact decimal harmonic sum make the
     //      ESTIMATE itself a deterministic function of the input set
@@ -2840,6 +2863,12 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  floor((sum(value)) * 1000000 + 0.5) / 1000000 AS total_value
         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id AS v_user
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
 
     // md5-register HLL replayed digit-by-digit; the harmonic sum is
     // the exact integer Σ 2^(53−M) in HUGEINT (summation-order-proof),

@@ -417,6 +417,49 @@ object EventStreams {
         col("e.id").as("event_id"), col("e.score").as("value"), (col("pos") + 1).as("rank"))
   }
 
+  /** Stream-STREAM interval join: every (l, r) pair with matching
+    * keys where `r`'s event time lands in `[l.ts, l.ts + maxLag]` —
+    * the attribution join (view→purchase, impression→click,
+    * request→response) that stream-STATIC joins (M6/M9/M10) cannot
+    * express because BOTH sides arrive continuously.
+    *
+    * Spark's stream-stream inner join is exactly the right engine:
+    * both sides hash-partition on the join key into the state store
+    * (co-partitioned — ONE shuffle each, no rescan), and the
+    * watermark + the time-range bound on both event-time columns
+    * let the engine evict state as the watermark passes `maxLag` —
+    * per-key state is bounded by the lag horizon, not the stream
+    * length. Inner-join matches emit in the microbatch where both
+    * sides are present; no result waits on watermark advance.
+    *
+    * Batch parity: on batch frames the same plan is a plain
+    * range-predicated equi-join (watermarks are no-ops), so one
+    * call site serves both the streaming path and its oracle twin.
+    *
+    * Column names must be disjoint across the two sides (rename
+    * before joining — keeps the output schema unambiguous without
+    * prefix-mangling).
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      leftKey: String,
+      leftTs: String,
+      right: DataFrame,
+      rightKey: String,
+      rightTs: String,
+      maxLag: String,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"left/right column names must be disjoint, shared: $overlap")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxLag"))
+  }
+
   /** File-source streaming read of an events directory with the
     * static schema — the entry point for a real deployment
     * (swap for Kafka by changing format only).
