@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the transitive-closure step a
@@ -121,15 +122,31 @@ object GraphOps {
     require(iters > 0, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
-    val edges = edges0.select(col("src"), col("dst")).distinct()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // The big edge frame materializes in ONE shuffle: repartition on
+    // `src` first — HashPartitioning(src) satisfies the (src,dst)
+    // clustering dropDuplicates needs AND the per-iteration join key,
+    // so the dedup runs in-partition, the out-degree is a sort-only
+    // window over the same partitioning, and no second exchange ever
+    // touches the 100 TB side. Everything downstream (node set,
+    // dangling set, every iteration) reads this cache, never the
+    // caller's edge-building plan (itself a big join at scale).
+    val em = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))).cast("double"))
+      .persist()
+    em.count()
+    val nodes = em
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count().toDouble
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-    // the big frame, partitioned once by the per-iteration join key
-    val em = edges.join(outdeg, "src")
-      .repartition(col("src")).persist()
+    // the dangling SET is static across iterations (nodes with no
+    // out-edges) — compute it once; only its rank MASS changes per
+    // round, a broadcast-semi-join aggregate over the tiny set
+    val dang = nodes
+      .join(em.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
     var ranks = nodes.select(col("node"), snap(lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
     try {
@@ -138,7 +155,7 @@ object GraphOps {
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("contrib"))
         val dangling = ranks
-          .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+          .join(dang, Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
         ranks = nodes
           .join(contrib, nodes("node") === contrib("dst"), "left")
