@@ -1158,6 +1158,21 @@ object SparkEntry {
           col("bh_rank"))
     }),
 
+    // ---- N16: robust outlier detection — median/MAD z-scores on
+    //      event values per type, |z| > 3.5 (Iglewicz–Hoaglin). The
+    //      exact quantiles come from the distinct-value cumulative
+    //      machinery, so every med/mad/z is replayable arithmetic
+    //      over integer counts — no quantile_cont formula roulette. ----
+    "q_outliers" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"))
+      StatsOps.robustZ(ev, Seq("event_type"), "value")
+        .filter(abs(col("robust_z")) > 3.5)
+        .select(col("event_id"), col("event_type"),
+          hround(col("value"), 6).as("value"), hround(col("med"), 6).as("med"),
+          hround(col("mad"), 6).as("mad"), hround(col("robust_z"), 6).as("robust_z"))
+    }),
+
     // ---- N14: PSI drift score — 1998+ orders against the pre-1998
     //      reference, per priority class, 20 equal bins on total
     //      price. Each side collapses to ≤ groups×bins rows before
@@ -2532,6 +2547,57 @@ object SparkEntry {
         |  floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 AS p_value,
         |  ROW_NUMBER() OVER (ORDER BY floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 ASC, feature ASC) AS bh_rank
         |FROM hh""".stripMargin,
+
+    // exact type-7 quantiles replayed from integer counts with the
+    // IDENTICAL interpolation expression (vlo + (h−⌊h⌋)(vhi−vlo)) —
+    // never quantile_cont, whose interpolation formula is the
+    // engine's own choice
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+        |), cnt AS (
+        |  SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2
+        |), st AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM cnt
+        |), mq AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN cumc - c <= floor((n-1)*0.5) AND floor((n-1)*0.5) < cumc THEN v END) AS vlo,
+        |    MAX(CASE WHEN cumc - c <= ceil((n-1)*0.5) AND ceil((n-1)*0.5) < cumc THEN v END) AS vhi,
+        |    MAX((n-1)*0.5) AS h
+        |  FROM st GROUP BY 1
+        |), m AS (
+        |  SELECT g, vlo + (h - floor(h)) * (vhi - vlo) AS med FROM mq
+        |), d AS (
+        |  SELECT s.event_id, s.g, s.v, m.med, abs(s.v - m.med) AS dev FROM s JOIN m USING (g)
+        |), dcnt AS (
+        |  SELECT g, dev, COUNT(*) AS c FROM d GROUP BY 1, 2
+        |), dst AS (
+        |  SELECT g, dev, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY dev ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM dcnt
+        |), dq AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN cumc - c <= floor((n-1)*0.5) AND floor((n-1)*0.5) < cumc THEN dev END) AS vlo,
+        |    MAX(CASE WHEN cumc - c <= ceil((n-1)*0.5) AND ceil((n-1)*0.5) < cumc THEN dev END) AS vhi,
+        |    MAX((n-1)*0.5) AS h
+        |  FROM dst GROUP BY 1
+        |), md AS (
+        |  SELECT g, vlo + (h - floor(h)) * (vhi - vlo) AS mad FROM dq
+        |), z AS (
+        |  SELECT d.event_id, d.g, d.v, d.med, md.mad,
+        |    0.6745 * (d.v - d.med) / md.mad AS rz
+        |  FROM d JOIN md USING (g) WHERE md.mad > 0
+        |)
+        |SELECT event_id, g AS event_type,
+        |  floor(v * 1000000 + 0.5) / 1000000 AS value,
+        |  floor(med * 1000000 + 0.5) / 1000000 AS med,
+        |  floor(mad * 1000000 + 0.5) / 1000000 AS mad,
+        |  floor(rz * 1000000 + 0.5) / 1000000 AS robust_z
+        |FROM z WHERE abs(rz) > 3.5""".stripMargin,
 
     "q_drift_psi" ->
       """WITH b AS (

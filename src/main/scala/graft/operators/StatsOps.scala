@@ -240,6 +240,92 @@ object StatsOps {
     * broadcast join to a (feature → level) mapping — e.g. OTU →
     * genus/phylum taxonomy rollup.
     */
+  /** EXACT per-group linear-interpolation quantile (the ANSI
+    * `quantile_cont` / NumPy type-7 convention: index `h = (n−1)·q`,
+    * result `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`) computed WITHOUT
+    * buffering a group's values in any single aggregator — the
+    * scale problem with `percentile()`-style exact aggregates, whose
+    * state is the whole group.
+    *
+    * Shape: ONE map-side-combinable `groupBy(group, value)` count,
+    * then cumulative windows over the DISTINCT-VALUE frame pick the
+    * two covering values. Memory is bounded by a group's distinct
+    * values, not its rows — exact quantiles stay cheap for
+    * quantized/discrete features at any row scale (for unbounded
+    * continuous data at 100 TB, `approx_percentile` is the
+    * documented trade).
+    *
+    * @return one row per group: (groupCols*, q_value)
+    */
+  def groupQuantileExact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      q: Double
+  ): DataFrame = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
+    val gcols = groupCols.map(col)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(gcols :+ col(valueCol).cast("double").as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val grp = Window.partitionBy(groupCols.map(counts(_)): _*)
+    val cum = grp.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = counts.select(gcols ++ Seq(col("v"), col("c"),
+      sum(col("c")).over(cum).as("cumc"),
+      sum(col("c")).over(grp).as("n")): _*)
+    // 0-indexed target positions: h = (n−1)q; value v covers
+    // positions [cumc − c, cumc − 1]
+    val h = (col("n") - 1).cast("double") * lit(q)
+    val lo = floor(h)
+    val hi = ceil(h)
+    staged
+      .groupBy(gcols: _*)
+      .agg(
+        max(when(col("cumc") - col("c") <= lo && lo < col("cumc"), col("v"))).as("vlo"),
+        max(when(col("cumc") - col("c") <= hi && hi < col("cumc"), col("v"))).as("vhi"),
+        max(h).as("h"))
+      .select(gcols :+
+        (col("vlo") + (col("h") - floor(col("h"))) * (col("vhi") - col("vlo")))
+          .as("q_value"): _*)
+  }
+
+  /** Robust per-group outlier scores: `z = 0.6745·(x − med) / MAD`
+    * with `med` the exact group median and `MAD` the exact median
+    * absolute deviation (0.6745 = Φ⁻¹(3/4), the standard-normal
+    * consistency factor — |z| > 3.5 is the classic Iglewicz–Hoaglin
+    * cut). The median/MAD pair is the outlier detector that heavy
+    * tails can't break: a mean/stddev z-score lets extreme rows
+    * inflate σ and mask themselves.
+    *
+    * Plan shape: two [[groupQuantileExact]] passes (med, then MAD of
+    * the broadcast-joined deviations) + one broadcast join back —
+    * the row frame shuffles only inside the two distinct-value
+    * counts, and the tiny per-group frames ride broadcasts.
+    * Degenerate groups (MAD = 0, e.g. >50% identical values) emit
+    * null `robust_z` rather than ±∞.
+    *
+    * @return the input columns + (med, mad, robust_z)
+    */
+  def robustZ(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val med = groupQuantileExact(df, groupCols, valueCol, 0.5)
+      .withColumnRenamed("q_value", "med")
+    val withMed = df.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = groupQuantileExact(withMed, groupCols, "dev", 0.5)
+      .withColumnRenamed("q_value", "mad")
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z",
+        when(col("mad") > 0,
+          lit(0.6745) * (col(valueCol) - col("med")) / col("mad")))
+      .drop("dev")
+  }
+
   def rollup(
       fact: DataFrame,
       mapping: DataFrame,
