@@ -1583,6 +1583,35 @@ object SparkEntry {
       }.filter(col("user_id") =!= PusherId)
     }),
 
+    // ---- M13: streaming HLL — distinct users per (3-day window,
+    //      event type) as a windowed register-max aggregation; state
+    //      per cell is ≤ 2^p register rows regardless of event count,
+    //      and the emitted registers stay max-mergeable downstream.
+    //      The harmonic-sum estimate runs batch-side on the sink
+    //      (append mode allows one agg). Far-future pusher closes
+    //      every real window; its own window never emits. ----
+    "q_stream_hll" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("event_type"), col("user_id"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit("zz_pusher").as("event_type"), lit(PusherId).as("user_id"))
+      val regs = SketchOps.hllRegistersWindowed(
+        ev.unionByName(pusher), "ts", Seq("event_type"), "user_id",
+        windowLen = "3 days", watermark = "1 hour")
+      val sunk = graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        runStreamToMemory(regs, "m13hll")
+      }
+      SketchOps.hllEstimateFromRegisters(
+          sunk.filter(col("event_type") =!= "zz_pusher"),
+          Seq("window_start", "event_type"))
+        .select(expr("unix_micros(window_start)").as("start_us"),
+          col("event_type"), col("hll_est"), col("registers_hit"))
+    }),
+
     // ---- M12: stream-STREAM interval join — view→purchase
     //      attribution within 1 hour, both sides arriving as
     //      streams of the same file source. Inner matches emit in
@@ -2935,6 +2964,50 @@ object SparkEntry {
         |FROM events v JOIN events p ON v.user_id = p.user_id
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // q_hll's md5-register replay, keyed by the epoch-aligned 3-day
+    // tumbling window Spark's window() assigns
+    "q_stream_hll" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS start_us,
+        |    event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL
+        |), idx AS (
+        |  SELECT start_us, event_type,
+        |    ((instr('0123456789abcdef', substr(h,1,1))-1)*16
+        |      + (instr('0123456789abcdef', substr(h,2,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,3,1))-1) AS reg_idx,
+        |    substr(h,4,13) AS rest
+        |  FROM h
+        |), rk AS (
+        |  SELECT start_us, event_type, reg_idx,
+        |    length(regexp_extract(rest, '^(0*)', 1)) AS z,
+        |    instr('0123456789abcdef',
+        |      substr(rest, length(regexp_extract(rest, '^(0*)', 1))+1, 1))-1 AS d
+        |  FROM idx
+        |), regs AS (
+        |  SELECT start_us, event_type, reg_idx,
+        |    max(CASE WHEN z = 13 THEN 53
+        |        ELSE z*4 + (CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                         WHEN d >= 2 THEN 2 ELSE 3 END) + 1 END) AS m
+        |  FROM rk GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT start_us, event_type, count(*) AS registers_hit,
+        |    sum(CAST(pow(2.0, 53 - m) AS HUGEINT)) AS s
+        |  FROM regs GROUP BY 1, 2
+        |), est AS (
+        |  SELECT start_us, event_type, registers_hit, 4096 - registers_hit AS v,
+        |    0.7213/(1.0 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0
+        |      / CAST(s + CAST(4096 - registers_hit AS HUGEINT)
+        |                 * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT start_us, event_type,
+        |  floor((CASE WHEN raw <= 10240.0 AND v > 0
+        |              THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+        |              ELSE raw END) * 1000000 + 0.5)/1000000 AS hll_est,
+        |  registers_hit
+        |FROM est""".stripMargin,
 
     // md5-register HLL replayed digit-by-digit; the harmonic sum is
     // the exact integer Σ 2^(53−M) in HUGEINT (summation-order-proof),

@@ -38,12 +38,10 @@ object SketchOps {
   /** HLL register frame: one row per (group, register) hit, with the
     * max rank. `p` must be a multiple of 4 (hex alignment) in 4..16.
     */
-  def hllRegisters(
-      df: DataFrame,
-      groupCols: Seq[String],
-      valueCol: String,
-      p: Int = 12
-  ): DataFrame = {
+  /** (register index, rank) column pair for one value column —
+    * shared by the batch and windowed-streaming register builders.
+    */
+  private def idxAndRank(valueCol: String, p: Int): (Column, Column) = {
     require(p >= 4 && p <= 16 && p % 4 == 0, s"p must be in {4,8,12,16}, got $p")
     val nIdxChars = p / 4
     val h = md5(col(valueCol).cast("string"))
@@ -60,10 +58,51 @@ object SketchOps {
       .when(firstDigit >= 2, 2)
       .otherwise(3) // digit 1 (0 impossible: it's the first NON-zero)
     val rank = when(z === 13, lit(53)).otherwise(z * 4 + lz4 + 1)
+    (idx, rank)
+  }
+
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 12
+  ): DataFrame = {
+    val (idx, rank) = idxAndRank(valueCol, p)
     df.filter(col(valueCol).isNotNull)
       .select(groupCols.map(col) :+ idx.as("reg_idx") :+ rank.as("rank"): _*)
       .groupBy(groupCols.map(col) :+ col("reg_idx"): _*)
       .agg(max(col("rank")).as("max_rank"))
+  }
+
+  /** STREAMING register builder: per-(event-time window, group)
+    * register maxes as a single streaming aggregation — the only
+    * agg shape append mode allows, and exactly the state HLL wants:
+    * per (window, group) the state is ≤ m register rows no matter
+    * how many events the window sees, and `max` is idempotent so
+    * late in-watermark arrivals fold in for free. The harmonic-sum
+    * estimate is a batch post-pass over the emitted registers
+    * ([[hllEstimateFromRegisters]]) — sketches leave the stream
+    * mergeable, so downstream can also re-`max` across days or
+    * shards before estimating. Works identically on a batch frame
+    * (the oracle twin).
+    */
+  def hllRegistersWindowed(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      windowLen: String,
+      watermark: String = "2 hours",
+      p: Int = 12
+  ): DataFrame = {
+    val (idx, rank) = idxAndRank(valueCol, p)
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.filter(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen).as("w") +:
+        groupCols.map(col) :+ idx.as("reg_idx"): _*)
+      .agg(max(rank).as("max_rank"))
+      .select(col("w.start").as("window_start") +:
+        groupCols.map(col) :+ col("reg_idx") :+ col("max_rank"): _*)
   }
 
   /** Per-group HLL cardinality estimate with the standard
@@ -76,6 +115,18 @@ object SketchOps {
       groupCols: Seq[String],
       valueCol: String,
       p: Int = 12
+  ): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Collapse a register frame (groupCols + reg_idx + max_rank —
+    * from [[hllRegisters]], [[hllRegistersWindowed]], or a `max`-
+    * merge of several of them) into the per-group estimate.
+    * Output: groupCols + (hll_est, registers_hit), 1e-6 grid.
+    */
+  def hllEstimateFromRegisters(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 12
   ): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     val m = 1 << p
@@ -84,7 +135,6 @@ object SketchOps {
       case 8 => 0.7182725932495458 // 0.7213/(1+1.079/256)
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    val regs = hllRegisters(df, groupCols, valueCol, p)
     // EXACT harmonic numerator: Σ 2^(53 - M_j) over hit registers,
     // in decimal so partial-agg order can't change the rounding;
     // unhit registers contribute 2^53 each (M = 0).
