@@ -1158,6 +1158,28 @@ object SparkEntry {
           col("bh_rank"))
     }),
 
+    // ---- C24: trailing 1-hour rolling aggregates per user over the
+    //      event stream — one shuffle on the key, range frame on the
+    //      microsecond axis. ----
+    "q_rolling" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      StatsOps.rollingAgg(ev, Seq("user_id"), "ts", "value", "1 hour")
+        .select(col("event_id"), col("user_id"), col("roll_cnt"),
+          hround(col("roll_sum"), 6).as("roll_sum"),
+          hround(col("roll_avg"), 6).as("roll_avg"))
+    }),
+
+    // ---- C25: CUBE over (returnflag, linestatus) — all four
+    //      grouping sets in one pass with explicit grouping flags. ----
+    "q_cube" -> ((s, dir) => {
+      BioLoader.load(s, t(dir, "lineitem"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), hround(sum("l_quantity"), 6).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+    }),
+
     // ---- N16: robust outlier detection — median/MAD z-scores on
     //      event values per type, |z| > 3.5 (Iglewicz–Hoaglin). The
     //      exact quantiles come from the distinct-value cumulative
@@ -2576,6 +2598,25 @@ object SparkEntry {
         |  floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 AS p_value,
         |  ROW_NUMBER() OVER (ORDER BY floor(exp(-(h / 2.0)) * 1000000 + 0.5) / 1000000 ASC, feature ASC) AS bh_rank
         |FROM hh""".stripMargin,
+
+    "q_rolling" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  count(value) OVER w AS roll_cnt,
+        |  floor(sum(value) OVER w * 1000000 + 0.5) / 1000000 AS roll_sum,
+        |  floor(sum(value) OVER w / count(value) OVER w * 1000000 + 0.5) / 1000000 AS roll_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  floor(sum(l_quantity) * 1000000 + 0.5) / 1000000 AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // exact type-7 quantiles replayed from integer counts with the
     // IDENTICAL interpolation expression (vlo + (h−⌊h⌋)(vhi−vlo)) —

@@ -240,6 +240,43 @@ object StatsOps {
     * broadcast join to a (feature → level) mapping — e.g. OTU →
     * genus/phylum taxonomy rollup.
     */
+  /** Trailing event-time window aggregates per key — the moving
+    * average/sum/count of time-series feature engineering ("events
+    * per user in the last hour", "rolling mean sensor value").
+    *
+    * Pure window shape: ONE shuffle on the partition keys, then an
+    * in-partition sort and a `rangeBetween` frame on the MICROSECOND
+    * axis. Spark's `SlidingWindowFunctionFrame` re-aggregates a
+    * frame when its boundaries move, so per-key cost is
+    * O(rows · rows-in-horizon) worst case — fine whenever the
+    * horizon holds bounded rows (the monitoring regime); for dense
+    * keys widen the partition axis or pre-bucket time. Skew is
+    * bounded by the hottest key's row count, same as any keyed
+    * window. Emits `roll_cnt`, `roll_sum`, `roll_avg` over
+    * `[ts − horizon, ts]` inclusive.
+    */
+  def rollingAgg(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      horizon: String
+  ): DataFrame = {
+    val micros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    require(micros.months == 0 && micros.days == 0,
+      s"horizon must be sub-day-exact (hours/minutes/seconds), got '$horizon'")
+    val w = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__us"))
+      .rangeBetween(-micros.microseconds, 0)
+    df.withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("roll_cnt", count(col(valueCol)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_avg", col("roll_sum") / col("roll_cnt"))
+      .drop("__us")
+  }
+
   /** EXACT per-group linear-interpolation quantile (the ANSI
     * `quantile_cont` / NumPy type-7 convention: index `h = (n−1)·q`,
     * result `v_lo + (h − ⌊h⌋)·(v_hi − v_lo)`) computed WITHOUT
