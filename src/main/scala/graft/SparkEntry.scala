@@ -1170,6 +1170,20 @@ object SparkEntry {
           hround(col("roll_avg"), 6).as("roll_avg"))
     }),
 
+    // ---- C26: ordered funnel view→click→purchase per user — the
+    //      strictly-increasing earliest chain, one shuffle of the
+    //      step-typed events only. ----
+    "q_funnel" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      FunnelOps.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          expr("unix_micros(t_0)").as("t0_us"),
+          expr("unix_micros(t_1)").as("t1_us"),
+          expr("unix_micros(t_2)").as("t2_us"),
+          col("reached"))
+    }),
+
     // ---- C25: CUBE over (returnflag, linestatus) — all four
     //      grouping sets in one pass with explicit grouping flags. ----
     "q_cube" -> ((s, dir) => {
@@ -2610,6 +2624,32 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM s
+        |), s0 AS (
+        |  SELECT user_id, min(us) AS t0 FROM s WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s.user_id, min(us) AS t1 FROM s
+        |  JOIN s0 ON s.user_id = s0.user_id AND s.us > s0.t0
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s.user_id, min(us) AS t2 FROM s
+        |  JOIN s1 ON s.user_id = s1.user_id AND s.us > s1.t1
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT u.user_id, s0.t0 AS t0_us, s1.t1 AS t1_us, s2.t2 AS t2_us,
+        |  (CASE WHEN s0.t0 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) AS reached
+        |FROM u
+        |LEFT JOIN s0 USING (user_id)
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

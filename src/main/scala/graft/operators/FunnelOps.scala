@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event log: for a step sequence
+  * `A → B → C`, each user's conversion times are the earliest
+  * strictly-increasing chain `t_A = min ts(A)`,
+  * `t_B = min { ts(B) > t_A }`, `t_C = min { ts(C) > t_B }` — the
+  * product-analytics primitive behind conversion/retention reporting,
+  * and a natural companion to sessionization (M3/M11).
+  *
+  * ONE shuffle: rows not typed as any funnel step drop BEFORE the
+  * `groupBy(user)`, the shuffle carries only step-typed events, and
+  * the per-user state is one timestamp list per step (bounded by the
+  * user's step-event counts — funnel steps are the rare events by
+  * construction). The chain resolution is pure higher-order column
+  * arithmetic (`array_min(filter(…))` with the previous step's time
+  * captured in the lambda) — codegen-friendly, no UDF, no second
+  * pass, no join-back.
+  *
+  * Null chaining gives the funnel semantics for free: a user who
+  * never reached step i has `t_i` null, the lambda `x > null`
+  * evaluates null, `filter` drops it, `array_min(empty)` is null —
+  * so all later steps stay null and `reached` is monotone.
+  *
+  * @param steps the ordered step types (≥ 1); a user appears in the
+  *              output iff they have at least one step-typed event
+  * @return one row per user: (userCol, t_0 … t_{k−1}, reached) with
+  *         `t_i` the step-i conversion TIMESTAMP and `reached` the
+  *         number of completed steps
+  */
+object FunnelOps {
+
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, s"steps must be distinct, got $steps")
+    val aggd = events
+      .filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(
+        collect_list(when(col(typeCol) === steps.head, col(tsCol))).as("__s0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          collect_list(when(col(typeCol) === s, col(tsCol))).as(s"__s${i + 1}")
+        }: _*)
+    val times = steps.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
+      val t =
+        if (i == 0) array_min(col("__s0"))
+        else array_min(filter(col(s"__s$i"), x => x > acc.last))
+      acc :+ t
+    }
+    val reached = times.map(t => when(t.isNotNull, 1).otherwise(0)).reduce(_ + _)
+    aggd.select(
+      col(userCol) +:
+        times.zipWithIndex.map { case (t, i) => t.as(s"t_$i") } :+
+        reached.as("reached"): _*)
+  }
+}
