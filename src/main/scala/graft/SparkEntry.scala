@@ -1680,6 +1680,19 @@ object SparkEntry {
         BioLoader.load(s, t(dir, "lineitem")), Seq("l_returnflag"), "l_orderkey")
     }),
 
+    // ---- C27: count-min sketch — per-returnflag supplier
+    //      frequencies estimated from the fixed d×w grid and checked
+    //      against the exact counts; same hash-oracle design as HLL
+    //      (md5-derived buckets, integer arithmetic throughout). ----
+    "q_cms" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select(col("l_returnflag"), col("l_suppkey"))
+      val sketch = SketchOps.cmsSketch(li, Seq("l_returnflag"), "l_suppkey")
+      val probes = li.groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n_true"))
+      SketchOps.cmsEstimate(sketch, Seq("l_returnflag"), probes, "l_suppkey")
+    }),
+
     // ---- PageRank (3 damped power iterations) on the customer →
     //      supplier graph from orders ⋈ lineitem. Ranks snap to the
     //      1e-9 grid each iteration so the unrolled-SQL replay lands on
@@ -3089,6 +3102,32 @@ object SparkEntry {
         |              ELSE raw END) * 1000000 + 0.5)/1000000 AS hll_est,
         |  registers_hit
         |FROM est""".stripMargin,
+
+    "q_cms" ->
+      """WITH items AS (
+        |  SELECT l_returnflag AS g, l_suppkey AS x FROM lineitem WHERE l_suppkey IS NOT NULL
+        |), hx AS (
+        |  SELECT g, x, j,
+        |    ((((instr('0123456789abcdef', substr(h,1,1))-1)*16
+        |      + (instr('0123456789abcdef', substr(h,2,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,3,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,4,1))-1)) % 2048 AS bucket
+        |  FROM (SELECT g, x, j, md5(CAST(j AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS h
+        |        FROM items CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+        |), sk AS (
+        |  SELECT g, j, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2, 3
+        |), probes AS (
+        |  SELECT g, x, count(*) AS n_true FROM items GROUP BY 1, 2
+        |), pb AS (
+        |  SELECT p.g, p.x, p.n_true, h.j, h.bucket
+        |  FROM probes p JOIN (SELECT DISTINCT g, x, j, bucket FROM hx) h
+        |    ON p.g = h.g AND p.x = h.x
+        |)
+        |SELECT pb.g AS l_returnflag, pb.x AS l_suppkey, pb.n_true,
+        |  min(coalesce(sk.cnt, 0)) AS cms_est
+        |FROM pb LEFT JOIN sk
+        |  ON pb.g = sk.g AND pb.j = sk.j AND pb.bucket = sk.bucket
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // md5-register HLL replayed digit-by-digit; the harmonic sum is
     // the exact integer Σ 2^(53−M) in HUGEINT (summation-order-proof),

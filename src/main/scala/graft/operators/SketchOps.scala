@@ -118,6 +118,82 @@ object SketchOps {
   ): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
 
+  /** (row_j, bucket) struct columns for one value — the d hash rows
+    * of a count-min sketch. Bucket j is the first 16 bits of
+    * `md5("j:" || value)` mod `w` — identical arithmetic in every
+    * engine, same oracle-exactness design as the HLL registers.
+    */
+  private def cmsPairs(valueCol: String, d: Int, w: Int): Seq[Column] = {
+    require(d >= 1 && d <= 16, s"need 1 <= d <= 16 hash rows, got $d")
+    require(w >= 2 && w <= 65536, s"need 2 <= w <= 65536 buckets, got $w")
+    (0 until d).map { j =>
+      val h = md5(concat(lit(s"$j:"), col(valueCol).cast("string")))
+      val v = (1 to 4).map(i => hexVal(substring(h, i, 1))).reduce((a, b) => a * 16 + b)
+      struct(lit(j).as("row_j"), (v % w).as("bucket"))
+    }
+  }
+
+  /** Count-min sketch build (Cormode–Muthukrishnan 2005): per group,
+    * a d×w grid of non-negative counters; item frequency estimates
+    * read `min_j grid[j][h_j(x)]` — always an OVER-estimate, with the
+    * classic ε=e/w, δ=e^{−d} error bound. The frequency-sketch
+    * complement of [[hllRegisters]] (cardinality) and the
+    * SpaceSaving top-k aggregate (heavy hitters): CMS answers point
+    * frequency for ANY item after one pass, in fixed space.
+    *
+    * Shape: ONE map-side-combinable `groupBy(group, row_j, bucket)`
+    * — each input partition collapses to ≤ d·w rows per group before
+    * the shuffle, and the sketch frame is ≤ groups·d·w rows total
+    * regardless of item cardinality. Sketches MERGE by summing
+    * matching cells (union two frames + re-sum), so per-day/shard
+    * sketches roll up without touching raw data. All integer
+    * arithmetic — deterministic, hash-oracle-able.
+    *
+    * @return (groupCols*, row_j, bucket, cnt)
+    */
+  def cmsSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      d: Int = 4,
+      w: Int = 2048
+  ): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        explode(array(cmsPairs(valueCol, d, w): _*)).as("rb"): _*)
+      .select(groupCols.map(col) :+ col("rb.row_j").as("row_j") :+
+        col("rb.bucket").as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("row_j") :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for `probeCol` items against a
+    * [[cmsSketch]] frame: explode each probe into its d cells, LEFT
+    * join the sketch (absent cell = exact 0), take the row-wise min.
+    * The probe side is typically tiny → the join broadcasts; the
+    * sketch frame is ≤ groups·d·w rows by construction.
+    *
+    * @return probe frame columns + `cms_est` (≥ the true count,
+    *         with P[est > true + ε·N] ≤ δ)
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      probes: DataFrame,
+      probeCol: String,
+      d: Int = 4,
+      w: Int = 2048
+  ): DataFrame = {
+    val exploded = probes
+      .select(probes.columns.map(col) :+
+        explode(array(cmsPairs(probeCol, d, w): _*)).as("rb"): _*)
+      .select(probes.columns.map(col) :+ col("rb.row_j").as("row_j") :+
+        col("rb.bucket").as("bucket"): _*)
+    exploded
+      .join(sketch, groupCols ++ Seq("row_j", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Collapse a register frame (groupCols + reg_idx + max_rank —
     * from [[hllRegisters]], [[hllRegistersWindowed]], or a `max`-
     * merge of several of them) into the per-group estimate.
