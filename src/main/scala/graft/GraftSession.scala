@@ -19,6 +19,9 @@ object GraftSession {
       // nanosecond parquet timestamps surface as long (epoch nanos);
       // graft normalizes them via TimeOps.nanosToTimestamp
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one timestamp flavor engine-wide: naive parquet timestamps
+      // read as UTC instants (see BioLoader.normalizeNtz)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

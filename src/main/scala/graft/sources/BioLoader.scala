@@ -107,7 +107,30 @@ object BioLoader {
     loadOne(spark, expanded, csv, exts.head)
   }
 
-  private def loadOne(spark: SparkSession, paths: Seq[String], csv: CsvOptions, ext: String): DataFrame = {
+  private def loadOne(spark: SparkSession, paths: Seq[String], csv: CsvOptions, ext: String): DataFrame =
+    normalizeNtz(loadOneRaw(spark, paths, csv, ext))
+
+  /** Engine timestamp contract: one timestamp flavor, UTC-normalized
+    * `TimestampType`. Parquet files written with naive (not
+    * UTC-adjusted) timestamps surface as `TIMESTAMP_NTZ` under Spark
+    * 4's default inference; event-time operators (watermarks,
+    * `unix_micros`, window functions) require `TIMESTAMP`, so a
+    * naive column is reinterpreted here as a UTC instant — the same
+    * reading DuckDB/pandas give naive timestamps under a UTC
+    * session, which keeps oracle replays bit-identical. Cast is a
+    * zero-cost reinterpretation under a UTC session timezone (the
+    * session contract set by Verify/Bench).
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else ntz.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
+    }
+  }
+
+  private def loadOneRaw(spark: SparkSession, paths: Seq[String], csv: CsvOptions, ext: String): DataFrame = {
     ext match {
       case "parquet" => spark.read.parquet(paths: _*)
       case "orc"     => spark.read.orc(paths: _*)
@@ -185,6 +208,9 @@ object BioLoader {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr(s"`$c` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive timestamp → UTC instant (see normalizeNtz contract)
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp"))
       case _ => df
     }
 

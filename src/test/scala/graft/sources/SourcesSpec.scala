@@ -594,4 +594,25 @@ class SourcesSpec extends SparkSpec {
       server.stop(0)
     }
   }
+
+  test("timestamp contract: NTZ columns normalize to TimestampType with identical micros (naive = UTC instant)") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // a frame carrying a genuine TIMESTAMP_NTZ column (what Spark 4
+    // infers from naive parquet timestamps when inference is on)
+    val ntz = spark.sql(
+      "SELECT id, timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ '2020-03-01 12:00:00') AS ts FROM range(5)")
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    val fixed = BioLoader.normalizeNtz(ntz)
+    assert(fixed.schema("ts").dataType == TimestampType)
+    // UTC session: the wall-clock reading is preserved exactly
+    val micros = fixed.selectExpr("unix_micros(ts) AS m").orderBy("m")
+      .collect().map(_.getLong(0))
+    val base = 1583064000000000L // 2020-03-01T12:00:00Z in epoch micros
+    assert(micros.toSeq == (0 until 5).map(i => base + i * 1000000L))
+    // nanosToTimestamp handles the same flavor on a named column
+    val viaNamed = BioLoader.nanosToTimestamp(ntz, "ts")
+    assert(viaNamed.schema("ts").dataType == TimestampType)
+    // event-time ops that require TIMESTAMP now resolve
+    assert(fixed.withWatermark("ts", "1 minute").count() == 5)
+  }
 }
