@@ -1749,7 +1749,7 @@ object SparkEntry {
   )
 
   private val EventsSchema =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
   private val CustomerSchema =
     "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
   private val DocsSchema =
