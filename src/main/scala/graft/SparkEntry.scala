@@ -1184,6 +1184,28 @@ object SparkEntry {
           col("reached"))
     }),
 
+    // ---- C28: cohort retention — weekly cohorts from each user's
+    //      first event, activity counted per whole-week offset; one
+    //      groupBy(user) pass carries a bounded period set, never
+    //      the raw event log. ----
+    "q_retention" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      FunnelOps.retention(ev, "user_id", "ts", "week")
+        .select(expr("unix_micros(cohort)").as("cohort_us"),
+          col("offset"), col("n_active"), col("cohort_size"), col("retention"))
+    }),
+
+    // ---- N17: chi-squared independence per source — is language
+    //      independent of document length? Contingency counts in one
+    //      map-side-combinable shuffle; the full a×b grid (zero
+    //      cells included) rebuilt from marginals; survival series
+    //      unrolled per observed dof. ----
+    "q_chi2" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("len_hi", (col("n_chars") >= 300).cast("int"))
+      StatsOps.chiSquaredIndependence(d, Seq("source"), "lang", "len_hi")
+    }),
+
     // ---- C25: CUBE over (returnflag, linestatus) — all four
     //      grouping sets in one pass with explicit grouping flags. ----
     "q_cube" -> ((s, dir) => {
@@ -2663,6 +2685,79 @@ object SparkEntry {
         |LEFT JOIN s0 USING (user_id)
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p FROM events
+        |), u AS (
+        |  SELECT DISTINCT user_id, p FROM e
+        |), c AS (
+        |  SELECT user_id, min(p) AS cohort FROM u GROUP BY 1
+        |), a AS (
+        |  SELECT cohort, CAST(floor(date_diff('day', cohort, p) / 7.0) AS BIGINT) AS "offset",
+        |    count(*) AS n_active
+        |  FROM u JOIN c USING (user_id) GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort, n_active AS cohort_size FROM a WHERE "offset" = 0
+        |)
+        |SELECT epoch_us(cohort) AS cohort_us, "offset", n_active, cohort_size,
+        |  floor(n_active / CAST(cohort_size AS DOUBLE) * 1000000 + 0.5) / 1000000 AS retention
+        |FROM a JOIN sz USING (cohort)""".stripMargin,
+
+    // full-grid Pearson chi2 (zero cells included via the marginal
+    // cross join) + the SAME unrolled survival series per dof: even
+    // df → exp(−x/2)Σ(x/2)^i/i!, odd df → A&S erfc chain + the
+    // half-integer-gamma terms, every term snapped at 1e-9
+    "q_chi2" ->
+      """WITH d AS (
+        |  SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_hi
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), obs AS (
+        |  SELECT source, lang, len_hi, count(*) AS o FROM d GROUP BY 1, 2, 3
+        |), rowm AS (
+        |  SELECT source, lang, sum(o) AS ra FROM obs GROUP BY 1, 2
+        |), colm AS (
+        |  SELECT source, len_hi, sum(o) AS rb FROM obs GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, sum(o) AS n, count(DISTINCT lang) AS ka,
+        |    count(DISTINCT len_hi) AS kb
+        |  FROM obs GROUP BY 1
+        |), grid AS (
+        |  SELECT rowm.source, rowm.lang, colm.len_hi,
+        |    COALESCE(obs.o, 0) AS o, rowm.ra * colm.rb / CAST(tot.n AS DOUBLE) AS e,
+        |    tot.n, tot.ka, tot.kb
+        |  FROM rowm
+        |  JOIN colm ON rowm.source = colm.source
+        |  JOIN tot ON rowm.source = tot.source
+        |  LEFT JOIN obs ON obs.source = rowm.source AND obs.lang = rowm.lang
+        |    AND obs.len_hi = colm.len_hi
+        |), st AS (
+        |  SELECT source, CAST(n AS BIGINT) AS n, (ka - 1) * (kb - 1) AS dof,
+        |    floor(sum(floor((o - e) * (o - e) / e * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS chi2
+        |  FROM grid GROUP BY source, n, ka, kb
+        |), erf AS (
+        |  SELECT source, n, dof, chi2,
+        |    exp(-chi2 / 2.0) AS eh,
+        |    sqrt(chi2) / sqrt(2.0) AS z,
+        |    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS s
+        |  FROM st
+        |), pe AS (
+        |  SELECT source, n, dof, chi2, eh,
+        |    s * (0.254829592 + s * (-0.284496736 + s * (1.421413741
+        |      + s * (-1.453152027 + s * 1.061405429)))) * exp(-z * z) AS erfc
+        |  FROM erf
+        |)
+        |SELECT source, n, CAST(dof AS BIGINT) AS dof, chi2,
+        |  floor((CASE dof
+        |    WHEN 1 THEN erfc
+        |    WHEN 2 THEN eh
+        |    WHEN 3 THEN erfc + eh * pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |    WHEN 4 THEN eh * (1.0 + chi2 / 2.0)
+        |    WHEN 5 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75))
+        |    WHEN 6 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0)
+        |    END) * 1e9 + 0.5) / 1e9 AS p_value
+        |FROM pe""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -61,4 +61,55 @@ object FunnelOps {
         times.zipWithIndex.map { case (t, i) => t.as(s"t_$i") } :+
         reached.as("reached"): _*)
   }
+
+  /** Cohort retention matrix: users are cohorted by the period of
+    * their FIRST event, and each cohort's later activity is counted
+    * per period offset — the classic retention triangle ("of the
+    * users acquired in week W, how many were active in week W+k").
+    *
+    * ONE wide shuffle: `groupBy(user)` collects the first-event
+    * period and the DISTINCT activity periods in a single pass
+    * (per-user state is one timestamp + one bounded period set — at
+    * most the number of periods in the data's time span, never the
+    * user's raw event count). The explode + `groupBy(cohort,
+    * offset)` that follows runs on the users×periods frame, already
+    * orders of magnitude smaller than the event log, and cohort
+    * sizes reuse the same frame (offset 0 always exists — the
+    * first-event period is itself an activity period).
+    *
+    * Periods are `date_trunc(period)` boundaries; `offset` counts
+    * whole periods between cohort and activity (exact integer from
+    * the day difference — `week` divides by 7, `month` uses
+    * calendar month arithmetic).
+    *
+    * @param period `"week"` (ISO Monday truncation) or `"month"`
+    * @return (cohort, offset, n_active, cohort_size, retention) —
+    *         retention on the 1e-6 grid, one row per observed
+    *         (cohort, offset)
+    */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      period: String = "week"
+  ): DataFrame = {
+    require(Set("week", "month").contains(period), s"period must be week|month, got $period")
+    val perUser = events
+      .select(col(userCol).as("__u"), date_trunc(period, col(tsCol)).as("__p"))
+      .groupBy(col("__u"))
+      .agg(min(col("__p")).as("cohort"), collect_set(col("__p")).as("__ps"))
+    val offset =
+      if (period == "week") floor(datediff(col("__p"), col("cohort")) / 7)
+      else months_between(col("__p"), col("cohort")).cast("long")
+    val active = perUser
+      .select(col("__u"), col("cohort"), explode(col("__ps")).as("__p"))
+      .select(col("cohort"), offset.as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = active.filter(col("offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    active.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
+        (floor(col("n_active") / col("cohort_size") * 1e6 + lit(0.5)) / 1e6).as("retention"))
+  }
 }

@@ -193,6 +193,67 @@ object StatsOps {
       .select(col(featureCol), col("n_total"), col("h_stat"), col("p_value"), col("bh_rank"))
   }
 
+  /** Pearson chi-squared test of independence between two
+    * categorical columns, per group — the categorical complement of
+    * the Welch-t/Kruskal–Wallis family (is `source` independent of
+    * `lang`? is ship mode independent of return status?).
+    *
+    * ONE wide shuffle: `groupBy(group, a, b)` collapses the fact
+    * table to contingency counts with map-side partials; everything
+    * after runs on the |groups|·|a-cats|·|b-cats| frame (marginals,
+    * the FULL a×b grid per group — a cell observed zero still
+    * contributes (0−e)²/e, so the grid is rebuilt from the marginal
+    * cross join, not just the observed cells), all broadcast-scale.
+    *
+    * Degrees of freedom are data-driven per group,
+    * `(|a|−1)·(|b|−1)` over that group's OBSERVED categories, so the
+    * survival function is unrolled for every df ≤ `maxDf` and
+    * selected per row; a group needing more gets a null p (the
+    * statistic and df still emit). Every arithmetic step (expected
+    * counts from integer marginals, term snap at 1e-9, p at 1e-9) is
+    * engine-deterministic and SQL-replayable.
+    *
+    * @return one row per group: (groupCols*, n, dof, chi2, p_value)
+    */
+  def chiSquaredIndependence(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aCol: String,
+      bCol: String,
+      maxDf: Int = 12
+  ): DataFrame = {
+    require(maxDf >= 1, "maxDf >= 1")
+    val gs = groupCols.map(col)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(gs :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rowm = obs.groupBy(gs :+ col("__a"): _*).agg(sum("__o").as("__ra"))
+    val colm = obs.groupBy(gs :+ col("__b"): _*).agg(sum("__o").as("__rb"))
+    val tot = obs.groupBy(gs: _*)
+      .agg(sum("__o").as("__n"),
+        countDistinct(col("__a")).as("__ka"), countDistinct(col("__b")).as("__kb"))
+    // full grid: every (a, b) with positive marginals in the group
+    val grid = rowm.join(colm, groupCols).join(tot, groupCols)
+      .join(obs, groupCols ++ Seq("__a", "__b"), "left")
+      .withColumn("__e", col("__ra") * col("__rb") / col("__n").cast("double"))
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    val term = snap9((o - col("__e")) * (o - col("__e")) / col("__e"))
+    val stats = grid
+      .groupBy(gs :+ col("__n") :+ col("__ka") :+ col("__kb"): _*)
+      .agg(snap9(sum(term)).as("chi2"))
+      .withColumn("dof", ((col("__ka") - 1) * (col("__kb") - 1)).cast("int"))
+    val p = (1 to maxDf).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("dof") === d, chi2Survival(col("chi2"), d)).otherwise(acc)
+    }
+    stats.select(
+      gs ++ Seq(col("__n").as("n"), col("dof").cast("long").as("dof"),
+        col("chi2"), snap9(p).as("p_value")): _*)
+  }
+
+  private def snap9(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
   /** Chi-squared survival S(x; df) as plan-time-unrolled column
     * arithmetic: even df → exp(−x/2)·Σ_{i<df/2}(x/2)^i/i!; odd df
     * adds erfc(√(x/2)) (the A&S chain) plus the half-integer-gamma
