@@ -1184,6 +1184,31 @@ object SparkEntry {
           col("reached"))
     }),
 
+    // ---- D7d: per-node triangle counts on the part co-order graph
+    //      (parts appearing in the same order are linked). Degree
+    //      orientation bounds wedge generation at O(m^1.5) — hubs
+    //      are neutralized, each triangle closes exactly once. ----
+    "q_triangles" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.toDF("ok", "p1")
+      val b = li.toDF("ok", "p2")
+      val edges = a.join(b, "ok").filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      GraphOps.triangleCounts(edges)
+    }),
+
+    // ---- N18: EWMA control chart — per-user sequential anomaly
+    //      flags on event values; the EWMA is the mergeable
+    //      affine-scan aggregate snapped per step, so the oracle
+    //      replays the identical recurrence via a recursive CTE. ----
+    "q_ewma" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.ewmaChart(ev, Seq("user_id"), Seq("ts", "event_id"), "value",
+          lambda = 0.25, nSigma = 3.0, minPrior = 5)
+        .select(col("event_id"), col("user_id"), col("ewma"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+    }),
+
     // ---- C28: cohort retention — weekly cohorts from each user's
     //      first event, activity counted per whole-week offset; one
     //      groupBy(user) pass carries a bounded period set, never
@@ -2685,6 +2710,66 @@ object SparkEntry {
         |LEFT JOIN s0 USING (user_id)
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    // a<b<c triple join enumerates each triangle once on the
+    // id-normalized undirected edge set — corner counts match the
+    // degree-oriented closure exactly
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |)
+        |SELECT node, count(*) AS triangles FROM (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT c FROM t
+        |) GROUP BY 1""".stripMargin,
+
+    // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
+    // the sequential fixed point engine-independent, the decay weight
+    // is a pure multiply chain (no pow), and the control band reads
+    // LAGGED running sums so each value is judged by its past only
+    "q_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, r, event_id, value,
+        |    floor((0.25 * value) * 1e9 + 0.5) / 1e9 AS b, CAST(0.75 AS DOUBLE) AS w
+        |  FROM s WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.r, s.event_id, s.value,
+        |    floor((0.25 * s.value + 0.75 * rec.b) * 1e9 + 0.5) / 1e9, rec.w * 0.75
+        |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+        |), adj AS (
+        |  SELECT user_id, r, event_id, value, b / (1.0 - w) AS e FROM rec
+        |), run AS (
+        |  SELECT user_id, r, event_id, value, e,
+        |    count(value) OVER wrun AS cnt, sum(value) OVER wrun AS s1,
+        |    sum(value * value) OVER wrun AS s2
+        |  FROM adj
+        |  WINDOW wrun AS (PARTITION BY user_id ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |), lg AS (
+        |  SELECT user_id, r, event_id, value, e,
+        |    lag(e) OVER wo AS ep, lag(cnt) OVER wo AS cntp,
+        |    lag(s1) OVER wo AS s1p, lag(s2) OVER wo AS s2p
+        |  FROM run WINDOW wo AS (PARTITION BY user_id ORDER BY r)
+        |)
+        |SELECT event_id, user_id, floor(e * 1e9 + 0.5) / 1e9 AS ewma,
+        |  CASE WHEN value IS NOT NULL AND cntp >= 5 AND ep IS NOT NULL THEN
+        |    CASE WHEN floor(abs(value - ep) * 1e9 + 0.5) / 1e9 >
+        |      floor(3.0 * (floor(sqrt(greatest((s2p - s1p * s1p / cntp) / cntp, 0.0))
+        |        * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9
+        |    THEN 1 ELSE 0 END
+        |  END AS is_anomaly
+        |FROM lg""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (

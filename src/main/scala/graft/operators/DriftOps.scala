@@ -107,6 +107,78 @@ object DriftOps {
     * @return one row per group: (groupCols*, ks_stat, n_a, n_b),
     *         ks_stat on the 1e-6 grid.
     */
+  /** EWMA control chart per key — sequential anomaly detection on an
+    * ordered value stream (the monitoring twin of [[psi]]/[[ksStatistic]]:
+    * those ask "did the distribution shift between cohorts", this
+    * asks "is THIS observation surprising given the smoothed past").
+    *
+    * ONE shuffle: everything is window arithmetic over
+    * `partitionBy(keys).orderBy(order...)` — the EWMA runs as the
+    * mergeable affine-scan aggregate
+    * ([[graft.functions.EwmaAggregate]], snapped per step so the
+    * sequential fixed point is engine-independent), and the control
+    * band uses running count/sum/sum² windows (running sums add in
+    * window order, identical in any engine). Each row is judged
+    * against the PRIOR rows only (`lag` of the running stats — no
+    * peeking at the value being tested).
+    *
+    * Flag semantics: `is_anomaly = |x − ewma_prev| > nSigma·σ_prev`
+    * with both sides snapped at 1e-9 before comparing; null until
+    * `minPrior` prior non-null values exist (σ of one point is not
+    * a band). Null values emit null ewma-prev/flag and don't touch
+    * the state.
+    *
+    * Scale: per-key window sort is the only cost; the state per row
+    * is O(1). Hot keys bound the partition the same way any keyed
+    * window does — salt upstream if one key dominates.
+    *
+    * @param orderCols total order within key (include a unique
+    *                  tie-break — order ties make any sequential
+    *                  statistic engine-dependent)
+    * @return input columns + (ewma, ewma_prev, sigma_prev,
+    *         is_anomaly); `ewma` includes the current value,
+    *         `ewma_prev`/`sigma_prev`/`is_anomaly` judge it
+    */
+  def ewmaChart(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      lambda: Double = 0.25,
+      nSigma: Double = 3.0,
+      minPrior: Int = 5
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    require(minPrior >= 2, s"minPrior must be >= 2, got $minPrior")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val s9 = (c: Column) => snap(c, 1e9)
+    val withRun = df
+      .withColumn("__ewma", graft.functions.EwmaAggregate.ewma(x, lambda).over(run))
+      .withColumn("__cnt", count(x).over(run))
+      .withColumn("__s1", sum(x).over(run))
+      .withColumn("__s2", sum(x * x).over(run))
+    val prev = withRun
+      .withColumn("ewma_prev", lag(col("__ewma"), 1).over(w))
+      .withColumn("__cntp", lag(col("__cnt"), 1).over(w))
+      .withColumn("__s1p", lag(col("__s1"), 1).over(w))
+      .withColumn("__s2p", lag(col("__s2"), 1).over(w))
+    val np = col("__cntp").cast("double")
+    val variance = greatest(
+      (col("__s2p") - col("__s1p") * col("__s1p") / np) / np, lit(0.0))
+    val sigma = s9(sqrt(variance))
+    val dev = s9(abs(x - col("ewma_prev")))
+    prev
+      .withColumn("ewma", s9(col("__ewma")))
+      .withColumn("sigma_prev", when(col("__cntp") >= minPrior, sigma))
+      .withColumn("is_anomaly",
+        when(x.isNotNull && col("__cntp") >= minPrior && col("ewma_prev").isNotNull,
+          dev > s9(lit(nSigma) * sigma)))
+      .drop("__ewma", "__cnt", "__s1", "__s2", "__cntp", "__s1p", "__s2p")
+  }
+
   def ksStatistic(
       a: DataFrame,
       b: DataFrame,

@@ -169,4 +169,62 @@ object GraphOps {
     } finally em.unpersist()
     ranks
   }
+
+  /** Per-node triangle counts on an undirected graph — the local
+    * clustering signal of web/citation-graph curation (spam farms
+    * and boilerplate rings are triangle-dense; bridges are
+    * triangle-free), companion to [[pageRank]] centrality and
+    * [[connectedComponents]] reachability.
+    *
+    * Degree-ordered orientation (the classic compact-forward /
+    * Schank–Wagner scheme, public algorithm): each undirected edge
+    * is directed from its lower-(degree, id) endpoint to its higher
+    * one, so every node's OUT-degree is bounded by O(√m) on any
+    * graph — the wedge self-join then generates Σ outdeg² = O(m^1.5)
+    * candidate wedges worst case instead of Σ deg² (which a single
+    * hub node makes quadratic). Each triangle forms exactly ONE
+    * wedge at its lowest-rank corner and closes against exactly one
+    * oriented edge — no multiple counting, no post-dedup.
+    *
+    * Shuffle budget: edge normalize+distinct (1), degree groupBy
+    * (2), two broadcast-scale degree joins, the wedge self-join
+    * clustered on the shared `src`, and the close join keyed on the
+    * wedge pair — every frame after the first is edge- or
+    * wedge-sized, never row-quadratic. Skewed hubs are exactly what
+    * the orientation neutralizes.
+    *
+    * @param edges0 columns `src`, `dst` (same orderable type);
+    *               self-loops, duplicates, and reversed copies are
+    *               normalized away
+    * @return (node, triangles) for every node in ≥ 1 triangle —
+    *         union in zero rows if total coverage is needed (same
+    *         contract as [[connectedComponents]])
+    */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    val e = edges0
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    // orient low-(deg, id) → high-(deg, id); carry the head's rank key
+    val lowIsU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = withDeg.select(
+      when(lowIsU, col("u")).otherwise(col("v")).as("src"),
+      when(lowIsU, col("v")).otherwise(col("u")).as("dst"),
+      when(lowIsU, col("dv")).otherwise(col("du")).as("ddeg"))
+    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("src").as("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }
