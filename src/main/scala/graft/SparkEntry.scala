@@ -15,6 +15,14 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** SQL for the KMV 52-bit hash: fold the first 13 hex chars of a
+    * md5 column `h16` digit-by-digit into a BIGINT — the identical
+    * integer arithmetic `SketchOps.h52` runs.
+    */
+  private val Fold13: String = (1 to 13)
+    .map(i => s"(CAST(instr('0123456789abcdef', substr(h16, $i, 1)) AS BIGINT) - 1)")
+    .reduce((a, b) => s"($a * 16 + $b)")
+
   /** Half-up decimal rounding via floor — Spark's `round` is
     * HALF_UP but DuckDB's is half-even, so on fixed-decimal data
     * (where exact .5 midpoints occur) the two disagree. Both sides
@@ -1182,6 +1190,22 @@ object SparkEntry {
           expr("unix_micros(t_1)").as("t1_us"),
           expr("unix_micros(t_2)").as("t2_us"),
           col("reached"))
+    }),
+
+    // ---- C29: KMV bottom-k distinct sketch — distinct-user
+    //      estimates per event type, and pairwise audience-overlap
+    //      (Jaccard) estimates between types; the kept hashes are a
+    //      uniform sample of the distinct set, so bottom-k sets can
+    //      intersect (HLL registers can't). ----
+    "q_kmv" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+      val sk = SketchOps.kmvSketch(ev, Seq("event_type"), "user_id", k = 64)
+      SketchOps.kmvEstimate(sk, Seq("event_type"), k = 64)
+    }),
+    "q_kmv_jaccard" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+      val sk = SketchOps.kmvSketch(ev, Seq("event_type"), "user_id", k = 64)
+      SketchOps.kmvJaccard(sk, "event_type", k = 64)
     }),
 
     // ---- D7d: per-node triangle counts on the part co-order graph
@@ -2710,6 +2734,61 @@ object SparkEntry {
         |LEFT JOIN s0 USING (user_id)
         |LEFT JOIN s1 USING (user_id)
         |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    // KMV 52-bit hash: first 13 hex chars of md5, folded digit by
+    // digit — the identical integer arithmetic the Spark side runs
+    "q_kmv" ->
+      s"""WITH raw AS (
+        |  SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h16
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hh AS (
+        |  SELECT DISTINCT g, $Fold13 AS h FROM raw
+        |), rk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hh
+        |), agg AS (
+        |  SELECT g, count(*) AS n_kept, max(h) AS hk FROM rk WHERE rn <= 64 GROUP BY 1
+        |)
+        |SELECT g AS event_type,
+        |  floor((CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |    ELSE 63.0 / (CAST(hk AS DOUBLE) / 4503599627370496.0) END) * 1e6 + 0.5) / 1e6
+        |    AS kmv_est,
+        |  n_kept
+        |FROM agg""".stripMargin,
+
+    "q_kmv_jaccard" ->
+      s"""WITH raw AS (
+        |  SELECT DISTINCT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h16
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hh AS (
+        |  SELECT DISTINCT g, $Fold13 AS h FROM raw
+        |), rk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hh
+        |), sk AS (
+        |  SELECT g, h FROM rk WHERE rn <= 64
+        |), gs AS (
+        |  SELECT DISTINCT g FROM sk
+        |), pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+        |), uni AS (
+        |  SELECT p.ga, p.gb, s.h FROM pairs p
+        |  JOIN sk s ON s.g = p.ga OR s.g = p.gb GROUP BY 1, 2, 3
+        |), mrk AS (
+        |  SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni
+        |), merged AS (
+        |  SELECT ga, gb, h FROM mrk WHERE rn <= 64
+        |), iin AS (
+        |  SELECT m.ga, m.gb, count(*) AS inter FROM merged m
+        |  JOIN sk sa ON sa.g = m.ga AND sa.h = m.h
+        |  JOIN sk sb ON sb.g = m.gb AND sb.h = m.h
+        |  GROUP BY 1, 2
+        |), un AS (
+        |  SELECT ga, gb, count(*) AS union_kept FROM merged GROUP BY 1, 2
+        |)
+        |SELECT un.ga AS g_a, un.gb AS g_b,
+        |  floor(COALESCE(iin.inter, 0) / CAST(un.union_kept AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS jaccard_est,
+        |  un.union_kept
+        |FROM un LEFT JOIN iin ON un.ga = iin.ga AND un.gb = iin.gb""".stripMargin,
 
     // a<b<c triple join enumerates each triangle once on the
     // id-normalized undirected edge set — corner counts match the

@@ -231,4 +231,96 @@ object SketchOps {
         (floor(est * 1e6 + lit(0.5)) / 1e6).as("hll_est") :+
         col("registers_hit"): _*)
   }
+
+  /** 52-bit integer hash of a value: the first 13 hex chars of its
+    * md5, folded digit-by-digit — the same arithmetic any engine
+    * replays, and small enough to be exact in a double.
+    */
+  private def h52(valueCol: String): Column =
+    (1 to 13)
+      .map(i => hexVal(substring(md5(col(valueCol).cast("string")), i, 1)).cast("long"))
+      .reduce((a, b) => a * 16 + b)
+
+  /** KMV (k-minimum-values, Bar-Yossef 2002) bottom-k distinct
+    * sketch — the third leg of the sketch family: C19 HLL answers
+    * "how many distinct", C17/C18 answer "which are frequent", KMV
+    * answers both a distinct ESTIMATE and, because the kept hashes
+    * are a uniform SAMPLE of the distinct values, '''set-overlap
+    * estimates between groups''' (HLL registers can't intersect;
+    * bottom-k sets can — [[kmvJaccard]]).
+    *
+    * Shuffle shape: one map-side-combinable `groupBy(group, h)`
+    * dedup, then the bounded-buffer [[graft.functions.TopKAggregate]]
+    * keeps the k SMALLEST hashes per group (score = −h), so the
+    * second exchange carries ≤ k entries per map task per group —
+    * never the distinct-value frame itself. All arithmetic is
+    * integer; the sketch is deterministic for any engine.
+    *
+    * @return (groupCols*, h, rn) — the ≤ k smallest distinct
+    *         52-bit hashes per group, rn = 1-based ascending rank
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 256
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gs = groupCols.map(col)
+    val distinctH = df
+      .filter(col(valueCol).isNotNull)
+      .select(gs :+ h52(valueCol).as("__h"): _*)
+      .distinct()
+    distinctH
+      .groupBy(gs: _*)
+      .agg(graft.functions.TopKAggregate
+        .topK(-col("__h").cast("double"), col("__h"), k).as("__tk"))
+      .select(gs :+ posexplode(col("__tk")): _*)
+      .select(gs :+ col("col.id").as("h") :+ (col("pos") + 1).cast("int").as("rn"): _*)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]] frame: exact when
+    * the group kept fewer than k hashes (the sketch IS the distinct
+    * set), else the classic `(k−1) / u_k` with `u_k` the k-th
+    * smallest hash as a fraction of 2^52. 1e-6 grid.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame = {
+    val agg = sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+    val uk = col("__hk").cast("double") / lit(TwoPow53 / 2.0) // 2^52
+    val est = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit((k - 1).toDouble) / uk)
+    agg.select(
+      groupCols.map(col) :+
+        (floor(est * 1e6 + lit(0.5)) / 1e6).as("kmv_est") :+
+        col("n_kept"): _*)
+  }
+
+  /** Pairwise Jaccard estimates between every two groups of a
+    * [[kmvSketch]] frame: merge the two bottom-k sets, keep the k
+    * smallest of the union (a valid KMV sketch of A∪B), and count
+    * how many of those k appear in BOTH sides —
+    * `J ≈ |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|`. Runs entirely on the
+    * collected per-group arrays (≤ k each, groups are a bounded
+    * dimension by contract) with codegen'd array intrinsics — the
+    * raw value frames never meet.
+    *
+    * @param groupCol single grouping column (pairs are emitted with
+    *                 `g_a < g_b` on its values)
+    * @return (g_a, g_b, jaccard_est, union_kept) on the 1e-6 grid
+    */
+  def kmvJaccard(sketch: DataFrame, groupCol: String, k: Int = 256): DataFrame = {
+    val perGroup = sketch.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val a = perGroup.select(col(groupCol).as("g_a"), col("hs").as("__ha"))
+    val b = perGroup.select(col(groupCol).as("g_b"), col("hs").as("__hb"))
+    val merged = slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k)
+    val inter = size(array_intersect(array_intersect(merged, col("__ha")), col("__hb")))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__m", merged)
+      .select(col("g_a"), col("g_b"),
+        (floor(inter.cast("double") / size(col("__m")).cast("double") * 1e6 + lit(0.5)) / 1e6)
+          .as("jaccard_est"),
+        size(col("__m")).as("union_kept"))
+  }
 }

@@ -21,6 +21,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // pair-frame theta join (s_a < s_b) over broadcast per-sample
     // totals: inherently nested-loop, side bounded by the cohort size
     "q_bray_curtis",
+    // pair-frame theta join (g_a < g_b) over the per-group bottom-k
+    // sketch arrays: groups are a bounded dimension, each side ≤ k
+    // hashes — the raw value frames never meet
+    "q_kmv_jaccard",
     // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab
     // size, z-order column min/max
     "q_bm25", "q_bm25_persist", "q_bm25_append", "q_lm_score", "q_zorder")
