@@ -2821,14 +2821,20 @@ object SparkEntry {
         |  FROM events
         |), rec AS (
         |  SELECT user_id, r, event_id, value,
-        |    floor((0.25 * value) * 1e9 + 0.5) / 1e9 AS b, CAST(0.75 AS DOUBLE) AS w
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE floor((0.25 * value) * 1e9 + 0.5) / 1e9 END AS b,
+        |    CASE WHEN value IS NULL THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.75 AS DOUBLE) END AS w
         |  FROM s WHERE r = 1
         |  UNION ALL
         |  SELECT s.user_id, s.r, s.event_id, s.value,
-        |    floor((0.25 * s.value + 0.75 * rec.b) * 1e9 + 0.5) / 1e9, rec.w * 0.75
+        |    CASE WHEN s.value IS NULL THEN rec.b
+        |         ELSE floor((0.25 * s.value + 0.75 * rec.b) * 1e9 + 0.5) / 1e9 END,
+        |    CASE WHEN s.value IS NULL THEN rec.w ELSE rec.w * 0.75 END
         |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
         |), adj AS (
-        |  SELECT user_id, r, event_id, value, b / (1.0 - w) AS e FROM rec
+        |  SELECT user_id, r, event_id, value,
+        |    CASE WHEN w = 1.0 THEN NULL ELSE b / (1.0 - w) END AS e FROM rec
         |), run AS (
         |  SELECT user_id, r, event_id, value, e,
         |    count(value) OVER wrun AS cnt, sum(value) OVER wrun AS s1,
@@ -2920,6 +2926,25 @@ object SparkEntry {
         |    WHEN 5 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
         |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75))
         |    WHEN 6 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0)
+        |    WHEN 7 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875))
+        |    WHEN 8 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0)
+        |    WHEN 9 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
+        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625))
+        |    WHEN 10 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0)
+        |    WHEN 11 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
+        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625)
+        |      + pow(chi2 / 2.0, 4.5) / (sqrt(pi()) * 29.53125))
+        |    WHEN 12 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0
+        |      + pow(chi2 / 2.0, 5.0) / 120.0)
         |    END) * 1e9 + 0.5) / 1e9 AS p_value
         |FROM pe""".stripMargin,
 

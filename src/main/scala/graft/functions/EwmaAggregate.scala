@@ -68,9 +68,11 @@ object EwmaAggregate {
     )
 
     // right segment follows left: left's contribution decays by the
-    // right segment's total weight
+    // right segment's total weight; composition lands on the same
+    // 1e-9 grid as updates so the groupBy merge path cannot drift a
+    // grid cell from the windowed scan
     override lazy val mergeExpressions: Seq[Expression] = Seq(
-      Add(b.right, Multiply(w.right, b.left)),
+      snap9(Add(b.right, Multiply(w.right, b.left))),
       Multiply(w.left, w.right)
     )
 

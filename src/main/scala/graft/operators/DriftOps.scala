@@ -99,14 +99,6 @@ object DriftOps {
         coalesce(max(col("n_cur")), lit(0L)).as("n_cur"))
   }
 
-  /** Per-group two-sample KS statistic between cohorts `a` and `b`
-    * over `valueCol` (nulls drop). Groups present in only one
-    * cohort get D = 1 exactly (the empty side's ECDF is 0
-    * everywhere).
-    *
-    * @return one row per group: (groupCols*, ks_stat, n_a, n_b),
-    *         ks_stat on the 1e-6 grid.
-    */
   /** EWMA control chart per key — sequential anomaly detection on an
     * ordered value stream (the monitoring twin of [[psi]]/[[ksStatistic]]:
     * those ask "did the distribution shift between cohorts", this
@@ -179,6 +171,14 @@ object DriftOps {
       .drop("__ewma", "__cnt", "__s1", "__s2", "__cntp", "__s1p", "__s2p")
   }
 
+  /** Per-group two-sample KS statistic between cohorts `a` and `b`
+    * over `valueCol` (nulls drop). Groups present in only one
+    * cohort get D = 1 exactly (the empty side's ECDF is 0
+    * everywhere).
+    *
+    * @return one row per group: (groupCols*, ks_stat, n_a, n_b),
+    *         ks_stat on the 1e-6 grid.
+    */
   def ksStatistic(
       a: DataFrame,
       b: DataFrame,
