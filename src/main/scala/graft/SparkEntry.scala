@@ -1213,11 +1213,11 @@ object SparkEntry {
     //      orientation bounds wedge generation at O(m^1.5) — hubs
     //      are neutralized, each triangle closes exactly once. ----
     "q_triangles" -> ((s, dir) => {
-      val li = BioLoader.load(s, t(dir, "lineitem")).select(col("l_orderkey"), col("l_partkey"))
-      val a = li.toDF("ok", "p1")
-      val b = li.toDF("ok", "p2")
-      val edges = a.join(b, "ok").filter(col("p1") < col("p2"))
-        .select(col("p1").as("src"), col("p2").as("dst"))
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      // heavy-basket-guarded edge building: TPC-H orders hold <= 7
+      // parts, so the 64-item cap never fires here — on real basket
+      // data it bounds per-group pair emission at cap^2/2
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
       GraphOps.triangleCounts(edges)
     }),
 

@@ -121,6 +121,90 @@ object PairGenerators {
       copy(child = newChildren.head)
   }
 
+  /** collect_set that stops collecting at `cap` DISTINCT elements
+    * per group — the set twin of [[CappedCollectList]] for inputs
+    * that repeat within a group (co-occurrence baskets, event
+    * streams). Same sentinel contract: a group whose true distinct
+    * size exceeds the cap always surfaces with exactly cap elements
+    * (if a merged buffer is under cap, every partial was absorbed
+    * whole, i.e. the buffer IS the full distinct set), so callers
+    * pass cap = maxGroupSize+1 and filter `size(m) <= maxGroupSize`.
+    * Memory per group is O(cap) regardless of group size or
+    * duplication factor.
+    */
+  case class CappedCollectSet(
+      child: Expression,
+      cap: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0
+  ) extends TypedImperativeAggregate[mutable.LinkedHashSet[Any]] {
+    require(cap >= 1, "cap must be >= 1")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def prettyName: String = "capped_collect_set"
+
+    override def createAggregationBuffer(): mutable.LinkedHashSet[Any] = mutable.LinkedHashSet.empty[Any]
+
+    override def update(buf: mutable.LinkedHashSet[Any], input: InternalRow): mutable.LinkedHashSet[Any] = {
+      if (buf.size < cap) {
+        val v = child.eval(input)
+        if (v != null) buf += InternalRow.copyValue(v)
+      }
+      buf
+    }
+
+    override def merge(b1: mutable.LinkedHashSet[Any], b2: mutable.LinkedHashSet[Any]): mutable.LinkedHashSet[Any] = {
+      val it = b2.iterator
+      while (b1.size < cap && it.hasNext) b1 += it.next()
+      b1
+    }
+
+    override def eval(buf: mutable.LinkedHashSet[Any]): Any = new GenericArrayData(buf.toArray)
+
+    @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
+
+    override def serialize(buf: mutable.LinkedHashSet[Any]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val d = new DataOutputStream(out)
+      d.writeInt(buf.size)
+      val row = new GenericInternalRow(1)
+      buf.foreach { v =>
+        row.update(0, v)
+        val bytes = proj(row).getBytes
+        d.writeInt(bytes.length)
+        d.write(bytes)
+      }
+      d.flush()
+      out.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): mutable.LinkedHashSet[Any] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      val buf = mutable.LinkedHashSet.empty[Any]
+      val ur = new UnsafeRow(1)
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val arr = new Array[Byte](len)
+        bb.get(arr)
+        ur.pointTo(arr, len)
+        buf += InternalRow.copyValue(ur.get(0, child.dataType))
+        i += 1
+      }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectSet =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectSet =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CappedCollectSet =
+      copy(child = newChildren.head)
+  }
+
   /** (id_a, id_b, hamming) for every member pair within
     * `maxHamming`; input array<struct<id: long, sig: long>>.
     */
@@ -319,6 +403,9 @@ object PairGenerators {
 
   def cappedCollectList(e: Column, cap: Int): Column =
     ColumnBridge.column(CappedCollectList(ColumnBridge.expression(e), cap).toAggregateExpression())
+
+  def cappedCollectSet(e: Column, cap: Int): Column =
+    ColumnBridge.column(CappedCollectSet(ColumnBridge.expression(e), cap).toAggregateExpression())
 
   def hammingPairs(members: Column, maxHamming: Int): Column =
     ColumnBridge.column(HammingPairs(ColumnBridge.expression(members), maxHamming))

@@ -227,4 +227,59 @@ object GraphOps {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Co-occurrence edges: items sharing a group become an undirected
+    * edge (market baskets → part pairs, docs → term pairs, sessions
+    * → page pairs). The quadratic hazard lives HERE, not in the graph
+    * operator downstream: one unbounded group of n items would emit
+    * n² pairs before any degree orientation can help. So groups are
+    * hard-capped at `maxGroupSize` distinct items — a heavier group
+    * contributes NOTHING (its pairs are near-noise co-occurrence at
+    * basket scale, and dropping it is the standard frequent-itemset
+    * skew guard) and is observable via [[coOccurrenceOverflowReport]].
+    *
+    * ONE groupBy shuffle: [[graft.functions.PairGenerators.CappedCollectSet]]
+    * dedups in-buffer with O(cap) memory per group regardless of the
+    * group's row count, and the pair Generator emits each `src < dst`
+    * pair from the bucket scan; a final distinct collapses pairs
+    * seen in many groups.
+    *
+    * @param maxGroupSize cap on distinct items per group (pairs per
+    *        group bounded by cap·(cap−1)/2)
+    * @return (src, dst) with src < dst, one row per co-occurring pair
+    */
+  def coOccurrenceEdges(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxGroupSize: Int = 1000
+  ): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(itemCol).cast("long").as("__i"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxGroupSize + 1).as("__m"))
+      .filter(size(col("__m")) <= maxGroupSize)
+      .select(graft.functions.PairGenerators.idPairs(col("__m")).as(Seq("id_a", "id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .distinct()
+  }
+
+  /** Groups [[coOccurrenceEdges]] drops at `maxGroupSize` — exact
+    * distinct-item counts for the over-cap groups, same telemetry
+    * contract as the dedup overflow reports: at 100 TB this IS the
+    * cap-tuning signal. One count-distinct shuffle, no element
+    * buffering. Returns (group, n_items, n_lost_pairs).
+    */
+  def coOccurrenceOverflowReport(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      maxGroupSize: Int = 1000
+  ): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(countDistinct(col(itemCol)).as("n_items"))
+      .filter(col("n_items") > maxGroupSize)
+      .withColumn("n_lost_pairs", (col("n_items") * (col("n_items") - 1) / 2).cast("long"))
 }

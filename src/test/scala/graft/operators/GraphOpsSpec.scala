@@ -107,6 +107,47 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.pageRank(star.toDF("src", "dst"), 1, 1.5))
   }
 
+  test("coOccurrenceEdges: pairs, dedup across groups, null skip, heavy-group cap") {
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 11L), (1L, 12L),             // basket 1 → 3 pairs
+      (2L, 10L), (2L, 11L),                        // basket 2 repeats (10,11)
+      (2L, 10L),                                   // duplicate item row
+      (3L, 50L),                                   // singleton → no pairs
+      (4L, null), (null, 60L)                      // nulls skip
+    ) ++ (0L until 10L).map(i => (java.lang.Long.valueOf(9L), java.lang.Long.valueOf(100L + i))) // heavy basket
+    val df = rows.toDF("g", "item")
+    val edges = GraphOps.coOccurrenceEdges(df, "g", "item", maxGroupSize = 5)
+      .as[(Long, Long)].collect().toSet
+    // heavy basket 9 (10 distinct items > 5) contributes nothing;
+    // (10,11) appears in baskets 1 and 2 but emits once
+    assert(edges == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    val report = GraphOps.coOccurrenceOverflowReport(df, "g", "item", maxGroupSize = 5)
+      .as[(Long, Long, Long)].collect().toList
+    assert(report == List((9L, 10L, 45L)))
+    intercept[IllegalArgumentException](GraphOps.coOccurrenceEdges(df, "g", "item", 1))
+  }
+
+  test("coOccurrenceEdges uncapped result matches the join shape; cap sentinel is exact") {
+    // random baskets, compare against the naive self-join edge set
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("g", "item")
+    val want = rows.distinct.groupBy(_._1).values.flatMap { basket =>
+      val items = basket.map(_._2).distinct
+      for (a <- items; b <- items if a < b) yield (a, b)
+    }.toSet
+    val got = GraphOps.coOccurrenceEdges(df, "g", "item", maxGroupSize = 40)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // with a cap of 3, exactly the <=3-distinct-item baskets survive
+    val small = rows.distinct.groupBy(_._1).collect {
+      case (_, b) if b.map(_._2).distinct.size <= 3 => b.map(_._2).distinct
+    }.flatMap(items => for (a <- items; b <- items if a < b) yield (a, b)).toSet
+    val capped = GraphOps.coOccurrenceEdges(df, "g", "item", maxGroupSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == small)
+  }
+
   test("dupClusters distributed path (threshold 0) agrees with the driver path") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
     val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
