@@ -44,13 +44,9 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
-  test("every query key has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set(
-      "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard", "q_embed_dedup",
-      "q_knn_lsh", "q_knn_ivf", "q_langid", "q_multimodal"
-    )
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
-    assert(missing.isEmpty, s"queries without oracle or rows-only classification: $missing")
+  test("every query key has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracles without queries: $stale")
   }
