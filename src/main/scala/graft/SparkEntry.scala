@@ -1221,6 +1221,35 @@ object SparkEntry {
       GraphOps.triangleCounts(edges)
     }),
 
+    // ---- C30: the guarded co-occurrence edge set itself — parts
+    //      linked by sharing an order. ----
+    "q_cooccur" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+    }),
+
+    // ---- D7e: synchronous label-propagation communities on the
+    //      part co-order graph — deterministic variant (most
+    //      frequent neighbor label, ties to the smallest), 3 fixed
+    //      rounds, each ONE label-frame join + count + argmax
+    //      window. ----
+    "q_label_prop" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      GraphOps.labelPropagation(edges, iters = 3)
+    }),
+
+    // ---- D7f: multi-source BFS hop counts — link distance from
+    //      the seed parts (id < 100) over the co-order graph,
+    //      frontier-expanded with each node settled exactly once. ----
+    "q_bfs_hops" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      val sources = li.filter(col("l_partkey") < 100)
+        .select(col("l_partkey").as("node")).distinct()
+      GraphOps.shortestHops(edges, sources, maxHops = 3)
+    }),
+
     // ---- N18: EWMA control chart — per-user sequential anomaly
     //      flags on event values; the EWMA is the mergeable
     //      affine-scan aggregate snapped per step, so the oracle
@@ -1253,6 +1282,47 @@ object SparkEntry {
       val d = BioLoader.load(s, t(dir, "documents"))
         .withColumn("len_hi", (col("n_chars") >= 300).cast("int"))
       StatsOps.chiSquaredIndependence(d, Seq("source"), "lang", "len_hi")
+    }),
+
+    // ---- N19: mutual information between language and document
+    //      length per source — the information-theoretic twin of
+    //      q_chi2 on the same contingency machinery; every term an
+    //      integer-count ratio on the 1e-9 grid. ----
+    "q_mutual_info" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("len_hi", (col("n_chars") >= 300).cast("int"))
+      StatsOps.mutualInformation(d, Seq("source"), "lang", "len_hi")
+    }),
+
+    // ---- N20: one-way ANOVA F per feature across return-flag
+    //      groups — the parametric companion to q_difftest_k on the
+    //      same long-format fixture. ----
+    "q_anova_f" -> ((s, dir) => {
+      val long = BioLoader.load(s, t(dir, "lineitem"))
+        .select((col("l_partkey") % 100).as("feature"), col("l_returnflag").as("grp"),
+          col("l_quantity").as("v"))
+      StatsOps.anovaF(long, "feature", "v", "grp")
+    }),
+
+    // ---- N21: Pearson correlation matrix between event types over
+    //      users (entity = user, feature = event type, value = the
+    //      user's grid-snapped mean event value) — pairwise-complete
+    //      semantics via the entity self-join. ----
+    "q_corr_matrix" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((floor(avg(col("value")) * 1e9 + lit(0.5)) / 1e9).as("m"))
+      StatsOps.correlationMatrix(ev, "user_id", "event_type", "m")
+    }),
+
+    // ---- S10: PCA — top principal component of the embedding
+    //      corpus via ONE fixed-size Gram aggregation + driver-side
+    //      snapped power iteration (8 rounds), projection as a
+    //      broadcast-literal fold. ----
+    "q_pca" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      PcaOps.fitProject(emb, "vec_id", "embedding", dim = 64, nComponents = 1, iters = 8)
     }),
 
     // ---- C25: CUBE over (returnflag, linestatus) — all four
@@ -1518,6 +1588,22 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       RetrievalOps.bm25TopK(BioLoader.load(s, t(dir, "documents")), "text", "doc_id",
         Seq("vector", "hash", "stream", "window"), k = 20)
+    }),
+
+    // ---- X13: sublinear TF-IDF retrieval — the lexical baseline
+    //      next to q_bm25 (same query, same scale shape, smoothed
+    //      non-negative idf). ----
+    "q_tfidf" -> ((s, dir) => {
+      RetrievalOps.tfidfTopK(BioLoader.load(s, t(dir, "documents")), "text", "doc_id",
+        Seq("vector", "hash", "stream", "window"), k = 20)
+    }),
+
+    // ---- X14: PMI collocation extraction — the corpus's most
+    //      associated adjacent word pairs (integer-count PMI on the
+    //      1e-9 grid, minCount-gated, top-50). ----
+    "q_collocations" -> ((s, dir) => {
+      TextOps.collocations(BioLoader.load(s, t(dir, "documents")), "text",
+        minCount = 5, k = 50)
     }),
 
     // ---- BM25 persisted inverted index: build → save (term-hash
@@ -2810,6 +2896,64 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM t
         |) GROUP BY 1""".stripMargin,
 
+    // the cap (64) never binds on <=7-item orders, so the oracle is
+    // the plain distinct self-join pair set
+    "q_cooccur" ->
+      """SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |WHERE l1.l_partkey < l2.l_partkey""".stripMargin,
+
+    // 3 unrolled synchronous rounds: count neighbor labels, adopt
+    // the most frequent (ties to the smallest label) — deterministic
+    // integer arithmetic end to end
+    "q_label_prop" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), e2 AS (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+        |), lp0 AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e2
+        |), cn1 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp0 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp1 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn1
+        |  ) WHERE rn = 1
+        |), cn2 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp1 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp2 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
+        |  ) WHERE rn = 1
+        |), cn3 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp3 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
+        |  ) WHERE rn = 1
+        |)
+        |SELECT node, label FROM lp3""".stripMargin,
+
+    // min-hop BFS as a bounded recursive CTE: every (node, level)
+    // reach pair within the horizon, min() collapses to first reach
+    "q_bfs_hops" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), e2 AS (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+        |), s AS (
+        |  SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 100
+        |), d(node, hops) AS (
+        |  SELECT node, 0 FROM s
+        |  UNION
+        |  SELECT e2.dst, d.hops + 1 FROM d JOIN e2 ON e2.src = d.node WHERE d.hops < 3
+        |)
+        |SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM d GROUP BY node""".stripMargin,
+
     // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
     // the sequential fixed point engine-independent, the decay weight
     // is a pure multiply chain (no pow), and the control band reads
@@ -2947,6 +3091,214 @@ object SparkEntry {
         |      + pow(chi2 / 2.0, 5.0) / 120.0)
         |    END) * 1e9 + 0.5) / 1e9 AS p_value
         |FROM pe""".stripMargin,
+
+    // same contingency machinery as q_chi2; every MI/entropy term is
+    // an integer-count ratio snapped to the 1e-9 grid before the sum
+    "q_mutual_info" ->
+      """WITH d AS (
+        |  SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_hi
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), obs AS (
+        |  SELECT source, lang, len_hi, count(*) AS o FROM d GROUP BY 1, 2, 3
+        |), rowm AS (
+        |  SELECT source, lang, CAST(sum(o) AS BIGINT) AS ra FROM obs GROUP BY 1, 2
+        |), colm AS (
+        |  SELECT source, len_hi, CAST(sum(o) AS BIGINT) AS rb FROM obs GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS n FROM obs GROUP BY 1
+        |), mi AS (
+        |  SELECT obs.source,
+        |    floor(sum(floor((obs.o / CAST(tot.n AS DOUBLE)
+        |      * ln(obs.o * CAST(tot.n AS DOUBLE) / (rowm.ra * colm.rb))) * 1e9 + 0.5) / 1e9)
+        |      * 1e9 + 0.5) / 1e9 AS mi
+        |  FROM obs
+        |  JOIN rowm ON obs.source = rowm.source AND obs.lang = rowm.lang
+        |  JOIN colm ON obs.source = colm.source AND obs.len_hi = colm.len_hi
+        |  JOIN tot ON obs.source = tot.source
+        |  GROUP BY 1
+        |), ha AS (
+        |  SELECT rowm.source,
+        |    floor(sum(floor(((-rowm.ra) / CAST(tot.n AS DOUBLE)
+        |      * ln(rowm.ra / CAST(tot.n AS DOUBLE))) * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS h_a
+        |  FROM rowm JOIN tot ON rowm.source = tot.source GROUP BY 1
+        |), hb AS (
+        |  SELECT colm.source,
+        |    floor(sum(floor(((-colm.rb) / CAST(tot.n AS DOUBLE)
+        |      * ln(colm.rb / CAST(tot.n AS DOUBLE))) * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS h_b
+        |  FROM colm JOIN tot ON colm.source = tot.source GROUP BY 1
+        |)
+        |SELECT tot.source, tot.n, mi.mi, ha.h_a, hb.h_b,
+        |  CASE WHEN ha.h_a > 0 AND hb.h_b > 0
+        |    THEN floor(mi.mi / sqrt(ha.h_a * hb.h_b) * 1e9 + 0.5) / 1e9 END AS nmi
+        |FROM tot
+        |JOIN mi ON tot.source = mi.source
+        |JOIN ha ON tot.source = ha.source
+        |JOIN hb ON tot.source = hb.source""".stripMargin,
+
+    // group sums replayed with the identical snap points: group mean
+    // -> grid, the three feature-level sums -> grid, grand mean ->
+    // grid, both sums of squares -> grid, F -> grid
+    "q_anova_f" ->
+      """WITH s AS (
+        |  SELECT l_partkey % 100 AS feature, l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        |), g AS (
+        |  SELECT feature, grp, count(*) AS c, sum(v) AS sv, sum(v * v) AS sv2 FROM s GROUP BY 1, 2
+        |), gm AS (
+        |  SELECT feature, grp, c, sv, sv2, floor(sv / c * 1e9 + 0.5) / 1e9 AS m FROM g
+        |), ft AS (
+        |  SELECT feature, CAST(sum(c) AS BIGINT) AS n, count(*) AS k,
+        |    floor(sum(sv) * 1e9 + 0.5) / 1e9 AS ts,
+        |    floor(sum(sv2) * 1e9 + 0.5) / 1e9 AS ts2,
+        |    floor(sum(c * m * m) * 1e9 + 0.5) / 1e9 AS sgm
+        |  FROM gm GROUP BY 1
+        |), gr AS (
+        |  SELECT feature, n, k, ts2, sgm, floor(ts / n * 1e9 + 0.5) / 1e9 AS grand FROM ft
+        |), fin AS (
+        |  SELECT feature, n, k,
+        |    floor((sgm - n * grand * grand) * 1e9 + 0.5) / 1e9 AS ss_between,
+        |    floor((ts2 - sgm) * 1e9 + 0.5) / 1e9 AS ss_within
+        |  FROM gr
+        |)
+        |SELECT feature, n, k, ss_between, ss_within,
+        |  CASE WHEN k >= 2 AND n > k AND ss_within > 0 THEN
+        |    floor(((ss_between / (k - 1)) / (ss_within / (n - k))) * 1e9 + 0.5) / 1e9 END AS f_stat
+        |FROM fin""".stripMargin,
+
+    // pairwise-complete Pearson over users: per-user mean on the
+    // grid, the five pair sums on the grid, then the closed form
+    "q_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, floor(avg(value) * 1e9 + 0.5) / 1e9 AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), p AS (
+        |  SELECT a.event_type AS f1, b.event_type AS f2, a.m AS x, b.m AS y
+        |  FROM m a JOIN m b ON a.user_id = b.user_id WHERE a.event_type < b.event_type
+        |), agg AS (
+        |  SELECT f1, f2, count(*) AS n_pairs,
+        |    floor(sum(x) * 1e9 + 0.5) / 1e9 AS sx, floor(sum(y) * 1e9 + 0.5) / 1e9 AS sy,
+        |    floor(sum(x * x) * 1e9 + 0.5) / 1e9 AS sxx,
+        |    floor(sum(y * y) * 1e9 + 0.5) / 1e9 AS syy,
+        |    floor(sum(x * y) * 1e9 + 0.5) / 1e9 AS sxy
+        |  FROM p GROUP BY 1, 2
+        |), der AS (
+        |  SELECT f1, f2, n_pairs,
+        |    floor((n_pairs * sxy - sx * sy) * 1e9 + 0.5) / 1e9 AS num,
+        |    floor((n_pairs * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS dx,
+        |    floor((n_pairs * syy - sy * sy) * 1e9 + 0.5) / 1e9 AS dy
+        |  FROM agg
+        |)
+        |SELECT f1, f2, n_pairs,
+        |  CASE WHEN dx > 0 AND dy > 0
+        |    THEN floor(num / sqrt(dx * dy) * 1e9 + 0.5) / 1e9 END AS corr
+        |FROM der""".stripMargin,
+
+    // the full PCA determinism contract replayed: grid covariance,
+    // 8 power-iteration rounds (matrix-vector product -> grid, norm
+    // -> grid, normalized vector -> grid) from the uniform start
+    // 1/sqrt(64) = 0.125, projection = dot - bias on the 1e-6 grid
+    "q_pca" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |), u AS MATERIALIZED (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |), nn AS MATERIALIZED (
+        |  SELECT count(*) AS n FROM e
+        |), mu AS MATERIALIZED (
+        |  SELECT i, floor(sum(x) / (SELECT n FROM nn) * 1e9 + 0.5) / 1e9 AS m FROM u GROUP BY i
+        |), cv AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(floor((sum(a.x * b.x) / (SELECT n FROM nn) - ma.m * mb.m) * 1e9 + 0.5) AS BIGINT) AS c
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id
+        |  JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+        |  GROUP BY a.i, b.i, ma.m, mb.m
+        |), x0 AS (SELECT i, CAST(125000000 AS HUGEINT) AS xi FROM mu),
+        |p1 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x0.xi) AS yi
+        |  FROM cv JOIN x0 ON cv.j = x0.i GROUP BY cv.i
+        |), m1 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p1
+        |), x1 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p1, m1
+        |),
+        |p2 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x1.xi) AS yi
+        |  FROM cv JOIN x1 ON cv.j = x1.i GROUP BY cv.i
+        |), m2 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p2
+        |), x2 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p2, m2
+        |),
+        |p3 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x2.xi) AS yi
+        |  FROM cv JOIN x2 ON cv.j = x2.i GROUP BY cv.i
+        |), m3 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p3
+        |), x3 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p3, m3
+        |),
+        |p4 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x3.xi) AS yi
+        |  FROM cv JOIN x3 ON cv.j = x3.i GROUP BY cv.i
+        |), m4 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p4
+        |), x4 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p4, m4
+        |),
+        |p5 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x4.xi) AS yi
+        |  FROM cv JOIN x4 ON cv.j = x4.i GROUP BY cv.i
+        |), m5 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p5
+        |), x5 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p5, m5
+        |),
+        |p6 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x5.xi) AS yi
+        |  FROM cv JOIN x5 ON cv.j = x5.i GROUP BY cv.i
+        |), m6 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p6
+        |), x6 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p6, m6
+        |),
+        |p7 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x6.xi) AS yi
+        |  FROM cv JOIN x6 ON cv.j = x6.i GROUP BY cv.i
+        |), m7 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p7
+        |), x7 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p7, m7
+        |),
+        |p8 AS MATERIALIZED (
+        |  SELECT cv.i, sum(CAST(cv.c AS HUGEINT) * x7.xi) AS yi
+        |  FROM cv JOIN x7 ON cv.j = x7.i GROUP BY cv.i
+        |), m8 AS (
+        |  SELECT max(abs(yi)) AS mx FROM p8
+        |), x8 AS MATERIALIZED (
+        |  SELECT i, ((2*yi*1000000000 + mx) - (((2*yi*1000000000 + mx) % (2*mx) + 2*mx) % (2*mx))) // (2*mx) AS xi
+        |  FROM p8, m8
+        |),
+        |n9 AS (
+        |  SELECT CAST(floor(sqrt(CAST(sum(xi * xi) AS DOUBLE)) + 0.5) AS HUGEINT) AS l2 FROM x8
+        |), vv AS MATERIALIZED (
+        |  SELECT i, ((2*xi*1000000000 + l2) - (((2*xi*1000000000 + l2) % (2*l2) + 2*l2) % (2*l2))) // (2*l2) AS vi
+        |  FROM x8, n9
+        |), bias AS (
+        |  SELECT sum(CAST(floor((CAST(vi AS DOUBLE) / 1e9) * mu.m * 1e9 + 0.5) AS BIGINT)) AS b
+        |  FROM vv JOIN mu ON vv.i = mu.i
+        |)
+        |SELECT u.vec_id,
+        |  floor((sum(CAST(floor(u.x * (CAST(vv.vi AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT))
+        |    - (SELECT b FROM bias)) / 1000.0 + 0.5) / 1000000 AS pc1
+        |FROM u JOIN vv ON u.i = vv.i GROUP BY u.vec_id""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -3131,6 +3483,59 @@ object SparkEntry {
       """SELECT doc_id AS id, doc_id - doc_id % 8 AS component FROM documents""".stripMargin,
 
     "q_bm25" -> Bm25OracleSql,
+
+    // same postings/df/stats machinery as BM25 with the sublinear
+    // smoothed-idf weight replayed term by term
+    "q_tfidf" ->
+      """WITH f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs FROM documents
+        |), post AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM f
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM post
+        |  WHERE term IN ('vector', 'hash', 'stream', 'window') GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      (1.0 + ln(tf.tf)) * (ln((s.n_docs + 1.0) / (d.dfreq + 1.0)) + 1.0)
+        |    ) * 1000000 + 0.5) / 1000000 AS score
+        |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // integer-count PMI: bigram/unigram/total counts replayed with
+    // the identical multiply order, one ln per pair on the 1e-9 grid
+    "q_collocations" ->
+      """WITH f AS (
+        |  SELECT [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM f) GROUP BY 1
+        |), b0 AS (
+        |  SELECT toks, unnest(range(1, len(toks))) AS i FROM f WHERE len(toks) >= 2
+        |), bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n_pair
+        |  FROM b0 GROUP BY 1, 2 HAVING count(*) >= 5
+        |), tot AS (
+        |  SELECT CAST(COALESCE(sum(len(toks)), 0) AS BIGINT) AS t_tokens,
+        |    CAST(COALESCE(sum(greatest(len(toks) - 1, 0)), 0) AS BIGINT) AS t_bigrams
+        |  FROM f
+        |)
+        |SELECT bi.w1, bi.w2, bi.n_pair,
+        |  floor(ln(CAST(bi.n_pair AS DOUBLE) * t.t_tokens * t.t_tokens
+        |    / (CAST(t.t_bigrams AS DOUBLE) * u1.c * u2.c)) * 1e9 + 0.5) / 1e9 AS pmi
+        |FROM bi
+        |JOIN uni u1 ON bi.w1 = u1.w
+        |JOIN uni u2 ON bi.w2 = u2.w
+        |CROSS JOIN tot t
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q_bm25_persist" -> Bm25OracleSql,
 

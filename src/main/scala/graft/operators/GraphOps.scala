@@ -265,6 +265,95 @@ object GraphOps {
       .distinct()
   }
 
+  /** Synchronous label propagation communities (Raghavan et al.
+    * 2007, public algorithm) — the density-based complement of
+    * [[connectedComponents]]: CC answers "what is reachable", LPA
+    * answers "what is DENSELY knit" (a bridge edge joins two
+    * components into one CC but LPA keeps the two communities).
+    *
+    * Deterministic synchronous variant (the classic async +
+    * random-order formulation is irreproducible by design — wrong
+    * for an oracle-gated engine): every node starts labeled with
+    * its own id; each round ALL nodes simultaneously adopt their
+    * neighborhood's most frequent label, ties to the smallest
+    * label. Fixed `iters` rounds, unrolled-replay friendly.
+    *
+    * Per round: ONE join of the node-sized label frame to the
+    * symmetrized edges + ONE map-side-combinable
+    * groupBy(node, label) count + a per-node argmax window over the
+    * (node × distinct neighbor labels) frame — never the raw edge
+    * multiplicity. `localCheckpoint` per round bounds plan depth
+    * (same discipline as [[connectedComponents]]).
+    *
+    * @return (node, label) for every edge endpoint; label = the
+    *         adopted community representative id
+    */
+  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val e = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var it = 0
+    while (it < iters) {
+      val nbr = e.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label").asc)
+      labels = nbr.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
+
+  /** Multi-source BFS: minimum hop count from any source to every
+    * reachable node within `maxHops` — the reachability/egonet
+    * primitive (contamination spread from flagged docs, link
+    * distance from seed hosts).
+    *
+    * Frontier form: round h joins the CURRENT frontier (nodes first
+    * reached at h−1) to the edges and anti-joins the settled set —
+    * each node is expanded exactly once ever (total work O(edges
+    * within the horizon), not O(edges·rounds)), and a drained
+    * frontier stops early. Settled/frontier frames localCheckpoint
+    * per round.
+    *
+    * @param sources DataFrame with column `node`
+    * @return (node, hops) for every node within maxHops of a source
+    *         (sources themselves at 0)
+    */
+  def shortestHops(edges0: DataFrame, sources: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val e = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var settled = sources.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = settled.select(col("node"))
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      settled = settled.union(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      h += 1
+    }
+    settled
+  }
+
   /** Groups [[coOccurrenceEdges]] drops at `maxGroupSize` — exact
     * distinct-item counts for the over-cap groups, same telemetry
     * contract as the dedup overflow reports: at 100 TB this IS the

@@ -216,6 +216,50 @@ object RetrievalOps {
   /** Shared scoring tail: idf per term (broadcast), per-doc score
     * sum, rounded-then-ranked top-k via TakeOrderedAndProject.
     */
+  /** Sublinear TF-IDF retrieval — the classic lexical baseline next
+    * to [[bm25TopK]] (no length normalization / saturation knobs;
+    * useful as the second scorer in an RRF fusion). Weight per
+    * (doc, query term): `(1 + ln tf) · (ln((N+1)/(df+1)) + 1)` —
+    * the smoothed-idf variant that never goes negative.
+    *
+    * Identical scale shape to BM25: postings filtered to query
+    * terms BEFORE the one shuffle, df as a ≤|q|-row broadcast,
+    * N as a 1-row broadcast, top-k via TakeOrderedAndProject.
+    * Scores snap to the 1e-6 grid before ranking, ties by doc id.
+    */
+  def tfidfTopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val post = df
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val nDocs = df.select(count(lit(1)).cast("double").as("n_docs"))
+    val scored = post
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        (lit(1.0) + log(col("tf"))) *
+          (log((col("n_docs") + lit(1.0)) / (col("dfreq") + lit(1.0))) + lit(1.0)))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("w")) * 1e6 + lit(0.5)) / 1e6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+  }
+
   private def scoreAndRank(
       post: DataFrame,
       stats: DataFrame,

@@ -436,4 +436,148 @@ object StatsOps {
       .join(broadcast(mapping.select(featureCol, levelCol)), Seq(featureCol))
       .groupBy(col(sampleCol), col(levelCol))
       .agg(sum(valueCol).as(valueCol))
+
+  /** Mutual information between two categorical columns per group —
+    * the information-theoretic twin of [[chiSquaredIndependence]]
+    * (chi² asks "is the deviation from independence significant",
+    * MI asks "how many nats does knowing A tell you about B" —
+    * the feature-selection score).
+    *
+    * Same scale shape as chi²: ONE map-side-combinable
+    * groupBy(group, a, b) count shuffle; marginals and entropies
+    * re-aggregate the contingency frame, never the raw rows. All
+    * ratios are integer-count ratios and every log term lands on
+    * the 1e-9 grid, so the result is a deterministic function of
+    * the counts (oracle replays it term by term).
+    *
+    * @return one row per group: (groupCols*, n, mi, h_a, h_b, nmi)
+    *         where nmi = mi/sqrt(h_a·h_b) (null when either
+    *         entropy is 0 — a constant column carries no
+    *         information to normalize against)
+    */
+  def mutualInformation(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val obs = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(gs :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rowm = obs.groupBy(gs :+ col("__a"): _*).agg(sum("__o").as("__ra"))
+    val colm = obs.groupBy(gs :+ col("__b"): _*).agg(sum("__o").as("__rb"))
+    val tot = obs.groupBy(gs: _*).agg(sum("__o").as("__n"))
+    val joint = obs.join(rowm, groupCols :+ "__a")
+      .join(colm, groupCols :+ "__b")
+      .join(tot, groupCols)
+    val n = col("__n").cast("double")
+    val miTerm = snap9(col("__o") / n *
+      log(col("__o") * n / (col("__ra") * col("__rb"))))
+    val mi = joint.groupBy(gs: _*).agg(snap9(sum(miTerm)).as("mi"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame =
+      m.join(tot, groupCols)
+        .groupBy(gs: _*)
+        .agg(snap9(sum(snap9(-col(cnt) / col("__n").cast("double") *
+          log(col(cnt) / col("__n").cast("double"))))).as(out))
+    mi.join(entropy(rowm, "__ra", "h_a"), groupCols)
+      .join(entropy(colm, "__rb", "h_b"), groupCols)
+      .join(tot.select(gs :+ col("__n").as("n"): _*), groupCols)
+      .select(gs ++ Seq(col("n"), col("mi"), col("h_a"), col("h_b"),
+        when(col("h_a") > 0 && col("h_b") > 0,
+          snap9(col("mi") / sqrt(col("h_a") * col("h_b")))).as("nmi")): _*)
+  }
+
+  /** One-way ANOVA F statistic per feature — the parametric
+    * companion to [[kruskalWallis]] (rank-free, assumes normality;
+    * the classic differential-expression screen). Emits the F
+    * statistic and dofs; significance calls belong to the caller
+    * (the F survival function has no closed column form — rank by
+    * F within equal dofs, or feed kruskalWallis for p-values).
+    *
+    * ONE partial-agg groupBy(feature, group) over raw rows, then a
+    * feature-sized re-aggregation — sums only, no value buffering.
+    * Group means and both sums of squares land on the 1e-9 grid.
+    *
+    * @return (featureCol, n, k, ss_between, ss_within, f_stat);
+    *         f_stat null when k < 2, n ≤ k, or ss_within = 0
+    */
+  def anovaF(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val perGroup = df
+      .filter(v.isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(featureCol), col(groupCol))
+      .agg(count(lit(1)).as("__c"), sum(v).as("__s"), sum(v * v).as("__s2"))
+      .withColumn("__m", snap9(col("__s") / col("__c")))
+    val byFeat = perGroup
+      .groupBy(col(featureCol))
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("k"),
+        snap9(sum(col("__s"))).as("__ts"),
+        snap9(sum(col("__s2"))).as("__ts2"),
+        snap9(sum(col("__c") * col("__m") * col("__m"))).as("__sgm"))
+    val grand = snap9(col("__ts") / col("n"))
+    byFeat
+      .withColumn("ss_between", snap9(col("__sgm") - col("n") * grand * grand))
+      .withColumn("ss_within", snap9(col("__ts2") - col("__sgm")))
+      .withColumn("f_stat",
+        when(col("k") >= 2 && col("n") > col("k") && col("ss_within") > 0,
+          snap9((col("ss_between") / (col("k") - 1)) /
+            (col("ss_within") / (col("n") - col("k"))))))
+      .select(col(featureCol), col("n"), col("k"),
+        col("ss_between"), col("ss_within"), col("f_stat"))
+  }
+
+  /** Pairwise Pearson correlation between features stored long
+    * (entity, feature, value) — the correlation-matrix screen over
+    * a bounded feature set (co-abundance networks, collinearity
+    * checks). Pairwise-complete semantics: each (f1, f2) cell uses
+    * exactly the entities carrying BOTH features.
+    *
+    * Shape: one self-equi-join on the entity key (shuffle on
+    * entity, output n_entities·F² pair rows worst case — bounded
+    * by the feature-set width, NOT the corpus; F features make
+    * this the documented F² blowup every correlation matrix pays)
+    * then ONE map-side-combinable groupBy(f1, f2). Entities with
+    * one row per feature are assumed (pre-aggregate upstream).
+    *
+    * @return (f1, f2, n_pairs, corr) for f1 < f2; corr null when
+    *         either side is constant over the complete pairs
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      entityCol: String,
+      featureCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val base = df
+      .filter(col(entityCol).isNotNull && col(featureCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(entityCol).as("__e"), col(featureCol).as("__f"),
+        col(valueCol).cast("double").as("__v"))
+    val a = base.select(col("__e"), col("__f").as("f1"), col("__v").as("__x"))
+    val b = base.select(col("__e"), col("__f").as("f2"), col("__v").as("__y"))
+    val pairs = a.join(b, Seq("__e")).filter(col("f1") < col("f2"))
+    pairs.groupBy(col("f1"), col("f2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        snap9(sum(col("__x"))).as("__sx"), snap9(sum(col("__y"))).as("__sy"),
+        snap9(sum(col("__x") * col("__x"))).as("__sxx"),
+        snap9(sum(col("__y") * col("__y"))).as("__syy"),
+        snap9(sum(col("__x") * col("__y"))).as("__sxy"))
+      .withColumn("__num", snap9(col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")))
+      .withColumn("__dx", snap9(col("n_pairs") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("__dy", snap9(col("n_pairs") * col("__syy") - col("__sy") * col("__sy")))
+      .withColumn("corr",
+        when(col("__dx") > 0 && col("__dy") > 0,
+          snap9(col("__num") / sqrt(col("__dx") * col("__dy")))))
+      .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
+  }
 }

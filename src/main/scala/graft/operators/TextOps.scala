@@ -142,4 +142,57 @@ object TextOps {
       if (collapseWhitespace) trim(regexp_replace(lowered, "\\s+", " ")) else lowered
     df.withColumn(outputCol, collapsed)
   }
+
+  /** PMI collocation extraction — the corpus-level "which word
+    * pairs belong together" screen (multi-word expressions,
+    * domain phrases, tokenizer-merge candidates). For each adjacent
+    * token bigram: `pmi = ln(C_ab·T² / (B·C_a·C_b))` where C_ab is
+    * the bigram count, C the unigram counts, T total tokens, B
+    * total bigrams — all INTEGER counts, so the score is a
+    * deterministic function of the corpus (one ln per pair, snapped
+    * to the 1e-9 grid).
+    *
+    * Two map-side-combinable count shuffles (unigrams, bigrams) +
+    * two ≤vocab-sized broadcast joins; totals ride a 1-row
+    * broadcast. `minCount` gates the long tail BEFORE the joins
+    * (rare-pair PMI is noise — the standard collocation guard), and
+    * top-k is TakeOrderedAndProject, ties (pmi, w1, w2).
+    *
+    * @return (w1, w2, n_pair, pmi) — top `k` by pmi desc
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      k: Int = 100
+  ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val totals = toks.agg(
+      coalesce(sum(size(col("__toks"))), lit(0L)).as("t_tokens"),
+      coalesce(sum(greatest(size(col("__toks")) - 1, lit(0))), lit(0L)).as("t_bigrams"))
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    // unigram joins stay shuffle joins: the vocab is unbounded at
+    // corpus scale (AQE may still broadcast when it measures small)
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", snap9(log(
+        col("n_pair").cast("double") * col("t_tokens") * col("t_tokens") /
+          (col("t_bigrams").cast("double") * col("c1") * col("c2")))))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

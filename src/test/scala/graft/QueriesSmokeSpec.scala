@@ -25,9 +25,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // sketch arrays: groups are a bounded dimension, each side ≤ k
     // hashes — the raw value frames never meet
     "q_kmv_jaccard",
-    // 1-row broadcast scalars: BM25 corpus stats (N, avgdl), LM vocab
-    // size, z-order column min/max
-    "q_bm25", "q_bm25_persist", "q_bm25_append", "q_lm_score", "q_zorder")
+    // 1-row broadcast scalars: BM25/TF-IDF corpus stats, collocation
+    // totals, LM vocab size, z-order column min/max
+    "q_bm25", "q_bm25_persist", "q_bm25_append", "q_tfidf", "q_collocations",
+    "q_lm_score", "q_zorder")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

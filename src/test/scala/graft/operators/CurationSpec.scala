@@ -220,4 +220,32 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
   }
+
+  test("collocations: planted bigram dominates by PMI; formula and gates replayed") {
+    // "alpha beta" always adjacent (high PMI); "the" everywhere (low PMI);
+    // "rare pair" appears 3 times (under minCount=5 -> gated)
+    val docs = (1 to 10).map(i => (i.toLong, s"the alpha beta of the word$i and the end")) ++
+      (1 to 3).map(i => (100L + i, "rare pair indeed"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.collocations(df, "text", minCount = 5, k = 10)
+      .as[(String, String, Long, Double)].collect()
+    // local replay
+    val toks = docs.map(_._2.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).toSeq)
+    val tTokens = toks.map(_.size).sum
+    val tBigrams = toks.map(t => math.max(t.size - 1, 0)).sum
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bi = toks.flatMap(t => t.zip(t.tail)).groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 5)
+    val want = bi.map { case ((w1, w2), c) =>
+      val pmi = math.log(c.toDouble * tTokens * tTokens /
+        (tBigrams.toDouble * uni(w1) * uni(w2)))
+      (w1, w2, c.toLong, math.floor(pmi * 1e9 + 0.5) / 1e9)
+    }.toSeq.sortBy(r => (-r._4, r._1, r._2)).take(10)
+    assert(got.toSeq == want)
+    // the planted exclusive pair outranks the ubiquitous-word pairs
+    assert(got.head._1 == "alpha" && got.head._2 == "beta")
+    assert(!got.exists(r => r._1 == "rare"), "minCount gate failed")
+    intercept[IllegalArgumentException](TextOps.collocations(df, "text", 0, 5))
+    intercept[IllegalArgumentException](TextOps.collocations(df, "text", 5, 0))
+  }
 }

@@ -148,6 +148,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(capped == small)
   }
 
+  test("labelPropagation: bridge-joined cliques keep two communities where CC merges them") {
+    // two 4-cliques joined by one bridge edge 3-10
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val labels = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val commA = Set(0L, 1L, 2L, 3L).map(labels)
+    val commB = Set(10L, 11L, 12L, 13L).map(labels)
+    assert(commA.size == 1 && commB.size == 1, s"cliques not uniform: $labels")
+    assert(commA != commB, "bridge should not merge the communities")
+    // CC on the same graph merges everything — the contrast LPA exists for
+    val cc0 = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc0.values.toSet.size == 1)
+    intercept[IllegalArgumentException](
+      GraphOps.labelPropagation(edges.toDF("src", "dst"), 0))
+  }
+
+  test("labelPropagation matches a local synchronous replay on random graphs") {
+    val rnd = new scala.util.Random(3)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // local sync replay: most frequent neighbor label, ties to min
+    val und = (edges ++ edges.map(_.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == labels)
+  }
+
+  test("shortestHops: multi-source min hops, horizon bound, early frontier drain") {
+    // path 0-1-2-3-4-5 plus isolated-from-sources node pair 100-101
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+    val sources = Seq(0L, 3L).toDF("node")
+    val got = GraphOps.shortestHops(edges.toDF("src", "dst"), sources, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // min over both sources, capped at 2 hops; 100/101 unreachable
+    assert(got == Map(0L -> 0, 3L -> 0, 1L -> 1, 2L -> 1, 4L -> 1, 5L -> 2))
+    // drained frontier stops early: full reach needs no extra rounds
+    val full = GraphOps.shortestHops(edges.toDF("src", "dst"), Seq(0L).toDF("node"), maxHops = 50)
+      .as[(Long, Int)].collect().toMap
+    assert(full == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5))
+    intercept[IllegalArgumentException](
+      GraphOps.shortestHops(edges.toDF("src", "dst"), sources, 0))
+  }
+
   test("dupClusters distributed path (threshold 0) agrees with the driver path") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
     val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap

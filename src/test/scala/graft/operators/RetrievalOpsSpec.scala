@@ -87,6 +87,32 @@ class RetrievalOpsSpec extends SparkSpec {
       RetrievalOps.saveIndex(docs, "text", "doc_id", "/tmp/x", nBuckets = 0))
   }
 
+  test("tfidfTopK matches the closed-form sublinear smoothed-idf score") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark flink"),   // tf(spark)=3
+      (2L, "spark flink flink"),         // tf(spark)=1, tf(flink)=2
+      (3L, "beam beam beam beam"),       // no query terms
+      (4L, "spark")                      // tf(spark)=1
+    ).toDF("doc_id", "text")
+    val got = RetrievalOps.tfidfTopK(docs, "text", "doc_id", Seq("spark", "flink"), k = 10)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+    val n = 4.0
+    def idf(df: Double) = math.log((n + 1.0) / (df + 1.0)) + 1.0
+    def w(tf: Double, df: Double) = (1.0 + math.log(tf)) * idf(df)
+    def snap(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = Map( // df(spark)=3, df(flink)=2
+      1L -> snap(w(3, 3) + w(1, 2)),
+      2L -> snap(w(1, 3) + w(2, 2)),
+      4L -> snap(w(1, 3)))
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    // doc 3 contains no query term -> absent; ranking by score desc
+    assert(got.map(_._1).toSeq == got.sortBy(-_._2).map(_._1).toSeq)
+    assert(!got.map(_._1).contains(3L))
+    intercept[IllegalArgumentException](RetrievalOps.tfidfTopK(docs, "text", "doc_id", Nil, 5))
+    intercept[IllegalArgumentException](RetrievalOps.tfidfTopK(docs, "text", "doc_id", Seq("a"), 0))
+  }
+
   test("rrfFuse sums 1/(c+rank) across lists and ranks by fused score") {
     import spark.implicits._
     val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "r")
