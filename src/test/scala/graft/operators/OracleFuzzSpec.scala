@@ -331,4 +331,301 @@ class OracleFuzzSpec extends SparkSpec {
       assert(got == want, s"trial $trial nCols=$nCols bits=$bits span=$span")
     }
   }
+
+  // ---- r8 additions: the r7-late operator families under random
+  //      parameters, each against an independent local replay ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+  private def snap6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("fuzz: HLL estimate matches the local md5-register replay across p") {
+    val rng = new scala.util.Random(211)
+    for (trial <- 1 to 6) {
+      val p = Seq(4, 8, 12)(rng.nextInt(3))
+      val m = 1 << p
+      val rows = (0 until 200 + rng.nextInt(800))
+        .map(_ => ("g" + rng.nextInt(3), (rng.nextInt(500) * 7919L).toString))
+      val got = SketchOps.hllCardinality(rows.toDF("g", "v"), Seq("g"), "v", p)
+        .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val regs = scala.collection.mutable.Map[Int, Int]()
+        grp.map(_._2).distinct.foreach { v =>
+          val h = md5hex(v)
+          val idx = h.take(p / 4).foldLeft(0)((a, c) => a * 16 + Integer.parseInt(c.toString, 16))
+          val rest = h.substring(p / 4, p / 4 + 13)
+          val z = rest.takeWhile(_ == '0').length
+          val rank = if (z == 13) 53 else {
+            val fd = Integer.parseInt(rest(z).toString, 16)
+            val lz4 = if (fd >= 8) 0 else if (fd >= 4) 1 else if (fd >= 2) 2 else 3
+            z * 4 + lz4 + 1
+          }
+          regs(idx) = math.max(regs.getOrElse(idx, 0), rank)
+        }
+        val alpha = p match {
+          case 4 => 0.673
+          case 8 => 0.7182725932495458
+          case _ => 0.7213 / (1.0 + 1.079 / m)
+        }
+        val two53 = BigInt(1) << 53
+        val sFull = (regs.values.map(r => BigInt(1) << (53 - r)).sum +
+          BigInt(m - regs.size) * two53).toDouble
+        val raw = alpha * m.toDouble * m.toDouble * 9007199254740992d / sFull
+        val v0 = m - regs.size
+        val est = if (raw <= 2.5 * m && v0 > 0) m.toDouble * math.log(m.toDouble / v0) else raw
+        assert(got(g) == ((snap6(est), regs.size.toLong)), s"trial $trial p=$p g=$g")
+        // estimate quality: within the standard error envelope
+        val exact = grp.map(_._2).distinct.size
+        assert(math.abs(est - exact) < math.max(6.0 / math.sqrt(m) * exact, 3.0),
+          s"trial $trial p=$p g=$g est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("fuzz: CMS estimates match the local grid replay and dominate true counts across d/w") {
+    val rng = new scala.util.Random(223)
+    for (trial <- 1 to 6) {
+      val d = 1 + rng.nextInt(6)
+      val w = Seq(2, 16, 256, 1024)(rng.nextInt(4))
+      val rows = (0 until 300 + rng.nextInt(500))
+        .map(_ => ("g" + rng.nextInt(2), math.abs(rng.nextGaussian() * 30).toInt.toString))
+      val df = rows.toDF("g", "v")
+      val probeVals = (rows.map(_._2).distinct.take(20) ++ Seq("never-seen")).distinct
+      val probes = probeVals.flatMap(v => Seq(("g0", v), ("g1", v))).toDF("g", "pv")
+      val sk = SketchOps.cmsSketch(df, Seq("g"), "v", d, w)
+      val got = SketchOps.cmsEstimate(sk, Seq("g"), probes, "pv", d, w)
+        .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      def bucket(j: Int, v: String): Int = {
+        val h = md5hex(s"$j:$v")
+        h.take(4).foldLeft(0)((a, c) => a * 16 + Integer.parseInt(c.toString, 16)) % w
+      }
+      for (g <- Seq("g0", "g1"); v <- probeVals) {
+        val grid = scala.collection.mutable.Map[(Int, Int), Long]()
+        rows.filter(_._1 == g).foreach { case (_, x) =>
+          (0 until d).foreach(j => grid((j, bucket(j, x))) = grid.getOrElse((j, bucket(j, x)), 0L) + 1) }
+        val want = (0 until d).map(j => grid.getOrElse((j, bucket(j, v)), 0L)).min
+        assert(got((g, v)) == want, s"trial $trial d=$d w=$w ($g,$v)")
+        val truth = rows.count(r => r._1 == g && r._2 == v)
+        assert(want >= truth, s"trial $trial CMS must over-estimate")
+      }
+    }
+  }
+
+  test("fuzz: KMV estimate and pairwise Jaccard match the local bottom-k replay across k") {
+    val rng = new scala.util.Random(227)
+    for (trial <- 1 to 6) {
+      val k = 2 + rng.nextInt(63)
+      val rows = (0 until 300 + rng.nextInt(600)).map { _ =>
+        val g = "g" + rng.nextInt(3)
+        // overlapping value ranges so Jaccard is non-trivial
+        (g, (rng.nextInt(150) + (if (g == "g2") 75 else 0)).toString)
+      }
+      val sk = SketchOps.kmvSketch(rows.toDF("g", "v"), Seq("g"), "v", k)
+      def h52(v: String): Long =
+        md5hex(v).take(13).foldLeft(0L)((a, c) => a * 16 + Integer.parseInt(c.toString, 16))
+      val bottoms = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.map(h52).sorted.take(k)).toMap
+      val gotSk = sk.as[(String, Long, Int)].collect().groupBy(_._1).view
+        .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      assert(gotSk == bottoms.mapValues(_.toSeq).toMap, s"trial $trial k=$k sketch")
+      val est = SketchOps.kmvEstimate(sk, Seq("g"), k)
+        .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      bottoms.foreach { case (g, hs) =>
+        val nd = rows.filter(_._1 == g).map(_._2).distinct.size
+        val want = if (hs.size < k) hs.size.toDouble
+          else (k - 1).toDouble / (hs.last.toDouble / 4503599627370496d)
+        assert(est(g) == ((snap6(want), hs.size.toLong)), s"trial $trial k=$k est $g")
+        if (hs.size < k) assert(want == nd, "under-k sketch must be exact")
+      }
+      val jac = SketchOps.kmvJaccard(sk, "g", k)
+        .as[(String, String, Double, Int)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      for (Seq(a, b) <- bottoms.keys.toSeq.sorted.combinations(2)) {
+        val merged = (bottoms(a) ++ bottoms(b)).distinct.sorted.take(k)
+        val inter = merged.count(h => bottoms(a).contains(h) && bottoms(b).contains(h))
+        assert(jac((a, b)) == ((snap6(inter.toDouble / merged.size), merged.size)),
+          s"trial $trial k=$k jaccard ($a,$b)")
+      }
+    }
+  }
+
+  test("fuzz: retention matches the local cohort replay for week AND month periods") {
+    val rng = new scala.util.Random(229)
+    import java.time.{LocalDateTime, ZoneOffset}
+    for (trial <- 1 to 6) {
+      val period = if (rng.nextBoolean()) "week" else "month"
+      val base = LocalDateTime.of(2024, 1, 5, 0, 0)
+      val rows = (0 until 200 + rng.nextInt(400)).map { _ =>
+        (rng.nextInt(25).toLong,
+          java.sql.Timestamp.from(
+            base.plusMinutes(rng.nextInt(120 * 24 * 60)).toInstant(ZoneOffset.UTC)))
+      }
+      val got = FunnelOps.retention(rows.toDF("u", "ts"), "u", "ts", period)
+        .select(expr("unix_micros(cohort)"), col("offset"), col("n_active"),
+          col("cohort_size"), col("retention"))
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+      def trunc(ts: java.sql.Timestamp): LocalDateTime = {
+        val d = ts.toInstant.atOffset(ZoneOffset.UTC).toLocalDate
+        val t = if (period == "week") d.minusDays(d.getDayOfWeek.getValue - 1)
+          else d.withDayOfMonth(1)
+        t.atStartOfDay()
+      }
+      val perUser = rows.groupBy(_._1).view.mapValues(_.map(r => trunc(r._2)).distinct).toMap
+      val active = scala.collection.mutable.Map[(LocalDateTime, Long), Long]()
+      perUser.foreach { case (_, ps) =>
+        val cohort = ps.minBy(_.toInstant(ZoneOffset.UTC))
+        ps.foreach { pp =>
+          val off = if (period == "week")
+            java.time.temporal.ChronoUnit.DAYS.between(cohort, pp) / 7
+          else (pp.getYear - cohort.getYear) * 12L + (pp.getMonthValue - cohort.getMonthValue)
+          active((cohort, off)) = active.getOrElse((cohort, off), 0L) + 1
+        }
+      }
+      val want = active.map { case ((c, off), n) =>
+        val size = active((c, 0L))
+        (c.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L, off) ->
+          (n, size, snap6(n.toDouble / size))
+      }.toMap
+      assert(got == want, s"trial $trial period=$period")
+    }
+  }
+
+  test("fuzz: ewmaChart matches the local sequential replay across lambda/nSigma/minPrior") {
+    val rng = new scala.util.Random(233)
+    for (trial <- 1 to 6) {
+      val lambda = 0.05 + rng.nextDouble() * 0.9
+      val nSigma = 1.0 + rng.nextDouble() * 3.0
+      val minPrior = 2 + rng.nextInt(5)
+      val rows = (0 until 150 + rng.nextInt(200)).map { i =>
+        ("k" + rng.nextInt(4), i.toLong,
+          if (rng.nextInt(10) == 0) None else Some(rng.nextGaussian() * 5 + 20))
+      }
+      val df = rows.toDF("k", "seq", "v")
+      val got = DriftOps.ewmaChart(df, Seq("k"), Seq("seq"), "v", lambda, nSigma, minPrior)
+        .select("k", "seq", "ewma", "is_anomaly")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).toMap
+      rows.groupBy(_._1).foreach { case (key, grp0) =>
+        val grp = grp0.sortBy(_._2)
+        var b = 0.0; var w = 1.0
+        var cnt = 0L; var s1 = 0.0; var s2 = 0.0
+        var prevRaw: Option[Double] = None
+        var prevCnt = 0L; var prevS1 = 0.0; var prevS2 = 0.0
+        grp.foreach { case (_, seq, vo) =>
+          prevCnt = cnt; prevS1 = s1; prevS2 = s2
+          val lagRaw = prevRaw
+          vo.foreach { v =>
+            b = snap9(lambda * v + (1.0 - lambda) * b)
+            w = w * (1.0 - lambda)
+            cnt += 1; s1 += v; s2 += v * v
+          }
+          val raw = if (w == 1.0) None else Some(b / (1.0 - w))
+          val anomaly: Option[Boolean] =
+            if (vo.isDefined && prevCnt >= minPrior && lagRaw.isDefined) {
+              val np = prevCnt.toDouble
+              val variance = math.max((prevS2 - prevS1 * prevS1 / np) / np, 0.0)
+              val sigma = snap9(math.sqrt(variance))
+              Some(snap9(math.abs(vo.get - lagRaw.get)) > snap9(nSigma * sigma))
+            } else None
+          val (gotE, gotA) = got((key, seq))
+          assert(gotE == raw.map(snap9), s"trial $trial $key/$seq ewma")
+          assert(gotA == anomaly, s"trial $trial $key/$seq anomaly")
+          prevRaw = raw
+        }
+      }
+    }
+  }
+
+  test("fuzz: chi2 independence matches the local survival replay across dof") {
+    val rng = new scala.util.Random(239)
+    for (trial <- 1 to 8) {
+      val ka = 2 + rng.nextInt(6) // up to 7 levels
+      val kb = 2 + rng.nextInt(2) // 2-3 levels => dof up to 12
+      val rows = (0 until 200 + rng.nextInt(400)).map { _ =>
+        ("g", "a" + rng.nextInt(ka), "b" + rng.nextInt(kb))
+      }
+      val row = StatsOps.chiSquaredIndependence(rows.toDF("g", "av", "bv"), Seq("g"), "av", "bv")
+        .collect().head
+      val (gotChi, gotP) = (row.getDouble(3),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4)))
+      // local full-grid replay
+      val obs = rows.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong).toMap
+      val as = rows.map(_._2).distinct.sorted; val bs = rows.map(_._3).distinct.sorted
+      val ra = as.map(a => a -> obs.filter(_._1._1 == a).values.sum).toMap
+      val rb = bs.map(b => b -> obs.filter(_._1._2 == b).values.sum).toMap
+      val n = rows.size.toDouble
+      val chi = snap9((for (a <- as; b <- bs) yield {
+        val e = ra(a) * rb(b) / n
+        val o = obs.getOrElse((a, b), 0L).toDouble
+        snap9((o - e) * (o - e) / e)
+      }).sum)
+      assert(gotChi == chi, s"trial $trial chi2 $gotChi vs $chi")
+      val dof = (as.size - 1) * (bs.size - 1)
+      def survival(x: Double, df: Int): Double = {
+        val half = x / 2.0
+        if (df % 2 == 0)
+          math.exp(-half) * (0 until df / 2).map(i =>
+            math.pow(half, i) / (1 to i).foldLeft(1.0)(_ * _)).sum
+        else {
+          val z = math.sqrt(x) / math.sqrt(2.0)
+          val s = 1.0 / (1.0 + 0.3275911 * z)
+          val erfc = s * (0.254829592 + s * (-0.284496736 + s * (1.421413741 +
+            s * (-1.453152027 + s * 1.061405429)))) * math.exp(-z * z)
+          def gammaHalf(i: Int) = (1 to i).foldLeft(math.sqrt(math.Pi))((g, j) => g * (j - 0.5))
+          erfc + math.exp(-half) * (1 to (df - 1) / 2).map(i =>
+            math.pow(half, i - 0.5) / gammaHalf(i)).sum
+        }
+      }
+      val wantP = if (dof <= 12) Some(snap9(survival(chi, dof))) else None
+      // local float survival vs codegen'd column survival: identical
+      // formula, but allow the last grid cell on the 1e-9 snap
+      (gotP, wantP) match {
+        case (Some(g), Some(w)) => assert(math.abs(g - w) <= 1e-9 + 1e-12, s"trial $trial dof=$dof p")
+        case (g, w) => assert(g.isEmpty == w.isEmpty, s"trial $trial dof=$dof nullness")
+      }
+    }
+  }
+
+  test("fuzz: funnel matches the local greedy-chain replay under step permutations") {
+    val rng = new scala.util.Random(241)
+    val types = Seq("view", "click", "signup", "purchase", "error")
+    for (trial <- 1 to 8) {
+      val nSteps = 2 + rng.nextInt(3)
+      val steps = rng.shuffle(types).take(nSteps)
+      val rows = (0 until 300 + rng.nextInt(300)).map { i =>
+        (rng.nextInt(30).toLong, (i * 997 + rng.nextInt(800)).toLong, types(rng.nextInt(types.size)))
+      }
+      val got = FunnelOps.funnel(rows.toDF("u", "ts", "et"), "u", "ts", "et", steps)
+        .collect().map { r =>
+          r.getLong(0) -> ((1 to nSteps).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))), r.getInt(nSteps + 1))
+        }.toMap
+      rows.groupBy(_._1).foreach { case (u, evs0) =>
+        if (evs0.exists(e => steps.contains(e._3))) {
+          val evs = evs0
+          var chain = Vector.empty[Option[Long]]
+          steps.zipWithIndex.foreach { case (s, i) =>
+            val cands = evs.filter(_._3 == s).map(_._2)
+            val t: Option[Long] =
+              if (i == 0) if (cands.nonEmpty) Some(cands.min) else None
+              else chain.last match {
+                case Some(prev) =>
+                  val later = cands.filter(_ > prev)
+                  if (later.nonEmpty) Some(later.min) else None
+                case None => None
+              }
+            chain :+= t
+          }
+          val (gotTimes, gotReached) = got(u)
+          assert(gotTimes == chain, s"trial $trial user $u steps=$steps")
+          assert(gotReached == chain.count(_.isDefined), s"trial $trial user $u reached")
+        } else assert(!got.contains(u), s"trial $trial user $u should be absent")
+      }
+    }
+  }
 }
