@@ -279,11 +279,16 @@ object GraphOps {
     * label. Fixed `iters` rounds, unrolled-replay friendly.
     *
     * Per round: ONE join of the node-sized label frame to the
-    * symmetrized edges + ONE map-side-combinable
-    * groupBy(node, label) count + a per-node argmax window over the
-    * (node × distinct neighbor labels) frame — never the raw edge
-    * multiplicity. `localCheckpoint` per round bounds plan depth
-    * (same discipline as [[connectedComponents]]).
+    * symmetrized edges + THREE map-side-combinable aggregations —
+    * groupBy(node, label) count, groupBy(node) max-count, then
+    * min(label) among the tied maxima. Every stage partial-aggs, so
+    * a 10⁶-degree hub costs one row per shuffle partition, never a
+    * single-partition pile-up (the r8 scale probe caught the
+    * previous per-node argmax WINDOW doing exactly that: a 5M-degree
+    * hub put 5M distinct first-round labels into ONE window
+    * partition — fine at bench scale, a straggler at 100 TB).
+    * `localCheckpoint` per round bounds plan depth (same discipline
+    * as [[connectedComponents]]).
     *
     * @return (node, label) for every edge endpoint; label = the
     *         adopted community representative id
@@ -302,11 +307,13 @@ object GraphOps {
     while (it < iters) {
       val nbr = e.join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label").asc)
-      labels = nbr.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+      val mx = nbr.groupBy(col("src")).agg(max(col("__cnt")).as("__mc"))
+      labels = nbr.join(mx, "src")
+        .filter(col("__cnt") === col("__mc"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("label"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint(true)
       it += 1
     }
