@@ -16,11 +16,16 @@ object Bench {
     // warm the JVM/codegen/FS once so per-query numbers measure the
     // queries, not session startup
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    def runAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // optional comma-separated name filter for targeted experiments
+    // (the driver never sets it — all queries run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def runAll(): Map[String, Double] = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // the first post-idle pass pays one-time costs (whole-stage
     // codegen compiles, RocksDB instantiation, OS page cache) up to
     // ~50% of its wall-clock; run it as a discard and report the

@@ -15,6 +15,15 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** State-store partition count for the streaming queries (one
+    * RocksDB instance per partition per stateful operator; results
+    * are partition-count-invariant). 8 measured best for these
+    * stream sizes at local[32]; override for experiments via
+    * SPARK_GRAFT_STATE_PARTITIONS.
+    */
+  private val StreamStatePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8").toInt
+
   /** SQL for the KMV 52-bit hash: fold the first 13 hex chars of a
     * md5 column `h16` digit-by-digit into a BIGINT — the identical
     * integer arithmetic `SketchOps.h52` runs.
@@ -1465,7 +1474,7 @@ object SparkEntry {
         .streamingDedup(ev, Seq("user_id", "event_type"), watermark = "36500 days")
       // scope the knob to the stream START only — eager batch-side
       // prep (corpus blooms, band tables) keeps session parallelism
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
         runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup")
       }
     }),
@@ -1483,8 +1492,8 @@ object SparkEntry {
       val joined = graft.operators.RangeJoinOps
         .pointInInterval(c, "c_acctbal", iv, "lo", "hi", binWidth = 100.0, broadcastIntervals = true)
         .select(col("c_custkey"), col("s_suppkey"), hround(col("c_acctbal"), 2).as("bal"))
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
-        runStreamToMemory(joined, "m10range")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(joined, "m10range", quiesce = false)
       }
     }),
 
@@ -1498,8 +1507,8 @@ object SparkEntry {
       // the corpus bloom builds eagerly here, at session parallelism
       val kept = DedupOps.dedupAgainstCorpusStream(docs, corpus, "text",
         expectedCorpusItems = 100000L, fpp = 1e-9)
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
-        runStreamToMemory(kept.select("doc_id"), "m9corpus")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(kept.select("doc_id"), "m9corpus", quiesce = false)
       }
     }),
 
@@ -1520,8 +1529,8 @@ object SparkEntry {
           .otherwise(col("text")))
       val kept = DedupOps.decontaminateStream(docs, evalDf, "text",
         n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
-        runStreamToMemory(kept.select("doc_id"), "m8decon")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(kept.select("doc_id"), "m8decon", quiesce = false)
       }
     }),
 
@@ -1544,7 +1553,7 @@ object SparkEntry {
       val kept = graft.streaming.EventStreams.streamingDedupAgainstCorpus(
         stream, corpus, "doc_id", "text", shingleSize = 3, numHashes = 16,
         watermark = "10 seconds", windowLen = "1 minute")
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
         runStreamToMemory(kept, "m6near").filter(col("doc_id") < PusherId).select("doc_id")
       }
     }),
@@ -1572,7 +1581,7 @@ object SparkEntry {
         val kept = graft.streaming.EventStreams.streamingMinhashDedup(
           stream, "doc_id", "text", shingleSize = 3, numHashes = 16,
           watermark = "10 seconds", stateTtlMs = 3600 * 1000L, windowLen = "1 minute")
-        graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
           runStreamToMemory(kept, "m7minhash").filter(col("doc_id") < 1000000L).select("doc_id")
         }
       } finally prev match {
@@ -1771,7 +1780,7 @@ object SparkEntry {
       // its far-future timestamp (the watermark then stalls at
       // max-real-event − delay and the last sessions never emit). The
       // pusher's own session never closes, so post-filtering is safe.
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
         runStreamToMemory(sess, "m11sess")
       }.filter(col("user_id") =!= PusherId)
     }),
@@ -1795,7 +1804,7 @@ object SparkEntry {
       val regs = SketchOps.hllRegistersWindowed(
         ev.unionByName(pusher), "ts", Seq("event_type"), "user_id",
         windowLen = "3 days", watermark = "1 hour")
-      val sunk = graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
         runStreamToMemory(regs, "m13hll")
       }
       SketchOps.hllEstimateFromRegisters(
@@ -1823,7 +1832,7 @@ object SparkEntry {
         views, "v_user", "view_ts",
         purchases, "p_user", "purchase_ts",
         maxLag = "1 hour", watermark = "36500 days")
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
         runStreamToMemory(joined.select("view_id", "purchase_id", "v_user"), "m12join")
       }
     }),
@@ -1969,7 +1978,10 @@ object SparkEntry {
     * the driver's batch-compare grade a genuine streaming
     * execution.
     */
-  private def runStreamToMemory(df: DataFrame, prefix: String): DataFrame = {
+  private def runStreamToMemory(
+      df: DataFrame,
+      prefix: String,
+      quiesce: Boolean = true): DataFrame = {
     val name = prefix + java.lang.Long.toHexString(System.nanoTime())
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode("append")
@@ -1984,14 +1996,20 @@ object SparkEntry {
       // for batch quiescence: no newly committed batch for 400 ms
       // (the trigger loop is hot at ProcessingTime(0), so a pending
       // eviction batch commits within milliseconds), capped at 30 s.
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var lastSeen = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      var quietSince = System.nanoTime()
-      while (System.nanoTime() - quietSince < 400L * 1000 * 1000 &&
-          System.nanoTime() < deadline) {
-        Thread.sleep(20)
-        val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-        if (b != lastSeen) { lastSeen = b; quietSince = System.nanoTime() }
+      // STATELESS streams (bloom probes, broadcast joins — no state
+      // store, no watermark emissions) pass quiesce = false: every
+      // output row rode a data batch, so input completeness IS
+      // output completeness and the wait would be a pure 400 ms tax.
+      if (quiesce) {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var lastSeen = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        var quietSince = System.nanoTime()
+        while (System.nanoTime() - quietSince < 400L * 1000 * 1000 &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(20)
+          val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          if (b != lastSeen) { lastSeen = b; quietSince = System.nanoTime() }
+        }
       }
     } finally q.stop()
     df.sparkSession.table(name)
