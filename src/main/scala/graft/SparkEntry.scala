@@ -1430,6 +1430,39 @@ object SparkEntry {
         floor(col("features")(6) / 16.0).cast("long").as("kf_gray_bucket"))
     }),
 
+    // ---- M1c: REAL H.264 pixel decode — spec-valid Annex-B
+    //      baseline streams (SPS+PPS+IDR, I_PCM macroblocks) are
+    //      generated per row with constant planes derived from
+    //      doc_id, parsed and decoded by the video/h264 mime branch;
+    //      I_PCM is lossless so every feature replays exactly. ----
+    "q_h264" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = BioLoader.load(s, t(dir, "documents")).select(col("doc_id")).filter(col("doc_id") < 200)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("bytes", BinaryType, nullable = true)))
+      val blobs = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        def plane(n: Int, v: Int) = Array.fill(n)(v.toByte)
+        val (w, h) = (32, 16)
+        def frame(f: Long) = (
+          plane(w * h, ((id * 16 + f * 32) % 256).toInt,
+          ), plane(w * h / 4, ((id * 7) % 256).toInt), plane(w * h / 4, ((id * 11) % 256).toInt))
+        org.apache.spark.sql.Row(id,
+          graft.multimodal.H264.synth(w, h, Seq(frame(0), frame(1))))
+      }, schema)
+      val media = graft.multimodal.MultimodalOps.asMediaFrame(blobs, "doc_id", "bytes", "video/h264")
+      val feats = graft.multimodal.MultimodalOps.extractFeatures(media, dim = 6,
+        decode = graft.multimodal.MultimodalOps.codecFor("video/h264", 6))
+      feats.select(col("media_id"),
+        col("features")(0).cast("long").as("width"),
+        col("features")(1).cast("long").as("height"),
+        col("features")(2).cast("long").as("n_frames"),
+        col("features")(3).cast("long").as("mean_y"),
+        col("features")(4).cast("long").as("mean_cb"),
+        col("features")(5).cast("long").as("mean_cr"))
+    }),
+
     // ---- M1b: per-frame video decode — MJPEG blobs (written
     //      MULTI-chunk: samplesPerChunk=2 forces full stsc run
     //      resolution) explode to (media_id, frame_idx, features);
@@ -3438,6 +3471,16 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_frames,
         |  doc_id % 16 AS kf_gray_bucket
         |FROM documents WHERE doc_id < 300""".stripMargin,
+
+    // constant I_PCM planes: frame-0 mean luma/chroma are the exact
+    // generating formulas (lossless by spec)
+    "q_h264" ->
+      """SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height, CAST(2 AS BIGINT) AS n_frames,
+        |  (doc_id * 16) % 256 AS mean_y,
+        |  (doc_id * 7) % 256 AS mean_cb,
+        |  (doc_id * 11) % 256 AS mean_cr
+        |FROM documents WHERE doc_id < 200""".stripMargin,
 
     // frame f of doc d is solid gray at bucket (d + 5f) % 16
     "q_video_frames" ->

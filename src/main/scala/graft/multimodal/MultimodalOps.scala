@@ -304,8 +304,28 @@ object MultimodalOps {
   def codecFor(mime: String, dim: Int = 8): Array[Byte] => Array[Float] =
     if (mime.startsWith("image/")) imageDecode(dim)
     else if (mime.startsWith("audio/")) audioDecode(dim)
+    else if (mime == "video/h264" || mime == "video/avc") h264Decode(dim)
     else if (mime.startsWith("video/")) videoDecode(dim)
     else stubDecode(dim)
+
+  /** REAL H.264 Annex-B elementary-stream decode for the JVM-reach
+    * subset ([[H264]]): full NAL/SPS/PPS/slice-header parse, pixel
+    * decode for I_PCM macroblocks — `[width, height, frameCount,
+    * meanY, meanCb, meanCr]` of the stream padded to `dim`.
+    * Predicted-macroblock streams (real encoder output) return
+    * null: those need the deployment-image native decoder, and a
+    * null is honest where a stub hash would be a lie.
+    */
+  def h264Decode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
+    val frames = try H264.decode(bytes) catch { case _: Exception => null }
+    if (frames == null) null
+    else {
+      val f0 = frames.head
+      Array(f0.width.toFloat, f0.height.toFloat, frames.length.toFloat,
+        f0.meanY.toFloat, f0.meanCb.toFloat, f0.meanCr.toFloat)
+        .padTo(dim, 0.0f).take(dim)
+    }
+  }
 
   /** Frame sampling for time-based media: emit (media_id, frame_idx)
     * rows every `everyMs` over the metadata duration — the row
