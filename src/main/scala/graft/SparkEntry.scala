@@ -1259,6 +1259,46 @@ object SparkEntry {
       GraphOps.shortestHops(edges, sources, maxHops = 3)
     }),
 
+    // ---- D7g: link prediction on the customer co-order graph (a
+    //      denser region: customers sharing a part) — common
+    //      neighbors + Adamic–Adar for non-adjacent 2-hop pairs,
+    //      super-hub middles excluded before wedge generation. ----
+    "q_link_pred" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).filter(col("l_partkey") < 60)
+      val orders = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val co = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val edges = GraphOps.coOccurrenceEdges(co, "l_partkey", "o_custkey", maxGroupSize = 2000)
+      GraphOps.linkPrediction(edges, maxDegree = 500)
+    }),
+
+    // ---- C31: Markov transition matrix between event types per
+    //      user stream — "what paths DO happen" next to q_funnel's
+    //      prescribed path; probabilities are count ratios on the
+    //      1e-9 grid. ----
+    "q_transitions" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.transitionMatrix(ev, "user_id", Seq("ts", "event_id"), "event_type")
+    }),
+
+    // ---- N22: seasonal-profile anomalies — each event judged
+    //      against its (event_type, hour-of-day) mean/std band; the
+    //      calendar twin of q_ewma's sequential band. ----
+    "q_seasonal" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.seasonalAnomalies(ev, Seq("event_type"), "ts", "value",
+          nSigma = 2.0, minBucket = 5)
+        .select(col("event_id"), col("event_type"),
+          col("season_mean"), col("season_std"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+    }),
+
+    // ---- X15: per-document keyword extraction — top-3 TF-IDF
+    //      terms per doc, the document-side twin of q_tfidf. ----
+    "q_keywords" -> ((s, dir) => {
+      TextOps.keywords(BioLoader.load(s, t(dir, "documents"))
+        .filter(col("doc_id") < 300), "doc_id", "text", k = 3)
+    }),
+
     // ---- N18: EWMA control chart — per-user sequential anomaly
     //      flags on event values; the EWMA is the mergeable
     //      affine-scan aggregate snapped per step, so the oracle
@@ -3004,6 +3044,97 @@ object SparkEntry {
         |  SELECT e2.dst, d.hops + 1 FROM d JOIN e2 ON e2.src = d.node WHERE d.hops < 3
         |)
         |SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM d GROUP BY node""".stripMargin,
+
+    // wedge join over the customer co-part graph with the same
+    // middle-degree gate; Adamic-Adar replayed term by term
+    "q_link_pred" ->
+      """WITH co AS (
+        |  SELECT DISTINCT l.l_partkey AS g, o.o_custkey AS c
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_partkey < 60
+        |), e AS (
+        |  SELECT DISTINCT a.c AS u, b.c AS v
+        |  FROM co a JOIN co b ON a.g = b.g WHERE a.c < b.c
+        |), sym AS (
+        |  SELECT u AS a, v AS z FROM e UNION ALL SELECT v, u FROM e
+        |), deg AS (
+        |  SELECT z, count(*) AS d FROM sym GROUP BY z
+        |  HAVING count(*) >= 2 AND count(*) <= 500
+        |), sp AS (
+        |  SELECT s.z, s.a, deg.d FROM sym s JOIN deg ON s.z = deg.z
+        |), wedge AS (
+        |  SELECT s1.a AS a, s2.a AS b, s1.d AS d
+        |  FROM sp s1 JOIN sp s2 ON s1.z = s2.z WHERE s1.a < s2.a
+        |), sc AS (
+        |  SELECT a, b, count(*) AS common_neighbors,
+        |    floor(sum(1.0 / ln(CAST(d AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS adamic_adar
+        |  FROM wedge GROUP BY a, b
+        |)
+        |SELECT sc.a AS node_a, sc.b AS node_b, sc.common_neighbors, sc.adamic_adar
+        |FROM sc LEFT JOIN e ON sc.a = e.u AND sc.b = e.v
+        |WHERE e.u IS NULL""".stripMargin,
+
+    // lag-window adjacency + integer-count row normalization
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events WHERE event_type IS NOT NULL
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1
+        |)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  floor(c.n / CAST(tt.t AS DOUBLE) * 1e9 + 0.5) / 1e9 AS p
+        |FROM c JOIN tt USING (from_type)""".stripMargin,
+
+    // per-(type, hour) profile from count/sum/sum2 with the same
+    // snap points, each row judged against its bucket's band
+    "q_seasonal" ->
+      """WITH w0 AS (
+        |  SELECT event_id, event_type, value, hour(ts) AS hb FROM events
+        |), prof AS (
+        |  SELECT event_type, hb, count(*) AS n,
+        |    floor(sum(value) / count(*) * 1e9 + 0.5) / 1e9 AS m,
+        |    sum(value) AS s1, sum(value * value) AS s2
+        |  FROM w0 WHERE value IS NOT NULL GROUP BY 1, 2
+        |), prof2 AS (
+        |  SELECT event_type, hb, n, m,
+        |    floor(sqrt(greatest(s2 / n - m * m, 0.0)) * 1e9 + 0.5) / 1e9 AS sd
+        |  FROM prof
+        |)
+        |SELECT w0.event_id, w0.event_type, p.m AS season_mean, p.sd AS season_std,
+        |  CASE WHEN w0.value IS NOT NULL AND p.n >= 5 THEN
+        |    CASE WHEN floor(abs(w0.value - p.m) * 1e9 + 0.5) / 1e9 >
+        |      floor(2.0 * p.sd * 1e9 + 0.5) / 1e9 THEN 1 ELSE 0 END
+        |  END AS is_anomaly
+        |FROM w0 JOIN prof2 p ON w0.event_type = p.event_type AND w0.hb = p.hb""".stripMargin,
+
+    // doc-side TF-IDF with the identical weight, per-doc top-3
+    "q_keywords" ->
+      """WITH f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents WHERE doc_id < 300
+        |), nn AS (
+        |  SELECT count(*)::DOUBLE AS n FROM f
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM f) GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor((1.0 + ln(tf.tf)) * (ln(((SELECT n FROM nn) + 1.0) / (d.df + 1.0)) + 1.0)
+        |      * 1000000 + 0.5) / 1000000 AS tfidf
+        |  FROM tf JOIN dfq d ON tf.term = d.term
+        |), rk AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, term, tfidf, rank FROM rk WHERE rank <= 3""".stripMargin,
 
     // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
     // the sequential fixed point engine-independent, the decay weight

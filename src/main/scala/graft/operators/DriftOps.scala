@@ -213,4 +213,53 @@ object DriftOps {
         max(col("na")).as("n_a"),
         max(col("nb")).as("n_b"))
   }
+
+  /** Seasonal-profile anomaly detection — the calendar twin of
+    * [[ewmaChart]] (EWMA asks "surprising given the recent past",
+    * this asks "surprising FOR A TUESDAY 3 PM"): per (key, hour-of-
+    * day[, day-of-week]) bucket, the mean/std profile over the full
+    * frame, and every row judged against ITS bucket's band.
+    *
+    * Two passes, both map-side-combinable: ONE groupBy(key, bucket)
+    * for the profile (count/sum/sum² only — no value buffering),
+    * then a profile join back to the rows (profile frame is
+    * keys×buckets — broadcast-sized by construction). Means/stds
+    * land on the 1e-9 grid; the flag compares snapped deviation to
+    * the snapped band like the EWMA chart does.
+    *
+    * @param byDayOfWeek bucket on (dow, hour) instead of hour alone
+    * @param minBucket   buckets with fewer rows emit null flags (a
+    *                    band from 2 points is noise)
+    * @return input columns + (season_mean, season_std, is_anomaly)
+    */
+  def seasonalAnomalies(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      nSigma: Double = 3.0,
+      byDayOfWeek: Boolean = false,
+      minBucket: Int = 5
+  ): DataFrame = {
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    require(minBucket >= 2, s"minBucket must be >= 2, got $minBucket")
+    val s9 = (c: Column) => snap(c, 1e9)
+    val bucket: Column =
+      if (byDayOfWeek) dayofweek(col(tsCol)) * 100 + hour(col(tsCol))
+      else hour(col(tsCol))
+    val x = col(valueCol).cast("double")
+    val withB = df.withColumn("__b", bucket)
+    val prof = withB
+      .filter(x.isNotNull)
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+      .withColumn("season_mean", s9(col("__s1") / col("__n")))
+      .withColumn("season_std", s9(sqrt(greatest(
+        col("__s2") / col("__n") - col("season_mean") * col("season_mean"), lit(0.0)))))
+    withB.join(prof, keyCols :+ "__b")
+      .withColumn("is_anomaly",
+        when(x.isNotNull && col("__n") >= minBucket,
+          s9(abs(x - col("season_mean"))) > s9(lit(nSigma) * col("season_std"))))
+      .drop("__b", "__n", "__s1", "__s2")
+  }
 }

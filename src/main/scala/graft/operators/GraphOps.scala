@@ -361,6 +361,48 @@ object GraphOps {
     settled
   }
 
+  /** Link prediction scores for 2-hop candidate pairs (Liben-Nowell
+    * & Kleinberg 2003, public formulation): common-neighbor count
+    * and Adamic–Adar `Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)` for every
+    * non-adjacent pair sharing ≥ 1 neighbor — the "which edges come
+    * next" primitive (recommendations, related-docs, graph
+    * completion).
+    *
+    * Shape: wedges generate from the symmetrized edge set joined on
+    * the middle node (cost Σ deg(z)² — the price every
+    * link-prediction formulation pays), then ONE
+    * map-side-combinable groupBy(pair). Super-hub middles are
+    * excluded by `maxDegree` BEFORE wedge generation — the standard
+    * guard, and statistically near-free: a 10⁶-degree hub
+    * contributes 1/ln(10⁶) ≈ 0.07 per pair while costing 10¹²
+    * wedges. Existing edges anti-join out.
+    *
+    * @return (node_a, node_b, common_neighbors, adamic_adar) with
+    *         node_a < node_b, adamic_adar on the 1e-9 grid
+    */
+  def linkPrediction(edges0: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val und = edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("a"), col("v").as("z"))
+      .union(und.select(col("v").as("a"), col("u").as("z")))
+    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree && col("deg") >= 2)
+    val spokes = sym.join(deg, "z")
+    val wedges = spokes.select(col("z"), col("a"), col("deg"))
+      .join(spokes.select(col("z"), col("a").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        (floor(sum(lit(1.0) / log(col("deg").cast("double"))) * lit(1e9) + lit(0.5)) / lit(1e9))
+          .as("adamic_adar"))
+    scored.join(und, scored("a") === und("u") && scored("b") === und("v"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("common_neighbors"), col("adamic_adar"))
+  }
+
   /** Groups [[coOccurrenceEdges]] drops at `maxGroupSize` — exact
     * distinct-item counts for the over-cap groups, same telemetry
     * contract as the dedup overflow reports: at 100 TB this IS the

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF, TextStatsExpression => TSE, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for corpus curation: language ID, quality scoring,
@@ -194,5 +195,44 @@ object TextOps {
       .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** Per-document keyword extraction: the top-k terms of each doc
+    * by sublinear TF-IDF `(1 + ln tf)·ln((N+1)/(df+1) + 1)`-style
+    * weight (the [[graft.operators.RetrievalOps.tfidfTopK]] scorer
+    * turned document-side) — the doc-summarization/tagging screen.
+    *
+    * ONE groupBy(doc, term) count shuffle + a vocab-sized df join
+    * (shuffle, not broadcast — unbounded vocab) + a per-doc top-k
+    * window (bounded by the doc's DISTINCT terms — the safe window
+    * axis; corpus growth adds docs, not rows per doc). N rides a
+    * 1-row broadcast. Scores on the 1e-6 grid, ties by term.
+    *
+    * @return (doc_id, term, tfidf, rank) — rank 1..k per doc
+    */
+  def keywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        floor((lit(1.0) + log(col("__tf"))) *
+          (log((col("__n") + lit(1.0)) / (col("__df") + lit(1.0))) + lit(1.0)) * lit(1e6)
+          + lit(0.5)) / lit(1e6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 }

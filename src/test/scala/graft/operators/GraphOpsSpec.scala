@@ -201,6 +201,27 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.shortestHops(edges.toDF("src", "dst"), sources, 0))
   }
 
+  test("linkPrediction: known wedge scores, existing edges excluded, hub gate") {
+    // square 1-2-3-4-1 plus a spoke 5-1: diagonals (1,3),(2,4) have
+    // 2 common neighbors; (2,5),(4,5) share neighbor 1; (3,5) shares none
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 1L))
+    val got = GraphOps.linkPrediction(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def aa(degs: Seq[Int]) =
+      math.floor(degs.map(d => 1.0 / math.log(d)).sum * 1e9 + 0.5) / 1e9
+    // deg: 1 -> 3, 2 -> 2, 3 -> 2, 4 -> 2, 5 -> 1 (excluded: deg < 2 middles fine)
+    assert(got == Map(
+      (1L, 3L) -> (2L, aa(Seq(2, 2))),   // via 2 and 4
+      (2L, 4L) -> (2L, aa(Seq(3, 2))),   // via 1 and 3
+      (2L, 5L) -> (1L, aa(Seq(3))),      // via 1
+      (4L, 5L) -> (1L, aa(Seq(3)))))     // via 1
+    // hub gate: middles over maxDegree contribute nothing
+    val star = (1L to 10L).map(i => (0L, i))
+    assert(GraphOps.linkPrediction(star.toDF("src", "dst"), maxDegree = 5).count() == 0)
+    intercept[IllegalArgumentException](GraphOps.linkPrediction(star.toDF("src", "dst"), 1))
+  }
+
   test("dupClusters distributed path (threshold 0) agrees with the driver path") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
     val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
