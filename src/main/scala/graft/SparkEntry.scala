@@ -1299,6 +1299,37 @@ object SparkEntry {
         .filter(col("doc_id") < 300), "doc_id", "text", k = 3)
     }),
 
+    // ---- N23: winsorization — each event value clipped into its
+    //      type's exact [p05, p95] type-7 quantile band; the same
+    //      replayable integer-count quantile machinery as
+    //      q_outliers. ----
+    "q_winsorize" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"))
+      StatsOps.winsorize(ev, Seq("event_type"), "value", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"),
+          hround(col("value"), 6).as("value"), hround(col("q_lo"), 6).as("q_lo"),
+          hround(col("q_hi"), 6).as("q_hi"), hround(col("winsorized"), 6).as("winsorized"))
+    }),
+
+    // ---- T8: smoothed leave-one-out target encoding — each
+    //      event's type replaced by the others' smoothed mean value
+    //      (the high-cardinality feature with the leakage guard). ----
+    "q_target_encode" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+      LabelOps.targetEncode(ev, "event_type", "value", m = 10.0, leaveOneOut = true)
+        .select(col("event_id"), col("event_type"), col("te"))
+    }),
+
+    // ---- C32: top user journeys — each user's first-5-event path
+    //      string, counted and ranked across users. ----
+    "q_paths" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.topPaths(ev, "user_id", Seq("ts", "event_id"), "event_type",
+        maxLen = 5, k = 20)
+    }),
+
     // ---- N18: EWMA control chart — per-user sequential anomaly
     //      flags on event values; the EWMA is the mergeable
     //      affine-scan aggregate snapped per step, so the oracle
@@ -3135,6 +3166,68 @@ object SparkEntry {
         |  FROM sc
         |)
         |SELECT doc_id, term, tfidf, rank FROM rk WHERE rank <= 3""".stripMargin,
+
+    // the q_outliers type-7 quantile machinery at p05/p95 + clip
+    "q_winsorize" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+        |), cnt AS (
+        |  SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2
+        |), st AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM cnt
+        |), qlo AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN cumc - c <= floor((n-1)*0.05) AND floor((n-1)*0.05) < cumc THEN v END) AS vlo,
+        |    MAX(CASE WHEN cumc - c <= ceil((n-1)*0.05) AND ceil((n-1)*0.05) < cumc THEN v END) AS vhi,
+        |    MAX((n-1)*0.05) AS h
+        |  FROM st GROUP BY 1
+        |), lo AS (
+        |  SELECT g, vlo + (h - floor(h)) * (vhi - vlo) AS q_lo FROM qlo
+        |), qhi AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN cumc - c <= floor((n-1)*0.95) AND floor((n-1)*0.95) < cumc THEN v END) AS vlo,
+        |    MAX(CASE WHEN cumc - c <= ceil((n-1)*0.95) AND ceil((n-1)*0.95) < cumc THEN v END) AS vhi,
+        |    MAX((n-1)*0.95) AS h
+        |  FROM st GROUP BY 1
+        |), hi AS (
+        |  SELECT g, vlo + (h - floor(h)) * (vhi - vlo) AS q_hi FROM qhi
+        |)
+        |SELECT s.event_id, s.g AS event_type,
+        |  floor(s.v * 1000000 + 0.5) / 1000000 AS value,
+        |  floor(lo.q_lo * 1000000 + 0.5) / 1000000 AS q_lo,
+        |  floor(hi.q_hi * 1000000 + 0.5) / 1000000 AS q_hi,
+        |  floor(least(greatest(s.v, lo.q_lo), hi.q_hi) * 1000000 + 0.5) / 1000000 AS winsorized
+        |FROM s JOIN lo ON s.g = lo.g JOIN hi ON s.g = hi.g""".stripMargin,
+
+    // smoothed LOO mean replayed with the identical expression order
+    "q_target_encode" ->
+      """WITH pr AS (
+        |  SELECT floor(avg(value) * 1e9 + 0.5) / 1e9 AS p FROM events WHERE value IS NOT NULL
+        |), st AS (
+        |  SELECT event_type, count(*) AS cn, sum(value) AS cs
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type,
+        |  CASE WHEN e.value IS NOT NULL AND st.cn > 1
+        |    THEN floor((st.cs - e.value + 10.0 * pr.p) / (st.cn - 1 + 10.0) * 1e9 + 0.5) / 1e9
+        |    ELSE pr.p END AS te
+        |FROM events e LEFT JOIN st USING (event_type) CROSS JOIN pr""".stripMargin,
+
+    // first-5 path per user via ordered string_agg, counted, top-20
+    "q_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT path, count(*) AS n_keys FROM c GROUP BY 1
+        |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin,
 
     // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
     // the sequential fixed point engine-independent, the decay weight

@@ -136,4 +136,47 @@ object LabelOps {
     val full = if (spec.positive.nonEmpty) when(c.isInCollection(spec.positive), lit(1)).otherwise(withNeg) else withNeg
     df.withColumn(outputCol, full)
   }
+
+  /** Smoothed target encoding of a categorical column — the
+    * high-cardinality feature-engineering staple (replace a
+    * category by its smoothed mean target,
+    * `(Σ_cat + m·prior)/(n_cat + m)`), with the leave-one-out
+    * variant that keeps the row's own target out of its encoding
+    * (the standard target-leakage guard for training frames).
+    *
+    * ONE map-side-combinable groupBy(category) + a category-sized
+    * join back + a 1-row prior broadcast. LOO rows from singleton
+    * categories fall back to the prior (their "others" set is
+    * empty). Encodings land on the 1e-9 grid.
+    *
+    * @param m smoothing pseudo-count (Micci-Barreca 2001 style)
+    * @return input columns + `te` (1e-9 grid)
+    */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      m: Double = 10.0,
+      leaveOneOut: Boolean = false
+  ): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val t = col(targetCol).cast("double")
+    val prior = df.filter(t.isNotNull)
+      .agg((floor(avg(t) * lit(1e9) + lit(0.5)) / lit(1e9)).as("__prior"))
+    val stats = df.filter(t.isNotNull && col(catCol).isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("__cn"), sum(t).as("__cs"))
+    val joined = df.join(stats, Seq(catCol), "left").crossJoin(broadcast(prior))
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val enc =
+      if (leaveOneOut)
+        when(t.isNotNull && col("__cn") > 1,
+          snap9((col("__cs") - t + lit(m) * col("__prior")) / (col("__cn") - 1 + lit(m))))
+          .otherwise(col("__prior"))
+      else
+        when(col("__cn").isNotNull,
+          snap9((col("__cs") + lit(m) * col("__prior")) / (col("__cn") + lit(m))))
+          .otherwise(col("__prior"))
+    joined.withColumn("te", enc).drop("__cn", "__cs", "__prior")
+  }
 }

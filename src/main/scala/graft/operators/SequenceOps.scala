@@ -46,4 +46,44 @@ object SequenceOps {
       .select(col("from_type"), col("to_type"), col("n"),
         (floor(col("n") / col("__t").cast("double") * lit(1e9) + lit(0.5)) / lit(1e9)).as("p"))
   }
+
+  /** Top-k most common event paths: each key's first `maxLen` events
+    * (time order) joined as a `a>b>c` path string, counted across
+    * keys, ranked by frequency — "what journeys DO users take".
+    *
+    * The per-key frame is CAPPED before collection: a row-number
+    * window keeps only the first maxLen events per key, so the
+    * groupBy(key) collect holds ≤ maxLen elements regardless of key
+    * activity (the same bounded-buffer discipline as the dedup
+    * caps). Then one map-side-combinable groupBy(path) count and a
+    * TakeOrderedAndProject top-k, ties by path string.
+    *
+    * @return (path, n_keys) — top k by count desc
+    */
+  def topPaths(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      maxLen: Int = 5,
+      k: Int = 20
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val capped = events
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+    val paths = capped
+      .groupBy(col(keyCol))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("__rn"), col(typeCol).as("t")))),
+        s => s("t"))).as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(k)
+  }
 }

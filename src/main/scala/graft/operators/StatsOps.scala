@@ -424,6 +424,33 @@ object StatsOps {
       .drop("dev")
   }
 
+  /** Winsorization: clip each value into its group's
+    * [pLo, pHi] exact type-7 quantile band — the heavy-tail tamer
+    * that keeps rows (unlike a filter) while bounding leverage
+    * (unlike a z-clip, which the tail itself inflates). Two
+    * [[groupQuantileExact]] passes + one broadcast join back; the
+    * row frame shuffles only inside the distinct-value counts.
+    *
+    * @return input columns + (q_lo, q_hi, winsorized)
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95
+  ): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val lo = groupQuantileExact(df, groupCols, valueCol, pLo)
+      .withColumnRenamed("q_value", "q_lo")
+    val hi = groupQuantileExact(df, groupCols, valueCol, pHi)
+      .withColumnRenamed("q_value", "q_hi")
+    df.join(broadcast(lo), groupCols)
+      .join(broadcast(hi), groupCols)
+      .withColumn("winsorized",
+        least(greatest(col(valueCol).cast("double"), col("q_lo")), col("q_hi")))
+  }
+
   def rollup(
       fact: DataFrame,
       mapping: DataFrame,

@@ -26,9 +26,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // hashes — the raw value frames never meet
     "q_kmv_jaccard",
     // 1-row broadcast scalars: BM25/TF-IDF corpus stats, collocation
-    // totals, LM vocab size, z-order column min/max
+    // totals, keyword doc count, target-encoding prior, LM vocab
+    // size, z-order column min/max
     "q_bm25", "q_bm25_persist", "q_bm25_append", "q_tfidf", "q_collocations",
-    "q_lm_score", "q_zorder")
+    "q_keywords", "q_target_encode", "q_lm_score", "q_zorder")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -61,6 +61,60 @@ class SequenceSeasonalSpec extends SparkSpec {
     assert((0L until 20L).forall(i => got(i).contains(false)), "band members must not flag")
   }
 
+  test("topPaths: capped path strings, counts, tie-broken top-k") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"), (2L, 4L, "d"), // cap 3 -> same path as user 1
+      (3L, 1L, "a"), (3L, 2L, "b"),
+      (4L, 1L, "x")
+    )
+    val got = SequenceOps.topPaths(rows.toDF("u", "seq", "et"), "u", Seq("seq"), "et",
+        maxLen = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L), ("a>b", 1L), ("x", 1L)))
+    intercept[IllegalArgumentException](
+      SequenceOps.topPaths(rows.toDF("u", "seq", "et"), "u", Seq("seq"), "et", 0, 5))
+  }
+
+  test("winsorize clips into the exact type-7 quantile band") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    val got = StatsOps.winsorize(df, Seq("g"), "v", 0.10, 0.90)
+      .select("id", "q_lo", "q_hi", "winsorized")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // type-7 on 1..100: h_lo = 99*0.1 = 9.9 -> 10.9; h_hi = 89.1 -> 90.1
+    got.values.foreach { case (lo, hi, _) =>
+      assert(math.abs(lo - 10.9) < 1e-9 && math.abs(hi - 90.1) < 1e-9) }
+    assert(math.abs(got(0L)._3 - 10.9) < 1e-9)  // v=1 clips up
+    assert(math.abs(got(99L)._3 - 90.1) < 1e-9) // v=100 clips down
+    assert(got(49L)._3 == 50.0)                 // v=50 untouched
+    intercept[IllegalArgumentException](StatsOps.winsorize(df, Seq("g"), "v", 0.9, 0.1))
+  }
+
+  test("targetEncode: smoothed means, LOO leakage guard, singleton/null fallbacks") {
+    val rows = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(20.0)), (3L, "a", Some(30.0)),
+      (4L, "b", Some(100.0)),            // singleton category
+      (5L, "c", None),                   // null target
+      (6L, null, Some(50.0))             // null category
+    ).map { case (i, c, v) => (i, c, v.map(Double.box).orNull) }
+    val df = rows.toDF("id", "cat", "v")
+    val prior = math.floor((10 + 20 + 30 + 100 + 50) / 5.0 * 1e9 + 0.5) / 1e9 // 42.0
+    def s9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val loo = LabelOps.targetEncode(df, "cat", "v", m = 2.0, leaveOneOut = true)
+      .select("id", "te").as[(Long, Double)].collect().toMap
+    assert(loo(1L) == s9((50.0 + 2 * prior) / 4))  // others of a: 20+30
+    assert(loo(2L) == s9((40.0 + 2 * prior) / 4))
+    assert(loo(4L) == prior)                       // singleton -> prior
+    assert(loo(5L) == prior)                       // null target -> prior
+    assert(loo(6L) == prior)                       // null category -> prior
+    val plain = LabelOps.targetEncode(df, "cat", "v", m = 2.0)
+      .select("id", "te").as[(Long, Double)].collect().toMap
+    assert(plain(1L) == s9((60.0 + 2 * prior) / 5))
+    assert(plain(4L) == s9((100.0 + 2 * prior) / 3))
+    intercept[IllegalArgumentException](LabelOps.targetEncode(df, "cat", "v", m = -1))
+  }
+
   test("keywords: exact top-k by the sublinear smoothed-idf weight") {
     val docs = Seq(
       (1L, "alpha alpha alpha beta shared"),
