@@ -1330,6 +1330,36 @@ object SparkEntry {
         maxLen = 5, k = 20)
     }),
 
+    // ---- D7h: personalized PageRank on the customer→supplier
+    //      purchase graph — proximity to the seed suppliers
+    //      (s_suppkey < 10) instead of global centrality; 3 snapped
+    //      iterations over the same cached edge partitioning. ----
+    "q_ppr" -> ((s, dir) => {
+      import s.implicits._
+      val o = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val seeds = BioLoader.load(s, t(dir, "supplier"))
+        .filter(col("s_suppkey") < 10)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+        .filter(col("rank") > 0)
+    }),
+
+    // ---- N24: CUSUM control chart — sustained-drift detection per
+    //      user (the small-shift complement of q_ewma's pointwise
+    //      band); the max(0,·) recurrence is non-affine, so this is
+    //      the documented per-partition imperative scan. ----
+    "q_cusum" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.cusum(ev, Seq("user_id"), Seq("ts", "event_id"), "value",
+          target = 50.0, k = 25.0, h = 200.0)
+        .select(col("event_id"), col("user_id"), col("s_pos"), col("s_neg"),
+          col("alarm").cast("int").as("alarm"))
+    }),
+
     // ---- N18: EWMA control chart — per-user sequential anomaly
     //      flags on event values; the EWMA is the mergeable
     //      affine-scan aggregate snapped per step, so the oracle
@@ -3228,6 +3258,80 @@ object SparkEntry {
         |)
         |SELECT path, count(*) AS n_keys FROM c GROUP BY 1
         |ORDER BY n_keys DESC, path LIMIT 20""".stripMargin,
+
+    // the q_pagerank unrolled-iteration replay with the restart
+    // vector concentrated on the seed suppliers
+    "q_ppr" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), sd AS (
+        |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier WHERE s_suppkey < 10
+        |), ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sd),
+        |np AS (SELECT nodes.node,
+        |         CASE WHEN sd.node IS NOT NULL
+        |           THEN floor((1.0/(SELECT s FROM ns))*1000000000 + 0.5)/1000000000
+        |           ELSE 0.0 END AS p
+        |       FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT node, p, p AS rank FROM np),
+        |c1 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r0
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r1 AS (SELECT np.node, np.p,
+        |         floor((0.15*np.p + 0.85*(coalesce(contrib, 0.0) + dm*np.p))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM np CROSS JOIN d1 LEFT JOIN c1 ON c1.cn = np.node),
+        |c2 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r1
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r2 AS (SELECT np.node, np.p,
+        |         floor((0.15*np.p + 0.85*(coalesce(contrib, 0.0) + dm*np.p))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM np CROSS JOIN d2 LEFT JOIN c2 ON c2.cn = np.node),
+        |c3 AS (SELECT e.dst AS cn, sum(r.rank/od.deg) AS contrib
+        |       FROM e JOIN od ON e.src = od.src JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM r2
+        |       WHERE node NOT IN (SELECT src FROM e)),
+        |r3 AS (SELECT np.node, np.p,
+        |         floor((0.15*np.p + 0.85*(coalesce(contrib, 0.0) + dm*np.p))
+        |               *1000000000 + 0.5)/1000000000 AS rank
+        |       FROM np CROSS JOIN d3 LEFT JOIN c3 ON c3.cn = np.node)
+        |SELECT node, rank FROM r3 WHERE rank > 0""".stripMargin,
+
+    // the EWMA-style recursive replay with the max(0, .) tabular
+    // CUSUM recurrences, state carried through null values
+    "q_cusum" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, r, event_id, value,
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |      ELSE floor(greatest(0.0, 0.0 + value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END AS sp,
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |      ELSE floor(greatest(0.0, 0.0 + (50.0 - 25.0 - value)) * 1e9 + 0.5) / 1e9 END AS sn
+        |  FROM s WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.r, s.event_id, s.value,
+        |    CASE WHEN s.value IS NULL THEN rec.sp
+        |      ELSE floor(greatest(0.0, rec.sp + s.value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END,
+        |    CASE WHEN s.value IS NULL THEN rec.sn
+        |      ELSE floor(greatest(0.0, rec.sn + (50.0 - 25.0 - s.value)) * 1e9 + 0.5) / 1e9 END
+        |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN value IS NULL THEN NULL ELSE sp END AS s_pos,
+        |  CASE WHEN value IS NULL THEN NULL ELSE sn END AS s_neg,
+        |  CASE WHEN value IS NULL THEN NULL
+        |    WHEN sp > 200.0 OR sn > 200.0 THEN 1 ELSE 0 END AS alarm
+        |FROM rec""".stripMargin,
 
     // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
     // the sequential fixed point engine-independent, the decay weight

@@ -214,6 +214,75 @@ object DriftOps {
         max(col("nb")).as("n_b"))
   }
 
+  /** Tabular CUSUM control chart per key (Page 1954 — the classic
+    * small-persistent-shift detector the EWMA chart complements:
+    * EWMA flags single surprising points, CUSUM accumulates
+    * evidence of a sustained drift off target):
+    * `S⁺ = max(0, S⁺ + x − target − k)`,
+    * `S⁻ = max(0, S⁻ + (target − k − x))`, alarm when either
+    * exceeds `h`.
+    *
+    * The `max(0, ·)` makes the recurrence NON-affine — unlike
+    * [[ewmaChart]]'s EWMA there is no lawful merge, so this is the
+    * documented per-partition imperative case: ONE repartition on
+    * the keys + in-partition sort, then a single O(1)-state scan
+    * per partition (`mapPartitions`) tracking key changes. No
+    * per-key buffering, no window frames. Each step snaps to the
+    * 1e-9 grid, so the sequential fixed point is engine-independent
+    * (oracle replays it via a recursive CTE, same recipe as the
+    * EWMA chart). Null values leave state untouched and emit null
+    * statistics.
+    *
+    * @param orderCols total order within key (include a unique
+    *        tie-break)
+    * @return input columns + (s_pos, s_neg, alarm)
+    */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      target: Double,
+      k: Double,
+      h: Double
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(k >= 0, s"slack k must be >= 0, got $k")
+    require(h > 0, s"threshold h must be positive, got $h")
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val kIdx = keyCols.map(sorted.schema.fieldIndex)
+    val outSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("s_pos", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s_neg", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("alarm", org.apache.spark.sql.types.BooleanType)))
+    def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var sp = 0.0
+      var sn = 0.0
+      rows.map { row =>
+        val key = kIdx.map(row.get)
+        if (key != curKey) { curKey = key; sp = 0.0; sn = 0.0 }
+        val extra: Seq[Any] =
+          if (row.isNullAt(vIdx)) Seq(null, null, null)
+          else {
+            val x = row.get(vIdx) match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case n: Number => n.doubleValue()
+            }
+            sp = snap9(math.max(0.0, sp + x - target - k))
+            sn = snap9(math.max(0.0, sn + (target - k - x)))
+            Seq(sp, sn, sp > h || sn > h)
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Seasonal-profile anomaly detection — the calendar twin of
     * [[ewmaChart]] (EWMA asks "surprising given the recent past",
     * this asks "surprising FOR A TUESDAY 3 PM"): per (key, hour-of-

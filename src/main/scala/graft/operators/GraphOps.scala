@@ -170,6 +170,74 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (Page/Brin 1998 §6 "personalized"
+    * variant; the recommendation/related-items form of [[pageRank]]):
+    * the restart distribution concentrates on a SEED set instead of
+    * uniform — `r' = (1−d)·p + d·(Aᵀr + dangling·p)` with
+    * `p = 1/|S|` on seeds, 0 elsewhere — so rank measures proximity
+    * TO the seeds, not global centrality.
+    *
+    * Identical scale shape to [[pageRank]] (one cached edge
+    * partitioning, node-sized rank frame joins TO it, dangling mass
+    * as a 1-row broadcast, per-round snap + localCheckpoint); the
+    * seed indicator rides the node frame as a broadcast-joined
+    * column computed once.
+    *
+    * @param seeds DataFrame with column `node`
+    * @return (node, rank) — Σ rank = 1 up to grid rounding; nodes
+    *         unreachable from the seeds sit at exactly 0
+    */
+  def personalizedPageRank(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
+    val em = edges0.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))).cast("double"))
+      .persist()
+    em.count()
+    val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nS = seedSet.count().toDouble
+    require(nS > 0, "need at least one seed node")
+    // node frame carries its restart probability p once
+    val nodes = em
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, snap(lit(1.0 / nS))).otherwise(lit(0.0)).as("p"))
+      .localCheckpoint(true)
+    val dang = nodes.select(col("node"))
+      .join(em.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), col("p").as("rank")).localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = em.join(ranks, em("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("deg")).as("contrib"))
+        val dangling = ranks
+          .join(dang, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        ranks = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(nodes("node"),
+            snap(lit(1.0 - damping) * col("p") +
+              lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("p")))
+              .as("rank"))
+          .localCheckpoint(true)
+      }
+    } finally em.unpersist()
+    ranks
+  }
+
   /** Per-node triangle counts on an undirected graph — the local
     * clustering signal of web/citation-graph curation (spam farms
     * and boilerplate rings are triangle-dense; bridges are

@@ -97,4 +97,40 @@ class DriftOpsSpec extends SparkSpec {
     assert(joinIdx >= 0 && aggIdxs.count(_ > joinIdx) >= 2,
       s"expected 2+ aggregates below the join:\n$plan")
   }
+
+  test("cusum: local sequential replay, drift alarm, null skip, key isolation") {
+    import spark.implicits._
+    // key A drifts up from step 10; key B stays on target; one null mid-A
+    val rows =
+      (1 to 20).map(i => ("A", i.toLong, Some(if (i <= 10) 10.0 else 13.0))) ++
+      Seq(("A", 21L, Option.empty[Double])) ++
+      (1 to 15).map(i => ("B", i.toLong, Some(10.0 + (if (i % 2 == 0) 0.3 else -0.3))))
+    val df = rows.map { case (k, s, v) => (k, s, v.map(Double.box).orNull) }.toDF("k", "seq", "v")
+    val got = DriftOps.cusum(df, Seq("k"), Seq("seq"), "v", target = 10.0, k = 0.5, h = 5.0)
+      .select("k", "seq", "s_pos", "s_neg", "alarm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    def snap(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    rows.groupBy(_._1).foreach { case (key, grp) =>
+      var sp = 0.0; var sn = 0.0
+      grp.sortBy(_._2).foreach { case (_, seq, vo) =>
+        vo match {
+          case Some(x) =>
+            sp = snap(math.max(0.0, sp + x - 10.0 - 0.5))
+            sn = snap(math.max(0.0, sn + (10.0 - 0.5 - x)))
+            assert(got((key, seq)) == ((Some(sp), Some(sp > 5.0 || sn > 5.0))),
+              s"$key/$seq")
+          case None =>
+            assert(got((key, seq)) == ((None, None)), s"$key/$seq null")
+        }
+      }
+    }
+    // the sustained +3 drift must alarm (2.5/step accumulates past h=5)
+    assert(got(("A", 13L))._2.contains(true), "drift must alarm by step 13")
+    // on-target noise never alarms
+    assert((1 to 15).forall(i => got(("B", i.toLong))._2.contains(false)))
+    intercept[IllegalArgumentException](DriftOps.cusum(df, Seq("k"), Nil, "v", 10, 0.5, 5))
+    intercept[IllegalArgumentException](DriftOps.cusum(df, Seq("k"), Seq("seq"), "v", 10, -1, 5))
+  }
 }

@@ -201,6 +201,32 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.shortestHops(edges.toDF("src", "dst"), sources, 0))
   }
 
+  test("personalizedPageRank: mass conserved, seeds dominate, unreachable nodes at zero") {
+    // two disjoint chains; seeds only in the first
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"))
+    val r = GraphOps.personalizedPageRank(
+      edges.toDF("src", "dst"), Seq("a").toDF("node"), iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass ${r.values.sum}")
+    assert(r("x") == 0.0 && r("y") == 0.0, "unreachable component must hold zero rank")
+    assert(r("a") > r("b") && r("b") > r("c") == false || r("a") > 0.2) // seed holds restart mass
+    // local replay: p = (1,0,0,...), 4 damped iterations with snapping
+    def snap(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val nodes = Seq("a", "b", "c", "x", "y")
+    val out = Map("a" -> Seq("b"), "b" -> Seq("c"), "c" -> Seq("a"),
+      "x" -> Seq("y"), "y" -> Seq("x"))
+    val p = nodes.map(n => n -> (if (n == "a") 1.0 else 0.0)).toMap
+    var rank = p
+    for (_ <- 1 to 4) {
+      val contrib = nodes.map(n => n ->
+        nodes.filter(m => out(m).contains(n)).map(m => rank(m) / out(m).size).sum).toMap
+      rank = nodes.map(n => n -> snap(0.15 * p(n) + 0.85 * contrib(n))).toMap
+    }
+    nodes.foreach(n => assert(r(n) == rank(n), s"$n: ${r(n)} vs ${rank(n)}"))
+    intercept[IllegalArgumentException](GraphOps.personalizedPageRank(
+      edges.toDF("src", "dst"), Seq.empty[String].toDF("node"), 2))
+  }
+
   test("linkPrediction: known wedge scores, existing edges excluded, hub gate") {
     // square 1-2-3-4-1 plus a spoke 5-1: diagonals (1,3),(2,4) have
     // 2 common neighbors; (2,5),(4,5) share neighbor 1; (3,5) shares none
