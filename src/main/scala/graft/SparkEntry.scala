@@ -4,6 +4,7 @@ import graft.functions.{TextFunctions => TF}
 import graft.operators._
 import graft.sources.BioLoader
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one entry per implemented operator from
@@ -1358,6 +1359,91 @@ object SparkEntry {
           target = 50.0, k = 25.0, h = 200.0)
         .select(col("event_id"), col("user_id"), col("s_pos"), col("s_neg"),
           col("alarm").cast("int").as("alarm"))
+    }),
+
+    // ---- E1a: ROC AUC per source — how well does document length
+    //      rank English vs non-English? Rank-sum identity with
+    //      exact tie averaging over the distinct-score frame; all
+    //      integer arithmetic until one snapped ratio. ----
+    "q_auc" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.auc(d, "is_en", "n_chars", Seq("source"))
+    }),
+
+    // ---- E1b: confusion matrix + threshold metrics per source —
+    //      "n_chars >= 306 predicts English" graded with integer
+    //      counts and snapped ratios; degenerate denominators are
+    //      NULL, not fake zeros. ----
+    "q_eval_metrics" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.confusionMetrics(d, "is_en", "n_chars", 306.0, Seq("source"))
+    }),
+
+    // ---- E2: Cohen's kappa between the declared lang column and
+    //      the X1 stopword-vote prediction — chance-corrected
+    //      agreement from one contingency shuffle. ----
+    "q_kappa" -> ((s, dir) => {
+      val scored = TextOps.langId(BioLoader.load(s, t(dir, "documents")), "text")
+      EvalOps.cohenKappa(scored, "lang", "lang_pred")
+    }),
+
+    // ---- T9: leakage-safe split — exact-dup clusters (30-char
+    //      prefix hash, the q_dup_clusters construction) ride the
+    //      portable coin TOGETHER: no near-copy straddles the
+    //      train/test boundary. ----
+    "q_leak_split" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val keyed = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 30)).as("k"))
+      val w = Window.partitionBy("k")
+      val clusters = keyed
+        .withColumn("cluster_id", min("doc_id").over(w))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") > 1)
+        .select(col("doc_id").as("member"), col("cluster_id"))
+      SplitOps.clusterAwareSplitWith(docs, "doc_id", clusters,
+          "cluster_id", "member",
+          key => pmod(key * lit(40503L), lit(10000L)), 0.3)
+        .select(col("doc_id"), col("split_key"), col("split"))
+    }),
+
+    // ---- N25: per-type OLS trend of event values over time — x is
+    //      epoch-days (one IEEE division, identical both engines),
+    //      shifted to the group origin before the power sums. ----
+    "q_trend" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .withColumn("x", expr("unix_micros(ts)") / lit(86400000000.0))
+      StatsOps.linearTrend(ev, Seq("event_type"), "x", "value")
+    }),
+
+    // ---- N26: distribution-shape profile — skewness, excess
+    //      kurtosis, Jarque–Bera per event type from one power-sum
+    //      pass. ----
+    "q_moments" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+      StatsOps.momentsProfile(ev, Seq("event_type"), "value")
+    }),
+
+    // ---- C33: column-profile report over orders — row/null/exact
+    //      distinct counts + min/max per column in one pass. ----
+    "q_profile" -> ((s, dir) => {
+      StatsOps.profileColumns(BioLoader.load(s, t(dir, "orders")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
+    // ---- X16: boilerplate line removal — each doc gets a planted
+    //      per-source footer (shared by its 25 source-mates) plus a
+    //      unique tail; the footer must vanish, everything else
+    //      must survive in order. ----
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat_ws("\n", col("text"),
+          concat(lit("(c) boilerplate footer of "), col("source")),
+          concat(lit("unique tail "), col("doc_id"))))
+      TextOps.stripBoilerplate(docs, "doc_id", "text", Seq("source"), minDocs = 5)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"))
     }),
 
     // ---- N18: EWMA control chart — per-user sequential anomaly
@@ -3332,6 +3418,235 @@ object SparkEntry {
         |  CASE WHEN value IS NULL THEN NULL
         |    WHEN sp > 200.0 OR sn > 200.0 THEN 1 ELSE 0 END AS alarm
         |FROM rec""".stripMargin,
+
+    // rank-sum AUC with exact tie averaging: 2·Σranks⁺ stays in
+    // integers (np·(2·cumBefore + n + 1) per tied block), one
+    // snapped ratio at the end
+    "q_auc" ->
+      """WITH base AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en, n_chars
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), blocks AS (
+        |  SELECT source, n_chars AS s, count(*) AS n, sum(is_en) AS np
+        |  FROM base GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, n, np,
+        |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM blocks
+        |), agg AS (
+        |  SELECT source, sum(np * (2 * cum + n + 1)) AS r2,
+        |    CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(n - np) AS BIGINT) AS n_neg
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT source, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    floor(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg) * 1e9 + 0.5) / 1e9
+        |  END AS auc
+        |FROM agg""".stripMargin,
+
+    // confusion counts at the threshold; ratios snapped at 1e-9,
+    // f1 from the SNAPPED precision/recall, degenerate → NULL
+    "q_eval_metrics" ->
+      """WITH base AS (
+        |  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
+        |    CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS p
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |), a AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN l = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN l = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN l = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN l = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM base GROUP BY 1
+        |), m AS (
+        |  SELECT source, tp, fp, tn, fn,
+        |    floor((tp + tn) / CAST(tp + fp + tn + fn AS DOUBLE) * 1e9 + 0.5) / 1e9 AS accuracy,
+        |    CASE WHEN tp + fp > 0 THEN floor(tp / CAST(tp + fp AS DOUBLE) * 1e9 + 0.5) / 1e9 END AS "precision",
+        |    CASE WHEN tp + fn > 0 THEN floor(tp / CAST(tp + fn AS DOUBLE) * 1e9 + 0.5) / 1e9 END AS recall
+        |  FROM a
+        |)
+        |SELECT source, tp, fp, tn, fn, accuracy, "precision", recall,
+        |  CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL AND "precision" + recall > 0
+        |    THEN floor(2.0 * "precision" * recall / ("precision" + recall) * 1e9 + 0.5) / 1e9
+        |  END AS f1
+        |FROM m""".stripMargin,
+
+    // the X1 stopword vote replayed per doc, then kappa from the
+    // integer contingency: p_o and p_e snapped, kappa from the
+    // snapped terms
+    "q_kappa" ->
+      """WITH f AS (
+        |  SELECT lang, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks FROM documents
+        |), v AS (
+        |  SELECT lang,
+        |    len([x FOR x IN toks IF list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im'], x)]) AS de,
+        |    len([x FOR x IN toks IF list_contains(['the','of','and','to','in','is','that','it','for','with','as','was','on','are','this'], x)]) AS en,
+        |    len([x FOR x IN toks IF list_contains(['el','la','de','que','y','en','los','del','se','las','por','un','con','una','es'], x)]) AS es,
+        |    len([x FOR x IN toks IF list_contains(['le','la','de','et','les','des','en','un','du','une','que','est','pour','qui','dans'], x)]) AS fr
+        |  FROM f
+        |), p AS (
+        |  SELECT lang, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |    WHEN de = greatest(de, en, es, fr) THEN 'de'
+        |    WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |    WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |  FROM v WHERE lang IS NOT NULL
+        |), c AS (
+        |  SELECT lang AS a, lang_pred AS b, count(*) AS n FROM p GROUP BY 1, 2
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |ra AS (SELECT a, sum(n) AS ra FROM c GROUP BY 1),
+        |cb AS (SELECT b, sum(n) AS cb FROM c GROUP BY 1),
+        |e AS (SELECT CAST(coalesce(sum(ra.ra * cb.cb), 0) AS BIGINT) AS e
+        |  FROM ra JOIN cb ON ra.a = cb.b),
+        |d AS (SELECT CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0) AS BIGINT) AS d FROM c),
+        |k AS (
+        |  SELECT t AS n,
+        |    floor(d / CAST(t AS DOUBLE) * 1e9 + 0.5) / 1e9 AS p_o,
+        |    floor(e / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS p_e
+        |  FROM tot, d, e
+        |)
+        |SELECT n, p_o, p_e,
+        |  CASE WHEN p_e < 1.0 THEN floor((p_o - p_e) / (1.0 - p_e) * 1e9 + 0.5) / 1e9 END AS kappa
+        |FROM k""".stripMargin,
+
+    // prefix-hash clusters + the portable multiplicative coin on the
+    // cluster's min doc_id — the split is a pure function of content
+    "q_leak_split" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(substr(text, 1, 30)) AS k FROM documents
+        |), cl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN count(*) OVER (PARTITION BY k) > 1
+        |      THEN min(doc_id) OVER (PARTITION BY k) ELSE doc_id END AS split_key
+        |  FROM keyed
+        |)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN (split_key * 40503) % 10000 < 3000 THEN 'test' ELSE 'train' END AS split
+        |FROM cl""".stripMargin,
+
+    // shift-and-sum OLS replayed with identical snap points; slope
+    // and r² are shift-invariant, intercept mapped back through x0
+    "q_trend" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) / 86400000000.0 AS x, value AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), o AS (
+        |  SELECT event_type, min(x) AS x0 FROM base GROUP BY 1
+        |), s AS (
+        |  SELECT b.event_type, o.x0, CAST(count(*) AS BIGINT) AS n,
+        |    floor(avg(b.x - o.x0) * 1e9 + 0.5) / 1e9 AS mx,
+        |    floor(avg(b.y) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg((b.x - o.x0) * (b.x - o.x0)) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(b.y * b.y) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg((b.x - o.x0) * b.y) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM base b JOIN o ON b.event_type = o.event_type GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, x0, n, mx, my,
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
+        |  FROM s
+        |), e AS (
+        |  SELECT event_type, x0, n, mx, my, cov, vx, vy,
+        |    CASE WHEN vx > 0 THEN floor(cov / vx * 1e9 + 0.5) / 1e9 END AS slope
+        |  FROM d
+        |)
+        |SELECT event_type, n, slope,
+        |  CASE WHEN vx > 0 THEN
+        |    floor((floor((my - slope * mx) * 1e9 + 0.5) / 1e9 - slope * x0) * 1e9 + 0.5) / 1e9
+        |  END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov * cov / (vx * vy) * 1e9 + 0.5) / 1e9
+        |  END AS r2
+        |FROM e""".stripMargin,
+
+    // power sums → snapped raw moments → central moments → shape
+    // stats, every stage on the 1e-9 grid
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    floor(avg(value / 32.0) * 1e9 + 0.5) / 1e9 AS g1,
+        |    floor(avg((value / 32.0) * (value / 32.0)) * 1e9 + 0.5) / 1e9 AS g2,
+        |    floor(avg((value / 32.0) * (value / 32.0) * (value / 32.0)) * 1e9 + 0.5) / 1e9 AS g3,
+        |    floor(avg((value / 32.0) * (value / 32.0) * (value / 32.0) * (value / 32.0)) * 1e9 + 0.5) / 1e9 AS g4
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), c AS (
+        |  SELECT event_type, n, g1, g2,
+        |    floor((g2 - g1 * g1) * 1e9 + 0.5) / 1e9 AS c2,
+        |    floor((g3 - 3.0 * g1 * g2 + 2.0 * g1 * g1 * g1) * 1e9 + 0.5) / 1e9 AS c3,
+        |    floor((g4 - 4.0 * g1 * g3 + 6.0 * g1 * g1 * g2 - 3.0 * g1 * g1 * g1 * g1) * 1e9 + 0.5) / 1e9 AS c4
+        |  FROM s
+        |), sh AS (
+        |  SELECT event_type, n, g1, c2,
+        |    CASE WHEN n >= 2 AND c2 > 0 THEN floor(c3 / sqrt(c2 * c2 * c2) * 1e9 + 0.5) / 1e9 END AS sk,
+        |    CASE WHEN n >= 2 AND c2 > 0 THEN floor((c4 / (c2 * c2) - 3.0) * 1e9 + 0.5) / 1e9 END AS ku
+        |  FROM c
+        |)
+        |SELECT event_type, n,
+        |  floor(g1 * 32.0 * 1e9 + 0.5) / 1e9 AS mean,
+        |  floor(c2 * 1024.0 * 1e9 + 0.5) / 1e9 AS variance,
+        |  sk AS skewness, ku AS kurtosis,
+        |  CASE WHEN sk IS NOT NULL THEN
+        |    floor(n / 6.0 * (sk * sk + ku * ku / 4.0) * 1e9 + 0.5) / 1e9
+        |  END AS jarque_bera
+        |FROM sh""".stripMargin,
+
+    // one SELECT per profiled column; integer/string columns render
+    // identically across engines
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders""".stripMargin,
+
+    // identical planted construction; per-(source, line) distinct-doc
+    // counts decide boilerplate, survivors re-joined in line order
+    "q_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || '(c) boilerplate footer of ' || source
+        |         || chr(10) || 'unique tail ' || doc_id AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+        |  FROM d
+        |), bp AS (
+        |  SELECT source, line FROM l WHERE trim(line) <> ''
+        |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 5
+        |), keep AS (
+        |  SELECT l.doc_id, l.line, l.idx FROM l
+        |  LEFT JOIN bp ON l.source = bp.source AND l.line = bp.line
+        |  WHERE bp.line IS NULL
+        |), r AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean
+        |  FROM keep GROUP BY 1
+        |)
+        |SELECT d.doc_id, md5(coalesce(r.clean, '')) AS clean_md5
+        |FROM d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
 
     // the EWMA recurrence replayed exactly: per-step 1e-9 snap makes
     // the sequential fixed point engine-independent, the decay weight

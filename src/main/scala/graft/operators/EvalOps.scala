@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics over scored frames — the eval harness
+  * for the trained filters in [[ClassifierOps]] and any score
+  * column a curation pipeline gates on (quality, LM perplexity,
+  * ANN similarity). Every metric is built from integer counts and
+  * snapped ratios, so results replay bit-for-bit cross-engine.
+  *
+  * Reference scope note: biosets delegates evaluation to sklearn
+  * on collected pandas frames; at 100 TB the metrics themselves
+  * must be distributed aggregations.
+  */
+object EvalOps {
+
+  private def snap9(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** Confusion matrix + threshold metrics per group: rows with
+    * `score >= threshold` are predicted positive; `labelCol` is
+    * truth (nonzero/true = positive). ONE map-side-combinable
+    * groupBy carrying four conditional counters — no second pass,
+    * no value buffering; the output frame is |groups| rows.
+    *
+    * precision/recall/f1/accuracy are integer-count ratios on the
+    * 1e-9 grid; degenerate denominators (no predicted positives,
+    * no actual positives) yield NULL rather than a fake 0.
+    */
+  def confusionMetrics(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      threshold: Double,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val lbl = col(labelCol).cast("boolean")
+    val pred = col(scoreCol) >= lit(threshold)
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+    val agg = base.groupBy(groupCols.map(col): _*).agg(
+      sum(when(lbl && pred, 1L).otherwise(0L)).as("tp"),
+      sum(when(!lbl && pred, 1L).otherwise(0L)).as("fp"),
+      sum(when(!lbl && !pred, 1L).otherwise(0L)).as("tn"),
+      sum(when(lbl && !pred, 1L).otherwise(0L)).as("fn"))
+    val tp = col("tp").cast("double"); val fp = col("fp").cast("double")
+    val tn = col("tn").cast("double"); val fn = col("fn").cast("double")
+    val precision = when(col("tp") + col("fp") > 0, snap9(tp / (tp + fp)))
+    val recall = when(col("tp") + col("fn") > 0, snap9(tp / (tp + fn)))
+    val accuracy = snap9((tp + tn) / (tp + fp + tn + fn))
+    // f1 from the SNAPPED precision/recall so the ratio-of-ratios
+    // replays: 2pr/(p+r), NULL when either side is NULL or p+r = 0.
+    val f1 = when(precision.isNotNull && recall.isNotNull && (precision + recall > 0),
+      snap9(lit(2.0) * precision * recall / (precision + recall)))
+    agg.select((groupCols.map(col) ++ Seq(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      accuracy.as("accuracy"), precision.as("precision"),
+      recall.as("recall"), f1.as("f1"))): _*)
+  }
+
+  /** ROC AUC per group via the rank-sum (Mann–Whitney) identity
+    * with exact tie averaging: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻), where tied scores share their block's average rank.
+    *
+    * Scale shape — the [[DriftOps.ksStatistic]] distinct-value
+    * discipline: groupBy(group, score) collapses the rows to the
+    * DISTINCT-score frame (counts only, aggregator memory is
+    * distinct scores, not rows), a cumulative window over that
+    * frame assigns block ranks, and a final groupBy(group) reduces
+    * to one row per group. Everything until the last division is
+    * exact integer arithmetic: 2·Σranks⁺ = Σ n⁺_block·(2·cumBefore
+    * + n_block + 1), so no float enters before the single snapped
+    * ratio. One-class groups yield NULL.
+    */
+  def auc(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val lbl = col(labelCol).cast("boolean")
+    val blocks = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(scoreCol).as("__s")): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(lbl, 1L).otherwise(0L)).as("__np"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = blocks.withColumn("__cum", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val agg = ranked.groupBy(groupCols.map(col): _*).agg(
+      // 2·Σ(average ranks of positives), exact in longs
+      sum(col("__np") * (lit(2L) * col("__cum") + col("__n") + lit(1L))).as("__r2"),
+      sum(col("__np")).as("n_pos"),
+      sum(col("__n") - col("__np")).as("n_neg"))
+    val np = col("n_pos"); val nn = col("n_neg")
+    val aucCol = when(np > 0 && nn > 0,
+      snap9((col("__r2") - np * (np + lit(1L))).cast("double") /
+        (lit(2.0) * np.cast("double") * nn.cast("double"))))
+    agg.select((groupCols.map(col) ++ Seq(np, nn, aucCol.as("auc"))): _*)
+  }
+
+  /** Cohen's kappa between two categorical columns per group —
+    * chance-corrected agreement (annotator consistency, heuristic
+    * vs declared metadata, model vs model). ONE groupBy(group, a,
+    * b) contingency shuffle (the [[StatsOps.chiSquaredIndependence]]
+    * machinery), marginal joins over the |groups|·|cats| frame
+    * only. p_o and p_e are integer-count ratios snapped to the
+    * 1e-9 grid; kappa = (p_o − p_e)/(1 − p_e) from the snapped
+    * terms, NULL when p_e = 1 (a single-cell degenerate table).
+    */
+  def cohenKappa(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    if (groupCols.isEmpty) {
+      // grouped path throughout — a constant key makes the joins
+      // uniform; dropped on the way out
+      val g = "__g"
+      return cohenKappa(df.withColumn(g, lit(1)), colA, colB, Seq(g)).drop(g)
+    }
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy((groupCols.map(col) ++ Seq(col(colA).as("__a"), col(colB).as("__b"))): _*)
+      .agg(count(lit(1)).as("__n"))
+    val gCols = groupCols.map(col)
+    val totals = cells.groupBy(gCols: _*).agg(sum("__n").as("__t"))
+    val rowM = cells.groupBy((gCols :+ col("__a")): _*).agg(sum("__n").as("__ra"))
+    val colM = cells.groupBy((gCols :+ col("__b")): _*).agg(sum("__n").as("__cb"))
+    // expected agreement: Σ_k rowMarg(k)·colMarg(k) over categories
+    // present on BOTH axes (absent-side marginal is 0 — drops out)
+    val pairKeys = groupCols :+ "__k"
+    val eTerms = rowM.withColumnRenamed("__a", "__k")
+      .join(colM.withColumnRenamed("__b", "__k"), pairKeys, "inner")
+      .groupBy(gCols: _*).agg(sum(col("__ra") * col("__cb")).as("__e"))
+    val diag = cells.filter(col("__a") === col("__b"))
+      .groupBy(gCols: _*).agg(sum("__n").as("__d"))
+    val joined = totals
+      .join(diag, groupCols, "left")
+      .join(eTerms, groupCols, "left")
+      .na.fill(0L, Seq("__d"))
+    val t = col("__t").cast("double")
+    val po = snap9(coalesce(col("__d"), lit(0L)).cast("double") / t)
+    val pe = snap9(coalesce(col("__e"), lit(0L)).cast("double") / (t * t))
+    val kappa = when(pe < 1.0, snap9((po - pe) / (lit(1.0) - pe)))
+    joined.select((gCols ++ Seq(col("__t").as("n"), po.as("p_o"), pe.as("p_e"),
+      kappa.as("kappa"))): _*)
+  }
+}

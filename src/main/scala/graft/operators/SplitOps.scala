@@ -118,4 +118,63 @@ object SplitOps {
     val coin = pmod(col(idCol) * lit(40503L) + lit(seed), lit(999983L))
     ReshapeOps.withRowIndex(df.orderBy(coin, col(idCol)), posCol)
   }
+
+  /** Leakage-safe train/test split: every member of a duplicate /
+    * near-duplicate cluster lands on the SAME side, so the test set
+    * never contains a (near-)copy of a training document — the
+    * contamination mode a row-wise split cannot prevent (Lee et al.
+    * 2021 measure it inflating eval scores on duplicated corpora).
+    *
+    * `clusters` is an (id → cluster_id) assignment from any of the
+    * dedup families ([[DedupOps.dupClusters]],
+    * [[GraphOps.connectedComponents]] over near-dup pairs, exact
+    * hash groups). Rows absent from it are singletons and split on
+    * their own id. ONE left join (cluster frames hold only the
+    * duplicated minority, so AQE broadcasts them at typical dup
+    * rates) + the same content-deterministic hash-bucket coin as
+    * [[trainTestSplit]] — partitioning/retry/row-order independent.
+    */
+  def clusterAwareSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterIdCol: String,
+      clusterMemberCol: String,
+      testFraction: Double,
+      seed: Long = 42L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
+    val cl = clusters.select(
+      col(clusterMemberCol).as("__m"), col(clusterIdCol).as("__cl"))
+    val keyed = df.join(cl, df(idCol) === col("__m"), "left")
+      .withColumn("__key", coalesce(col("__cl"), df(idCol)))
+    val bucket = pmod(xxhash64(lit(seed), col("__key")), lit(10000))
+    trainTestSplitWith(keyed, bucket, testFraction, splitCol)
+      .withColumnRenamed("__key", "split_key").drop("__m", "__cl")
+  }
+
+  /** [[clusterAwareSplit]] with a caller-supplied portable bucket
+    * expression over the resolved cluster key (exposed for
+    * cross-engine-replayable splits — same contract as
+    * [[trainTestSplitWith]]).
+    */
+  def clusterAwareSplitWith(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterIdCol: String,
+      clusterMemberCol: String,
+      bucketOfKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      testFraction: Double,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(testFraction > 0 && testFraction < 1, "testFraction in (0,1)")
+    val cl = clusters.select(
+      col(clusterMemberCol).as("__m"), col(clusterIdCol).as("__cl"))
+    val keyed = df.join(cl, df(idCol) === col("__m"), "left")
+      .withColumn("__key", coalesce(col("__cl"), df(idCol)))
+    trainTestSplitWith(keyed, bucketOfKey(col("__key")), testFraction, splitCol)
+      .withColumnRenamed("__key", "split_key").drop("__m", "__cl")
+  }
 }

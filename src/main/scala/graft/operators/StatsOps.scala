@@ -607,4 +607,144 @@ object StatsOps {
           snap9(col("__num") / sqrt(col("__dx") * col("__dy")))))
       .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
   }
+
+  /** Per-group OLS linear trend `y = slope·x + intercept` with r²
+    * (metric drift over time, per-feature trend screens). Two-pass
+    * shift-and-sum: pass 1 takes each group's min(x) (a tiny frame
+    * broadcast back), pass 2 accumulates the five shifted sums in
+    * ONE map-side-combinable groupBy — shifting x to the group's
+    * origin is what keeps `n·Σx² − (Σx)²` away from catastrophic
+    * cancellation when x is epoch-scaled, the failure mode of the
+    * textbook one-pass formula at 100 TB timestamp ranges. Sums
+    * snap to the 1e-9 grid (the [[correlationMatrix]] discipline)
+    * so the closed form replays cross-engine; slope/r² are
+    * shift-invariant, the intercept is mapped back to original-x
+    * coordinates at the end. Degenerate groups (constant x) yield
+    * NULL slope/intercept/r².
+    */
+  def linearTrend(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((gs :+ col(xCol).cast("double").as("__x")) :+
+        col(yCol).cast("double").as("__y"): _*)
+    val origins = base.groupBy(gs: _*).agg(min(col("__x")).as("__x0"))
+    // snapped MEANS, never n-scaled sums: E[·] is bounded by the
+    // data's magnitude no matter how many rows the group holds, so
+    // the 1e-9 snap grid stays inside double precision at any
+    // scale (a sum-based `n·Σxy − Σx·Σy` overflows the snap's
+    // integer range once n·Σ crosses ~9e9)
+    val sums = base.join(broadcast(origins), groupCols)
+      .withColumn("__xs", col("__x") - col("__x0"))
+      .groupBy((gs :+ col("__x0")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        snap9(avg(col("__xs"))).as("__mx"), snap9(avg(col("__y"))).as("__my"),
+        snap9(avg(col("__xs") * col("__xs"))).as("__mxx"),
+        snap9(avg(col("__y") * col("__y"))).as("__myy"),
+        snap9(avg(col("__xs") * col("__y"))).as("__mxy"))
+    val out = sums
+      .withColumn("__cov", snap9(col("__mxy") - col("__mx") * col("__my")))
+      .withColumn("__vx", snap9(col("__mxx") - col("__mx") * col("__mx")))
+      .withColumn("__vy", snap9(col("__myy") - col("__my") * col("__my")))
+      .withColumn("slope", when(col("__vx") > 0, snap9(col("__cov") / col("__vx"))))
+      // intercept in SHIFTED coords, then back: b = b' − slope·x0
+      .withColumn("__b", when(col("__vx") > 0,
+        snap9(col("__my") - col("slope") * col("__mx"))))
+      .withColumn("intercept", when(col("__vx") > 0,
+        snap9(col("__b") - col("slope") * col("__x0"))))
+      .withColumn("r2", when(col("__vx") > 0 && col("__vy") > 0,
+        snap9(col("__cov") * col("__cov") / (col("__vx") * col("__vy")))))
+    out.select((gs ++ Seq(col("n"), col("slope"), col("intercept"), col("r2"))): _*)
+  }
+
+  /** Distribution-shape profile per group: mean, population
+    * variance, skewness, excess kurtosis, and the Jarque–Bera
+    * normality statistic `JB = n/6·(g₁² + g₂²/4)` — the
+    * higher-moment companion to [[describeAll]] (is the
+    * distribution skewed? heavy-tailed? plausibly normal?). ONE
+    * map-side-combinable groupBy carrying the four power sums —
+    * no value buffering, |groups| output rows; every derived stage
+    * snaps to the 1e-9 grid so central moments replay
+    * cross-engine. Degenerate groups (n < 2 or zero variance)
+    * yield NULL shape stats.
+    */
+  def momentsProfile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      scalePow2: Int = 5
+  ): DataFrame = {
+    require(scalePow2 >= 0 && scalePow2 <= 40, s"scalePow2 in [0,40], got $scalePow2")
+    val gs = groupCols.map(col)
+    // values run through the moments PRESCALED by an exact power of
+    // two (no precision cost — pure exponent shift): 4th powers of
+    // raw values overflow the snap grid's double/long range fast
+    // (|v| ≈ 500 → v⁴ ≈ 6e10), while skew/kurt/JB are
+    // scale-invariant and mean/variance rescale exactly. Pick
+    // scalePow2 so |v|/2^k stays ≲ 500.
+    val sc = math.pow(2.0, scalePow2)
+    val v = col(valueCol).cast("double") / lit(sc)
+    val sums = df.filter(col(valueCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        snap9(avg(v)).as("__g1"),
+        snap9(avg(v * v)).as("__g2"),
+        snap9(avg(v * v * v)).as("__g3"),
+        snap9(avg(v * v * v * v)).as("__g4"))
+    val n = col("n").cast("double")
+    val g1 = col("__g1")
+    val out = sums
+      // central moments of the SCALED values from snapped raw moments
+      .withColumn("__c2", snap9(col("__g2") - g1 * g1))
+      .withColumn("__c3", snap9(col("__g3") - lit(3.0) * g1 * col("__g2")
+        + lit(2.0) * g1 * g1 * g1))
+      .withColumn("__c4", snap9(col("__g4") - lit(4.0) * g1 * col("__g3")
+        + lit(6.0) * g1 * g1 * col("__g2")
+        - lit(3.0) * g1 * g1 * g1 * g1))
+      // exact power-of-two rescale back to data units
+      .withColumn("mean", snap9(g1 * lit(sc)))
+      .withColumn("variance", snap9(col("__c2") * lit(sc * sc)))
+      .withColumn("skewness", when(col("n") >= 2 && col("__c2") > 0,
+        snap9(col("__c3") / sqrt(col("__c2") * col("__c2") * col("__c2")))))
+      .withColumn("kurtosis", when(col("n") >= 2 && col("__c2") > 0,
+        snap9(col("__c4") / (col("__c2") * col("__c2")) - lit(3.0))))
+      .withColumn("jarque_bera", when(col("skewness").isNotNull,
+        snap9(n / lit(6.0) * (col("skewness") * col("skewness")
+          + col("kurtosis") * col("kurtosis") / lit(4.0)))))
+    out.select((gs ++ Seq(col("n"), col("mean"), col("variance"),
+      col("skewness"), col("kurtosis"), col("jarque_bera"))): _*)
+  }
+
+  /** Column-profile report — the dataset-quality summary every
+    * ingest pipeline runs first: per column the row count, null
+    * count, EXACT distinct count, and min/max rendered as strings.
+    * ONE aggregation (Spark plans the multi-column distinct via
+    * expand — cost is columns × one pass, never a per-column job),
+    * then a `stack` to one row per column. For wide interactive
+    * profiling at extreme scale swap the distinct for
+    * approx_count_distinct; this is the exact, oracle-able form.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __n, __null_$c, __dist_$c, __min_$c, __max_$c"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
 }

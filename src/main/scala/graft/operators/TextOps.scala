@@ -235,4 +235,55 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
+
+  /** CCNet/RefinedWeb-style boilerplate line removal: a line that
+    * appears (verbatim) in at least `minDocs` DISTINCT documents of
+    * the same group (typically the source domain) is template
+    * chrome — nav bars, cookie banners, footers — and is dropped
+    * from every document; the rest of each document survives in
+    * original line order. Whitespace-only lines are never counted
+    * and always kept (they carry structure, not content).
+    *
+    * Scale shape: explode to (group, line, doc) → ONE
+    * groupBy(group, line) distinct-doc count (the hot boilerplate
+    * lines are exactly the high-multiplicity keys, and they
+    * collapse map-side after the in-group distinct) → join the
+    * line frame back on (group, line) → rebuild per doc from a
+    * sorted collect over its OWN lines (bounded by the document's
+    * line count — the same per-doc buffer every reshape of a
+    * document already holds). Docs that were pure boilerplate
+    * come back as empty strings, not dropped rows.
+    *
+    * @return df + `outCol` with the cleaned text
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      minDocs: Int,
+      outCol: String = "text_clean"
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val gCols = groupCols.map(col)
+    val lines = df
+      .select((col(idCol).as("__id") +: gCols) :+
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")): _*)
+    val counted = lines
+      .filter(trim(col("__line")) =!= "")
+      .select((gCols :+ col("__line")) :+ col("__id"): _*).distinct()
+      .groupBy((gCols :+ col("__line")): _*)
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+    val kept = lines.join(counted.select((gCols :+ col("__line")) :+ lit(1).as("__bp"): _*),
+        groupCols :+ "__line", "left")
+      .filter(col("__bp").isNull)
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(concat_ws("\n",
+        expr("transform(array_sort(collect_list(struct(__idx, __line))), x -> x.__line)"))
+        .as(outCol))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
+      .withColumn(outCol, coalesce(col(outCol), lit("")))
+      .drop("__id")
+  }
 }

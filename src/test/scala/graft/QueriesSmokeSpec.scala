@@ -29,7 +29,11 @@ class QueriesSmokeSpec extends SparkSpec {
     // totals, keyword doc count, target-encoding prior, LM vocab
     // size, z-order column min/max
     "q_bm25", "q_bm25_persist", "q_bm25_append", "q_tfidf", "q_collocations",
-    "q_keywords", "q_target_encode", "q_lm_score", "q_zorder")
+    "q_keywords", "q_target_encode", "q_lm_score", "q_zorder",
+    // ungrouped kappa: the total/diagonal/expected-agreement frames
+    // are each ONE row (global aggregates) — their constant join key
+    // folds away and the 1-row joins become BNLJ by construction
+    "q_kappa")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
