@@ -1433,6 +1433,71 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // ---- D7i: HITS on the customer → supplier purchase graph (the
+    //      q_pagerank edges): hub = customers buying from good
+    //      suppliers, authority = suppliers bought by good hubs. 2
+    //      L1-normalized half-step pairs, snapped per step, so the
+    //      unrolled SQL replay is bit-identical. Customers hold
+    //      auth 0 and suppliers hub 0 structurally (pure
+    //      bipartite). ----
+    "q_hits" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
+      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphOps.hits(edges, iters = 2)
+    }),
+
+    // ---- D14: asymmetric n-gram containment — each doc_id < 200
+    //      gets a 120-char snippet twin (id+10000); snippets are
+    //      near-fully covered by their source doc while symmetric
+    //      jaccard would score them low. Oracle replays the exact
+    //      3-gram set containment with the same orientation rule. ----
+    "q_containment" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val snips = docs.select((col("doc_id") + 10000L).as("doc_id"),
+        substring(col("text"), 1, 120).as("text"))
+      DedupOps.containmentPairs(docs.union(snips), "doc_id", "text",
+          shingleSize = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), hround(col("containment"), 6).as("containment"))
+    }),
+
+    // ---- M14: STREAMING count-min sketch per event-time window —
+    //      the frequency twin of q_stream_hll: windowed cell sums in
+    //      stream state (≤ d·w rows per window/group cell),
+    //      estimates probed batch-side for user_ids < 20 against
+    //      exact windowed counts. ----
+    "q_stream_cms" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("event_type"), col("user_id"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit("zz_pusher").as("event_type"), lit(PusherId).as("user_id"))
+      val cells = SketchOps.cmsSketchWindowed(
+        ev.unionByName(pusher), "ts", Seq("event_type"), "user_id",
+        windowLen = "3 days", watermark = "1 hour", d = 4, w = 256)
+      val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(cells, "m14cms")
+      }
+      // exact windowed truth for a bounded probe set, batch side
+      val batch = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      val probes = batch.filter(col("user_id") < 20)
+        .groupBy(window(col("ts"), "3 days").as("w"), col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("user_id"), col("n_true"))
+      SketchOps.cmsEstimate(
+          sunk.filter(col("event_type") =!= "zz_pusher"),
+          Seq("window_start", "event_type"), probes, "user_id", d = 4, w = 256)
+        .select(expr("unix_micros(window_start)").as("start_us"),
+          col("event_type"), col("user_id"), col("n_true"), col("cms_est"))
+    }),
+
     // ---- X16: boilerplate line removal — each doc gets a planted
     //      per-source footer (shared by its 25 source-mates) plus a
     //      unique tail; the footer must vanish, everything else
@@ -3620,6 +3685,88 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // two HITS half-step pairs unrolled: auth ← Σ hub / total,
+    // hub ← Σ auth / total, snapped per half-step exactly as the
+    // operator runs them
+    "q_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst, CAST(count(*) AS DOUBLE) AS a FROM e GROUP BY 1),
+        |a1t AS (SELECT sum(a) AS t FROM a1r),
+        |a1 AS (SELECT n.node, CASE WHEN a1t.t > 0
+        |  THEN floor(coalesce(a1r.a, 0) / a1t.t * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS auth
+        |  FROM n LEFT JOIN a1r ON n.node = a1r.dst CROSS JOIN a1t),
+        |h1r AS (SELECT e.src, sum(a1.auth) AS h FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |h1t AS (SELECT sum(h) AS t FROM h1r),
+        |h1 AS (SELECT n.node, CASE WHEN h1t.t > 0
+        |  THEN floor(coalesce(h1r.h, 0) / h1t.t * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS hub
+        |  FROM n LEFT JOIN h1r ON n.node = h1r.src CROSS JOIN h1t),
+        |a2r AS (SELECT e.dst, sum(h1.hub) AS a FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |a2t AS (SELECT sum(a) AS t FROM a2r),
+        |a2 AS (SELECT n.node, CASE WHEN a2t.t > 0
+        |  THEN floor(coalesce(a2r.a, 0) / a2t.t * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS auth
+        |  FROM n LEFT JOIN a2r ON n.node = a2r.dst CROSS JOIN a2t),
+        |h2r AS (SELECT e.src, sum(a2.auth) AS h FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+        |h2t AS (SELECT sum(h) AS t FROM h2r),
+        |h2 AS (SELECT n.node, CASE WHEN h2t.t > 0
+        |  THEN floor(coalesce(h2r.h, 0) / h2t.t * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS hub
+        |  FROM n LEFT JOIN h2r ON n.node = h2r.src CROSS JOIN h2t)
+        |SELECT h2.node, h2.hub, a2.auth FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+
+    // exact 3-gram set containment |A∩B|/|A| with the
+    // contained→container orientation (shorter set first, ties by id)
+    "q_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substr(text, 1, 120) FROM documents WHERE doc_id < 200
+        |), toks AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM d
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks WHERE len(t) >= 1
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor((len(list_intersect(a.s, b.s))::DOUBLE / len(a.s)) * 1000000 + 0.5) / 1000000 AS containment
+        |FROM sh a JOIN sh b ON (len(a.s) < len(b.s) OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+        |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8""".stripMargin,
+
+    // md5 cell grid + windowed cell counts keyed by the epoch-aligned
+    // 3-day window, probe estimates as min over the d cells
+    "q_stream_cms" ->
+      """WITH items AS (
+        |  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS start_us,
+        |    event_type, user_id AS x
+        |  FROM events WHERE user_id IS NOT NULL
+        |), hx AS (
+        |  SELECT start_us, event_type, x, j,
+        |    ((((instr('0123456789abcdef', substr(h,1,1))-1)*16
+        |      + (instr('0123456789abcdef', substr(h,2,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,3,1))-1))*16
+        |      + (instr('0123456789abcdef', substr(h,4,1))-1)) % 256 AS bucket
+        |  FROM (SELECT start_us, event_type, x, j,
+        |          md5(CAST(j AS VARCHAR) || ':' || CAST(x AS VARCHAR)) AS h
+        |        FROM items CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+        |), sk AS (
+        |  SELECT start_us, event_type, j, bucket, count(*) AS cnt FROM hx GROUP BY 1, 2, 3, 4
+        |), probes AS (
+        |  SELECT start_us, event_type, x, count(*) AS n_true FROM items WHERE x < 20 GROUP BY 1, 2, 3
+        |), pb AS (
+        |  SELECT p.start_us, p.event_type, p.x, p.n_true, h.j, h.bucket
+        |  FROM probes p JOIN (SELECT DISTINCT start_us, event_type, x, j, bucket FROM hx) h
+        |    ON p.start_us = h.start_us AND p.event_type = h.event_type AND p.x = h.x
+        |)
+        |SELECT pb.start_us, pb.event_type, pb.x AS user_id, pb.n_true,
+        |  min(coalesce(sk.cnt, 0)) AS cms_est
+        |FROM pb LEFT JOIN sk
+        |  ON pb.start_us = sk.start_us AND pb.event_type = sk.event_type
+        |  AND pb.j = sk.j AND pb.bucket = sk.bucket
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     // identical planted construction; per-(source, line) distinct-doc
     // counts decide boilerplate, survivors re-joined in line order

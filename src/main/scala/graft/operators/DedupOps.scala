@@ -307,6 +307,62 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `C(A→B) = |A∩B| / |A|` ≥
+    * threshold — the "short doc buried inside a long doc" signal
+    * [[ngramJaccard]]'s symmetric score structurally misses (a 20-
+    * shingle snippet inside a 200-shingle page has J ≈ 0.1 but
+    * C = 1.0). The quote/excerpt/boilerplate-wrapper detector of a
+    * curation pipeline, and the asymmetric form used for
+    * train-set → eval-set contamination.
+    *
+    * Candidate generation is the asymmetric prefix filter: if B
+    * holds ≥ t·|A| of A's shingles it misses at most
+    * ⌊(1−t)·|A|⌋ of them, so A's first ⌊(1−t)·|A|⌋+1 shingles in
+    * RAREST-FIRST order must hit B — the A side explodes only that
+    * prefix, while the B side is the full inverted index (the cost
+    * every containment join pays; rarest-first keeps the per-term
+    * candidate product small exactly like [[ngramJaccard]]'s
+    * measured default). Verify joins the two shingle sets once and
+    * gates on the exact ratio. Pairs emit in the contained→container
+    * orientation (|A| < |B|, ties id-ordered).
+    *
+    * @return (id_a, id_b, containment) — id_a's shingles are
+    *         `containment`-covered by id_b's
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = df.select(col(idCol).as("id"), HE.shingleHashesText(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inverted = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
+    val freq = inverted.groupBy("g").agg(count(lit(1)).as("__f"))
+    val wOrd = Window.partitionBy("id").orderBy(col("__f"), col("g"))
+    val prefixA = inverted
+      .join(freq, Seq("g"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= floor(lit(1.0 - threshold) * col("len")) + 1)
+      .select(col("g"), col("id").as("id_a"), col("len").as("len_a"))
+    val cand = prefixA
+      .join(inverted.select(col("g"), col("id").as("id_b"), col("len").as("len_b")), Seq("g"))
+      .filter(col("len_a") < col("len_b") ||
+        (col("len_a") === col("len_b") && col("id_a") < col("id_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Bounded estimate of hash-order prefix bucket flooding: each
     * doc's single lowest shingle hash IS its first prefix entry
     * under hash order, so distinct(min-shingle)/docs over a

@@ -488,4 +488,71 @@ object GraphOps {
       .agg(countDistinct(col(itemCol)).as("n_items"))
       .filter(col("n_items") > maxGroupSize)
       .withColumn("n_lost_pairs", (col("n_items") * (col("n_items") - 1) / 2).cast("long"))
+
+  /** HITS hub/authority scores (Kleinberg 1999) — the directed-
+    * bipartite complement of [[pageRank]]: on buyer→item,
+    * crawler→page, citing→cited graphs, authority measures "pointed
+    * to by good hubs", hub measures "points at good authorities".
+    * Power iteration `a ← Aᵀh, h ← Aa` with L1 (sum) normalization
+    * per half-step — rank order matches the classic L2 variant
+    * (normalization only rescales) and the ratio-of-sums replays
+    * exactly on the 1e-9 grid, which an irrational √Σx² cannot.
+    *
+    * Scale shape ([[pageRank]]'s discipline, doubled): the edge
+    * frame materializes TWICE, once hash-partitioned by src (the
+    * auth step joins the hub frame there) and once by dst (the hub
+    * step joins the auth frame there) — each half-step is one
+    * node-sized join TO a cached partitioning plus one map-side-
+    * combinable groupBy; normalization totals ride 1-row
+    * broadcasts; per-round snap + localCheckpoint keep the float
+    * fixed point engine-independent and the plan depth bounded.
+    *
+    * @return (node, hub, auth), each column summing to 1 up to grid
+    *         rounding; nodes with no out-edges have hub 0, no
+    *         in-edges auth 0
+    */
+  def hits(edges0: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
+    val emSrc = edges0.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
+      .persist()
+    emSrc.count()
+    val emDst = emSrc.repartition(col("dst")).persist()
+    emDst.count()
+    val nodes = emSrc
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .localCheckpoint(true)
+    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint(true)
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    try {
+      for (_ <- 1 to iters) {
+        val rawAuth = emSrc.join(hub, emSrc("src") === hub("node"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+        val ta = rawAuth.agg(coalesce(sum(col("__a")), lit(0.0)).as("__t"))
+        auth = nodes
+          .join(rawAuth, nodes("node") === rawAuth("dst"), "left")
+          .crossJoin(broadcast(ta))
+          .select(nodes("node"),
+            when(col("__t") > 0,
+              snap(coalesce(col("__a"), lit(0.0)) / col("__t")))
+              .otherwise(lit(0.0)).as("auth"))
+          .localCheckpoint(true)
+        val rawHub = emDst.join(auth, emDst("dst") === auth("node"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
+        val th = rawHub.agg(coalesce(sum(col("__h")), lit(0.0)).as("__t"))
+        hub = nodes
+          .join(rawHub, nodes("node") === rawHub("src"), "left")
+          .crossJoin(broadcast(th))
+          .select(nodes("node"),
+            when(col("__t") > 0,
+              snap(coalesce(col("__h"), lit(0.0)) / col("__t")))
+              .otherwise(lit(0.0)).as("hub"))
+          .localCheckpoint(true)
+      }
+    } finally { emSrc.unpersist(); emDst.unpersist() }
+    hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+  }
 }

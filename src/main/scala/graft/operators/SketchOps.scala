@@ -105,6 +105,39 @@ object SketchOps {
         groupCols.map(col) :+ col("reg_idx") :+ col("max_rank"): _*)
   }
 
+  /** STREAMING count-min sketch: per-(event-time window, group)
+    * cell sums as one streaming aggregation — the frequency twin of
+    * [[hllRegistersWindowed]]. Per (window, group) the state is
+    * ≤ d·w counter rows no matter how many events land; cell counts
+    * accumulate in state until the watermark closes the window, and
+    * the emitted cells stay SUM-mergeable downstream (union windows
+    * across days/shards, re-sum, then estimate with
+    * [[cmsEstimate]]-style min-over-rows). Works identically on a
+    * batch frame (the oracle twin).
+    *
+    * @return (window_start, groupCols*, row_j, bucket, cnt)
+    */
+  def cmsSketchWindowed(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      windowLen: String,
+      watermark: String = "2 hours",
+      d: Int = 4,
+      w: Int = 2048
+  ): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.filter(col(valueCol).isNotNull)
+      .select(col(tsCol) +: groupCols.map(col) :+
+        explode(array(cmsPairs(valueCol, d, w): _*)).as("rb"): _*)
+      .groupBy(window(col(tsCol), windowLen).as("w") +:
+        groupCols.map(col) :+ col("rb.row_j").as("row_j") :+ col("rb.bucket").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start") +:
+        groupCols.map(col) :+ col("row_j") :+ col("bucket") :+ col("cnt"): _*)
+  }
+
   /** Per-group HLL cardinality estimate with the standard
     * small-range (linear-counting) correction. Output:
     * groupCols + (hll_est, registers_hit), estimate on the 1e-6
