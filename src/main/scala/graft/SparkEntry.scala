@@ -1433,6 +1433,35 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // ---- P1: pairwise association rules over customer → supplier
+    //      baskets: which suppliers co-occur in a customer's
+    //      purchasing, with confidence and lift from exact integer
+    //      supports. ----
+    "q_rules" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
+      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val baskets = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      MiningOps.associationRules(baskets, "o_custkey", "l_suppkey",
+        minSupport = 3L, minConfidence = 0.2)
+    }),
+
+    // ---- P2: top sliding event trigrams across user streams — the
+    //      windowed complement of q_paths; counts every consecutive
+    //      3-run, ties broken by gram string. ----
+    "q_event_ngrams" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.topEventNgrams(ev, "user_id", Seq("ts", "event_id"), "event_type",
+        n = 3, k = 25)
+    }),
+
+    // ---- P3: per-type value histogram — PSI's clamp-to-edge
+    //      binning as a first-class report, exact integer counts. ----
+    "q_histogram" -> ((s, dir) => {
+      StatsOps.histogram(BioLoader.load(s, t(dir, "events")),
+        Seq("event_type"), "value", lo = 0.0, hi = 500.0, bins = 20)
+    }),
+
     // ---- D7i: HITS on the customer → supplier purchase graph (the
     //      q_pagerank edges): hub = customers buying from good
     //      suppliers, authority = suppliers bought by good hubs. 2
@@ -3685,6 +3714,58 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // distinct baskets → self-join pair supports → both rule
+    // directions with snapped confidence/lift from integer counts
+    "q_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT o_custkey AS g, l_suppkey AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS nb FROM b),
+        |si AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY 1),
+        |pp AS (
+        |  SELECT a.i AS x, b2.i AS y, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b b2 ON a.g = b2.g AND a.i < b2.i GROUP BY 1, 2
+        |  HAVING count(*) >= 3
+        |), dir AS (
+        |  SELECT x AS antecedent, y AS consequent, n_ab FROM pp
+        |  UNION ALL SELECT y, x, n_ab FROM pp
+        |), r AS (
+        |  SELECT d.antecedent, d.consequent, d.n_ab AS n_pair,
+        |    sa.n_i AS n_ante, sc.n_i AS n_cons,
+        |    floor(d.n_ab / CAST(sa.n_i AS DOUBLE) * 1e9 + 0.5) / 1e9 AS confidence,
+        |    floor(CAST(d.n_ab * n.nb AS DOUBLE)
+        |      / (CAST(sa.n_i AS DOUBLE) * CAST(sc.n_i AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS lift
+        |  FROM dir d
+        |  JOIN si sa ON d.antecedent = sa.i
+        |  JOIN si sc ON d.consequent = sc.i
+        |  CROSS JOIN n
+        |)
+        |SELECT antecedent, consequent, n_pair, n_ante, n_cons, confidence, lift
+        |FROM r WHERE confidence >= 0.2""".stripMargin,
+
+    // lag-chain trigrams, count, deterministic (count desc, gram) cut
+    "q_event_ngrams" ->
+      """WITH l AS (
+        |  SELECT lag(event_type, 2) OVER w AS t0,
+        |    lag(event_type, 1) OVER w AS t1, event_type AS t2
+        |  FROM events WHERE event_type IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT t0 || '>' || t1 || '>' || t2 AS gram, count(*) AS n_occurrences
+        |FROM l WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_occurrences DESC, gram LIMIT 25""".stripMargin,
+
+    // clamp-to-edge equal-width binning with exact integer counts
+    "q_histogram" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    CAST(least(greatest(floor((value - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, bin, count(*) AS cnt,
+        |  0.0 + bin * 25.0 AS bin_lo, 0.0 + (bin + 1) * 25.0 AS bin_hi
+        |FROM binned GROUP BY 1, 2""".stripMargin,
 
     // two HITS half-step pairs unrolled: auth ← Σ hub / total,
     // hub ← Σ auth / total, snapped per half-step exactly as the

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic pattern mining over basket-shaped frames — the
+  * market-basket layer on top of [[GraphOps.coOccurrenceEdges]]'s
+  * capped pair machinery (Agrawal–Srikant 1994 support/confidence
+  * framework, pairwise rules).
+  */
+object MiningOps {
+
+  private def snap9(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+
+  /** Pairwise association rules `antecedent → consequent` with
+    * support, confidence and lift. Items are numeric ids
+    * (dictionary-encode strings upstream with
+    * [[LabelOps.classEncode]] — the same contract as
+    * [[GraphOps.coOccurrenceEdges]]).
+    *
+    * Scale shape: baskets collapse through ONE
+    * `CappedCollectSet` aggregation (O(maxBasketSize) memory per
+    * basket, degenerate baskets drop — the co-occurrence cap
+    * discipline), pairs emit bucket-locally and count map-side;
+    * item supports are a second map-side-combinable count; the
+    * rule frame is |item-pairs| rows joined to the item-sized
+    * support frame; the basket total rides a 1-row broadcast.
+    * Confidence and lift are integer-count ratios on the 1e-9
+    * grid.
+    *
+    * @param minSupport    minimum co-occurrence basket count
+    * @param minConfidence minimum snapped `n_pair / n_antecedent`
+    * @return (antecedent, consequent, n_pair, n_ante, n_cons,
+    *         confidence, lift) — both rule directions of each
+    *         qualifying pair
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L,
+      minConfidence: Double = 0.1,
+      maxBasketSize: Int = 1000
+  ): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(minConfidence > 0 && minConfidence <= 1,
+      s"minConfidence in (0,1], got $minConfidence")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+    val totals = items.agg(countDistinct(col("__g")).as("__nb"))
+    val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = items
+      .groupBy(col("__g"))
+      .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
+      .filter(size(col("__m")) <= maxBasketSize)
+      .select(graft.functions.PairGenerators.idPairs(col("__m")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    val directed = pairs.select(col("id_a").as("antecedent"), col("id_b").as("consequent"), col("n_pair"))
+      .unionAll(pairs.select(col("id_b").as("antecedent"), col("id_a").as("consequent"), col("n_pair")))
+    val joined = directed
+      .join(supports.select(col("__i").as("antecedent"), col("__ni").as("n_ante")), Seq("antecedent"))
+      .join(supports.select(col("__i").as("consequent"), col("__ni").as("n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(totals))
+    joined
+      .withColumn("confidence", snap9(col("n_pair").cast("double") / col("n_ante").cast("double")))
+      .withColumn("lift", snap9((col("n_pair") * col("__nb")).cast("double") /
+        (col("n_ante").cast("double") * col("n_cons").cast("double"))))
+      .filter(col("confidence") >= minConfidence)
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("n_cons"), col("confidence"), col("lift"))
+  }
+}

@@ -86,4 +86,39 @@ object SequenceOps {
       .orderBy(col("n_keys").desc, col("path"))
       .limit(k)
   }
+
+  /** Top sliding event n-grams across all keys — the windowed
+    * complement of [[topPaths]] (paths look at each key's FIRST
+    * maxLen events; n-grams count every consecutive run anywhere in
+    * the stream, the event-sequence analog of text n-grams). ONE
+    * keyed-window shuffle builds the lag chain (each row carries
+    * its n−1 predecessors — no per-key buffering beyond the window
+    * sort), then a map-side-combinable groupBy(gram) count and a
+    * TakeOrderedAndProject top-k, ties by gram string.
+    *
+    * @return (gram, n_occurrences) — top k by count desc
+    */
+  def topEventNgrams(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      typeCol: String,
+      n: Int = 3,
+      k: Int = 20
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val lags = (n - 1 to 1 by -1).map(i => lag(col(typeCol), i).over(w)) :+ col(typeCol)
+    events
+      .filter(col(typeCol).isNotNull)
+      .select(lags.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+      .filter((0 until n).map(i => col(s"__t$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(">", (0 until n).map(i => col(s"__t$i")): _*).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -731,6 +731,37 @@ object StatsOps {
     * profiling at extreme scale swap the distinct for
     * approx_count_distinct; this is the exact, oracle-able form.
     */
+  /** Fixed-boundary equal-width histogram per group — the
+    * distribution companion to [[profileColumns]] and the building
+    * block [[graft.operators.DriftOps.psi]] uses for its two-sided
+    * compare (identical clamp-to-edge binning, so a histogram and a
+    * PSI over the same [lo, hi, bins] see the same cells). ONE
+    * map-side-combinable groupBy(group, bin); output ≤ groups·bins
+    * rows with exact integer counts and the bin's [lo, hi) edges.
+    * Nulls drop; out-of-range values clamp into the edge bins.
+    */
+  def histogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val gs = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .select(gs :+
+        least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)),
+          lit(bins - 1)).cast("long").as("bin"): _*)
+      .groupBy(gs :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
