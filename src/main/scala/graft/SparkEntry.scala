@@ -1433,6 +1433,38 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // ---- X17: trigram Stupid Backoff LM — train on even doc_ids,
+    //      score the held-out odd docs; every backoff branch a
+    //      ratio of integer counts, context totals derived from
+    //      the n-gram tables. ----
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val lm = LmOps.trainBackoffLm(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      LmOps.backoffScore(docs.filter(col("doc_id") % 2 === 1), lm, "text", "doc_id")
+    }),
+
+    // ---- T10: three-way split on the portable coin — named
+    //      fractions partition the bucket space in order. ----
+    "q_multi_split" -> ((s, dir) => {
+      val bucket = (col("o_orderkey") * 40503L) % 10000L
+      SplitOps.multiSplitWith(BioLoader.load(s, t(dir, "orders")), bucket,
+          Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+        .select("o_orderkey", "split")
+    }),
+
+    // ---- X18: Unicode script profile — every doc gets a planted
+    //      mixed-script tail (Han + Cyrillic + digits), docs with
+    //      doc_id % 5 = 0 become Han-dominant; fractions and the
+    //      argmax main_script replay per codepoint class. ----
+    "q_script_profile" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            lit("数据处理系统与分布式计算引擎 программа 123"))
+          .otherwise(concat(col("text"), lit(" 数据系统 пример 42"))))
+      TextOps.scriptProfile(docs, "doc_id", "text")
+    }),
+
     // ---- P1: pairwise association rules over customer → supplier
     //      baskets: which suppliers co-occur in a customer's
     //      purchasing, with confidence and lift from exact integer
@@ -3714,6 +3746,97 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // the full Stupid Backoff replay: double-BOS trigram stream,
+    // integer count tables + derived context totals, per-branch
+    // count ratios with the identical literal arithmetic (0.4*0.4,
+    // not 0.16 — the Scala plan folds the same IEEE product)
+    "q_lm_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM documents
+        |), tg AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks WHERE len(t) >= 1
+        |), tri AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 2 THEN '<s>' ELSE t[i-2] END AS w1,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS w2,
+        |    t[i] AS w3
+        |  FROM tg
+        |), bi AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE t[i-1] END AS w1, t[i] AS w2
+        |  FROM tg
+        |), c3t AS (
+        |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123 FROM tri
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+        |), c2t AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |), c1t AS (
+        |  SELECT t2.w AS w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) t2
+        |  WHERE t2.doc_id % 2 = 0 GROUP BY 1
+        |), ctx2 AS (SELECT w1, w2, sum(c123) AS c12ctx FROM c3t GROUP BY 1, 2),
+        |ctx1 AS (SELECT w1 AS w2, sum(c12) AS c2ctx FROM c2t GROUP BY 1),
+        |tot AS (SELECT CAST(coalesce(sum(c1), 0) AS DOUBLE) AS n,
+        |               CAST(count(*) AS DOUBLE) AS v FROM c1t),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |    CASE WHEN c3t.c123 IS NOT NULL THEN CAST(c3t.c123 AS DOUBLE) / CAST(ctx2.c12ctx AS DOUBLE)
+        |      WHEN b23.c12 IS NOT NULL THEN 0.4 * CAST(b23.c12 AS DOUBLE) / CAST(ctx1.c2ctx AS DOUBLE)
+        |      ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (CAST(coalesce(u3.c1, 0) AS DOUBLE) + 0.5) / (tot.n + 0.5 * tot.v)
+        |    END AS s
+        |  FROM tri q
+        |  LEFT JOIN c3t ON q.w1 = c3t.w1 AND q.w2 = c3t.w2 AND q.w3 = c3t.w3
+        |  LEFT JOIN ctx2 ON q.w1 = ctx2.w1 AND q.w2 = ctx2.w2
+        |  LEFT JOIN c2t b23 ON q.w2 = b23.w1 AND q.w3 = b23.w2
+        |  LEFT JOIN ctx1 ON q.w2 = ctx1.w2
+        |  LEFT JOIN c1t u3 ON q.w3 = u3.w
+        |  CROSS JOIN tot
+        |  WHERE q.doc_id % 2 = 1
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor((-sum(ln(s)) / count(*)) * 1000000 + 0.5) / 1000000 AS nll3
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    // ordered bucket-space cuts at 7000 / 8500 on the portable coin
+    "q_multi_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN (o_orderkey * 40503) % 10000 < 7000 THEN 'train'
+        |       WHEN (o_orderkey * 40503) % 10000 < 8500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM orders""".stripMargin,
+
+    // per-codepoint-class counts via global regexp strip ('g' flag —
+    // DuckDB replaces first match only by default), snapped fractions,
+    // fixed-precedence argmax
+    "q_script_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '数据处理系统与分布式计算引擎 программа 123'
+        |         ELSE text || ' 数据系统 пример 42' END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, length(text) AS total,
+        |    length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) AS latin,
+        |    length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) AS han,
+        |    length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) AS cyr,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(total AS INTEGER) AS n_chars_total,
+        |  CASE WHEN total > 0 THEN floor(latin / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_latin,
+        |  CASE WHEN total > 0 THEN floor(han / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_han,
+        |  CASE WHEN total > 0 THEN floor(cyr / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_cyrillic,
+        |  CASE WHEN total > 0 THEN floor(dig / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_digit,
+        |  CASE WHEN total > 0 THEN floor(ws / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_space,
+        |  CASE WHEN total > 0 THEN floor((total - latin - han - cyr - dig - ws) / CAST(total AS DOUBLE) * 1e9 + 0.5) / 1e9 ELSE 0.0 END AS frac_other,
+        |  CASE WHEN latin = 0 AND han = 0 AND cyr = 0 THEN 'und'
+        |       WHEN latin >= han AND latin >= cyr THEN 'latin'
+        |       WHEN han >= cyr THEN 'han'
+        |       ELSE 'cyrillic' END AS main_script
+        |FROM c""".stripMargin,
 
     // distinct baskets → self-join pair supports → both rule
     // directions with snapped confidence/lift from integer counts

@@ -119,6 +119,43 @@ object SplitOps {
     ReshapeOps.withRowIndex(df.orderBy(coin, col(idCol)), posCol)
   }
 
+  /** N-way deterministic split (train/val/test and beyond): named
+    * fractions partition the 10000-bucket hash space in the given
+    * order; the last split absorbs rounding remainder. Same
+    * content-deterministic zero-shuffle contract as
+    * [[trainTestSplit]].
+    */
+  def multiSplit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      splits: Seq[(String, Double)],
+      seed: Long = 42L,
+      splitCol: String = "split"
+  ): DataFrame = {
+    val bucket = pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(10000))
+    multiSplitWith(df, bucket, splits, splitCol)
+  }
+
+  /** [[multiSplit]] on a caller-supplied bucket expression in
+    * [0,10000) — the portable-coin form.
+    */
+  def multiSplitWith(
+      df: DataFrame,
+      bucket: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "every fraction must be positive")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions must sum to 1, got $total")
+    val cuts = splits.init.scanLeft(0) { case (acc, (_, f)) => acc + (f * 10000).toInt }.tail
+    val expr = splits.init.zip(cuts).foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cut), rest) => when(bucket < lit(cut), name).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Leakage-safe train/test split: every member of a duplicate /
     * near-duplicate cluster lands on the SAME side, so the test set
     * never contains a (near-)copy of a training document — the

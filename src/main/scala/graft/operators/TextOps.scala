@@ -236,6 +236,40 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Per-document Unicode SCRIPT profile — the writing-system
+    * complement of [[langId]] (stopword votes only separate
+    * languages that share an alphabet; Han/Cyrillic/Latin mixing,
+    * mojibake, and "wrong-script spam" need character classes).
+    * Counts per codepoint class via `len(s) − len(replace(class,
+    * ''))` — a zero-shuffle scan-stage regexp chain like
+    * [[redactPii]] — and emits snapped fractions plus an argmax
+    * `main_script` with a fixed latin > han > cyrillic precedence
+    * ('und' when no scripted character appears).
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col(textCol)
+    val total = length(s)
+    def cnt(p: String): Column = total - length(regexp_replace(s, p, ""))
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val frac = (c: Column) => when(total > 0, snap9(c.cast("double") / total.cast("double")))
+      .otherwise(lit(0.0))
+    val latin = cnt("\\p{IsLatin}"); val han = cnt("\\p{IsHan}")
+    val cyr = cnt("\\p{IsCyrillic}"); val dig = cnt("[0-9]"); val ws = cnt("\\s")
+    df.select(
+      col(idCol),
+      total.as("n_chars_total"),
+      frac(latin).as("frac_latin"),
+      frac(han).as("frac_han"),
+      frac(cyr).as("frac_cyrillic"),
+      frac(dig).as("frac_digit"),
+      frac(ws).as("frac_space"),
+      frac(total - latin - han - cyr - dig - ws).as("frac_other"),
+      when(latin === 0 && han === 0 && cyr === 0, "und")
+        .when(latin >= han && latin >= cyr, "latin")
+        .when(han >= cyr, "han")
+        .otherwise("cyrillic").as("main_script"))
+  }
+
   /** CCNet/RefinedWeb-style boilerplate line removal: a line that
     * appears (verbatim) in at least `minDocs` DISTINCT documents of
     * the same group (typically the source domain) is template
