@@ -1433,6 +1433,28 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // ---- P4: inter-arrival gap statistics — per-user consecutive
+    //      gaps in seconds, summarized per event type with exact
+    //      type-7 median over the distinct-gap frame. ----
+    "q_interarrival" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.interArrivalStats(ev, "user_id", Seq("ts", "event_id"), "ts",
+          Seq("event_type"))
+        .select(col("event_type"), col("n_gaps"),
+          hround(col("mean_gap_s"), 6).as("mean_gap_s"),
+          hround(col("min_gap_s"), 6).as("min_gap_s"),
+          hround(col("max_gap_s"), 6).as("max_gap_s"),
+          hround(col("p50_gap_s"), 6).as("p50_gap_s"))
+    }),
+
+    // ---- G7: decile buckets of event value within each type —
+    //      ntile over the (value, event_id)-total order. ----
+    "q_ntile" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events")).filter(col("value").isNotNull)
+      MixOps.ntileBuckets(ev, Seq("event_type"), "value", "event_id", 10)
+        .select("event_id", "event_type", "bucket")
+    }),
+
     // ---- X17: trigram Stupid Backoff LM — train on even doc_ids,
     //      score the held-out odd docs; every backoff branch a
     //      ratio of integer counts, context totals derived from
@@ -3746,6 +3768,47 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // lag gaps per user, grouped stats + the winsorize-style exact
+    // type-7 median replay over the distinct-gap frame
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE) / 1000000.0 AS gap_s
+        |  FROM events WHERE ts IS NOT NULL
+        |), gg AS (
+        |  SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL
+        |), basic AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    floor(floor(avg(gap_s) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+        |    floor(min(gap_s) * 1000000 + 0.5) / 1000000 AS min_gap_s,
+        |    floor(max(gap_s) * 1000000 + 0.5) / 1000000 AS max_gap_s
+        |  FROM gg GROUP BY 1
+        |), cnt AS (
+        |  SELECT event_type AS g, gap_s AS v, count(*) AS c FROM gg GROUP BY 1, 2
+        |), st AS (
+        |  SELECT g, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+        |    CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM cnt
+        |), qm AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN cumc - c <= floor((n-1)*0.5) AND floor((n-1)*0.5) < cumc THEN v END) AS vlo,
+        |    MAX(CASE WHEN cumc - c <= ceil((n-1)*0.5) AND ceil((n-1)*0.5) < cumc THEN v END) AS vhi,
+        |    MAX((n-1)*0.5) AS h
+        |  FROM st GROUP BY 1
+        |), med AS (
+        |  SELECT g, floor((vlo + (h - floor(h)) * (vhi - vlo)) * 1000000 + 0.5) / 1000000 AS p50_gap_s
+        |  FROM qm
+        |)
+        |SELECT b.event_type, b.n_gaps, b.mean_gap_s, b.min_gap_s, b.max_gap_s, m.p50_gap_s
+        |FROM basic b JOIN med m ON b.event_type = m.g""".stripMargin,
+
+    // standard ntile over the identical total order
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER) AS bucket
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
 
     // the full Stupid Backoff replay: double-BOS trigram stream,
     // integer count tables + derived context totals, per-branch

@@ -302,4 +302,29 @@ object MixOps {
       }
       .toDF()
   }
+
+  /** Equal-population rank buckets per group (deciles, quartiles —
+    * curriculum stages, quality tiers): standard SQL `ntile(n)`
+    * over (value, tieBreak), so the assignment is engine-portable
+    * whenever the tie-break makes the order total. One window
+    * shuffle on the group key — the group axis is the scale axis,
+    * same contract as [[filterByQuantilePerGroup]]; for an
+    * UNgrouped bucket over 100 TB use the exact-quantile thresholds
+    * ([[graft.operators.StatsOps.groupQuantileExact]]) instead of a
+    * single global sort.
+    */
+  def ntileBuckets(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String,
+      n: Int,
+      bucketCol: String = "bucket"
+  ): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(tieBreakCol))
+    df.withColumn(bucketCol, ntile(n).over(w))
+  }
 }

@@ -121,4 +121,49 @@ object SequenceOps {
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
   }
+
+  /** Inter-arrival gap statistics: per-key consecutive event gaps
+    * in seconds, summarized per group (event cadence — bot
+    * detection, pipeline-lag monitoring, the session-gap tuning
+    * signal for sessionization). ONE keyed-window shuffle builds
+    * the gaps (each row differenced against its predecessor);
+    * mean/min/max are a map-side-combinable groupBy and the exact
+    * type-7 median runs on the distinct-gap frame
+    * ([[StatsOps.groupQuantileExact]] — aggregator memory is
+    * distinct gaps, not rows). Gap = µs difference / 1e6, one IEEE
+    * division, replayable.
+    *
+    * @param groupCols grouping for the SUMMARY (evaluated on the
+    *        later event of each gap), e.g. the event type
+    * @return (groupCols*, n_gaps, mean_gap_s, min_gap_s, max_gap_s,
+    *         p50_gap_s) — mean on the 1e-9 grid, median exact
+    */
+  def interArrivalStats(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      tsCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val gaps = events
+      .filter(col(tsCol).isNotNull)
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("gap_s",
+        (expr(s"unix_micros($tsCol)") - expr("unix_micros(__prev)")).cast("double") / lit(1e6))
+    val gs = groupCols.map(col)
+    val basic = gaps.groupBy(gs: _*).agg(
+      count(lit(1)).as("n_gaps"),
+      snap9(avg(col("gap_s"))).as("mean_gap_s"),
+      min(col("gap_s")).as("min_gap_s"),
+      max(col("gap_s")).as("max_gap_s"))
+    val med = StatsOps.groupQuantileExact(gaps, groupCols, "gap_s", 0.5)
+      .withColumnRenamed("q_value", "p50_gap_s")
+    basic.join(med, groupCols)
+      .select(gs ++ Seq(col("n_gaps"), col("mean_gap_s"),
+        col("min_gap_s"), col("max_gap_s"), col("p50_gap_s")): _*)
+  }
 }
