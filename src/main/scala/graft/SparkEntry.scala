@@ -1423,7 +1423,8 @@ object SparkEntry {
     //      pass. ----
     "q_moments" -> ((s, dir) => {
       val ev = BioLoader.load(s, t(dir, "events"))
-      StatsOps.momentsProfile(ev, Seq("event_type"), "value")
+      // scalePow2 pinned so the SQL replay's /32 grid is fixed
+      StatsOps.momentsProfile(ev, Seq("event_type"), "value", scalePow2 = 5)
     }),
 
     // ---- C33: column-profile report over orders — row/null/exact

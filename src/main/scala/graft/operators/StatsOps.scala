@@ -678,17 +678,28 @@ object StatsOps {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      scalePow2: Int = 5
+      scalePow2: Int = -1
   ): DataFrame = {
-    require(scalePow2 >= 0 && scalePow2 <= 40, s"scalePow2 in [0,40], got $scalePow2")
+    require(scalePow2 <= 40, s"scalePow2 at most 40, got $scalePow2")
     val gs = groupCols.map(col)
     // values run through the moments PRESCALED by an exact power of
     // two (no precision cost — pure exponent shift): 4th powers of
     // raw values overflow the snap grid's double/long range fast
     // (|v| ≈ 500 → v⁴ ≈ 6e10), while skew/kurt/JB are
-    // scale-invariant and mean/variance rescale exactly. Pick
-    // scalePow2 so |v|/2^k stays ≲ 500.
-    val sc = math.pow(2.0, scalePow2)
+    // scale-invariant and mean/variance rescale exactly. The
+    // default (-1) auto-picks the smallest k with max|v|/2^k ≤ 256
+    // from one bounded max-aggregate (over-scaling costs precision
+    // too — |v| ≪ 2^k pushes the scaled 4th moments BELOW the snap
+    // grid); pass an explicit k when the replay must be pinned.
+    val k =
+      if (scalePow2 >= 0) scalePow2
+      else {
+        val m = df.agg(max(abs(col(valueCol).cast("double")))).head()
+        val mx = if (m.isNullAt(0)) 0.0 else m.getDouble(0)
+        if (mx <= 256.0) 0
+        else math.min(40, math.ceil(math.log(mx / 256.0) / math.log(2.0)).toInt)
+      }
+    val sc = math.pow(2.0, k)
     val v = col(valueCol).cast("double") / lit(sc)
     val sums = df.filter(col(valueCol).isNotNull)
       .groupBy(gs: _*)
