@@ -1434,6 +1434,39 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
+    // ---- M15: STREAMING EWMA control chart — N18 running in
+    //      stream state: rows buffer per user until the watermark
+    //      seals them, then replay in event-time order through the
+    //      exact snapped recurrence, so the streamed chart equals
+    //      the batch chart row-for-row (the q_ewma oracle replays
+    //      it directly). ----
+    "q_stream_ewma" -> ((s, dir) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = BioLoader.nanosToTimestamp(
+            streamTable(s, dir, "events", EventsSchema), "ts")
+          .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+        val pusher = streamTable(s, dir, "nation",
+            "n_nationkey INT, n_name STRING, n_regionkey INT")
+          .filter(col("n_nationkey") === 0)
+          .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+            lit(PusherId).as("user_id"), lit(-1L).as("event_id"),
+            lit(null).cast("double").as("value"))
+        val chart = graft.streaming.EventStreams.streamingEwmaChart(
+          ev.unionByName(pusher), lambda = 0.25, nSigma = 3.0, minPrior = 5,
+          watermark = "1 hour")
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+          runStreamToMemory(chart, "m15ewma").filter(col("user_id") =!= PusherId)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
     // ---- P4: inter-arrival gap statistics — per-user consecutive
     //      gaps in seconds, summarized per event type with exact
     //      type-7 median over the distinct-gap frame. ----
@@ -4068,6 +4101,50 @@ object SparkEntry {
     // is a pure multiply chain (no pow), and the control band reads
     // LAGGED running sums so each value is judged by its past only
     "q_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, r, event_id, value,
+        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+        |         ELSE floor((0.25 * value) * 1e9 + 0.5) / 1e9 END AS b,
+        |    CASE WHEN value IS NULL THEN CAST(1.0 AS DOUBLE)
+        |         ELSE CAST(0.75 AS DOUBLE) END AS w
+        |  FROM s WHERE r = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.r, s.event_id, s.value,
+        |    CASE WHEN s.value IS NULL THEN rec.b
+        |         ELSE floor((0.25 * s.value + 0.75 * rec.b) * 1e9 + 0.5) / 1e9 END,
+        |    CASE WHEN s.value IS NULL THEN rec.w ELSE rec.w * 0.75 END
+        |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+        |), adj AS (
+        |  SELECT user_id, r, event_id, value,
+        |    CASE WHEN w = 1.0 THEN NULL ELSE b / (1.0 - w) END AS e FROM rec
+        |), run AS (
+        |  SELECT user_id, r, event_id, value, e,
+        |    count(value) OVER wrun AS cnt, sum(value) OVER wrun AS s1,
+        |    sum(value * value) OVER wrun AS s2
+        |  FROM adj
+        |  WINDOW wrun AS (PARTITION BY user_id ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |), lg AS (
+        |  SELECT user_id, r, event_id, value, e,
+        |    lag(e) OVER wo AS ep, lag(cnt) OVER wo AS cntp,
+        |    lag(s1) OVER wo AS s1p, lag(s2) OVER wo AS s2p
+        |  FROM run WINDOW wo AS (PARTITION BY user_id ORDER BY r)
+        |)
+        |SELECT event_id, user_id, floor(e * 1e9 + 0.5) / 1e9 AS ewma,
+        |  CASE WHEN value IS NOT NULL AND cntp >= 5 AND ep IS NOT NULL THEN
+        |    CASE WHEN floor(abs(value - ep) * 1e9 + 0.5) / 1e9 >
+        |      floor(3.0 * (floor(sqrt(greatest((s2p - s1p * s1p / cntp) / cntp, 0.0))
+        |        * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9
+        |    THEN 1 ELSE 0 END
+        |  END AS is_anomaly
+        |FROM lg""".stripMargin,
+
+    // the streamed chart must equal the batch chart row-for-row —
+    // the identical recursive replay grades it
+    "q_stream_ewma" ->
       """WITH RECURSIVE s AS (
         |  SELECT event_id, user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r

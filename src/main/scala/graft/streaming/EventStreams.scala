@@ -392,6 +392,134 @@ object EventStreams {
       .select(col("doc_id").as(idCol), col(textCol))
   }
 
+  final case class ChartIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Option[Double])
+  private final case class ChartState(b: Double, w: Double, cnt: Long, s1: Double, s2: Double)
+  final case class ChartOut(event_id: Long, user_id: Long, ewma: Option[Double], is_anomaly: Option[Int])
+
+  /** Per-key EWMA control-chart state machine for
+    * [[streamingEwmaChart]]: an event-time-ordered sequential
+    * statistic cannot process rows in arrival order, so rows BUFFER
+    * in ListState until the watermark passes them, then replay in
+    * (ts, event_id) order through the exact
+    * [[graft.functions.EwmaAggregate]] recurrence (same 1e-9
+    * per-step snap, same multiply-chain decay, same lagged
+    * running-moment band as the batch chart) — the streamed rows
+    * are bit-identical to [[graft.operators.DriftOps.ewmaChart]] on
+    * the same prefix. Per-key state = the in-watermark event buffer
+    * (the inherent cost of ANY order-correct streaming sequential
+    * statistic) + five running doubles.
+    */
+  private class EwmaChartProcessor(lambda: Double, nSigma: Double, minPrior: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChartIn, ChartOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[ChartIn] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[ChartState] = _
+
+    private def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[ChartIn]("buf",
+        org.apache.spark.sql.Encoders.product[ChartIn],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      st = getHandle.getValueState[ChartState]("st",
+        org.apache.spark.sql.Encoders.product[ChartState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChartIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ChartOut] = {
+      rows.foreach(buf.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ChartOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      val (ready, rest) = all.partition(_.ts.getTime <= wm)
+      val out =
+        if (ready.isEmpty) Iterator.empty
+        else {
+          var s = if (st.exists()) st.get() else ChartState(0.0, 1.0, 0L, 0.0, 0.0)
+          val res = ready.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+            // lag of the raw debiased EWMA — the batch chart's
+            // ewma_prev (unsnapped; dev snaps after the subtract)
+            val ewmaPrevRaw = if (s.w == 1.0) None else Some(s.b / (1.0 - s.w))
+            val cntp = s.cnt; val s1p = s.s1; val s2p = s.s2
+            val (nb, nw) = r.value match {
+              case Some(x) => (snap9(lambda * x + (1.0 - lambda) * s.b), s.w * (1.0 - lambda))
+              case None    => (s.b, s.w)
+            }
+            val ewmaOut = if (nw == 1.0) None else Some(snap9(nb / (1.0 - nw)))
+            val anomaly: Option[Int] = r.value match {
+              case Some(x) if cntp >= minPrior && ewmaPrevRaw.isDefined =>
+                val np = cntp.toDouble
+                val variance = math.max((s2p - s1p * s1p / np) / np, 0.0)
+                val sigma = snap9(math.sqrt(variance))
+                val dev = snap9(math.abs(x - ewmaPrevRaw.get))
+                Some(if (dev > snap9(nSigma * sigma)) 1 else 0)
+              case _ => None
+            }
+            s = r.value match {
+              case Some(x) => ChartState(nb, nw, s.cnt + 1, s.s1 + x, s.s2 + x * x)
+              case None    => s.copy(b = nb, w = nw)
+            }
+            ChartOut(r.event_id, r.user_id, ewmaOut, anomaly)
+          }
+          st.update(s)
+          res.iterator
+        }
+      buf.clear()
+      if (rest.nonEmpty) {
+        rest.foreach(buf.appendValue)
+        getHandle.registerTimer(wm + 1)
+      }
+      out
+    }
+  }
+
+  /** STREAMING EWMA control chart per user — N18's sequential
+    * anomaly detector running in stream state (M-family: the
+    * monitoring twin of the windowed sketches). Same conf contract
+    * as [[streamingMinhashDedup]] (RocksDB state store). Rows emit
+    * once the watermark passes them, replayed in event-time order,
+    * so the streamed chart equals the batch chart row-for-row on
+    * everything the watermark has sealed — one call site serves
+    * batch (delegating to [[graft.operators.DriftOps.ewmaChart]])
+    * and stream, and the batch form IS the oracle.
+    */
+  def streamingEwmaChart(
+      events: DataFrame,
+      lambda: Double = 0.25,
+      nSigma: Double = 3.0,
+      minPrior: Int = 5,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      graft.operators.DriftOps.ewmaChart(events, Seq("user_id"), Seq("ts", "event_id"),
+          "value", lambda, nSigma, minPrior)
+        .select(col("event_id"), col("user_id"), col("ewma"),
+          col("is_anomaly").cast("int").as("is_anomaly"))
+    } else {
+      events.withWatermark("ts", watermark)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[ChartIn]
+        .groupByKey(_.user_id)
+        .transformWithState[ChartOut](
+          new EwmaChartProcessor(lambda, nSigma, minPrior),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+    }
+  }
+
   /** Streaming top-k: the k highest-`value` event ids per
     * (window, event_type), continuously maintained. The bounded
     * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly
