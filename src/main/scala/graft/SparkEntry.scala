@@ -1202,6 +1202,20 @@ object SparkEntry {
           col("reached"))
     }),
 
+    // ---- C26b: deadline funnel — the same chain but steps only
+    //      count within 48 h of t_0 (the "converted within N days"
+    //      report form). ----
+    "q_funnel_deadline" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      FunnelOps.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxSpanSeconds = Some(172800L))
+        .select(col("user_id"),
+          expr("unix_micros(t_0)").as("t0_us"),
+          expr("unix_micros(t_1)").as("t1_us"),
+          expr("unix_micros(t_2)").as("t2_us"),
+          col("reached"))
+    }),
+
     // ---- C29: KMV bottom-k distinct sketch — distinct-user
     //      estimates per event type, and pairwise audience-overlap
     //      (Jaccard) estimates between types; the kept hashes are a
@@ -3230,6 +3244,36 @@ object SparkEntry {
         |), s2 AS (
         |  SELECT s.user_id, min(us) AS t2 FROM s
         |  JOIN s1 ON s.user_id = s1.user_id AND s.us > s1.t1
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT u.user_id, s0.t0 AS t0_us, s1.t1 AS t1_us, s2.t2 AS t2_us,
+        |  (CASE WHEN s0.t0 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s1.t1 IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END) AS reached
+        |FROM u
+        |LEFT JOIN s0 USING (user_id)
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)""".stripMargin,
+
+    // the same correlated-min chain with the 48h deadline bound on
+    // every later step (us <= t0 + 172800e6 micros)
+    "q_funnel_deadline" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |), u AS (
+        |  SELECT DISTINCT user_id FROM s
+        |), s0 AS (
+        |  SELECT user_id, min(us) AS t0 FROM s WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT s.user_id, min(us) AS t1 FROM s
+        |  JOIN s0 ON s.user_id = s0.user_id AND s.us > s0.t0
+        |    AND s.us <= s0.t0 + 172800000000
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s.user_id, min(us) AS t2 FROM s
+        |  JOIN s1 ON s.user_id = s1.user_id AND s.us > s1.t1
+        |  JOIN s0 ON s.user_id = s0.user_id AND s.us <= s0.t0 + 172800000000
         |  WHERE event_type = 'purchase' GROUP BY 1
         |)
         |SELECT u.user_id, s0.t0 AS t0_us, s1.t1 AS t1_us, s2.t2 AS t2_us,

@@ -37,10 +37,12 @@ object FunnelOps {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]
+      steps: Seq[String],
+      maxSpanSeconds: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"steps must be distinct, got $steps")
+    require(maxSpanSeconds.forall(_ > 0), s"maxSpanSeconds must be positive: $maxSpanSeconds")
     val aggd = events
       .filter(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol))
@@ -49,10 +51,22 @@ object FunnelOps {
         steps.tail.zipWithIndex.map { case (s, i) =>
           collect_list(when(col(typeCol) === s, col(tsCol))).as(s"__s${i + 1}")
         }: _*)
+    // optional conversion deadline: step i counts only within
+    // maxSpan of t_0 — the "converted within 7 days" form every
+    // funnel report actually publishes. The bound rides inside the
+    // same lambda (null t_0 keeps the null-chaining semantics).
     val times = steps.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
       val t =
         if (i == 0) array_min(col("__s0"))
-        else array_min(filter(col(s"__s$i"), x => x > acc.last))
+        else {
+          val lower = acc.last
+          maxSpanSeconds match {
+            case None => array_min(filter(col(s"__s$i"), x => x > lower))
+            case Some(span) =>
+              val deadline = acc.head + expr(s"INTERVAL $span SECONDS")
+              array_min(filter(col(s"__s$i"), x => x > lower && x <= deadline))
+          }
+        }
       acc :+ t
     }
     val reached = times.map(t => when(t.isNotNull, 1).otherwise(0)).reduce(_ + _)

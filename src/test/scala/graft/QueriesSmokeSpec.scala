@@ -33,7 +33,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // ungrouped kappa: the total/diagonal/expected-agreement frames
     // are each ONE row (global aggregates) — their constant join key
     // folds away and the 1-row joins become BNLJ by construction
-    "q_kappa")
+    "q_kappa",
+    // 1-row broadcast scalars: backoff-LM corpus totals (N, V) and
+    // association-rule basket totals
+    "q_lm_backoff", "q_rules")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

@@ -30,6 +30,22 @@ class FunnelOpsSpec extends SparkSpec {
     assert(out("u4").getAs[Int]("reached") == 1) // strict > at ties
   }
 
+  test("funnel with a conversion deadline: late steps stop counting") {
+    val ev = Seq(
+      // u1: full chain inside 100s of t_0
+      ("u1", "view", ts(10)), ("u1", "click", ts(50)), ("u1", "buy", ts(100)),
+      // u2: click lands AFTER the deadline (t_0=10, deadline 110, click@150)
+      ("u2", "view", ts(10)), ("u2", "click", ts(150)), ("u2", "buy", ts(160)),
+      // u3: click inside, buy outside → reached 2
+      ("u3", "view", ts(0)), ("u3", "click", ts(60)), ("u3", "buy", ts(200))
+    ).toDF("user_id", "event_type", "ts")
+    val out = FunnelOps.funnel(ev, "user_id", "ts", "event_type", steps,
+        maxSpanSeconds = Some(100L))
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("reached")).toMap
+    assert(out == Map("u1" -> 3, "u2" -> 1, "u3" -> 2), s"got $out")
+    // deadline is inclusive: buy exactly at t_0+100 counts (u1)
+  }
+
   test("funnel: non-step events never shuffle; absent users never appear") {
     val ev = Seq(
       ("u1", "view", ts(1)), ("u1", "scroll", ts(2)),
