@@ -1441,7 +1441,7 @@ object SparkEntry {
       StatsOps.momentsProfile(ev, Seq("event_type"), "value", scalePow2 = 5)
     }),
 
-    // ---- C33: column-profile report over orders — row/null/exact
+    // ---- P4: column-profile report over orders — row/null/exact
     //      distinct counts + min/max per column in one pass. ----
     "q_profile" -> ((s, dir) => {
       StatsOps.profileColumns(BioLoader.load(s, t(dir, "orders")),
@@ -1481,7 +1481,7 @@ object SparkEntry {
       }
     }),
 
-    // ---- P4: inter-arrival gap statistics — per-user consecutive
+    // ---- P3: inter-arrival gap statistics — per-user consecutive
     //      gaps in seconds, summarized per event type with exact
     //      type-7 median over the distinct-gap frame. ----
     "q_interarrival" -> ((s, dir) => {
@@ -1557,7 +1557,7 @@ object SparkEntry {
         n = 3, k = 25)
     }),
 
-    // ---- P3: per-type value histogram — PSI's clamp-to-edge
+    // ---- P5: per-type value histogram — PSI's clamp-to-edge
     //      binning as a first-class report, exact integer counts. ----
     "q_histogram" -> ((s, dir) => {
       StatsOps.histogram(BioLoader.load(s, t(dir, "events")),
