@@ -1481,6 +1481,35 @@ object SparkEntry {
       }
     }),
 
+    // ---- P6: time-weighted average value per user — each
+    //      observation weighs by its holding duration; the correct
+    //      mean for irregular sampling. ----
+    "q_twap" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.twap(ev, "user_id", Seq("ts", "event_id"), "ts", "value")
+        .select(col("user_id"), col("n_intervals"),
+          hround(col("span_s"), 6).as("span_s"), hround(col("twap"), 6).as("twap"))
+    }),
+
+    // ---- P7: consecutive same-state runs per user — maximal
+    //      streaks of equal event_type via window gaps-and-islands. ----
+    "q_state_runs" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.stateRuns(ev, "user_id", Seq("ts", "event_id"), "ts", "event_type")
+        .select(col("user_id"), col("state"),
+          expr("unix_micros(run_start)").as("start_us"),
+          expr("unix_micros(run_end)").as("end_us"), col("run_len"))
+    }),
+
+    // ---- P8: lagged cross-correlation — do error counts track
+    //      click counts k hours later? Hourly count series
+    //      correlated at lags 0..6 with the snapped-means Pearson. ----
+    "q_lagged_corr" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.laggedCorrelation(ev, "event_type", "ts", "click", "error",
+        bucketSeconds = 3600L, maxLag = 6)
+    }),
+
     // ---- P3: inter-arrival gap statistics — per-user consecutive
     //      gaps in seconds, summarized per event type with exact
     //      type-7 median over the distinct-gap frame. ----
@@ -3846,6 +3875,75 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // exact integer-µs duration sums; twap = weighted sum over the
+    // exact long denominator, snapped then 1e-6 rounded
+    "q_twap" ->
+      """WITH g AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), d AS (
+        |  SELECT user_id, value, nxt - us AS dur_us FROM g WHERE nxt IS NOT NULL
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(dur_us) AS BIGINT) AS sus,
+        |    sum(value * CAST(dur_us AS DOUBLE)) AS wsum
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT user_id, n_intervals,
+        |  floor(floor(CAST(sus AS DOUBLE) / 1000000.0 * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 AS span_s,
+        |  floor(floor(wsum / CAST(sus AS DOUBLE) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 AS twap
+        |FROM a""".stripMargin,
+
+    // gaps-and-islands: island id = rn - rn_within_state, then
+    // per-island bounds
+    "q_state_runs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT user_id, event_type AS state,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS run_len
+        |FROM r GROUP BY user_id, event_type, island""".stripMargin,
+
+    // hourly count series at integer-division buckets, Pearson per
+    // lag with the identical snapped-means formulation
+    "q_lagged_corr" ->
+      """WITH b AS (
+        |  SELECT event_type AS t, (epoch_us(ts) // 1000000) // 3600 AS bk,
+        |    CAST(count(*) AS DOUBLE) AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IN ('click', 'error')
+        |  GROUP BY 1, 2
+        |), lags AS (SELECT unnest(range(0, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, a.c AS x, e.c AS y
+        |  FROM b a CROSS JOIN lags l
+        |  JOIN b e ON e.t = 'error' AND e.bk = a.bk + l.lag
+        |  WHERE a.t = 'click'
+        |), s AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    floor(avg(x) * 1e9 + 0.5) / 1e9 AS mx,
+        |    floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg(x * x) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(y * y) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg(x * y) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM p GROUP BY 1
+        |), d AS (
+        |  SELECT lag, n_buckets,
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
+        |  FROM s
+        |)
+        |SELECT CAST(lag AS INTEGER) AS lag, n_buckets,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov / sqrt(vx * vy) * 1e9 + 0.5) / 1e9
+        |  END AS corr
+        |FROM d""".stripMargin,
 
     // lag gaps per user, grouped stats + the winsorize-style exact
     // type-7 median replay over the distinct-gap frame

@@ -166,4 +166,135 @@ object SequenceOps {
       .select(gs ++ Seq(col("n_gaps"), col("mean_gap_s"),
         col("min_gap_s"), col("max_gap_s"), col("p50_gap_s")): _*)
   }
+
+  /** Time-weighted average value per key (TWAP — the correct mean
+    * for irregularly-sampled series: each observation holds until
+    * the next one, so it weighs by its holding DURATION, not its
+    * sample count; a plain avg over-weights bursts). ONE keyed
+    * window builds (value, duration-to-next) pairs; the last
+    * observation of a key has no duration and drops (standard
+    * half-open-interval convention). Σv·dur and Σdur are raw sums,
+    * the single ratio snaps to the 1e-9 grid.
+    *
+    * @return (keyCol, n_intervals, span_s, twap)
+    */
+  def twap(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__next", lead(col(tsCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      // durations stay in EXACT integer microseconds through the
+      // sum: the span total is order-proof, and dividing the
+      // weighted sum by the exact long denominator keeps twap's
+      // float wobble orders below the snap grid (a seconds-double
+      // duration sum drifts with summation order at month-scale
+      // spans)
+      .withColumn("__dur_us",
+        expr("unix_micros(__next)") - expr(s"unix_micros($tsCol)"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("__dur_us")).as("__sus"),
+        sum(col(valueCol).cast("double") * col("__dur_us").cast("double")).as("__wsum"))
+      .select(col(keyCol), col("n_intervals"),
+        snap9(col("__sus").cast("double") / lit(1e6)).as("span_s"),
+        snap9(col("__wsum") / col("__sus").cast("double")).as("twap"))
+  }
+
+  /** Consecutive same-state runs per key (gaps-and-islands): each
+    * maximal run of equal `stateCol` values in the key's time order
+    * becomes one row with its bounds and length — uptime/downtime
+    * stretches, status streaks, alert episodes. ONE keyed window
+    * pass: the island id is `row_number − row_number-within-state`
+    * (pure window arithmetic, no iteration), then a
+    * map-side-combinable groupBy(key, state, island).
+    *
+    * @return (keyCol, state, run_start, run_end, run_len) —
+    *         run_start/run_end are the first/last `tsCol` of the run
+    */
+  def stateRuns(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      tsCol: String,
+      stateCol: String
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val ws = Window.partitionBy(col(keyCol), col(stateCol)).orderBy(orderCols.map(col): _*)
+    events
+      .filter(col(stateCol).isNotNull)
+      .withColumn("__island", row_number().over(w) - row_number().over(ws))
+      .groupBy(col(keyCol), col(stateCol).as("state"), col("__island"))
+      .agg(
+        min(col(tsCol)).as("run_start"),
+        max(col(tsCol)).as("run_end"),
+        count(lit(1)).as("run_len"))
+      .drop("__island")
+  }
+
+  /** Lagged cross-correlation between two event-type count series
+    * ("do errors follow clicks k minutes later?"): both series are
+    * per-bucket event counts on a fixed time grid, correlated at
+    * every lag 0..maxLag — the temporal-causality screen over an
+    * event log. Series build in ONE map-side-combinable
+    * groupBy(type, bucket); the lag frame explodes series A by
+    * maxLag+1 (bounded small) and joins B on the shifted bucket;
+    * Pearson runs per lag with the snapped-means formulation
+    * ([[StatsOps.linearTrend]]'s discipline). Buckets missing on
+    * either side are treated as ABSENT pairs (not zero) — the
+    * pairwise-complete convention of [[StatsOps.correlationMatrix]].
+    *
+    * @return (lag, n_buckets, corr) for lags 0..maxLag; corr NULL
+    *         when either side is constant over the paired buckets
+    */
+  def laggedCorrelation(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      typeA: String,
+      typeB: String,
+      bucketSeconds: Long,
+      maxLag: Int
+  ): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val buckets = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isin(typeA, typeB))
+      .select(col(typeCol).as("__t"),
+        // integer division end-to-end: a double `/` would round the
+        // quotient before the floor and flip bucket boundaries
+        expr(s"(unix_micros($tsCol) div 1000000) div $bucketSeconds").as("__b"))
+      .groupBy(col("__t"), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val a = buckets.filter(col("__t") === typeA)
+      .select(col("__b"), col("__c").as("__x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+    val b = buckets.filter(col("__t") === typeB)
+      .select(col("__b").as("__bb"), col("__c").as("__y"))
+    val paired = a.join(b, col("__bb") === col("__b") + col("lag"))
+    paired.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        snap9(avg(col("__x"))).as("__mx"), snap9(avg(col("__y"))).as("__my"),
+        snap9(avg(col("__x") * col("__x"))).as("__mxx"),
+        snap9(avg(col("__y") * col("__y"))).as("__myy"),
+        snap9(avg(col("__x") * col("__y"))).as("__mxy"))
+      .withColumn("__cov", snap9(col("__mxy") - col("__mx") * col("__my")))
+      .withColumn("__vx", snap9(col("__mxx") - col("__mx") * col("__mx")))
+      .withColumn("__vy", snap9(col("__myy") - col("__my") * col("__my")))
+      .withColumn("corr", when(col("__vx") > 0 && col("__vy") > 0,
+        snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
+      .select(col("lag"), col("n_buckets"), col("corr"))
+  }
 }
