@@ -1532,6 +1532,16 @@ object SparkEntry {
         .select("event_id", "event_type", "bucket")
     }),
 
+    // ---- X19: Flesch readability — sentence/word/vowel-group
+    //      regexp counts; docs get planted sentence punctuation
+    //      (the corpus is unpunctuated) so the sentence axis is
+    //      exercised. ----
+    "q_readability" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat(col("text"), lit(". The end. Quite so!")))
+      TextOps.readability(docs, "doc_id", "text")
+    }),
+
     // ---- X17: trigram Stupid Backoff LM — train on even doc_ids,
     //      score the held-out odd docs; every backoff branch a
     //      ratio of integer counts, context totals derived from
@@ -3875,6 +3885,26 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // regexp counts + the Flesch closed form with identical literal
+    // arithmetic
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || '. The end. Quite so!' AS text FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[.!?]+')) AS s,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(s AS INTEGER) AS n_sentences,
+        |  CAST(w AS INTEGER) AS n_words, CAST(sy AS INTEGER) AS n_syllables,
+        |  CASE WHEN s > 0 AND w > 0 THEN
+        |    floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |      - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE))) * 1e9 + 0.5) / 1e9
+        |  END AS flesch
+        |FROM c""".stripMargin,
 
     // exact integer-µs duration sums; twap = weighted sum over the
     // exact long denominator, snapped then 1e-6 rounded

@@ -236,6 +236,36 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Flesch reading-ease readability per document — the classic
+    * prose-complexity score quality filters stack next to
+    * [[qualityScore]] (length/punct ratios catch garbage; Flesch
+    * catches legalese walls and keyword stuffing). All three
+    * inputs are regexp counts — sentences = `[.!?]+` runs, words =
+    * ASCII-letter runs, syllables = vowel-group runs (vowel runs
+    * cannot span a non-letter, so the text-wide count equals the
+    * per-word sum) — a zero-shuffle scan-stage chain, replayable
+    * in any RE2 engine. `flesch = 206.835 − 1.015·(w/s) −
+    * 84.6·(sy/w)` on the 1e-9 grid; NULL when a denominator is 0.
+    * English-orthography heuristic by construction — gate on
+    * [[langId]] first for multilingual corpora.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sentences = expr(s"regexp_count($textCol, '[.!?]+')")
+    val words = expr(s"regexp_count(lower($textCol), '[a-z]+')")
+    val syllables = expr(s"regexp_count(lower($textCol), '[aeiouy]+')")
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    df.select(
+      col(idCol),
+      sentences.as("n_sentences"),
+      words.as("n_words"),
+      syllables.as("n_syllables"),
+      when(sentences > 0 && words > 0,
+        snap9(lit(206.835)
+          - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+          - lit(84.6) * (syllables.cast("double") / words.cast("double"))))
+        .as("flesch"))
+  }
+
   /** Per-document Unicode SCRIPT profile — the writing-system
     * complement of [[langId]] (stopword votes only separate
     * languages that share an alphabet; Han/Cyrillic/Latin mixing,
