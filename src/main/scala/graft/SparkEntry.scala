@@ -1532,6 +1532,47 @@ object SparkEntry {
         .select("event_id", "event_type", "bucket")
     }),
 
+    // ---- C33: RFM segmentation — per-customer recency/frequency/
+    //      monetary with exact-quintile threshold scores and a
+    //      conventional (r, f) segment label; cents-exact monetary. ----
+    "q_rfm" -> ((s, dir) => {
+      val orders = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "orders")), "o_orderdate")
+      FunnelOps.rfm(orders, "o_custkey", "o_orderdate", "o_totalprice", "2001-12-31")
+    }),
+
+    // ---- N27: Gini revenue concentration — per market segment,
+    //      how unequal per-customer spend is; exact integer rank
+    //      sums over cents, broadcast dim join for the segment. ----
+    "q_gini" -> ((s, dir) => {
+      val spend = BioLoader.load(s, t(dir, "orders"))
+        .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val cust = BioLoader.load(s, t(dir, "customer"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      StatsOps.giniConcentration(
+        spend.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"), "cents", "o_custkey")
+    }),
+
+    // ---- X20: Dunning G² collocations — the count-robust
+    //      companion to q_collocations: 2×2 bigram-event tables
+    //      with exact integer cells, one snapped ln-sum per pair. ----
+    "q_llr_collocations" -> ((s, dir) => {
+      TextOps.llrCollocations(BioLoader.load(s, t(dir, "documents")), "text",
+        minCount = 5, k = 50)
+    }),
+
+    // ---- E4: calibration curve — a deterministic hash-derived
+    //      pseudo-score on the 1/1000 grid against the is-English
+    //      label, bucketed per source; reliability-diagram frame. ----
+    "q_calibration" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.calibrationCurve(d, "is_en", "score", 10, Seq("source"))
+    }),
+
     // ---- X19: Flesch readability — sentence/word/vowel-group
     //      regexp counts; docs get planted sentence punctuation
     //      (the corpus is unpunctuated) so the sentence axis is
@@ -4009,6 +4050,125 @@ object SparkEntry {
         |)
         |SELECT b.event_type, b.n_gaps, b.mean_gap_s, b.min_gap_s, b.max_gap_s, m.p50_gap_s
         |FROM basic b JOIN med m ON b.event_type = m.g""".stripMargin,
+
+    // cents-exact monetary, integer recency/frequency, exact
+    // quantile_cont thresholds (same interpolation as Spark's
+    // percentile), threshold scores and the (r,f) CASE replayed
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), thr AS (
+        |  SELECT
+        |    quantile_cont(recency_days, 0.2) AS r0, quantile_cont(recency_days, 0.4) AS r1,
+        |    quantile_cont(recency_days, 0.6) AS r2, quantile_cont(recency_days, 0.8) AS r3,
+        |    quantile_cont(frequency, 0.2) AS f0, quantile_cont(frequency, 0.4) AS f1,
+        |    quantile_cont(frequency, 0.6) AS f2, quantile_cont(frequency, 0.8) AS f3,
+        |    quantile_cont(cents, 0.2) AS m0, quantile_cont(cents, 0.4) AS m1,
+        |    quantile_cont(cents, 0.6) AS m2, quantile_cont(cents, 0.8) AS m3
+        |  FROM base
+        |), s AS (
+        |  SELECT b.o_custkey, b.recency_days, b.frequency, b.cents,
+        |    5 - (CASE WHEN recency_days > r0 THEN 1 ELSE 0 END + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+        |       + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN frequency > f0 THEN 1 ELSE 0 END + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |       + CASE WHEN frequency > f2 THEN 1 ELSE 0 END + CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN cents > m0 THEN 1 ELSE 0 END + CASE WHEN cents > m1 THEN 1 ELSE 0 END
+        |       + CASE WHEN cents > m2 THEN 1 ELSE 0 END + CASE WHEN cents > m3 THEN 1 ELSE 0 END) AS m_score
+        |  FROM base b, thr
+        |)
+        |SELECT o_custkey, recency_days, frequency, cents / 100.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |       WHEN f_score >= 4 THEN 'loyal'
+        |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN r_score <= 2 THEN 'hibernating'
+        |       ELSE 'regular' END AS segment
+        |FROM s""".stripMargin,
+
+    // full G² replay: bigram-position marginals from the unfiltered
+    // bigram table, four guarded k·ln(kN/(r·c)) terms in the same
+    // evaluation order, snapped once
+    "q_llr_collocations" ->
+      """WITH f AS (
+        |  SELECT [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), b0 AS (
+        |  SELECT toks, unnest(range(1, len(toks))) AS i FROM f WHERE len(toks) >= 2
+        |), bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM b0 GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1 FROM bi GROUP BY 1
+        |), rm AS (
+        |  SELECT w2, CAST(sum(n_pair) AS BIGINT) AS c2 FROM bi GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_pair) AS BIGINT) AS nb FROM bi
+        |)
+        |SELECT b.w1, b.w2, b.n_pair,
+        |  floor(2.0 * (
+        |    CASE WHEN b.n_pair > 0 THEN CAST(b.n_pair AS DOUBLE)
+        |      * ln(CAST(b.n_pair AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN c1 - b.n_pair > 0 THEN CAST(c1 - b.n_pair AS DOUBLE)
+        |      * ln(CAST(c1 - b.n_pair AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(nb - c2 AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN c2 - b.n_pair > 0 THEN CAST(c2 - b.n_pair AS DOUBLE)
+        |      * ln(CAST(c2 - b.n_pair AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(nb - c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) ELSE 0.0 END
+        |  + CASE WHEN nb - c1 - c2 + b.n_pair > 0 THEN CAST(nb - c1 - c2 + b.n_pair AS DOUBLE)
+        |      * ln(CAST(nb - c1 - c2 + b.n_pair AS DOUBLE) * CAST(nb AS DOUBLE) / (CAST(nb - c1 AS DOUBLE) * CAST(nb - c2 AS DOUBLE))) ELSE 0.0 END
+        |  ) * 1e9 + 0.5) / 1e9 AS llr
+        |FROM bi b JOIN lm ON b.w1 = lm.w1 JOIN rm ON b.w2 = rm.w2 CROSS JOIN tot
+        |WHERE b.n_pair >= 5
+        |ORDER BY llr DESC, b.w1, b.w2 LIMIT 50""".stripMargin,
+
+    // the same hash-grid score, fixed-width binning, integer
+    // pos-rate ratio and the snapped mean replayed
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT source, ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+        |    CASE WHEN lang IS NULL THEN NULL WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, CAST(least(greatest(floor(score * 10), 0), 9) AS INTEGER) AS bin, score, is_en
+        |  FROM d WHERE score IS NOT NULL AND is_en IS NOT NULL
+        |), a AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(is_en) AS BIGINT) AS n_pos,
+        |    floor(avg(score) * 1e9 + 0.5) / 1e9 AS mean_score
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT source, bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+        |  CAST(bin + 1 AS DOUBLE) / 10 AS bin_hi, n, n_pos, mean_score,
+        |  floor(CAST(n_pos AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS pos_rate,
+        |  floor((mean_score - floor(CAST(n_pos AS DOUBLE) / n * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS gap
+        |FROM a""".stripMargin,
+
+    // exact integer rank sums over cents; the closed form's double
+    // arithmetic replayed term-for-term on the 1e-9 grid
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT c.c_mktsegment, s.cents,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY s.cents, s.o_custkey) AS i
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+        |  WHERE s.cents >= 0
+        |), a AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS total, CAST(sum(i * cents) AS BIGINT) AS iw
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT c_mktsegment, n, total,
+        |  CASE WHEN total > 0 THEN
+        |    floor((2.0 * iw / (CAST(n AS DOUBLE) * total) - CAST(n + 1 AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
+        |  END AS gini
+        |FROM a""".stripMargin,
 
     // standard ntile over the identical total order
     "q_ntile" ->

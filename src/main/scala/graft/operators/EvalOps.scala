@@ -148,4 +148,42 @@ object EvalOps {
     joined.select((gCols ++ Seq(col("__t").as("n"), po.as("p_o"), pe.as("p_e"),
       kappa.as("kappa"))): _*)
   }
+
+  /** Reliability (calibration) curve per group: scores in [0, 1]
+    * fall into `bins` fixed-width buckets; each bucket reports its
+    * population, mean predicted score, and empirical positive rate —
+    * the classifier-calibration diagnostic behind reliability
+    * diagrams and ECE. `gap = mean_score − pos_rate` (positive =
+    * over-confident) from the snapped terms.
+    *
+    * ONE map-side-combinable `groupBy(group, bin)` — no sort, no
+    * window, no per-row state; the output frame is |groups|·bins
+    * rows. pos_rate is an exact integer ratio; mean_score is the
+    * snapped-mean discipline ([[StatsOps.momentsProfile]]).
+    */
+  def calibrationCurve(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val lbl = col(labelCol).cast("boolean")
+    val s = col(scoreCol).cast("double")
+    val bin = least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int")
+    val gs = groupCols.map(col)
+    val agg = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(gs :+ bin.as("bin"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(lbl, 1L).otherwise(0L)).as("n_pos"),
+        snap9(avg(s)).as("mean_score"))
+    val rate = snap9(col("n_pos").cast("double") / col("n").cast("double"))
+    agg.select(gs ++ Seq(col("bin"),
+      (col("bin").cast("double") / bins).as("bin_lo"),
+      ((col("bin") + 1).cast("double") / bins).as("bin_hi"),
+      col("n"), col("n_pos"), col("mean_score"), rate.as("pos_rate"),
+      snap9(col("mean_score") - rate).as("gap")): _*)
+  }
 }

@@ -126,4 +126,68 @@ object FunnelOps {
       .select(col("cohort"), col("offset"), col("n_active"), col("cohort_size"),
         (floor(col("n_active") / col("cohort_size") * 1e6 + lit(0.5)) / 1e6).as("retention"))
   }
+
+  /** RFM customer segmentation: recency (days since last purchase at
+    * `asOfDate`), frequency (purchase count), monetary (revenue sum),
+    * each scored 1–5 against the population's exact quintile
+    * thresholds, plus a conventional segment label from the (r, f)
+    * cell (champion / loyal / new / at_risk / hibernating / regular).
+    *
+    * Scale shape: ONE `groupBy(customer)` with map-side partial
+    * aggregation collapses the order log to the customer frame; the
+    * quintile thresholds are a 1-row exact-`percentile` aggregate
+    * broadcast back over it — no global-sort `ntile` window (a
+    * single-partition sort of every customer at 100 TB). Threshold
+    * scoring means ties share a score (equal-VALUE quintiles, not
+    * equal-population), which is the stable choice under re-runs.
+    *
+    * Determinism: recency and frequency are exact integers; monetary
+    * sums per-row `round(amount·100)` cents as longs so the aggregate
+    * is exact integer arithmetic regardless of reduction order, and
+    * `percentile` interpolates over integer frames — every score is a
+    * deterministic function of the data.
+    *
+    * @param asOfDate ISO date literal the recency axis counts back from
+    * @return (custCol, recency_days, frequency, monetary,
+    *         r_score, f_score, m_score, segment)
+    */
+  def rfm(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String,
+      asOfDate: String
+  ): DataFrame = {
+    val base = orders
+      .filter(col(custCol).isNotNull && col(dateCol).isNotNull && col(amountCol).isNotNull)
+      .groupBy(col(custCol))
+      .agg(
+        max(col(dateCol).cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(amountCol) * 100).cast("long")).as("__cents"))
+      .select(col(custCol),
+        datediff(lit(asOfDate).cast("date"), col("__last")).as("recency_days"),
+        col("frequency"), col("__cents"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val thrAggs =
+      qs.zipWithIndex.map { case (q, i) => percentile(col("recency_days"), lit(q)).as(s"__r$i") } ++
+      qs.zipWithIndex.map { case (q, i) => percentile(col("frequency"), lit(q)).as(s"__f$i") } ++
+      qs.zipWithIndex.map { case (q, i) => percentile(col("__cents"), lit(q)).as(s"__m$i") }
+    val thr = base.agg(thrAggs.head, thrAggs.tail: _*)
+    def above(c: Column, pfx: String): Column =
+      qs.indices.map(i => when(c > col(s"$pfx$i"), 1).otherwise(0)).reduce(_ + _)
+    val scored = base.crossJoin(broadcast(thr))
+      .withColumn("r_score", lit(5) - above(col("recency_days"), "__r"))
+      .withColumn("f_score", lit(1) + above(col("frequency"), "__f"))
+      .withColumn("m_score", lit(1) + above(col("__cents"), "__m"))
+    scored.select(col(custCol), col("recency_days"), col("frequency"),
+      (col("__cents") / 100.0).as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+        .when(col("f_score") >= 4, "loyal")
+        .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+        .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+        .when(col("r_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+  }
 }

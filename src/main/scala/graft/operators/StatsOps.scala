@@ -789,4 +789,49 @@ object StatsOps {
     one.selectExpr(
       s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
+
+  /** Gini concentration coefficient per group — how unequally a
+    * non-negative integer quantity (revenue cents, token counts,
+    * request counts) is spread across that group's members. The
+    * rank-sum closed form over the ascending order:
+    * `G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n`, with `i` the 1-based rank.
+    *
+    * Ties are rank-order-invariant (a tied block contributes
+    * `x·Σi` regardless of permutation), so the `(value, tieBreak)`
+    * window order is for engine portability, not the result.
+    *
+    * Scale shape: one `row_number` window partitioned by the group
+    * (the group axis is the scale axis — same contract as the other
+    * per-group windows) feeding one partial-agg `groupBy`; all sums
+    * are exact longs (`valueCol` must be integral — pre-scale
+    * currency to cents), the final ratio is one double expression on
+    * the 1e-9 grid.
+    *
+    * @return (groupCols*, n, total, gini) — gini null when the
+    *         group's total is 0
+    */
+  def giniConcentration(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieBreakCol: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+      .orderBy(col(valueCol), col(tieBreakCol))
+    val ranked = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .withColumn("__i", row_number().over(w).cast("long"))
+    ranked
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("total"),
+        sum(col("__i") * col(valueCol).cast("long")).as("__iw"))
+      .select(gs ++ Seq(col("n"), col("total"),
+        when(col("total") > 0, snap9(
+          lit(2.0) * col("__iw") / (col("n").cast("double") * col("total")) -
+            (col("n") + 1).cast("double") / col("n"))).as("gini")): _*)
+  }
 }

@@ -197,6 +197,64 @@ object TextOps {
       .limit(k)
   }
 
+  /** Dunning log-likelihood-ratio collocations — the
+    * count-robust companion to [[collocations]] (PMI overweights
+    * rare pairs even above `minCount`; G² weighs evidence by
+    * frequency, the standard choice for corpus collocation ranking;
+    * Dunning 1993). For each adjacent bigram the 2×2 table over all
+    * bigram events (first-word marginal × second-word marginal):
+    * `G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·N / (rowᵢ·colⱼ))`, zero cells
+    * contributing 0.
+    *
+    * ONE bigram-count shuffle; the marginals are two further
+    * aggregations over the DISTINCT-bigram frame (vocab-sized, not
+    * corpus-sized — ReuseExchange shares the bigram shuffle), N
+    * rides a 1-row broadcast. All table cells are exact integers;
+    * one snapped double expression per surviving pair.
+    *
+    * @return (w1, w2, n_pair, llr) — top `k` by llr desc, ties
+    *         (w1, w2)
+    */
+  def llrCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int = 5,
+      k: Int = 100
+  ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val biAll = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1).as("w1"),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1).as("w2"))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val left = biAll.groupBy("w1").agg(sum("n_pair").as("c1"))
+    val right = biAll.groupBy("w2").agg(sum("n_pair").as("c2"))
+    val totals = biAll.agg(coalesce(sum("n_pair"), lit(0L)).as("__N"))
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val n = col("__N").cast("double")
+    def term(kc: Column, rc: Column, cc: Column): Column =
+      when(kc > 0, kc.cast("double") *
+        log(kc.cast("double") * n / (rc.cast("double") * cc.cast("double"))))
+        .otherwise(lit(0.0))
+    val k11 = col("n_pair"); val k12 = col("c1") - col("n_pair")
+    val k21 = col("c2") - col("n_pair")
+    val k22 = col("__N") - col("c1") - col("c2") + col("n_pair")
+    val r2 = col("__N") - col("c1"); val cc2 = col("__N") - col("c2")
+    biAll.filter(col("n_pair") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("llr", snap9(lit(2.0) * (
+        term(k11, col("c1"), col("c2")) + term(k12, col("c1"), cc2) +
+        term(k21, r2, col("c2")) + term(k22, r2, cc2))))
+      .select(col("w1"), col("w2"), col("n_pair"), col("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document keyword extraction: the top-k terms of each doc
     * by sublinear TF-IDF `(1 + ln tf)·ln((N+1)/(df+1) + 1)`-style
     * weight (the [[graft.operators.RetrievalOps.tfidfTopK]] scorer

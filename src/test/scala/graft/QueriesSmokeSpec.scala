@@ -36,7 +36,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_kappa",
     // 1-row broadcast scalars: backoff-LM corpus totals (N, V) and
     // association-rule basket totals
-    "q_lm_backoff", "q_rules")
+    "q_lm_backoff", "q_rules",
+    // 1-row broadcast scalars: RFM quintile thresholds, G² bigram total
+    "q_rfm", "q_llr_collocations")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {

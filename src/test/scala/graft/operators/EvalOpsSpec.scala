@@ -88,4 +88,31 @@ class EvalOpsSpec extends SparkSpec {
     val r = EvalOps.cohenKappa(df, "a", "b").head()
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
   }
+
+  test("calibrationCurve: a perfectly calibrated bin has gap 0; counts are exact") {
+    // bin 2 ([0.2, 0.3)): four rows at score 0.25, one positive ->
+    // pos_rate 0.25 == mean_score, gap 0
+    val df = Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0), (0.95, 1))
+      .toDF("score", "label")
+    val out = EvalOps.calibrationCurve(df, "label", "score", 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(2, 9))
+    val b2 = out(2)
+    assert(b2.getLong(3) == 4L && b2.getLong(4) == 1L)
+    assert(b2.getDouble(5) == 0.25 && b2.getDouble(6) == 0.25 && b2.getDouble(7) == 0.0)
+    assert(b2.getDouble(1) == 0.2 && b2.getDouble(2) == 0.3)
+  }
+
+  test("calibrationCurve: score 1.0 clamps into the top bin, nulls drop") {
+    val df = Seq((Some(1.0), Some(1)), (Some(0.999), Some(0)),
+      (None, Some(1)), (Some(0.5), None)).toDF("score", "label")
+    val out = EvalOps.calibrationCurve(df, "label", "score", 10).collect()
+    assert(out.length == 1 && out.head.getInt(0) == 9 && out.head.getLong(3) == 2L)
+  }
+
+  test("calibrationCurve: over-confident scores show positive gap") {
+    val df = (1 to 100).map(i => (0.9, if (i <= 30) 1 else 0)).toDF("score", "label")
+    val r = EvalOps.calibrationCurve(df, "label", "score", 10).head()
+    assert(math.abs(r.getDouble(7) - 0.6) < 1e-9, s"gap ${r.getDouble(7)}")
+  }
 }
