@@ -1555,6 +1555,20 @@ object SparkEntry {
         Seq("c_mktsegment"), "cents", "o_custkey")
     }),
 
+    // ---- C34: grid-bucketed planar radius join — hash-derived
+    //      deterministic coordinates for customers/suppliers, all
+    //      pairs within r=15 via the 3×3-cell equi-join (never the
+    //      all-pairs scan); dist² exact double arithmetic. ----
+    "q_radius_join" -> ((s, dir) => {
+      def pts(df: DataFrame, key: String) = df.select(col(key),
+        (((col(key) * 48271L) % 100000L).cast("double") / 100.0).as("x"),
+        (((col(key) * 69621L) % 100000L).cast("double") / 100.0).as("y"))
+      val cust = pts(BioLoader.load(s, t(dir, "customer")), "c_custkey")
+      val supp = pts(BioLoader.load(s, t(dir, "supplier")), "s_suppkey")
+      SpatialOps.radiusJoin(cust, supp, "x", "y", 15.0,
+        Seq("c_custkey"), Seq("s_suppkey"))
+    }),
+
     // ---- X20: Dunning G² collocations — the count-robust
     //      companion to q_collocations: 2×2 bigram-event tables
     //      with exact integer cells, one snapped ln-sum per pair. ----
@@ -4091,6 +4105,21 @@ object SparkEntry {
         |       WHEN r_score <= 2 THEN 'hibernating'
         |       ELSE 'regular' END AS segment
         |FROM s""".stripMargin,
+
+    // the brute-force all-pairs ground truth with the identical
+    // coordinate derivation and dist² evaluation order
+    "q_radius_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, ((c_custkey * 48271) % 100000) / 100.0 AS x,
+        |    ((c_custkey * 69621) % 100000) / 100.0 AS y FROM customer
+        |), s AS (
+        |  SELECT s_suppkey, ((s_suppkey * 48271) % 100000) / 100.0 AS x,
+        |    ((s_suppkey * 69621) % 100000) / 100.0 AS y FROM supplier
+        |)
+        |SELECT c.c_custkey, s.s_suppkey,
+        |  (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+        |FROM c, s
+        |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 225.0""".stripMargin,
 
     // full G² replay: bigram-position marginals from the unfiltered
     // bigram table, four guarded k·ln(kN/(r·c)) terms in the same
