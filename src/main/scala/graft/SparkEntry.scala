@@ -1481,6 +1481,38 @@ object SparkEntry {
       }
     }),
 
+    // ---- M16: STREAMING tabular CUSUM — N24's sustained-drift
+    //      detector in stream state: same buffer-until-watermark
+    //      replay as M15, state beyond the buffer is two snapped
+    //      doubles; the q_cusum oracle replays the streamed run
+    //      directly. ----
+    "q_stream_cusum" -> ((s, dir) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = BioLoader.nanosToTimestamp(
+            streamTable(s, dir, "events", EventsSchema), "ts")
+          .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+        val pusher = streamTable(s, dir, "nation",
+            "n_nationkey INT, n_name STRING, n_regionkey INT")
+          .filter(col("n_nationkey") === 0)
+          .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+            lit(PusherId).as("user_id"), lit(-1L).as("event_id"),
+            lit(null).cast("double").as("value"))
+        val chart = graft.streaming.EventStreams.streamingCusum(
+          ev.unionByName(pusher), target = 50.0, k = 25.0, h = 200.0,
+          watermark = "1 hour")
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+          runStreamToMemory(chart, "m16cusum").filter(col("user_id") =!= PusherId)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
     // ---- P6: time-weighted average value per user — each
     //      observation weighs by its holding duration; the correct
     //      mean for irregular sampling. ----
@@ -2544,6 +2576,36 @@ object SparkEntry {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin
 
   private val ngramJaccardOracleSql: String = ngramJaccardPairsSqlFrom("documents")
+
+  // shared by q_cusum (batch scan) and q_stream_cusum (the streamed
+  // replay is bit-identical on the sealed prefix): the snapped
+  // tabular-CUSUM recurrence as a recursive fixed point
+  private val cusumOracleSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+      |  FROM events
+      |), rec AS (
+      |  SELECT user_id, r, event_id, value,
+      |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+      |      ELSE floor(greatest(0.0, 0.0 + value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END AS sp,
+      |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
+      |      ELSE floor(greatest(0.0, 0.0 + (50.0 - 25.0 - value)) * 1e9 + 0.5) / 1e9 END AS sn
+      |  FROM s WHERE r = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.r, s.event_id, s.value,
+      |    CASE WHEN s.value IS NULL THEN rec.sp
+      |      ELSE floor(greatest(0.0, rec.sp + s.value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END,
+      |    CASE WHEN s.value IS NULL THEN rec.sn
+      |      ELSE floor(greatest(0.0, rec.sn + (50.0 - 25.0 - s.value)) * 1e9 + 0.5) / 1e9 END
+      |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+      |)
+      |SELECT event_id, user_id,
+      |  CASE WHEN value IS NULL THEN NULL ELSE sp END AS s_pos,
+      |  CASE WHEN value IS NULL THEN NULL ELSE sn END AS s_neg,
+      |  CASE WHEN value IS NULL THEN NULL
+      |    WHEN sp > 200.0 OR sn > 200.0 THEN 1 ELSE 0 END AS alarm
+      |FROM rec""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_load_project" ->
@@ -3712,32 +3774,11 @@ object SparkEntry {
 
     // the EWMA-style recursive replay with the max(0, .) tabular
     // CUSUM recurrences, state carried through null values
-    "q_cusum" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT event_id, user_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
-        |  FROM events
-        |), rec AS (
-        |  SELECT user_id, r, event_id, value,
-        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
-        |      ELSE floor(greatest(0.0, 0.0 + value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END AS sp,
-        |    CASE WHEN value IS NULL THEN CAST(0.0 AS DOUBLE)
-        |      ELSE floor(greatest(0.0, 0.0 + (50.0 - 25.0 - value)) * 1e9 + 0.5) / 1e9 END AS sn
-        |  FROM s WHERE r = 1
-        |  UNION ALL
-        |  SELECT s.user_id, s.r, s.event_id, s.value,
-        |    CASE WHEN s.value IS NULL THEN rec.sp
-        |      ELSE floor(greatest(0.0, rec.sp + s.value - 50.0 - 25.0) * 1e9 + 0.5) / 1e9 END,
-        |    CASE WHEN s.value IS NULL THEN rec.sn
-        |      ELSE floor(greatest(0.0, rec.sn + (50.0 - 25.0 - s.value)) * 1e9 + 0.5) / 1e9 END
-        |  FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
-        |)
-        |SELECT event_id, user_id,
-        |  CASE WHEN value IS NULL THEN NULL ELSE sp END AS s_pos,
-        |  CASE WHEN value IS NULL THEN NULL ELSE sn END AS s_neg,
-        |  CASE WHEN value IS NULL THEN NULL
-        |    WHEN sp > 200.0 OR sn > 200.0 THEN 1 ELSE 0 END AS alarm
-        |FROM rec""".stripMargin,
+    "q_cusum" -> cusumOracleSql,
+
+    // the streamed run replays the identical recursive fixed point
+    // (the streaming processor is bit-identical to the batch scan)
+    "q_stream_cusum" -> cusumOracleSql,
 
     // rank-sum AUC with exact tie averaging: 2·Σranks⁺ stays in
     // integers (np·(2·cumBefore + n + 1) per tied block), one

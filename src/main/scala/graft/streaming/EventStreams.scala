@@ -484,6 +484,117 @@ object EventStreams {
     }
   }
 
+  final case class CusumOut(event_id: Long, user_id: Long,
+      s_pos: Option[Double], s_neg: Option[Double], alarm: Option[Int])
+  private final case class CusumState(sp: Double, sn: Double)
+
+  /** Per-key tabular-CUSUM state machine for [[streamingCusum]] —
+    * the same buffer-until-watermark / replay-in-event-time-order
+    * shape as [[EwmaChartProcessor]] (a sequential statistic cannot
+    * process arrival order), but the carried state is just the two
+    * snapped one-sided sums: `S⁺ = max(0, S⁺ + x − target − k)`,
+    * `S⁻ = max(0, S⁻ + (target − k − x))` — bit-identical to
+    * [[graft.operators.DriftOps.cusum]] on the sealed prefix. Null
+    * values leave state untouched and emit null statistics, matching
+    * the batch scan.
+    */
+  private class CusumProcessor(target: Double, k: Double, h: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChartIn, CusumOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[ChartIn] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[CusumState] = _
+
+    private def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[ChartIn]("buf",
+        org.apache.spark.sql.Encoders.product[ChartIn],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      st = getHandle.getValueState[CusumState]("st",
+        org.apache.spark.sql.Encoders.product[CusumState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChartIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CusumOut] = {
+      rows.foreach(buf.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CusumOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      val (ready, rest) = all.partition(_.ts.getTime <= wm)
+      val out =
+        if (ready.isEmpty) Iterator.empty
+        else {
+          var s = if (st.exists()) st.get() else CusumState(0.0, 0.0)
+          val res = ready.sortBy(r => (r.ts.getTime, r.event_id)).map { r =>
+            r.value match {
+              case Some(x) =>
+                val sp = snap9(math.max(0.0, s.sp + x - target - k))
+                val sn = snap9(math.max(0.0, s.sn + (target - k - x)))
+                s = CusumState(sp, sn)
+                CusumOut(r.event_id, r.user_id, Some(sp), Some(sn),
+                  Some(if (sp > h || sn > h) 1 else 0))
+              case None => CusumOut(r.event_id, r.user_id, None, None, None)
+            }
+          }
+          st.update(s)
+          res.iterator
+        }
+      buf.clear()
+      if (rest.nonEmpty) {
+        rest.foreach(buf.appendValue)
+        getHandle.registerTimer(wm + 1)
+      }
+      out
+    }
+  }
+
+  /** STREAMING tabular CUSUM per user — N24's sustained-drift
+    * detector in stream state (the small-persistent-shift
+    * complement of [[streamingEwmaChart]]'s pointwise band). Same
+    * conf contract as [[streamingMinhashDedup]] (RocksDB state
+    * store); rows emit once the watermark seals them, replayed in
+    * event-time order, so the streamed chart equals
+    * [[graft.operators.DriftOps.cusum]] row-for-row on the sealed
+    * prefix — the batch form IS the oracle. Per-key durable state
+    * beyond the in-watermark buffer is exactly two doubles.
+    */
+  def streamingCusum(
+      events: DataFrame,
+      target: Double,
+      k: Double,
+      h: Double,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      graft.operators.DriftOps.cusum(events, Seq("user_id"), Seq("ts", "event_id"),
+          "value", target, k, h)
+        .select(col("event_id"), col("user_id"), col("s_pos"), col("s_neg"),
+          col("alarm").cast("int").as("alarm"))
+    } else {
+      events.withWatermark("ts", watermark)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[ChartIn]
+        .groupByKey(_.user_id)
+        .transformWithState[CusumOut](
+          new CusumProcessor(target, k, h),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+    }
+  }
+
   /** STREAMING EWMA control chart per user — N18's sequential
     * anomaly detector running in stream state (M-family: the
     * monitoring twin of the windowed sketches). Same conf contract
