@@ -1245,6 +1245,16 @@ object SparkEntry {
       GraphOps.triangleCounts(edges)
     }),
 
+    // ---- D7j: k-core decomposition — the maximal subgraph where
+    //      every part keeps ≥ 3 high-quantity co-order neighbors;
+    //      iterative peeling, round cap replayable because a
+    //      converged graph peels to itself. ----
+    "q_kcore" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem")).filter(col("l_quantity") > 40)
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      GraphOps.kCore(edges, k = 3, maxRounds = 10)
+    }),
+
     // ---- C30: the guarded co-occurrence edge set itself — parts
     //      linked by sharing an order. ----
     "q_cooccur" -> ((s, dir) => {
@@ -2577,6 +2587,30 @@ object SparkEntry {
 
   private val ngramJaccardOracleSql: String = ngramJaccardPairsSqlFrom("documents")
 
+  // 10 unrolled peel rounds — the operator's fixed point: a
+  // converged graph peels to itself, so any round cap ≥ the
+  // convergence count yields the identical result on both sides
+  private val kCoreOracleSql: String = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs, so a 10-round
+    // chain of self-referencing rounds would expand exponentially
+    val rounds = (1 to 10).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT node FROM (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY 1 HAVING count(*) >= 3
+         |), e$i AS MATERIALIZED (
+         |  SELECT e${i - 1}.u, e${i - 1}.v FROM e${i - 1}
+         |  JOIN a$i s ON e${i - 1}.u = s.node JOIN a$i d ON e${i - 1}.v = d.node
+         |)""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+       |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |  WHERE l1.l_partkey < l2.l_partkey AND l1.l_quantity > 40 AND l2.l_quantity > 40
+       |), ${rounds.mkString(", ")}
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT u AS node FROM e10 UNION ALL SELECT v FROM e10) GROUP BY 1""".stripMargin
+  }
+
   // shared by q_cusum (batch scan) and q_stream_cusum (the streamed
   // replay is bit-identical on the sealed prefix): the snapped
   // tabular-CUSUM recurrence as a recursive fixed point
@@ -3774,6 +3808,8 @@ object SparkEntry {
 
     // the EWMA-style recursive replay with the max(0, .) tabular
     // CUSUM recurrences, state carried through null values
+    "q_kcore" -> kCoreOracleSql,
+
     "q_cusum" -> cusumOracleSql,
 
     // the streamed run replays the identical recursive fixed point

@@ -555,4 +555,53 @@ object GraphOps {
     } finally { emSrc.unpersist(); emDst.unpersist() }
     hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
+
+  /** k-core decomposition membership (Seidman 1983): iteratively
+    * peel nodes of degree < k until the remainder — the maximal
+    * subgraph where every node keeps ≥ k neighbors — is stable.
+    * The standard cohesion screen (spam-farm and bot-ring cores,
+    * "engaged community" extraction, a cheaper precursor to clique
+    * mining).
+    *
+    * Each round is ONE degree `groupBy` (map-side partial) + two
+    * alive-set semi-equi-joins over the shrinking edge frame, ended
+    * by `localCheckpoint` (the [[connectedComponents]] plan-depth
+    * discipline). Peeling is monotone — the edge frame only
+    * shrinks, so round cost decays; rounds are data-bounded
+    * (`maxRounds` caps adversarial chains, and a fixed cap is
+    * REPLAYABLE: a converged graph peels to itself, so any cap ≥
+    * the convergence round count yields the identical fixed point).
+    *
+    * @param edges0 columns `src`, `dst`; self-loops, duplicate and
+    *               reversed edges are normalized away
+    * @return (node, degree) over the surviving k-core subgraph —
+    *         empty when the graph has no k-core
+    */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var edges = edges0
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame = e.select(col("hi").as("node"))
+      .unionAll(e.select(col("lo").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    var prev = -1L
+    var cur = edges.count()
+    var round = 0
+    while (cur > 0 && cur != prev && round < maxRounds) {
+      prev = cur
+      val alive = degrees(edges).filter(col("degree") >= k).select("node")
+      edges = edges
+        .join(alive.withColumnRenamed("node", "hi"), Seq("hi"))
+        .join(alive.withColumnRenamed("node", "lo"), Seq("lo"))
+        .localCheckpoint(true)
+      cur = edges.count()
+      round += 1
+    }
+    degrees(edges)
+  }
 }

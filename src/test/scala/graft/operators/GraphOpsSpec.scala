@@ -248,6 +248,30 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.linkPrediction(star.toDF("src", "dst"), 1))
   }
 
+  test("kCore: a clique survives, pendant chains peel off in cascade") {
+    // 4-clique {1,2,3,4} + chain 4-5-6: k=3 keeps exactly the clique
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("kCore: a tree has no 2-core; a cycle is its own 2-core") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, k = 2).count() == 0)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = GraphOps.kCore(cycle, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: round cap beyond convergence is idempotent; dup/reversed edges normalize") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val a = GraphOps.kCore(messy, k = 2, maxRounds = 3).as[(Long, Long)].collect().toSet
+    val b = GraphOps.kCore(messy, k = 2, maxRounds = 40).as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("dupClusters distributed path (threshold 0) agrees with the driver path") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("id_a", "id_b")
     val driver = DedupOps.dupClusters(pairs).as[(Long, Long)].collect().toMap
