@@ -617,6 +617,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("o_orderdate").as("matched_date"), col("matched_price"))
     }),
 
+    // ---- C10c: tolerance-bounded as-of — clicks pick up the most
+    //      recent purchase value per user, but no staler than 30
+    //      minutes; beyond-tolerance matches null out, left rows
+    //      survive (still a LEFT join). ----
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max("value").as("matched_value"))
+      AsofJoinOps.asofBackward(clicks, purchases, "user_id", "ts", "pts",
+          Seq("matched_value"), toleranceSeconds = Some(1800L))
+        .select(col("event_id"), col("user_id"), col("matched_value"))
+    }),
+
     // ---- M3: sessionization (batch twin of the streaming state machine) ----
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
@@ -1572,6 +1588,15 @@ object SparkEntry {
       val ev = BioLoader.load(s, t(dir, "events")).filter(col("value").isNotNull)
       MixOps.ntileBuckets(ev, Seq("event_type"), "value", "event_id", 10)
         .select("event_id", "event_type", "bucket")
+    }),
+
+    // ---- P9: Benford first-digit conformity — the fraud screen on
+    //      exact order-total cents per priority class; digits from
+    //      the decimal string, χ² over the full 9-digit grid. ----
+    "q_benford" -> ((s, dir) => {
+      val ord = BioLoader.load(s, t(dir, "orders"))
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      StatsOps.benfordTest(ord, Seq("o_orderpriority"), "cents")
     }),
 
     // ---- C33: RFM segmentation — per-customer recency/frequency/
@@ -2586,6 +2611,41 @@ object SparkEntry {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin
 
   private val ngramJaccardOracleSql: String = ngramJaccardPairsSqlFrom("documents")
+
+  // Benford replay: digit from the decimal string of exact cents,
+  // expected fractions interpolated as the IDENTICAL JVM double
+  // literals the operator plans, zero-cell grid rebuilt
+  private val benfordOracleSql: String = {
+    val expectedCase = (1 to 9)
+      .map(d => s"WHEN g.digit = $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString("CASE ", " ", " END")
+    s"""WITH v AS (
+       |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+       |), b AS (
+       |  SELECT o_orderpriority, CAST(left(CAST(cents AS VARCHAR), 1) AS INTEGER) AS digit
+       |  FROM v WHERE cents > 0
+       |), c AS (
+       |  SELECT o_orderpriority, digit, CAST(count(*) AS BIGINT) AS n_digit FROM b GROUP BY 1, 2
+       |), t AS (
+       |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+       |), g AS (
+       |  SELECT t.o_orderpriority, t.n, d.digit
+       |  FROM t CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit) d
+       |), f AS (
+       |  SELECT g.o_orderpriority, g.digit, COALESCE(c.n_digit, 0) AS n_digit, g.n,
+       |    $expectedCase AS expected
+       |  FROM g LEFT JOIN c ON g.o_orderpriority = c.o_orderpriority AND g.digit = c.digit
+       |), s AS (
+       |  SELECT o_orderpriority, digit, n_digit, expected,
+       |    floor(CAST(n_digit AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS frac,
+       |    floor(((n_digit - n * expected) * (n_digit - n * expected) / (n * expected)) * 1e9 + 0.5) / 1e9 AS term
+       |  FROM f
+       |), x AS (
+       |  SELECT o_orderpriority, floor(sum(term) * 1e9 + 0.5) / 1e9 AS chi2 FROM s GROUP BY 1
+       |)
+       |SELECT s.o_orderpriority, s.digit, s.n_digit, s.frac, s.expected, x.chi2
+       |FROM s JOIN x ON s.o_orderpriority = x.o_orderpriority""".stripMargin
+  }
 
   // 10 unrolled peel rounds — the operator's fixed point: a
   // converged graph peels to itself, so any round cap ≥ the
@@ -3809,6 +3869,24 @@ object SparkEntry {
     // the EWMA-style recursive replay with the max(0, .) tabular
     // CUSUM recurrences, state carried through null values
     "q_kcore" -> kCoreOracleSql,
+
+    "q_benford" -> benfordOracleSql,
+
+    // native ASOF LEFT JOIN plus the staleness gate on the matched
+    // right time (rt >= ts - tol ⟺ ts - rt <= tol, exact in µs)
+    "q_asof_tolerance" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS pts, max(value) AS matched_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), j AS (
+        |  SELECT c.event_id, c.user_id, c.ts, p.pts, p.matched_value
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN pts >= ts - INTERVAL 30 MINUTE THEN matched_value END AS matched_value
+        |FROM j""".stripMargin,
 
     "q_cusum" -> cusumOracleSql,
 

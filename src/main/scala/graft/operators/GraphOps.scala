@@ -269,10 +269,18 @@ object GraphOps {
     *         contract as [[connectedComponents]])
     */
   def triangleCounts(edges0: DataFrame): DataFrame = {
+    // the normalized edge frame feeds the degree aggregate AND the
+    // orientation joins, and the oriented frame feeds three joins —
+    // eager localCheckpoint materializes each ONCE instead of
+    // re-running the (possibly expensive) upstream lineage per use
+    // (an aggregate-built edge frame like coOccurrenceEdges would
+    // otherwise recompute 3-4×; blocks are freed by the
+    // ContextCleaner, same discipline as connectedComponents)
     val e = edges0
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e
@@ -284,6 +292,7 @@ object GraphOps {
       when(lowIsU, col("u")).otherwise(col("v")).as("src"),
       when(lowIsU, col("v")).otherwise(col("u")).as("dst"),
       when(lowIsU, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint(true)
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
     val wedges = e1.join(e2, Seq("src"))

@@ -790,6 +790,58 @@ object StatsOps {
       s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
 
+  /** Benford first-significant-digit conformity test per group —
+    * the fraud/data-quality screen for naturally-generated positive
+    * amounts (invoice totals, populations, file sizes): observed
+    * first-digit frequencies against `P(d) = log₁₀(1 + 1/d)`, with
+    * the per-group Pearson χ² statistic over the FULL 9-digit grid
+    * (an unobserved digit still contributes `(0 − n·p)²/(n·p)` —
+    * the [[chiSquaredIndependence]] zero-cell discipline).
+    *
+    * `valueCol` must be integral and positive (pre-scale currency
+    * to cents): the digit comes from the decimal STRING of the
+    * exact long — no log₁₀/pow float extraction, whose boundary
+    * behavior at powers of ten is engine-dependent. ONE map-side
+    * groupBy(group, digit) + a 9-row literal grid join; expected
+    * fractions are plan-time literals.
+    *
+    * @return (groupCols*, digit, n_digit, frac, expected, chi2) —
+    *         one row per (group, digit 1–9), chi2 repeated per
+    *         group (the group-level statistic)
+    */
+  def benfordTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val digits = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+    val base = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(gs :+ substring(col(valueCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"): _*)
+    val cnts = base.groupBy(gs :+ col("digit"): _*).agg(count(lit(1)).as("n_digit"))
+    val totals = base.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    val grid = totals.select(gs :+ col("__n") :+
+      explode(typedlit(digits.map(_._1))).as("digit"): _*)
+    val expected = digits.tail.foldLeft(
+      when(col("digit") === 1, lit(digits.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    val full = grid.join(cnts, groupCols :+ "digit", "left")
+      .na.fill(0L, Seq("n_digit"))
+      .withColumn("expected", expected)
+      .withColumn("frac", snap9(col("n_digit").cast("double") / col("__n")))
+      .withColumn("__t", snap9(
+        (col("n_digit") - col("__n") * col("expected")) *
+          (col("n_digit") - col("__n") * col("expected")) /
+          (col("__n") * col("expected"))))
+    val chi2 = full.groupBy(gs: _*).agg(snap9(sum(col("__t"))).as("chi2"))
+    full.join(chi2, groupCols)
+      .select(gs ++ Seq(col("digit"), col("n_digit"), col("frac"),
+        col("expected"), col("chi2")): _*)
+  }
+
   /** Gini concentration coefficient per group — how unequally a
     * non-negative integer quantity (revenue cents, token counts,
     * request counts) is spread across that group's members. The

@@ -36,6 +36,34 @@ class ApiAsofExtensionsSpec extends SparkSpec {
     assert(out.getString(1) == "n2")
   }
 
+  test("asofBackward tolerance: stale matches null out, fresh ones survive") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val left = Seq((1, ts(100L), "a"), (1, ts(2000L), "b"), (1, ts(50L), "c"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1, ts(90L), 9.0)).toDF("k", "rt", "price")
+    val out = AsofJoinOps.asofBackward(left, right, "k", "t", "rt", Seq("price"),
+        toleranceSeconds = Some(60L))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("a").contains(9.0), "10s-stale match inside tolerance")
+    assert(out("b").isEmpty, "1910s-stale match beyond tolerance nulls out")
+    assert(out("c").isEmpty, "row before any right row stays null")
+    // boundary: exactly tolerance-stale is inclusive
+    val edge = AsofJoinOps.asofBackward(
+      Seq((1, ts(150L), "e")).toDF("k", "t", "ev"), right, "k", "t", "rt",
+      Seq("price"), toleranceSeconds = Some(60L)).head()
+    assert(edge.getDouble(3) == 9.0)
+  }
+
+  test("asofBackward tolerance: non-timestamp time columns are rejected") {
+    val left = Seq((1, 10L, "e")).toDF("k", "t", "ev")
+    val right = Seq((1, 5L, 1.0)).toDF("k", "rt", "price")
+    intercept[IllegalArgumentException] {
+      AsofJoinOps.asofBackward(left, right, "k", "t", "rt", Seq("price"),
+        toleranceSeconds = Some(60L))
+    }
+  }
+
   test("LoadDataset.load: metadata join + role inference + label encode, end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft-api").toFile.getAbsolutePath
     Seq(("s1", 3L, 5L), ("s2", 0L, 2L), ("s3", 7L, 1L))
