@@ -114,6 +114,14 @@ object GraftExtensions {
         }
         graft.functions.CurationExpressions.UnicodeNormalize(children.head, form)
       }
+    ),
+    (
+      new FunctionIdentifier("jaro_winkler_sim"),
+      new ExpressionInfo(classOf[graft.functions.StringSimilarity.JaroWinklerSim].getName, "jaro_winkler_sim"),
+      (children: Seq[Expression]) => {
+        arity("jaro_winkler_sim", children, 2)
+        graft.functions.StringSimilarity.JaroWinklerSim(children.head, children(1))
+      }
     )
   )
 

@@ -1590,6 +1590,18 @@ object SparkEntry {
         .select("event_id", "event_type", "bucket")
     }),
 
+    // ---- C22b/K22: Jaro-Winkler fuzzy join — part names against
+    //      deterministic suffixed variants, prefix-blocked, scored
+    //      by the codegen'd byte-level kernel on the 1e-6 grid. ----
+    "q_jaro_join" -> ((s, dir) => {
+      val part = BioLoader.load(s, t(dir, "part"))
+      val names = part.select(col("p_name").as("name_a")).distinct()
+      val variants = part.select(col("p_partkey"),
+        concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
+      FuzzyJoinOps.fuzzyJoinJaro(names, variants, "name_a", "name_b",
+        minSim = 0.9, blockPrefix = 2)
+    }),
+
     // ---- P9: Benford first-digit conformity — the fraud screen on
     //      exact order-total cents per priority class; digits from
     //      the decimal string, χ² over the full 9-digit grid. ----
@@ -3871,6 +3883,20 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql,
 
     "q_benford" -> benfordOracleSql,
+
+    // DuckDB's native jaro_winkler_similarity IS the reference the
+    // kernel is pinned to (byte-level, 0.7 boost threshold, prefix
+    // cap 4); both sides snap to 1e-6 before the threshold
+    "q_jaro_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name_a FROM part
+        |), v AS (
+        |  SELECT p_partkey, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name_b FROM part
+        |)
+        |SELECT name_a, p_partkey, name_b,
+        |  floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 AS jw_sim
+        |FROM names JOIN v ON left(name_a, 2) = left(name_b, 2)
+        |WHERE floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 >= 0.9""".stripMargin,
 
     // native ASOF LEFT JOIN plus the staleness gate on the matched
     // right time (rt >= ts - tol ⟺ ts - rt <= tol, exact in µs)
