@@ -1590,6 +1590,15 @@ object SparkEntry {
         .select("event_id", "event_type", "bucket")
     }),
 
+    // ---- N28: offline change-point (binary segmentation's first
+    //      split) — where each user's value series actually moved;
+    //      integer-cents prefix sums make the window engine-exact. ----
+    "q_changepoint" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.changePoint(ev, Seq("user_id"), Seq("ts", "event_id"), "ts", "value",
+        minSegment = 5)
+    }),
+
     // ---- C22b/K22: Jaro-Winkler fuzzy join — part names against
     //      deterministic suffixed variants, prefix-blocked, scored
     //      by the codegen'd byte-level kernel on the 1e-6 grid. ----
@@ -3883,6 +3892,34 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql,
 
     "q_benford" -> benfordOracleSql,
+
+    // exact integer-cents prefix sums (segment-tree reassociation
+    // cannot perturb integer adds), the identical fixed-order gain
+    // expression per candidate, arg-max ties to the smallest split
+    "q_changepoint" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |), w AS (
+        |  SELECT user_id, ts, c,
+        |    row_number() OVER win AS rn, sum(c) OVER win AS s, sum(c * c) OVER win AS q
+        |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |), t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS st,
+        |    CAST(sum(c * c) AS BIGINT) AS qt
+        |  FROM v GROUP BY 1
+        |), g AS (
+        |  SELECT w.user_id, t.n, w.rn, w.ts, w.s, t.st,
+        |    floor(((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(rn AS DOUBLE))
+        |        + (CAST(qt - q AS DOUBLE) - CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE) / CAST(n - rn AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS gain
+        |  FROM w JOIN t ON w.user_id = t.user_id
+        |  WHERE w.rn >= 5 AND t.n - w.rn >= 5
+        |)
+        |SELECT user_id, n, rn AS split_pos, ts AS split_ts, gain,
+        |  floor(CAST(s AS DOUBLE) / (rn * 100) * 1e6 + 0.5) / 1e6 AS mean_left,
+        |  floor(CAST(st - s AS DOUBLE) / ((n - rn) * 100) * 1e6 + 0.5) / 1e6 AS mean_right
+        |FROM g QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY gain DESC, rn) = 1""".stripMargin,
 
     // DuckDB's native jaro_winkler_similarity IS the reference the
     // kernel is pinned to (byte-level, 0.7 boost threshold, prefix

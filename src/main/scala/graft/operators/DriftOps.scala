@@ -331,4 +331,70 @@ object DriftOps {
           s9(abs(x - col("season_mean"))) > s9(lit(nSigma) * col("season_std"))))
       .drop("__b", "__n", "__s1", "__s2")
   }
+
+  /** Offline change-point detection per key — binary segmentation's
+    * first split (Scott–Knott / CUSUM-literature standard): the
+    * position `s` minimizing `SSE(1..s) + SSE(s+1..n)` over the
+    * event-time order, i.e. the single level shift that explains
+    * the most variance. The retrospective complement of [[cusum]]
+    * (which flags drift ONLINE): "when did the metric actually
+    * move".
+    *
+    * Determinism discipline: values quantize to integer cents
+    * (`round(value·100)` as long), so the per-key prefix sums
+    * S, Q are EXACT integers no matter how either engine
+    * associates the window accumulation (DuckDB's segment-tree
+    * windowed sums reassociate float adds — ints don't care); the
+    * gain arithmetic is one fixed-order double expression per
+    * candidate; arg-max ties break to the smallest split. ONE keyed
+    * window pass + a per-key total join + one min-by reduction —
+    * the group axis is the scale axis.
+    *
+    * @param minSegment both segments must keep ≥ this many rows
+    * @return (keyCols*, n, split_pos, split_ts, gain, mean_left,
+    *         mean_right) — one row per key with n ≥ 2·minSegment;
+    *         gain and means on the 1e-6 grid
+    */
+  def changePoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      minSegment: Int = 5
+  ): DataFrame = {
+    require(minSegment >= 1, s"minSegment must be >= 1, got $minSegment")
+    val ks = keyCols.map(col)
+    val s6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(ks ++ orderCols.map(col) :+ col(tsCol).as("__ts") :+
+        round(col(valueCol) * 100).cast("long").as("__c"): _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pre = base
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(ks: _*).orderBy(orderCols.map(col): _*)))
+      .withColumn("__s", sum(col("__c")).over(win))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(win))
+    val tot = base.groupBy(ks: _*).agg(
+      count(lit(1)).as("n"), sum(col("__c")).as("__st"),
+      sum(col("__c") * col("__c")).as("__qt"))
+    def sse(q: Column, s: Column, nn: Column): Column =
+      q.cast("double") - s.cast("double") * s.cast("double") / nn.cast("double")
+    val cand = pre.join(tot, keyCols)
+      .filter(col("__rn") >= minSegment && col("n") - col("__rn") >= minSegment)
+      .withColumn("gain", s6(
+        sse(col("__qt"), col("__st"), col("n")) -
+          (sse(col("__q"), col("__s"), col("__rn")) +
+            sse(col("__qt") - col("__q"), col("__st") - col("__s"), col("n") - col("__rn"))) ))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(col("gain").desc, col("__rn"))
+    cand.withColumn("__pk", row_number().over(pick))
+      .filter(col("__pk") === 1)
+      .select(ks ++ Seq(col("n"), col("__rn").as("split_pos"), col("__ts").as("split_ts"),
+        col("gain"),
+        s6(col("__s").cast("double") / (col("__rn") * 100)).as("mean_left"),
+        s6((col("__st") - col("__s")).cast("double") / ((col("n") - col("__rn")) * 100)).as("mean_right")): _*)
+  }
 }
