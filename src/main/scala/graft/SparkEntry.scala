@@ -1590,6 +1590,28 @@ object SparkEntry {
         .select("event_id", "event_type", "bucket")
     }),
 
+    // ---- C22c: end-to-end entity resolution — Jaro-blocked pair
+    //      generation → distributed connected components → canonical
+    //      (min-id) cluster representative; the record-linkage
+    //      pipeline as one composition. ----
+    "q_entity_resolution" -> ((s, dir) => {
+      val rec = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("id"),
+          concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name"))
+      val pairs = FuzzyJoinOps.fuzzyJoinJaro(
+          rec.select(col("id").as("id_a"), col("name").as("name_a")),
+          rec.select(col("id").as("id_b"), col("name").as("name_b")),
+          "name_a", "name_b", minSim = 0.95, blockPrefix = 2)
+        .filter(col("id_a") < col("id_b"))
+      val comp = GraphOps.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("__cid"), col("component"))
+      rec.join(comp, col("id") === col("__cid"), "left")
+        .select(col("id"), col("name"),
+          coalesce(col("component"), col("id")).as("cluster"))
+        .withColumn("is_canonical", (col("cluster") === col("id")).cast("int"))
+    }),
+
     // ---- N28: offline change-point (binary segmentation's first
     //      split) — where each user's value series actually moved;
     //      integer-cents prefix sums make the window engine-exact. ----
@@ -3892,6 +3914,30 @@ object SparkEntry {
     "q_kcore" -> kCoreOracleSql,
 
     "q_benford" -> benfordOracleSql,
+
+    // the full pipeline replay: native jaro pairs, recursive
+    // transitive closure, min-id cluster label
+    "q_entity_resolution" ->
+      """WITH RECURSIVE rec AS (
+        |  SELECT p_partkey AS id, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name
+        |  FROM part WHERE p_partkey % 4 = 0
+        |), pr AS (
+        |  SELECT a.id AS src, b.id AS dst FROM rec a JOIN rec b
+        |  ON left(a.name, 2) = left(b.name, 2) AND a.id < b.id
+        |  WHERE floor(jaro_winkler_similarity(a.name, b.name) * 1e6 + 0.5) / 1e6 >= 0.95
+        |), sym AS (
+        |  SELECT src, dst FROM pr UNION SELECT dst, src FROM pr
+        |), r AS (
+        |  SELECT src AS a, dst AS b FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), m AS (
+        |  SELECT a, min(b) AS mn FROM r GROUP BY 1
+        |)
+        |SELECT rec.id, rec.name,
+        |  COALESCE(least(rec.id, m.mn), rec.id) AS cluster,
+        |  CASE WHEN COALESCE(least(rec.id, m.mn), rec.id) = rec.id THEN 1 ELSE 0 END AS is_canonical
+        |FROM rec LEFT JOIN m ON rec.id = m.a""".stripMargin,
 
     // exact integer-cents prefix sums (segment-tree reassociation
     // cannot perturb integer adds), the identical fixed-order gain
