@@ -2117,6 +2117,26 @@ object SparkEntry {
       }
     }),
 
+    // ---- M17: STREAMING radius join — the spatial twin of M10:
+    //      customer points arrive as a stream, the supplier grid
+    //      (with its 9-cell expansion) is the static side, the cell
+    //      equi-join is stateless stream-static. ----
+    "q_stream_radius_join" -> ((s, dir) => {
+      val c = streamTable(s, dir, "customer", CustomerSchema)
+        .select(col("c_custkey"),
+          (((col("c_custkey") * 48271L) % 100000L).cast("double") / 100.0).as("x"),
+          (((col("c_custkey") * 69621L) % 100000L).cast("double") / 100.0).as("y"))
+      val sup = BioLoader.load(s, t(dir, "supplier"))
+        .select(col("s_suppkey"),
+          (((col("s_suppkey") * 48271L) % 100000L).cast("double") / 100.0).as("x"),
+          (((col("s_suppkey") * 69621L) % 100000L).cast("double") / 100.0).as("y"))
+      val joined = SpatialOps.radiusJoin(c, sup, "x", "y", 15.0,
+        Seq("c_custkey"), Seq("s_suppkey"))
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(joined, "m17radius", quiesce = false)
+      }
+    }),
+
     // ---- M9: streaming corpus-membership dedup — Bloom-only probe
     //      (no false negatives: members are NEVER kept; fpp 1e-9
     //      makes a false-positive drop vanishingly unlikely, so the
@@ -2654,6 +2674,22 @@ object SparkEntry {
       |WHERE len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7""".stripMargin
 
   private val ngramJaccardOracleSql: String = ngramJaccardPairsSqlFrom("documents")
+
+  // shared by q_radius_join (batch) and q_stream_radius_join (the
+  // streamed run joins the identical frames): brute-force all-pairs
+  // ground truth with the identical coordinate derivation
+  private val radiusJoinOracleSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, ((c_custkey * 48271) % 100000) / 100.0 AS x,
+      |    ((c_custkey * 69621) % 100000) / 100.0 AS y FROM customer
+      |), s AS (
+      |  SELECT s_suppkey, ((s_suppkey * 48271) % 100000) / 100.0 AS x,
+      |    ((s_suppkey * 69621) % 100000) / 100.0 AS y FROM supplier
+      |)
+      |SELECT c.c_custkey, s.s_suppkey,
+      |  (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+      |FROM c, s
+      |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 225.0""".stripMargin
 
   // Benford replay: digit from the decimal string of exact cents,
   // expected fractions interpolated as the IDENTICAL JVM double
@@ -4372,18 +4408,11 @@ object SparkEntry {
 
     // the brute-force all-pairs ground truth with the identical
     // coordinate derivation and dist² evaluation order
-    "q_radius_join" ->
-      """WITH c AS (
-        |  SELECT c_custkey, ((c_custkey * 48271) % 100000) / 100.0 AS x,
-        |    ((c_custkey * 69621) % 100000) / 100.0 AS y FROM customer
-        |), s AS (
-        |  SELECT s_suppkey, ((s_suppkey * 48271) % 100000) / 100.0 AS x,
-        |    ((s_suppkey * 69621) % 100000) / 100.0 AS y FROM supplier
-        |)
-        |SELECT c.c_custkey, s.s_suppkey,
-        |  (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
-        |FROM c, s
-        |WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 225.0""".stripMargin,
+    "q_radius_join" -> radiusJoinOracleSql,
+
+    // the streamed run joins the identical frames (stateless
+    // stream-static cell equi-join) — same ground truth
+    "q_stream_radius_join" -> radiusJoinOracleSql,
 
     // full G² replay: bigram-position marginals from the unfiltered
     // bigram table, four guarded k·ln(kN/(r·c)) terms in the same
