@@ -1278,6 +1278,16 @@ object SparkEntry {
       GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
     }),
 
+    // ---- D7k: degree assortativity of the part co-order graph —
+    //      one number for hub-to-hub vs hub-to-leaf attachment; six
+    //      exact integer sums over the symmetrized endpoint-degree
+    //      pairs, closed form on the 1e-9 grid. ----
+    "q_assortativity" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      GraphOps.degreeAssortativity(edges)
+    }),
+
     // ---- D7e: synchronous label-propagation communities on the
     //      part co-order graph — deterministic variant (most
     //      frequent neighbor label, ties to the smallest), 3 fixed
@@ -1665,6 +1675,16 @@ object SparkEntry {
         Seq("c_mktsegment"), "cents", "o_custkey")
     }),
 
+    // ---- N29: binned-CDF approximate quantiles — price percentiles
+    //      per return flag from exact per-(group, bin) counts; never
+    //      a per-group sort, 1000-cell grid (error ≤ one bin width),
+    //      the bin frame SUM-merges across shards. ----
+    "q_quantiles" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      StatsOps.approxQuantilesBinned(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.9, 0.99), bins = 1000)
+    }),
+
     // ---- C34: grid-bucketed planar radius join — hash-derived
     //      deterministic coordinates for customers/suppliers, all
     //      pairs within r=15 via the 3×3-cell equi-join (never the
@@ -1695,6 +1715,23 @@ object SparkEntry {
         .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
         .withColumn("is_en", (col("lang") === "en").cast("int"))
       EvalOps.calibrationCurve(d, "is_en", "score", 10, Seq("source"))
+    }),
+
+    // ---- E5: two-proportion z-test — even/odd user_ids as A/B
+    //      variants, "ever purchased" as the conversion, cohorted by
+    //      first-event week; four exact counters per cohort, pooled
+    //      z + A&S erfc p-value on the 1e-9 grid. ----
+    "q_ab_test" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .filter(col("user_id").isNotNull)
+      val subj = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select(
+          date_format(date_trunc("week", col("first_ts")), "yyyy-MM-dd").as("cohort_week"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"),
+          col("conv"))
+      EvalOps.abTest(subj, Seq("cohort_week"), "variant", "conv", "A", "B")
     }),
 
     // ---- X19: Flesch readability — sentence/word/vowel-group
@@ -1833,6 +1870,34 @@ object SparkEntry {
           col("event_type"), col("user_id"), col("n_true"), col("cms_est"))
     }),
 
+    // ---- M18: STREAMING quantile-bin sketch per event-time window —
+    //      the quantile member of the windowed-sketch trio: ≤ 50
+    //      counter rows per (window, event_type) in stream state on
+    //      the declared [0, 500) grid, median + p95 read from the
+    //      sunk cells' CDF batch-side. ----
+    "q_stream_quantiles" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("event_type"), col("value"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit("zz_pusher").as("event_type"), lit(0.0).as("value"))
+      val cells = SketchOps.quantileBinsWindowed(
+        ev.unionByName(pusher), "ts", Seq("event_type"), "value",
+        windowLen = "3 days", lo = 0.0, hi = 500.0, bins = 50, watermark = "1 hour")
+      val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(cells, "m18qbins")
+      }
+      SketchOps.quantilesFromBins(
+          sunk.filter(col("event_type") =!= "zz_pusher"),
+          Seq("window_start", "event_type"), lo = 0.0, hi = 500.0, bins = 50,
+          probs = Seq(0.5, 0.95))
+        .select(expr("unix_micros(window_start)").as("start_us"),
+          col("event_type"), col("p"), col("n"), col("quantile"))
+    }),
+
     // ---- X16: boilerplate line removal — each doc gets a planted
     //      per-source footer (shared by its 25 source-mates) plus a
     //      unique tail; the footer must vanish, everything else
@@ -1858,6 +1923,19 @@ object SparkEntry {
           col("is_anomaly").cast("int").as("is_anomaly"))
     }),
 
+    // ---- N30: Brown double-EWMA forecast — per-user trend-aware
+    //      smoothing over the event-value series, 3-step-ahead
+    //      extrapolation; two chained snapped affine scans in one
+    //      window sort, replayed by a recursive CTE carrying both
+    //      smoother states. ----
+    "q_double_ewma" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.doubleEwmaForecast(ev, Seq("user_id"), Seq("ts", "event_id"), "value",
+          lambda = 0.25, horizon = 3)
+        .select(col("event_id"), col("user_id"), col("s1"), col("s2"),
+          col("level"), col("trend"), col("forecast"))
+    }),
+
     // ---- C28: cohort retention — weekly cohorts from each user's
     //      first event, activity counted per whole-week offset; one
     //      groupBy(user) pass carries a bounded period set, never
@@ -1867,6 +1945,26 @@ object SparkEntry {
       FunnelOps.retention(ev, "user_id", "ts", "week")
         .select(expr("unix_micros(cohort)").as("cohort_us"),
           col("offset"), col("n_active"), col("cohort_size"), col("retention"))
+    }),
+
+    // ---- P10: Kaplan–Meier survival per monthly cohort — per-user
+    //      observed lifespan (first→last event), censored when the
+    //      user was still active within 14 days of the corpus end;
+    //      the censoring-aware churn curve retention can't give. ----
+    "q_survival" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      val gmax = ev.agg(max(col("ts")).as("gmax"))
+      val subj = perUser.crossJoin(broadcast(gmax))
+        .select(date_trunc("month", col("first_ts")).as("cohort"),
+          datediff(col("last_ts").cast("date"), col("first_ts").cast("date"))
+            .cast("long").as("dur"),
+          when(col("last_ts") < col("gmax") - expr("INTERVAL 14 DAYS"), 1L)
+            .otherwise(0L).as("ev"))
+      FunnelOps.kaplanMeier(subj, Seq("cohort"), "dur", "ev")
+        .select(expr("unix_micros(cohort)").as("cohort_us"), col("t"),
+          col("at_risk"), col("d"), col("c"), col("survival"))
     }),
 
     // ---- N17: chi-squared independence per source — is language
@@ -3696,6 +3794,39 @@ object SparkEntry {
         |FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
         |WHERE l1.l_partkey < l2.l_partkey""".stripMargin,
 
+    // symmetrized endpoint-degree pairs, six exact integer sums,
+    // the Pearson closed form replayed with the same double casts
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1
+        |), wd AS (
+        |  SELECT dxn.deg AS dx, dyn.deg AS dy FROM e
+        |  JOIN deg dxn ON e.src = dxn.node JOIN deg dyn ON e.dst = dyn.node
+        |), sym AS (
+        |  SELECT dx, dy FROM wd UNION ALL SELECT dy AS dx, dx AS dy FROM wd
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sx2,
+        |    CAST(sum(dy * dy) AS BIGINT) AS sy2
+        |  FROM sym
+        |)
+        |SELECT n_pairs,
+        |  CASE WHEN n_pairs > 0
+        |    AND CAST(n_pairs AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx > 0
+        |    AND CAST(n_pairs AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy > 0
+        |  THEN floor((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n_pairs AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+        |     * sqrt(CAST(n_pairs AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)) * 1e9 + 0.5) / 1e9
+        |  END AS r
+        |FROM a""".stripMargin,
+
     // 3 unrolled synchronous rounds: count neighbor labels, adopt
     // the most frequent (ties to the smallest label) — deterministic
     // integer arithmetic end to end
@@ -4470,6 +4601,47 @@ object SparkEntry {
         |  floor((mean_score - floor(CAST(n_pos AS DOUBLE) / n * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS gap
         |FROM a""".stripMargin,
 
+    // four exact counters per cohort, then the pooled z and the A&S
+    // erfc chain replayed term-for-term (sqrt/exp correctly rounded
+    // in both engines), every emitted ratio on the 1e-9 grid
+    "q_ab_test" ->
+      """WITH subj AS (
+        |  SELECT strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort_week,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), a AS (
+        |  SELECT cohort_week,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM subj GROUP BY 1
+        |), r AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 THEN floor(CAST(x_a AS DOUBLE) / n_a * 1e9 + 0.5) / 1e9 END AS p_a,
+        |    CASE WHEN n_b > 0 THEN floor(CAST(x_b AS DOUBLE) / n_b * 1e9 + 0.5) / 1e9 END AS p_b,
+        |    floor(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) * 1e9 + 0.5) / 1e9 AS pool
+        |  FROM a
+        |), zc AS (
+        |  SELECT *,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND pool > 0 AND pool < 1 THEN
+        |      floor((p_b - p_a) / sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))
+        |        * 1e9 + 0.5) / 1e9
+        |    END AS z
+        |  FROM r
+        |), pv AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS zz,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS sf
+        |  FROM zc
+        |)
+        |SELECT cohort_week, n_a, x_a, n_b, x_b, p_a, p_b,
+        |  floor((p_b - p_a) * 1e9 + 0.5) / 1e9 AS lift, z,
+        |  floor((sf * (0.254829592 + sf * (-0.284496736 + sf * (1.421413741
+        |    + sf * (-1.453152027 + sf * 1.061405429)))) * exp(-zz * zz)) * 1e9 + 0.5) / 1e9
+        |    AS p_value
+        |FROM pv""".stripMargin,
+
     // exact integer rank sums over cents; the closed form's double
     // arithmetic replayed term-for-term on the 1e-9 grid
     "q_gini" ->
@@ -4491,6 +4663,42 @@ object SparkEntry {
         |    floor((2.0 * iw / (CAST(n AS DOUBLE) * total) - CAST(n + 1 AS DOUBLE) / n) * 1e9 + 0.5) / 1e9
         |  END AS gini
         |FROM a""".stripMargin,
+
+    // full binned-CDF replay: identical bin expression (same float
+    // association), exact integer counts/cumulative/crossing rank,
+    // the interpolation term-for-term on the 1e-9 grid
+    "q_quantiles" ->
+      """WITH vals AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), stats AS (
+        |  SELECT g, min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n
+        |  FROM vals GROUP BY 1
+        |), binned AS (
+        |  SELECT r.g, s.lo, s.hi, s.n,
+        |    CASE WHEN s.hi > s.lo THEN
+        |      CAST(least(floor((r.v - s.lo) / (s.hi - s.lo) * 1000), 999) AS BIGINT)
+        |    ELSE 0 END AS bin
+        |  FROM vals r JOIN stats s ON r.g = s.g
+        |), cells AS (
+        |  SELECT g, bin, max(lo) AS lo, max(hi) AS hi, max(n) AS n,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM binned GROUP BY 1, 2
+        |), cdf AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM cells
+        |), ex AS (
+        |  SELECT c.*, p.p,
+        |    CAST(greatest(ceil(p.p * c.n), 1) AS BIGINT) AS rk
+        |  FROM cdf c CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p) p
+        |)
+        |SELECT g AS l_returnflag, p, n, lo, hi,
+        |  CASE WHEN hi > lo THEN
+        |    floor((lo + (hi - lo) / 1000 * (CAST(bin AS DOUBLE) +
+        |      CAST(rk - (cum - cnt) AS DOUBLE) / cnt)) * 1e9 + 0.5) / 1e9
+        |  ELSE lo END AS quantile
+        |FROM ex WHERE cum >= rk AND (cum - cnt) < rk""".stripMargin,
 
     // standard ntile over the identical total order
     "q_ntile" ->
@@ -4723,6 +4931,31 @@ object SparkEntry {
         |  AND pb.j = sk.j AND pb.bucket = sk.bucket
         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
+    // batch replay of the windowed fixed-grid binning + the same
+    // CDF-crossing read, exact integer counts/ranks, interpolation
+    // term-for-term on the 1e-9 grid
+    "q_stream_quantiles" ->
+      """WITH items AS (
+        |  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS start_us, event_type,
+        |    CAST(least(greatest(floor((value - 0.0) / 10.0), 0), 49) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL
+        |), cells AS (
+        |  SELECT start_us, event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM items GROUP BY 1, 2, 3
+        |), cdf AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY start_us, event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY start_us, event_type) AS BIGINT) AS n
+        |  FROM cells
+        |), ex AS (
+        |  SELECT c.*, p.p, CAST(greatest(ceil(p.p * c.n), 1) AS BIGINT) AS rk
+        |  FROM cdf c CROSS JOIN (SELECT unnest([0.5, 0.95]) AS p) p
+        |)
+        |SELECT start_us, event_type, p, n,
+        |  floor((0.0 + 10.0 * (CAST(bin AS DOUBLE) +
+        |    CAST(rk - (cum - cnt) AS DOUBLE) / cnt)) * 1e9 + 0.5) / 1e9 AS quantile
+        |FROM ex WHERE cum >= rk AND (cum - cnt) < rk""".stripMargin,
+
     // identical planted construction; per-(source, line) distinct-doc
     // counts decide boilerplate, survivors re-joined in line order
     "q_boilerplate" ->
@@ -4796,6 +5029,51 @@ object SparkEntry {
         |  END AS is_anomaly
         |FROM lg""".stripMargin,
 
+    // recursive replay carrying BOTH smoother states (b1,w1,b2,w2):
+    // s1 snaps out of the first recurrence and feeds the second in
+    // the same row, exactly as the chained window aggregates run
+    "q_double_ewma" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events WHERE value IS NOT NULL
+        |), rec AS (
+        |  SELECT user_id, r, event_id, b1, w1,
+        |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * 0.0)
+        |      * 1e9 + 0.5) / 1e9 AS b2,
+        |    CAST(0.75 AS DOUBLE) AS w2
+        |  FROM (
+        |    SELECT user_id, r, event_id,
+        |      floor((0.25 * value + 0.75 * 0.0) * 1e9 + 0.5) / 1e9 AS b1,
+        |      CAST(0.75 AS DOUBLE) AS w1
+        |    FROM s WHERE r = 1
+        |  )
+        |  UNION ALL
+        |  SELECT user_id, r, event_id, b1, w1,
+        |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * b2p)
+        |      * 1e9 + 0.5) / 1e9 AS b2,
+        |    w2p * 0.75 AS w2
+        |  FROM (
+        |    SELECT s.user_id, s.r, s.event_id,
+        |      floor((0.25 * s.value + 0.75 * rec.b1) * 1e9 + 0.5) / 1e9 AS b1,
+        |      rec.w1 * 0.75 AS w1, rec.b2 AS b2p, rec.w2 AS w2p
+        |    FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+        |  )
+        |), sm AS (
+        |  SELECT user_id, event_id,
+        |    floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9 AS s1,
+        |    floor(b2 / (1.0 - w2) * 1e9 + 0.5) / 1e9 AS s2
+        |  FROM rec
+        |), lt AS (
+        |  SELECT user_id, event_id, s1, s2,
+        |    floor((2.0 * s1 - s2) * 1e9 + 0.5) / 1e9 AS level,
+        |    floor((0.25 / 0.75 * (s1 - s2)) * 1e9 + 0.5) / 1e9 AS trend
+        |  FROM sm
+        |)
+        |SELECT event_id, user_id, s1, s2, level, trend,
+        |  floor((level + 3.0 * trend) * 1e9 + 0.5) / 1e9 AS forecast
+        |FROM lt""".stripMargin,
+
     // the streamed chart must equal the batch chart row-for-row —
     // the identical recursive replay grades it
     "q_stream_ewma" ->
@@ -4857,6 +5135,46 @@ object SparkEntry {
         |SELECT epoch_us(cohort) AS cohort_us, "offset", n_active, cohort_size,
         |  floor(n_active / CAST(cohort_size AS DOUBLE) * 1000000 + 0.5) / 1000000 AS retention
         |FROM a JOIN sz USING (cohort)""".stripMargin,
+
+    // identical subject construction, then the product-limit
+    // recursion over the distinct-duration frame: per-t factors are
+    // exact-integer ratios snapped at 1e-9, survival multiplies and
+    // re-snaps per step — the same left-to-right fold the aggregate
+    // lambda runs
+    "q_survival" ->
+      """WITH RECURSIVE subj AS (
+        |  SELECT date_trunc('month', min(ts)) AS cohort,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT) AS t,
+        |    CASE WHEN max(ts) < (SELECT max(ts) FROM events) - INTERVAL 14 DAY
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY user_id
+        |), pt AS (
+        |  SELECT cohort, t,
+        |    CAST(sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2
+        |), ar AS (
+        |  SELECT *,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort) AS BIGINT)
+        |      - CAST(coalesce(sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk,
+        |    row_number() OVER (PARTITION BY cohort ORDER BY t) AS rn
+        |  FROM pt
+        |), fa AS (
+        |  SELECT *,
+        |    floor(CAST(at_risk - d AS DOUBLE) / at_risk * 1e9 + 0.5) / 1e9 AS factor
+        |  FROM ar
+        |), rec AS (
+        |  SELECT cohort, t, at_risk, d, c, rn,
+        |    floor(1.0 * factor * 1e9 + 0.5) / 1e9 AS survival
+        |  FROM fa WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.cohort, f.t, f.at_risk, f.d, f.c, f.rn,
+        |    floor(rec.survival * f.factor * 1e9 + 0.5) / 1e9
+        |  FROM rec JOIN fa f ON f.cohort = rec.cohort AND f.rn = rec.rn + 1
+        |)
+        |SELECT epoch_us(cohort) AS cohort_us, t, at_risk, d, c, survival
+        |FROM rec""".stripMargin,
 
     // full-grid Pearson chi2 (zero cells included via the marginal
     // cross join) + the SAME unrolled survival series per dof: even

@@ -171,6 +171,56 @@ object DriftOps {
       .drop("__ewma", "__cnt", "__s1", "__s2", "__cntp", "__s1p", "__s2p")
   }
 
+  /** Brown double-exponential-smoothing forecast per key — the
+    * trend-aware step up from [[ewmaChart]]'s flat smoother (Brown
+    * 1963; a flat EWMA lags a trending series by a constant, the
+    * double form smooths the smoother and extrapolates): with
+    * `S' = ewma(x)` and `S'' = ewma(S')`,
+    * `level = 2·S' − S''`, `trend = λ/(1−λ)·(S' − S'')`,
+    * `forecast_h = level + h·trend`.
+    *
+    * Both smoothers are the mergeable affine-scan aggregate
+    * ([[graft.functions.EwmaAggregate]], the debiased form, snapped
+    * per step), chained over the SAME `partitionBy(keys)
+    * .orderBy(order…)` window — ONE shuffle, one sort, two window
+    * passes, O(1) state per row; the sequential fixed point is
+    * engine-independent so a recursive replay carrying (b₁,w₁,b₂,w₂)
+    * reproduces every row bit-for-bit. Null values are dropped (the
+    * recurrence advances per OBSERVATION — document gaps upstream if
+    * cadence matters).
+    *
+    * @param orderCols total order within key (include a unique
+    *                  tie-break)
+    * @param horizon   forecast steps ahead (h ≥ 1)
+    * @return input rows (nulls dropped) + (s1, s2, level, trend,
+    *         forecast)
+    */
+  def doubleEwmaForecast(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      lambda: Double = 0.25,
+      horizon: Int = 1
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s9 = (c: Column) => snap(c, 1e9)
+    val x = col(valueCol).cast("double")
+    val withS1 = df.filter(col(valueCol).isNotNull)
+      .withColumn("s1", s9(graft.functions.EwmaAggregate.ewma(x, lambda).over(run)))
+    val withS2 = withS1
+      .withColumn("s2", s9(graft.functions.EwmaAggregate.ewma(col("s1"), lambda).over(run)))
+    withS2
+      .withColumn("level", s9(lit(2.0) * col("s1") - col("s2")))
+      .withColumn("trend",
+        s9(lit(lambda) / lit(1.0 - lambda) * (col("s1") - col("s2"))))
+      .withColumn("forecast",
+        s9(col("level") + lit(horizon.toDouble) * col("trend")))
+  }
+
   /** Per-group two-sample KS statistic between cohorts `a` and `b`
     * over `valueCol` (nulls drop). Groups present in only one
     * cohort get D = 1 exactly (the empty side's ECDF is 0

@@ -186,4 +186,63 @@ object EvalOps {
       col("n"), col("n_pos"), col("mean_score"), rate.as("pos_rate"),
       snap9(col("mean_score") - rate).as("gap")): _*)
   }
+
+  /** Two-proportion z-test per experiment group — the A/B-test
+    * read-out ("did variant B convert better, and is the lift
+    * real"): pooled-variance z on conversion rates, two-sided
+    * p-value via the same Abramowitz–Stegun erfc chain as the
+    * [[graft.operators.StatsOps]] t/χ² tests, so significance is
+    * graded consistently across the stats surface.
+    *
+    * Input: one row per SUBJECT — `(groupCols*, variantCol,
+    * convCol)` with conv 0/1. ONE map-side-combinable `groupBy`
+    * collapses subjects to four exact counters per group (n/x per
+    * variant); everything after is closed-form column arithmetic on
+    * the 1e-9 grid over the tiny group frame. Groups missing either
+    * variant, or with a degenerate pooled rate (0 or 1 — no
+    * variance), emit null z/p.
+    *
+    * @param variantA control label, `variantB` treatment label
+    *                 (other variant values drop)
+    * @return (groupCols*, n_a, x_a, n_b, x_b, p_a, p_b, lift, z,
+    *         p_value)
+    */
+  def abTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      variantCol: String,
+      convCol: String,
+      variantA: String,
+      variantB: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val isA = col(variantCol) === variantA
+    val isB = col(variantCol) === variantB
+    val conv = col(convCol).cast("long")
+    val agg = df
+      .filter((isA || isB) && conv.isNotNull)
+      .groupBy(gs: _*)
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, conv).otherwise(0L)).as("x_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB, conv).otherwise(0L)).as("x_b"))
+    val pA = snap9(col("x_a").cast("double") / col("n_a"))
+    val pB = snap9(col("x_b").cast("double") / col("n_b"))
+    val pooled = snap9((col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+    val se = sqrt(col("__pool") * (lit(1.0) - col("__pool")) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = snap9((col("p_b") - col("p_a")) / se)
+    agg
+      .withColumn("p_a", when(col("n_a") > 0, pA))
+      .withColumn("p_b", when(col("n_b") > 0, pB))
+      .withColumn("__pool", pooled)
+      .withColumn("z",
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("__pool") > 0 && col("__pool") < 1, z))
+      .select(gs ++ Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        col("p_a"), col("p_b"), snap9(col("p_b") - col("p_a")).as("lift"),
+        col("z"),
+        snap9(StatsOps.normalTwoSided(col("z"))).as("p_value")): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over an event log: for a step sequence
@@ -189,5 +190,79 @@ object FunnelOps {
         .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
         .when(col("r_score") <= 2, "hibernating")
         .otherwise("regular").as("segment"))
+  }
+
+  /** Kaplan–Meier product-limit survival curve per group (Kaplan &
+    * Meier 1958) — the right-censoring-aware lifetime estimate
+    * behind churn/retention curves ("what fraction of users survive
+    * past day t", where still-active users must NOT count as
+    * churned-at-last-sighting; [[retention]] reports activity per
+    * period, this estimates the survival function itself).
+    *
+    * Input: ONE row per subject — `(groupCols*, durationCol,
+    * eventCol)` with duration an integral time-to-outcome (days
+    * observed) and event 1 = outcome observed (churned/died) /
+    * 0 = censored (still active at cutoff).
+    *
+    * Scale shape: one map-side-combinable `groupBy(group, t)`
+    * collapses subjects to the DISTINCT-duration frame (the
+    * KS/outliers discipline: aggregator memory is distinct event
+    * times — day-granularity durations bound it at the observation
+    * span, NEVER the subject count); at-risk counts are window sums
+    * over that bounded frame, and the survival product folds the
+    * per-t factors `(n_t − d_t)/n_t` — each an exact-integer ratio
+    * snapped at 1e-9 — per-group via one `collect_list` (bounded by
+    * the same contract) + a left-to-right `aggregate` fold, snapped
+    * per step so a recursive replay reproduces every point
+    * bit-for-bit.
+    *
+    * @return one row per (group, distinct duration): (groupCols*, t,
+    *         at_risk, d, c, survival) — `d` events at t, `c`
+    *         censored at t, `survival` = S(t)
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCols: Seq[String],
+      durationCol: String,
+      eventCol: String
+  ): DataFrame = {
+    val reserved = Set("t", "at_risk", "d", "c", "survival")
+    require(groupCols.forall(g => !reserved.contains(g)),
+      s"group column collides with an output column (reserved: $reserved)")
+    val gs = groupCols.map(col)
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val perT = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(gs :+ col(durationCol).cast("long").as("t"): _*)
+      .agg(
+        sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("t"))
+    val before = coalesce(
+      sum(col("d") + col("c")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val total = sum(col("d") + col("c")).over(Window.partitionBy(gs: _*))
+    val steps = perT
+      .withColumn("at_risk", total - before)
+      .withColumn("factor",
+        s9((col("at_risk") - col("d")).cast("double") / col("at_risk")))
+    val collected = steps
+      .groupBy(gs: _*)
+      .agg(sort_array(collect_list(struct(
+        col("t"), col("at_risk"), col("d"), col("c"), col("factor")))).as("__steps"))
+    val survArr = aggregate(
+      transform(col("__steps"), x => x.getField("factor")),
+      struct(lit(1.0).as("p"), array().cast("array<double>").as("out")),
+      (acc, f) => struct(
+        s9(acc.getField("p") * f).as("p"),
+        concat(acc.getField("out"), array(s9(acc.getField("p") * f))).as("out")),
+      acc => acc.getField("out"))
+    collected
+      .withColumn("__surv", survArr)
+      .select(gs :+ col("__surv") :+ posexplode(col("__steps")): _*)
+      .withColumn("survival", expr("element_at(__surv, pos + 1)"))
+      .select(gs ++ Seq(col("col.t").as("t"), col("col.at_risk").as("at_risk"),
+        col("col.d").as("d"), col("col.c").as("c"), col("survival")): _*)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable cardinality sketches — the fixed-state answer to
@@ -355,5 +356,91 @@ object SketchOps {
         (floor(inter.cast("double") / size(col("__m")).cast("double") * 1e6 + lit(0.5)) / 1e6)
           .as("jaccard_est"),
         size(col("__m")).as("union_kept"))
+  }
+
+  /** STREAMING quantile-bin sketch: per-(event-time window, group)
+    * counts on a FIXED [lo, hi) equal-width grid (the
+    * [[graft.operators.StatsOps.histogram]] clamp-to-edge binning —
+    * streaming cannot take the two-pass per-group min/max of
+    * `approxQuantilesBinned`, so the boundaries are a declared
+    * contract like PSI's). The quantile member of the windowed-sketch
+    * trio ([[hllRegistersWindowed]] = distinct,
+    * [[cmsSketchWindowed]] = frequency): one streaming aggregation,
+    * ≤ `bins` counter rows per (window, group) no matter how many
+    * events land, cells SUM-mergeable downstream (union across
+    * days/shards, re-sum, then read the CDF with
+    * [[quantilesFromBins]]). Works identically on a batch frame (the
+    * oracle twin).
+    *
+    * @return (window_start, groupCols*, bin, cnt)
+    */
+  def quantileBinsWindowed(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      windowLen: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.filter(col(valueCol).isNotNull)
+      .select(col(tsCol) +: groupCols.map(col) :+
+        least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)),
+          lit(bins - 1)).cast("long").as("bin"): _*)
+      .groupBy(window(col(tsCol), windowLen).as("w") +:
+        groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start") +:
+        groupCols.map(col) :+ col("bin") :+ col("cnt"): _*)
+  }
+
+  /** Quantile estimates from a [[quantileBinsWindowed]]-shaped cell
+    * frame (keys = whatever identifies one sketch — window_start +
+    * groups, or just groups for a batch build): per key, the CDF
+    * crossing bin of ⌈p·n⌉ with linear interpolation inside it —
+    * the same read as `approxQuantilesBinned`, against the declared
+    * [lo, hi, bins] grid. Window arithmetic runs over the ≤
+    * `bins`-row cell frame, never the data; counts/ranks exact
+    * integers, the interpolation on the 1e-9 grid. Estimates are
+    * within one bin width for in-range data; mass clamped into the
+    * edge bins reads back as edge-bin positions (the declared-grid
+    * trade).
+    *
+    * @return one row per (key, prob): (keyCols*, p, n, quantile)
+    */
+  def quantilesFromBins(
+      cells: DataFrame,
+      keyCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double]
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val ks = keyCols.map(col)
+    val ordered = Window.partitionBy(ks: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(ks: _*)
+    val width = (hi - lo) / bins
+    val cdf = cells
+      .withColumn("cum", sum(col("cnt")).over(ordered))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    val rank = greatest(ceil(col("p") * col("n")), lit(1L)).cast("long")
+    val frac = (rank - (col("cum") - col("cnt"))).cast("double") / col("cnt")
+    cdf
+      .withColumn("p", explode(array(probs.map(p => lit(p)): _*)))
+      .filter(col("cum") >= rank && (col("cum") - col("cnt")) < rank)
+      .select(ks ++ Seq(col("p"), col("n"),
+        (floor((lit(lo) + lit(width) * (col("bin").cast("double") + frac)) * lit(1e9) +
+          lit(0.5)) / lit(1e9)).as("quantile")): _*)
   }
 }

@@ -286,7 +286,7 @@ object StatsOps {
     * column arithmetic only, so the oracle can replay it term by
     * term.
     */
-  private def normalTwoSided(t: Column): Column = {
+  private[operators] def normalTwoSided(t: Column): Column = {
     val z = abs(t) / math.sqrt(2.0)
     val s = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
     val poly = s * (lit(0.254829592) +
@@ -885,5 +885,76 @@ object StatsOps {
         when(col("total") > 0, snap9(
           lit(2.0) * col("__iw") / (col("n").cast("double") * col("total")) -
             (col("n") + 1).cast("double") / col("n"))).as("gini")): _*)
+  }
+
+  /** Approximate quantiles per group by a two-pass binned CDF — the
+    * quantile member of the mergeable-sketch family (HLL = distinct,
+    * CMS = frequency, KMV = similarity, SpaceSaving = heavy hitters;
+    * this = percentiles): never a per-group sort, never a buffered
+    * value list, state is exactly `bins` integer counts per group no
+    * matter how many rows feed it.
+    *
+    * Pass 1 is a map-side-combinable `groupBy` for each group's
+    * (min, max, n); pass 2 bins every value on the group's
+    * equal-width grid (AQE-broadcast join of the tiny stats frame)
+    * and counts per (group, bin) — again map-side-combinable, ≤
+    * groups·bins rows after the shuffle. Quantile q(p) reads the CDF
+    * crossing bin (first cumulative count ≥ ⌈p·n⌉) and interpolates
+    * linearly inside it; the window runs over the ≤ `bins`-row bin
+    * frame, never the data. Deterministic (no sampling, no RNG), and
+    * the bin-count frame SUM-merges across shards/days that share a
+    * [min, max] grid — re-add counts, re-read the CDF.
+    *
+    * Error bound: each estimate is within one bin width
+    * `(max − min)/bins` of the exact type-1 quantile — tighten with
+    * `bins`, whose cost is the shuffle-row cap, not a data pass.
+    * Exact when a group has ≤ 1 distinct value. Counts and crossing
+    * ranks are exact integers; the only float arithmetic is the
+    * fixed-association bin/interp expression on the 1e-9 grid, so an
+    * oracle replays it term for term.
+    *
+    * @param probs quantile probabilities, each in (0, 1]
+    * @return one row per (group, prob): (groupCols*, p, n, lo, hi,
+    *         quantile)
+    */
+  def approxQuantilesBinned(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double],
+      bins: Int = 1024
+  ): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val gs = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull)
+    val stats = rows.groupBy(gs: _*).agg(
+      min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+    val spread = col("hi") > col("lo")
+    val binned = rows.join(stats, groupCols)
+      .select(gs :+ col("lo") :+ col("hi") :+ col("n") :+
+        when(spread,
+          least(floor((v - col("lo")) / (col("hi") - col("lo")) * lit(bins)),
+            lit(bins - 1)).cast("long"))
+          .otherwise(lit(0L)).as("bin"): _*)
+      .groupBy(gs :+ col("bin"): _*)
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("n")).as("n"), count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(gs: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = binned.withColumn("cum", sum(col("cnt")).over(w))
+    val probLits = array(probs.map(p => lit(p)): _*)
+    val rank = greatest(ceil(col("p") * col("n")), lit(1L)).cast("long")
+    val width = (col("hi") - col("lo")) / lit(bins)
+    val frac = (rank - (col("cum") - col("cnt"))).cast("double") / col("cnt")
+    cdf
+      .withColumn("p", explode(probLits))
+      .filter(col("cum") >= rank && (col("cum") - col("cnt")) < rank)
+      .select(gs ++ Seq(col("p"), col("n"), col("lo"), col("hi"),
+        when(col("hi") > col("lo"),
+          snap9(col("lo") + width * (col("bin").cast("double") + frac)))
+          .otherwise(col("lo")).as("quantile")): _*)
   }
 }

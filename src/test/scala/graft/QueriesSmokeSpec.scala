@@ -38,7 +38,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // association-rule basket totals
     "q_lm_backoff", "q_rules",
     // 1-row broadcast scalars: RFM quintile thresholds, G² bigram total
-    "q_rfm", "q_llr_collocations")
+    "q_rfm", "q_llr_collocations",
+    // 1-row broadcast scalar: corpus-end timestamp for censoring
+    "q_survival")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
