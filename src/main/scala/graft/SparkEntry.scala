@@ -1288,6 +1288,25 @@ object SparkEntry {
       GraphOps.degreeAssortativity(edges)
     }),
 
+    // ---- D7l: local clustering coefficient — per-part neighborhood
+    //      closure on the co-order graph; the degree-oriented
+    //      triangle count + one node-frame left join, exact-integer
+    //      numerator/denominator. ----
+    "q_clustering" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      GraphOps.clusteringCoefficient(edges)
+    }),
+
+    // ---- C35: item-item cosine similarity — "bought with X" from
+    //      order baskets; capped pair machinery + two item-count
+    //      joins, popularity-damped exact-count cosine. ----
+    "q_item_sim" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      MiningOps.itemCosineSimilarity(li, "l_orderkey", "l_partkey",
+        minCo = 2L, maxBasketSize = 64)
+    }),
+
     // ---- D7e: synchronous label-propagation communities on the
     //      part co-order graph — deterministic variant (most
     //      frequent neighbor label, ties to the smallest), 3 fixed
@@ -1466,6 +1485,28 @@ object SparkEntry {
       val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
         .withColumn("x", expr("unix_micros(ts)") / lit(86400000000.0))
       StatsOps.linearTrend(ev, Seq("event_type"), "x", "value")
+    }),
+
+    // ---- X21: Zipf-law fit per source — OLS slope of ln(count) on
+    //      ln(rank) over the top-500 terms (slope ≈ −α, the corpus
+    //      naturalness screen: synthetic/templated text bends the
+    //      log-log line); composition of the token counts and N25's
+    //      shift-and-MEAN trend machinery. ----
+    "q_zipf" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val terms = docs
+        .select(col("source"),
+          explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("term"))
+      val ranked = terms
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 500)
+        .select(col("source"), log(col("rn").cast("double")).as("lx"),
+          log(col("cnt").cast("double")).as("ly"))
+      StatsOps.linearTrend(ranked, Seq("source"), "lx", "ly")
     }),
 
     // ---- N26: distribution-shape profile — skewness, excess
@@ -1732,6 +1773,21 @@ object SparkEntry {
           when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"),
           col("conv"))
       EvalOps.abTest(subj, Seq("cohort_week"), "variant", "conv", "A", "B")
+    }),
+
+    // ---- E6: nDCG@10 per user — events ranked by value (best
+    //      first), graded relevance from the event type; two windows
+    //      over one shuffle, snapped discount sums. ----
+    "q_ndcg" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("neg_value", -col("value"))
+        .withColumn("rel",
+          when(col("event_type") === "purchase", 3.0)
+            .when(col("event_type") === "signup", 2.0)
+            .when(col("event_type") === "click", 1.0)
+            .otherwise(0.0))
+      EvalOps.ndcgAtK(ev, Seq("user_id"), Seq("neg_value", "event_id"), "rel", k = 10)
     }),
 
     // ---- X19: Flesch readability — sentence/word/vowel-group
@@ -3827,6 +3883,52 @@ object SparkEntry {
         |  END AS r
         |FROM a""".stripMargin,
 
+    // the q_triangles wedge enumeration + the degree frame, then the
+    // Watts–Strogatz ratio with exact-integer numerator/denominator
+    "q_clustering" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+        |), t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), tc AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM t
+        |    UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY 1
+        |)
+        |SELECT deg.node, deg.degree, coalesce(tc.triangles, 0) AS triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    floor(2.0 * coalesce(tc.triangles, 0)
+        |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) * 1e9 + 0.5) / 1e9
+        |  END AS clustering
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node""".stripMargin,
+
+    // distinct basket membership, pair counts via the a.i < b.i
+    // self-join (the cap never binds on <=7-item orders), cosine
+    // replayed with the same casts
+    "q_item_sim" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS BIGINT) AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), cnt AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+        |), co AS (
+        |  SELECT a.i AS id_a, b2.i AS id_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b b2 ON a.g = b2.g AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT co.id_a, co.id_b, ca.n AS n_a, cb.n AS n_b, co.n_ab,
+        |  floor(CAST(co.n_ab AS DOUBLE) / sqrt(CAST(ca.n AS DOUBLE) * cb.n)
+        |    * 1e9 + 0.5) / 1e9 AS cosine
+        |FROM co JOIN cnt ca ON co.id_a = ca.i JOIN cnt cb ON co.id_b = cb.i""".stripMargin,
+
     // 3 unrolled synchronous rounds: count neighbor labels, adopt
     // the most frequent (ties to the smallest label) — deterministic
     // integer arithmetic end to end
@@ -4313,6 +4415,51 @@ object SparkEntry {
         |  END AS r2
         |FROM e""".stripMargin,
 
+    // identical tokenization + top-500 rank frame, then the same
+    // shift-and-MEAN trend chain as q_trend on the ln-ln points
+    "q_zipf" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    unnest([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS term
+        |  FROM documents
+        |), tcnt AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT source, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+        |  FROM tcnt QUALIFY rn <= 500
+        |), base AS (
+        |  SELECT source, ln(CAST(rn AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rk
+        |), o AS (
+        |  SELECT source, min(x) AS x0 FROM base GROUP BY 1
+        |), s AS (
+        |  SELECT b.source, o.x0, CAST(count(*) AS BIGINT) AS n,
+        |    floor(avg(b.x - o.x0) * 1e9 + 0.5) / 1e9 AS mx,
+        |    floor(avg(b.y) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg((b.x - o.x0) * (b.x - o.x0)) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(b.y * b.y) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg((b.x - o.x0) * b.y) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM base b JOIN o ON b.source = o.source GROUP BY 1, 2
+        |), d AS (
+        |  SELECT source, x0, n, mx, my,
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
+        |  FROM s
+        |), e AS (
+        |  SELECT source, x0, n, mx, my, cov, vx, vy,
+        |    CASE WHEN vx > 0 THEN floor(cov / vx * 1e9 + 0.5) / 1e9 END AS slope
+        |  FROM d
+        |)
+        |SELECT source, n, slope,
+        |  CASE WHEN vx > 0 THEN
+        |    floor((floor((my - slope * mx) * 1e9 + 0.5) / 1e9 - slope * x0) * 1e9 + 0.5) / 1e9
+        |  END AS intercept,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov * cov / (vx * vy) * 1e9 + 0.5) / 1e9
+        |  END AS r2
+        |FROM e""".stripMargin,
+
     // power sums → snapped raw moments → central moments → shape
     // stats, every stage on the 1e-9 grid
     "q_moments" ->
@@ -4641,6 +4788,38 @@ object SparkEntry {
         |    + sf * (-1.453152027 + sf * 1.061405429)))) * exp(-zz * zz)) * 1e9 + 0.5) / 1e9
         |    AS p_value
         |FROM pv""".stripMargin,
+
+    // two row_number orders (given + ideal), per-term ln discounts
+    // against the plan-time ln 2 literal, sums snapped before the
+    // final ratio
+    "q_ndcg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, -value AS neg_value,
+        |    CASE WHEN event_type = 'purchase' THEN 3.0
+        |         WHEN event_type = 'signup' THEN 2.0
+        |         WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS rel
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY neg_value, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, neg_value, event_id) AS irn
+        |  FROM e
+        |), tm AS (
+        |  SELECT user_id,
+        |    CASE WHEN rn <= 10 THEN
+        |      rel / (ln(CAST(rn AS DOUBLE) + 1.0) / 0.6931471805599453) ELSE 0.0 END AS t,
+        |    CASE WHEN irn <= 10 THEN
+        |      rel / (ln(CAST(irn AS DOUBLE) + 1.0) / 0.6931471805599453) ELSE 0.0 END AS it
+        |  FROM r
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |    floor(sum(t) * 1e9 + 0.5) / 1e9 AS dcg,
+        |    floor(sum(it) * 1e9 + 0.5) / 1e9 AS idcg
+        |  FROM tm GROUP BY 1
+        |)
+        |SELECT user_id, n_items, dcg, idcg,
+        |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e9 + 0.5) / 1e9 END AS ndcg
+        |FROM a""".stripMargin,
 
     // exact integer rank sums over cents; the closed form's double
     // arithmetic replayed term-for-term on the 1e-9 grid

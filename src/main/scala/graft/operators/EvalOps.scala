@@ -245,4 +245,58 @@ object EvalOps {
         col("z"),
         snap9(StatsOps.normalTwoSided(col("z"))).as("p_value")): _*)
   }
+
+  /** nDCG@k per ranking group (Järvelin & Kekäläinen 2002) — graded
+    * ranking quality for the retrieval stack (BM25/TF-IDF/RRF
+    * produce rankings; [[auc]] grades binary separation, this grades
+    * POSITION-discounted graded relevance). `DCG = Σ_{i≤k}
+    * rel_i/log₂(i+1)` over the given order; IDCG re-ranks the SAME
+    * candidate rows by relevance (the self-contained form — supply
+    * the full judged pool per group if you need pool-ideal nDCG).
+    *
+    * Scale shape: two `row_number` windows over the same group
+    * partitioning (rank order + ideal order — one shuffle, two
+    * sorts), then ONE map-side-combinable `groupBy`; per-group
+    * memory is O(1). Discounts use `ln(i+1)` against the plan-time
+    * `ln 2` literal so an oracle replays each term; sums snap at
+    * 1e-9 before the final ratio.
+    *
+    * @param orderCols the ranking order (best first — include a
+    *                  unique tie-break)
+    * @return (groupCols*, n_items, dcg, idcg, ndcg) — ndcg null when
+    *         the group has no positive relevance
+    */
+  def ndcgAtK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      relCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val gs = groupCols.map(col)
+    val ln2 = lit(math.log(2.0))
+    val rel = col(relCol).cast("double")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(orderCols.map(col): _*)
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+      .orderBy(rel.desc +: orderCols.map(col): _*)
+    val terms = df.filter(rel.isNotNull)
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__irn", row_number().over(wIdeal))
+      .withColumn("__t",
+        when(col("__rn") <= k, rel / (log(col("__rn").cast("double") + 1.0) / ln2))
+          .otherwise(lit(0.0)))
+      .withColumn("__it",
+        when(col("__irn") <= k, rel / (log(col("__irn").cast("double") + 1.0) / ln2))
+          .otherwise(lit(0.0)))
+    terms.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_items"),
+        snap9(sum(col("__t"))).as("dcg"),
+        snap9(sum(col("__it"))).as("idcg"))
+      .select(gs ++ Seq(col("n_items"), col("dcg"), col("idcg"),
+        when(col("idcg") > 0, snap9(col("dcg") / col("idcg"))).as("ndcg")): _*)
+  }
 }

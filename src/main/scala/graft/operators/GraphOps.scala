@@ -664,4 +664,39 @@ object GraphOps {
       when(col("n_pairs") > 0 && vx > 0 && vy > 0,
         floor(cov / (sqrt(vx) * sqrt(vy)) * lit(1e9) + lit(0.5)) / lit(1e9)).as("r"))
   }
+
+  /** Local clustering coefficient per node — `2·T(v) / (d(v)·(d(v)−1))`,
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected (Watts–Strogatz 1998): the per-node cohesion readout
+    * next to [[triangleCounts]]'s raw counts and
+    * [[degreeAssortativity]]'s one-number summary (tight communities
+    * ≈ 1, pure hubs-and-spokes ≈ 0).
+    *
+    * Composition, not new machinery: the degree frame and the
+    * skew-proof O(m^1.5) degree-oriented triangle count run over the
+    * SAME normalized edge frame (one `localCheckpoint`, same
+    * discipline as the operator it wraps), then one node-frame left
+    * join — zero-triangle nodes read 0, degree-1 nodes null (no
+    * neighbor pair to close). `2·T` and `d·(d−1)` are exact longs;
+    * the ratio is one snapped double.
+    *
+    * @return (node, degree, triangles, clustering)
+    */
+  def clusteringCoefficient(edges0: DataFrame): DataFrame = {
+    val e = edges0
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(e.select(col("u").as("src"), col("v").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          floor(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double") * lit(1e9) + lit(0.5)) /
+            lit(1e9)).as("clustering"))
+  }
 }

@@ -74,4 +74,52 @@ object MiningOps {
       .select(col("antecedent"), col("consequent"), col("n_pair"),
         col("n_ante"), col("n_cons"), col("confidence"), col("lift"))
   }
+
+  /** Item-item cosine similarity from basket co-occurrence — the
+    * bipartite projection behind neighborhood collaborative
+    * filtering ("customers who bought X also bought Y", Sarwar et
+    * al. 2001): over binary basket membership,
+    * `cos(a, b) = n_ab / √(n_a·n_b)` with `n_ab` the baskets holding
+    * both and `n_a`/`n_b` each item's basket count — the
+    * count-normalized upgrade of [[associationRules]]' confidence
+    * (symmetric, popularity-damped).
+    *
+    * Same scale machinery as the rules: baskets collapse through ONE
+    * `CappedCollectSet` (heavy baskets drop pairs, observable via
+    * the co-occurrence overflow report — item counts stay uncapped,
+    * the [[associationRules]] contract), pairs count map-side, and
+    * the pair frame joins the item-sized count frame twice. All
+    * counts exact longs; the cosine is one snapped double. `minCo`
+    * prunes the long noise tail BEFORE the joins.
+    *
+    * @return (id_a, id_b, n_a, n_b, n_ab, cosine) with `id_a < id_b`
+    */
+  def itemCosineSimilarity(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minCo: Long = 2L,
+      maxBasketSize: Int = 1000
+  ): DataFrame = {
+    require(minCo >= 1, s"minCo must be >= 1, got $minCo")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
+      .distinct()
+    val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val pairs = items
+      .groupBy(col("__g"))
+      .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
+      .filter(size(col("__m")) <= maxBasketSize)
+      .select(graft.functions.PairGenerators.idPairs(col("__m")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCo)
+    pairs
+      .join(counts.select(col("__i").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("__i").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_ab"),
+        snap9(col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b"))).as("cosine"))
+  }
 }
