@@ -1298,6 +1298,17 @@ object SparkEntry {
       GraphOps.clusteringCoefficient(edges)
     }),
 
+    // ---- D7m: modularity of the label-propagation communities on
+    //      the co-order graph — the acceptance score for the
+    //      community pipeline; exact-count terms, per-community
+    //      contributions. ----
+    "q_modularity" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+      val labels = GraphOps.labelPropagation(edges, iters = 3)
+      GraphOps.modularity(edges, labels)
+    }),
+
     // ---- C35: item-item cosine similarity — "bought with X" from
     //      order baskets; capped pair machinery + two item-count
     //      joins, popularity-damped exact-count cosine. ----
@@ -1590,6 +1601,36 @@ object SparkEntry {
       }
     }),
 
+    // ---- M19: STREAMING Brown forecast — N30 in stream state: the
+    //      same buffer-until-watermark replay as M15/M16 carrying
+    //      the four affine-scan doubles; the q_double_ewma recursive
+    //      oracle grades the streamed run directly. ----
+    "q_stream_forecast" -> ((s, dir) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = BioLoader.nanosToTimestamp(
+            streamTable(s, dir, "events", EventsSchema), "ts")
+          .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+        val pusher = streamTable(s, dir, "nation",
+            "n_nationkey INT, n_name STRING, n_regionkey INT")
+          .filter(col("n_nationkey") === 0)
+          .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+            lit(PusherId).as("user_id"), lit(-1L).as("event_id"),
+            lit(null).cast("double").as("value"))
+        val fc = graft.streaming.EventStreams.streamingBrownForecast(
+          ev.unionByName(pusher), lambda = 0.25, horizon = 3, watermark = "1 hour")
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+          runStreamToMemory(fc, "m19brown").filter(col("user_id") =!= PusherId)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
     // ---- P6: time-weighted average value per user — each
     //      observation weighs by its holding duration; the correct
     //      mean for irregular sampling. ----
@@ -1788,6 +1829,25 @@ object SparkEntry {
             .when(col("event_type") === "click", 1.0)
             .otherwise(0.0))
       EvalOps.ndcgAtK(ev, Seq("user_id"), Seq("neg_value", "event_id"), "rel", k = 10)
+    }),
+
+    // ---- E7: binary rank metrics — precision/recall/hit@10 + MRR
+    //      per user over the same value-ranked events, purchases as
+    //      the relevant class; exact-integer ratios. ----
+    "q_rank_metrics" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("neg_value", -col("value"))
+        .withColumn("rel", when(col("event_type") === "purchase", 1).otherwise(0))
+      EvalOps.rankMetrics(ev, Seq("user_id"), Seq("neg_value", "event_id"), "rel", k = 10)
+    }),
+
+    // ---- X22: lexical diversity per source — TTR, hapax fraction,
+    //      mean term frequency from one term-count shuffle; the
+    //      vocabulary-richness screen beside q_zipf's slope. ----
+    "q_lexdiv" -> ((s, dir) => {
+      TextOps.lexicalDiversity(BioLoader.load(s, t(dir, "documents")),
+        Seq("source"), "text")
     }),
 
     // ---- X19: Flesch readability — sentence/word/vowel-group
@@ -2732,6 +2792,54 @@ object SparkEntry {
         when(col("o_orderkey") % 37 === 0, lit("D")).otherwise(lit("U")).as("op"))
 
   private val PusherId = 9000000L
+
+  /** Shared by q_double_ewma (batch) and q_stream_forecast (the
+    * streamed run must equal it row-for-row): the Brown recursion
+    * carrying both smoother states (b1,w1,b2,w2) — s1 snaps out of
+    * the first recurrence and feeds the second in the same row,
+    * exactly as the chained window aggregates run.
+    */
+  private val brownForecastOracleSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+      |  FROM events WHERE value IS NOT NULL
+      |), rec AS (
+      |  SELECT user_id, r, event_id, b1, w1,
+      |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * 0.0)
+      |      * 1e9 + 0.5) / 1e9 AS b2,
+      |    CAST(0.75 AS DOUBLE) AS w2
+      |  FROM (
+      |    SELECT user_id, r, event_id,
+      |      floor((0.25 * value + 0.75 * 0.0) * 1e9 + 0.5) / 1e9 AS b1,
+      |      CAST(0.75 AS DOUBLE) AS w1
+      |    FROM s WHERE r = 1
+      |  )
+      |  UNION ALL
+      |  SELECT user_id, r, event_id, b1, w1,
+      |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * b2p)
+      |      * 1e9 + 0.5) / 1e9 AS b2,
+      |    w2p * 0.75 AS w2
+      |  FROM (
+      |    SELECT s.user_id, s.r, s.event_id,
+      |      floor((0.25 * s.value + 0.75 * rec.b1) * 1e9 + 0.5) / 1e9 AS b1,
+      |      rec.w1 * 0.75 AS w1, rec.b2 AS b2p, rec.w2 AS w2p
+      |    FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+      |  )
+      |), sm AS (
+      |  SELECT user_id, event_id,
+      |    floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9 AS s1,
+      |    floor(b2 / (1.0 - w2) * 1e9 + 0.5) / 1e9 AS s2
+      |  FROM rec
+      |), lt AS (
+      |  SELECT user_id, event_id, s1, s2,
+      |    floor((2.0 * s1 - s2) * 1e9 + 0.5) / 1e9 AS level,
+      |    floor((0.25 / 0.75 * (s1 - s2)) * 1e9 + 0.5) / 1e9 AS trend
+      |  FROM sm
+      |)
+      |SELECT event_id, user_id, s1, s2, level, trend,
+      |  floor((level + 3.0 * trend) * 1e9 + 0.5) / 1e9 AS forecast
+      |FROM lt""".stripMargin
 
   /** File-source stream over ONE table's parquet in the SF dir —
     * FileStreamSource wants a directory, so stream the dir with a
@@ -3962,6 +4070,54 @@ object SparkEntry {
         |)
         |SELECT node, label FROM lp3""".stripMargin,
 
+    // the q_label_prop 3-round chain, then Newman's terms from exact
+    // counts: e_in per community, degree sums, m on a 1-row cross
+    "q_modularity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), e2 AS (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+        |), lp0 AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e2
+        |), cn1 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp0 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp1 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn1
+        |  ) WHERE rn = 1
+        |), cn2 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp1 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp2 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
+        |  ) WHERE rn = 1
+        |), cn3 AS (
+        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
+        |), lp3 AS (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
+        |  ) WHERE rn = 1
+        |), mm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m FROM e0
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
+        |), ein AS (
+        |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_in
+        |  FROM e0 JOIN lp3 la ON e0.u = la.node JOIN lp3 lb ON e0.v = lb.node
+        |  WHERE la.label = lb.label GROUP BY 1
+        |), dc AS (
+        |  SELECT l.label AS community, CAST(sum(d.d) AS BIGINT) AS deg_sum
+        |  FROM lp3 l JOIN deg d ON l.node = d.node GROUP BY 1
+        |)
+        |SELECT dc.community, coalesce(ein.e_in, 0) AS e_in, dc.deg_sum,
+        |  floor((CAST(coalesce(ein.e_in, 0) AS DOUBLE) / mm.m
+        |    - (CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m))
+        |      * (CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m))) * 1e9 + 0.5) / 1e9 AS q_contrib
+        |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN mm""".stripMargin,
+
     // min-hop BFS as a bounded recursive CTE: every (node, level)
     // reach pair within the horizon, min() collapses to first reach
     "q_bfs_hops" ->
@@ -4821,6 +4977,53 @@ object SparkEntry {
         |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e9 + 0.5) / 1e9 END AS ndcg
         |FROM a""".stripMargin,
 
+    // one rank window, four exact counters, every metric an
+    // integer-count ratio on the 1e-9 grid
+    "q_rank_metrics" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, -value AS neg_value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY neg_value, event_id) AS rn
+        |  FROM e
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    CAST(sum(CASE WHEN rel <> 0 AND rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+        |    min(CASE WHEN rel <> 0 THEN rn END) AS fr
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT user_id, n_items, n_rel, hits_at_k,
+        |  floor(CAST(hits_at_k AS DOUBLE) / 10.0 * 1e9 + 0.5) / 1e9 AS precision_at_k,
+        |  CASE WHEN n_rel > 0 THEN
+        |    floor(CAST(hits_at_k AS DOUBLE) / n_rel * 1e9 + 0.5) / 1e9 END AS recall_at_k,
+        |  CASE WHEN hits_at_k > 0 THEN 1 ELSE 0 END AS hit_at_k,
+        |  CASE WHEN n_rel > 0 THEN floor(1.0 / fr * 1e9 + 0.5) / 1e9 END AS mrr
+        |FROM a""".stripMargin,
+
+    // one term-count shuffle, exact token/type/hapax longs, snapped
+    // ratios — identical tokenization to q_zipf/q_tfidf
+    "q_lexdiv" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    unnest([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS term
+        |  FROM documents
+        |), tc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+        |), a AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  floor(CAST(n_types AS DOUBLE) / n_tokens * 1e9 + 0.5) / 1e9 AS ttr,
+        |  floor(CAST(n_hapax AS DOUBLE) / n_types * 1e9 + 0.5) / 1e9 AS hapax_ratio,
+        |  floor(CAST(n_tokens AS DOUBLE) / n_types * 1e9 + 0.5) / 1e9 AS mean_term_freq
+        |FROM a""".stripMargin,
+
     // exact integer rank sums over cents; the closed form's double
     // arithmetic replayed term-for-term on the 1e-9 grid
     "q_gini" ->
@@ -5211,47 +5414,11 @@ object SparkEntry {
     // recursive replay carrying BOTH smoother states (b1,w1,b2,w2):
     // s1 snaps out of the first recurrence and feeds the second in
     // the same row, exactly as the chained window aggregates run
-    "q_double_ewma" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT event_id, user_id, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
-        |  FROM events WHERE value IS NOT NULL
-        |), rec AS (
-        |  SELECT user_id, r, event_id, b1, w1,
-        |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * 0.0)
-        |      * 1e9 + 0.5) / 1e9 AS b2,
-        |    CAST(0.75 AS DOUBLE) AS w2
-        |  FROM (
-        |    SELECT user_id, r, event_id,
-        |      floor((0.25 * value + 0.75 * 0.0) * 1e9 + 0.5) / 1e9 AS b1,
-        |      CAST(0.75 AS DOUBLE) AS w1
-        |    FROM s WHERE r = 1
-        |  )
-        |  UNION ALL
-        |  SELECT user_id, r, event_id, b1, w1,
-        |    floor((0.25 * (floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9) + 0.75 * b2p)
-        |      * 1e9 + 0.5) / 1e9 AS b2,
-        |    w2p * 0.75 AS w2
-        |  FROM (
-        |    SELECT s.user_id, s.r, s.event_id,
-        |      floor((0.25 * s.value + 0.75 * rec.b1) * 1e9 + 0.5) / 1e9 AS b1,
-        |      rec.w1 * 0.75 AS w1, rec.b2 AS b2p, rec.w2 AS w2p
-        |    FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
-        |  )
-        |), sm AS (
-        |  SELECT user_id, event_id,
-        |    floor(b1 / (1.0 - w1) * 1e9 + 0.5) / 1e9 AS s1,
-        |    floor(b2 / (1.0 - w2) * 1e9 + 0.5) / 1e9 AS s2
-        |  FROM rec
-        |), lt AS (
-        |  SELECT user_id, event_id, s1, s2,
-        |    floor((2.0 * s1 - s2) * 1e9 + 0.5) / 1e9 AS level,
-        |    floor((0.25 / 0.75 * (s1 - s2)) * 1e9 + 0.5) / 1e9 AS trend
-        |  FROM sm
-        |)
-        |SELECT event_id, user_id, s1, s2, level, trend,
-        |  floor((level + 3.0 * trend) * 1e9 + 0.5) / 1e9 AS forecast
-        |FROM lt""".stripMargin,
+    "q_double_ewma" -> brownForecastOracleSql,
+
+    // the streamed forecast must equal the batch forecast
+    // row-for-row — the identical recursive replay grades it
+    "q_stream_forecast" -> brownForecastOracleSql,
 
     // the streamed chart must equal the batch chart row-for-row —
     // the identical recursive replay grades it

@@ -299,4 +299,51 @@ object EvalOps {
       .select(gs ++ Seq(col("n_items"), col("dcg"), col("idcg"),
         when(col("idcg") > 0, snap9(col("dcg") / col("idcg"))).as("ndcg")): _*)
   }
+
+  /** Binary rank metrics per group — precision@k, recall@k, hit@k
+    * and MRR in ONE pass (the binary companions to [[ndcgAtK]]'s
+    * graded score, the standard retrieval/recommender report row).
+    *
+    * One `row_number` window over the ranking order, then one
+    * map-side-combinable `groupBy`: hits@k and the total relevant
+    * count are exact integer sums, the first-relevant rank is a
+    * conditional `min` — every metric an exact-integer ratio on the
+    * 1e-9 grid. Recall/MRR null when the group has no relevant item;
+    * precision divides by the FIXED k (the standard form — groups
+    * with fewer than k candidates are penalized, as a cut-off
+    * report should).
+    *
+    * @param relCol nonzero/true = relevant
+    * @return (groupCols*, n_items, n_rel, hits_at_k, precision_at_k,
+    *         recall_at_k, hit_at_k, mrr)
+    */
+  def rankMetrics(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      relCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val gs = groupCols.map(col)
+    val rel = col(relCol).cast("double") =!= 0.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(orderCols.map(col): _*)
+    val agg = df.filter(col(relCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(gs: _*)
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(rel, 1L).otherwise(0L)).as("n_rel"),
+        sum(when(rel && col("__rn") <= k, 1L).otherwise(0L)).as("hits_at_k"),
+        min(when(rel, col("__rn"))).as("__first"))
+    agg.select(gs ++ Seq(col("n_items"), col("n_rel"), col("hits_at_k"),
+      snap9(col("hits_at_k").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+      when(col("n_rel") > 0,
+        snap9(col("hits_at_k").cast("double") / col("n_rel"))).as("recall_at_k"),
+      when(col("hits_at_k") > 0, 1).otherwise(0).as("hit_at_k"),
+      when(col("n_rel") > 0,
+        snap9(lit(1.0) / col("__first"))).as("mrr")): _*)
+  }
 }

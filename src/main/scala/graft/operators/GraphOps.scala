@@ -682,6 +682,61 @@ object GraphOps {
     *
     * @return (node, degree, triangles, clustering)
     */
+  /** Newman modularity contributions per community
+    * (Newman & Girvan 2004) — grades a labeling (from
+    * [[labelPropagation]], [[connectedComponents]], or any external
+    * assignment) on the graph it partitions:
+    * `Q = Σ_c [ e_c/m − (D_c/2m)² ]` with `e_c` the edges inside
+    * community c, `D_c` its degree sum, `m` the edge count. Random
+    * hash partitions score ≈ 0, real community structure > 0 — the
+    * acceptance test for any community pipeline.
+    *
+    * Scale shape: edges normalize once (u < v, distinct,
+    * checkpointed); `m` rides a 1-row broadcast; two label joins
+    * onto the edge frame + one degree join onto the node frame —
+    * every count an exact long, the contribution one snapped double
+    * per community. Emits per-community rows (sum `q_contrib` for
+    * the global Q) so outlier communities are directly visible.
+    *
+    * @param labels (nodeCol, labelCol) — one row per node; unlabeled
+    *               nodes drop from both terms
+    * @return (community, e_in, deg_sum, q_contrib)
+    */
+  def modularity(
+      edges0: DataFrame,
+      labels: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val e = edges0
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val eIn = e
+      .join(lab.select(col("__n").as("u"), col("__l").as("__lu")), Seq("u"))
+      .join(lab.select(col("__n").as("v"), col("__l").as("__lv")), Seq("v"))
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val degC = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l").as("community"))
+      .agg(sum(col("__d")).as("deg_sum"))
+    val d2 = col("deg_sum").cast("double") / (lit(2.0) * col("__m"))
+    degC
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("__d2", d2)
+      .select(col("community"), col("e_in"), col("deg_sum"),
+        (floor((col("e_in").cast("double") / col("__m") - col("__d2") * col("__d2")) *
+          lit(1e9) + lit(0.5)) / lit(1e9)).as("q_contrib"))
+  }
+
   def clusteringCoefficient(edges0: DataFrame): DataFrame = {
     val e = edges0
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))

@@ -408,4 +408,42 @@ object TextOps {
       .withColumn(outCol, coalesce(col(outCol), lit("")))
       .drop("__id")
   }
+
+  /** Lexical diversity per group — type-token ratio, hapax fraction
+    * and mean term frequency (Herdan/Zipf vocabulary-richness
+    * screens: templated or looping text shows low TTR and a thin
+    * hapax tail long before perplexity notices; the vocabulary
+    * companion to the q_zipf slope).
+    *
+    * ONE shuffle to the (group, term) count frame (map-side
+    * combinable), then a map-side-combinable per-group agg over it —
+    * tokens/types/hapax are exact longs, the ratios snapped doubles.
+    * Same tokenizer contract as TF-IDF/collocations: lowercase,
+    * split on non-letter/digit runs.
+    *
+    * @return (groupCols*, n_tokens, n_types, n_hapax, ttr,
+    *         hapax_ratio, mean_term_freq)
+    */
+  def lexicalDiversity(
+      df: DataFrame,
+      groupCols: Seq[String],
+      textCol: String
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val terms = df
+      .select(gs :+ explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("__t"): _*)
+      .filter(col("__t") =!= "")
+      .groupBy(gs :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__c"))
+    terms.groupBy(gs: _*)
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(gs ++ Seq(col("n_tokens"), col("n_types"), col("n_hapax"),
+        s9(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        s9(col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
+        s9(col("n_tokens").cast("double") / col("n_types")).as("mean_term_freq")): _*)
+  }
 }

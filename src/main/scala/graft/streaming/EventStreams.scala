@@ -631,6 +631,124 @@ object EventStreams {
     }
   }
 
+  final case class ForecastOut(event_id: Long, user_id: Long,
+      s1: Double, s2: Double, level: Double, trend: Double, forecast: Double)
+  private final case class BrownState(b1: Double, w1: Double, b2: Double, w2: Double)
+
+  /** Per-key Brown double-smoothing state machine for
+    * [[streamingBrownForecast]] — the same buffer-until-watermark /
+    * event-time-ordered replay as [[EwmaChartProcessor]], carrying
+    * the four affine-scan state doubles (b₁,w₁,b₂,w₂). Null values
+    * emit nothing and leave state untouched (the batch operator
+    * drops them), so the streamed rows are bit-identical to
+    * [[graft.operators.DriftOps.doubleEwmaForecast]] on the sealed
+    * prefix.
+    */
+  private class BrownProcessor(lambda: Double, horizon: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChartIn, ForecastOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[ChartIn] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[BrownState] = _
+
+    private def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[ChartIn]("buf",
+        org.apache.spark.sql.Encoders.product[ChartIn],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      st = getHandle.getValueState[BrownState]("st",
+        org.apache.spark.sql.Encoders.product[BrownState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChartIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ForecastOut] = {
+      rows.foreach(buf.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ForecastOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      val (ready, rest) = all.partition(_.ts.getTime <= wm)
+      val out =
+        if (ready.isEmpty) Iterator.empty
+        else {
+          var s = if (st.exists()) st.get() else BrownState(0.0, 1.0, 0.0, 1.0)
+          val res = ready.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
+            r.value match {
+              case Some(x) =>
+                val b1 = snap9(lambda * x + (1.0 - lambda) * s.b1)
+                val w1 = s.w1 * (1.0 - lambda)
+                val s1 = snap9(b1 / (1.0 - w1))
+                val b2 = snap9(lambda * s1 + (1.0 - lambda) * s.b2)
+                val w2 = s.w2 * (1.0 - lambda)
+                val s2 = snap9(b2 / (1.0 - w2))
+                s = BrownState(b1, w1, b2, w2)
+                val level = snap9(2.0 * s1 - s2)
+                val trend = snap9(lambda / (1.0 - lambda) * (s1 - s2))
+                val forecast = snap9(level + horizon.toDouble * trend)
+                Some(ForecastOut(r.event_id, r.user_id, s1, s2, level, trend, forecast))
+              case None => None
+            }
+          }
+          st.update(s)
+          res.iterator
+        }
+      buf.clear()
+      if (rest.nonEmpty) {
+        rest.foreach(buf.appendValue)
+        getHandle.registerTimer(wm + 1)
+      }
+      out
+    }
+  }
+
+  /** STREAMING Brown double-exponential-smoothing forecast per user
+    * — N30 in stream state (the trend-aware forecaster next to
+    * [[streamingEwmaChart]]'s flat band and [[streamingCusum]]'s
+    * shift detector). Same conf contract as
+    * [[streamingMinhashDedup]] (RocksDB state store); rows emit once
+    * the watermark seals them, replayed in (ts, event_id) order
+    * through the identical chained snapped recurrences, so the
+    * streamed forecast equals
+    * [[graft.operators.DriftOps.doubleEwmaForecast]] row-for-row —
+    * one call site serves batch and stream, and the batch form IS
+    * the oracle. Durable per-key state beyond the in-watermark
+    * buffer is exactly four doubles.
+    */
+  def streamingBrownForecast(
+      events: DataFrame,
+      lambda: Double = 0.25,
+      horizon: Int = 3,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      graft.operators.DriftOps.doubleEwmaForecast(events, Seq("user_id"),
+          Seq("ts", "event_id"), "value", lambda, horizon)
+        .select(col("event_id"), col("user_id"), col("s1"), col("s2"),
+          col("level"), col("trend"), col("forecast"))
+    } else {
+      events.withWatermark("ts", watermark)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[ChartIn]
+        .groupByKey(_.user_id)
+        .transformWithState[ForecastOut](
+          new BrownProcessor(lambda, horizon),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+    }
+  }
+
   /** Streaming top-k: the k highest-`value` event ids per
     * (window, event_type), continuously maintained. The bounded
     * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly

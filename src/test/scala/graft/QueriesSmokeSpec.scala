@@ -40,7 +40,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 1-row broadcast scalars: RFM quintile thresholds, G² bigram total
     "q_rfm", "q_llr_collocations",
     // 1-row broadcast scalar: corpus-end timestamp for censoring
-    "q_survival")
+    "q_survival",
+    // 1-row broadcast scalar: the graph's edge count m
+    "q_modularity")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
