@@ -2765,6 +2765,49 @@ object SparkEntry {
           .otherwise(col("nm")).as("nm_r"))
       FuzzyJoinOps.fuzzyJoin(left, right, "nm_l", "nm_r", maxDist = 1, blockPrefix = 5)
         .select("id_l", "id_r", "edit_dist")
+    }),
+
+    // ---- E8: fairness report — the q_calibration pseudo-score
+    //      thresholded at 0.5, "long doc" as truth, language as the
+    //      protected attribute; selection-rate disparate-impact
+    //      ratios + equal-opportunity gaps from one six-counter
+    //      groupBy and a window over the tiny agg frame. ----
+    "q_fairness" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
+      EvalOps.fairnessReport(d, "lang", "long_doc", "score", 0.5)
+    }),
+
+    // ---- D15: n-gram novelty — odd docs scored against the
+    //      even-doc reference corpus; Bloom clears definite-novel
+    //      shingles in the scan, only suspects ride the exact
+    //      hash join. Oracle = true 3-gram set difference. ----
+    "q_novelty" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      DedupOps.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", n = 3, expectedRefShingles = 100000L)
+    }),
+
+    // ---- P11: rolling active users — DAU/WAU/MAU + stickiness
+    //      over the 30-day event log; distinct user-day collapse
+    //      first, fixed 28× fan-out, observed-day clamp. ----
+    "q_active_users" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.activeUsers(ev, "user_id", "ts", Seq(1, 7, 28))
+    }),
+
+    // ---- C36: multi-touch attribution — purchases credit the
+    //      view/click/signup touches of the trailing 3 days:
+    //      first/last exact integers, linear 1/n on the snap
+    //      grid; one user-keyed hash join. ----
+    "q_attribution" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      FunnelOps.attribution(ev, "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+        lookbackSeconds = 259200L)
     })
   )
 
@@ -6472,7 +6515,113 @@ object SparkEntry {
         |SELECT id_l, id_r, levenshtein(nm_l, nm_r) AS edit_dist
         |FROM l JOIN r ON substr(nm_l, 1, 5) = substr(nm_r, 1, 5)
         |  AND abs(length(nm_l) - length(nm_r)) <= 1
-        |WHERE levenshtein(nm_l, nm_r) <= 1""".stripMargin
+        |WHERE levenshtein(nm_l, nm_r) <= 1""".stripMargin,
+
+    // six conditional counters per language, snapped rates, maxima
+    // as window aggregates over the tiny frame
+    "q_fairness" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(doc_id * 2654435761 % 1000 AS DOUBLE) / 1000.0 AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lbl
+        |  FROM documents WHERE lang IS NOT NULL
+        |), a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS sel,
+        |    CAST(sum(CASE WHEN lbl = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN lbl = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN lbl = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN lbl = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM d GROUP BY lang
+        |), r AS (
+        |  SELECT *,
+        |    floor(CAST(sel AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS sel_rate,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e9 + 0.5) / 1e9 END AS tpr,
+        |    CASE WHEN fp + tn > 0 THEN
+        |      floor(CAST(fp AS DOUBLE) / (fp + tn) * 1e9 + 0.5) / 1e9 END AS fpr
+        |  FROM a
+        |), m AS (
+        |  SELECT *, max(sel_rate) OVER () AS mx_sel, max(tpr) OVER () AS mx_tpr FROM r
+        |)
+        |SELECT lang, n, sel, tp, fn, fp, tn, sel_rate, tpr, fpr,
+        |  CASE WHEN mx_sel > 0 THEN floor(sel_rate / mx_sel * 1e9 + 0.5) / 1e9 END AS di_ratio,
+        |  CASE WHEN tpr IS NOT NULL AND mx_tpr IS NOT NULL THEN
+        |    floor((mx_tpr - tpr) * 1e9 + 0.5) / 1e9 END AS eq_opp_gap
+        |FROM m""".stripMargin,
+
+    // true 3-gram set difference (same tokenizer + short-doc
+    // whole-window rule as the Spark shingle hashes)
+    "q_novelty" ->
+      """WITH dt AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM dt
+        |), ref AS (
+        |  SELECT DISTINCT unnest(s) AS gr FROM g WHERE doc_id % 2 = 0
+        |), doc AS (
+        |  SELECT doc_id, unnest(list_distinct(s)) AS gr FROM g WHERE doc_id % 2 = 1
+        |), j AS (
+        |  SELECT d.doc_id, CASE WHEN r.gr IS NULL THEN 1 ELSE 0 END AS nov
+        |  FROM doc d LEFT JOIN ref r ON d.gr = r.gr
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(sum(nov) AS BIGINT) AS novel,
+        |  floor(CAST(sum(nov) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS novelty
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // distinct user-day frame, 28-offset fan-out, observed-day
+    // clamp, filtered count-distincts
+    "q_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), obs AS (
+        |  SELECT DISTINCT d AS day FROM ud
+        |), fan AS (
+        |  SELECT d + CAST(o AS INTEGER) AS day, u, o
+        |  FROM ud CROSS JOIN (SELECT unnest(range(28)) AS o)
+        |), a AS (
+        |  SELECT day,
+        |    CAST(count(DISTINCT CASE WHEN o < 1 THEN u END) AS BIGINT) AS au_1,
+        |    CAST(count(DISTINCT CASE WHEN o < 7 THEN u END) AS BIGINT) AS au_7,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS au_28
+        |  FROM fan JOIN obs USING (day) GROUP BY day
+        |)
+        |SELECT day, au_1, au_7, au_28,
+        |  CASE WHEN au_28 > 0 THEN floor(CAST(au_1 AS DOUBLE) / au_28 * 1e9 + 0.5) / 1e9 END
+        |    AS stickiness
+        |FROM a""".stripMargin,
+
+    // user-keyed join + lookback bound, per-conversion windows,
+    // snapped 1/n terms then a snapped sum
+    "q_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id AS k, ts AS cts, event_id AS cid FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+        |), tt AS (
+        |  SELECT user_id AS k, ts AS tts, event_id AS tid, event_type AS channel FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |), j AS (
+        |  SELECT * FROM c JOIN tt USING (k)
+        |  WHERE tts <= cts AND tts >= cts - (259200 * INTERVAL 1 SECOND)
+        |), r AS (
+        |  SELECT *, count(*) OVER (PARTITION BY cid) AS n,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rl
+        |  FROM j
+        |)
+        |SELECT channel, CAST(count(DISTINCT cid) AS BIGINT) AS convs_touched,
+        |  CAST(count(*) AS BIGINT) AS touches,
+        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |  floor(sum(floor(1.0 / n * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS linear_credit
+        |FROM r GROUP BY channel""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

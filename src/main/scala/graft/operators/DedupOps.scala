@@ -759,6 +759,66 @@ object DedupOps {
       s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * graded complement of [[decontaminate]]'s boolean gate: the
+    * fraction of a doc's DISTINCT word n-grams never seen in the
+    * reference (1.0 = fully novel, 0.0 = fully memorized). The
+    * memorization/"how much of this is verbatim old corpus" score
+    * for incremental crawls and synthetic-data audits. Identity is
+    * the shingle hash from [[HE.shingleHashesText]] (same
+    * tokenizer + short-doc whole-window rule as the Jaccard
+    * family).
+    *
+    * Scale shape: the reference explodes ONCE to its distinct
+    * shingle-hash frame, which also aggregates into a broadcast
+    * Bloom filter. Each doc's distinct shingles probe the filter
+    * INSIDE the scan stage (`filter(arr, in_bloom)` — codegen, no
+    * explode): Bloom misses are DEFINITIVELY novel and cost zero
+    * shuffle, so a mostly-novel corpus (the common case) barely
+    * touches the join. Only Bloom-positive shingles explode into
+    * the exact hash equi-join against the reference frame, which
+    * clears false positives; ONE groupBy(doc) re-collapses. The
+    * reference frame is a full-width shuffle ONCE (vocabulary-
+    * sized, never broadcast); novel counts are exact integers and
+    * the fraction snaps to the 1e-9 grid.
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      expectedRefShingles: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val refShingles = ref
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    val bf = bloomOf(refShingles, expectedRefShingles, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val inB = (c: Column) => graft.functions.CurationExpressions.inBloom(c, bc)
+    val sh = docs.select(col(idCol),
+      array_distinct(coalesce(HE.shingleHashesText(col(textCol), n),
+        array().cast("array<long>"))).as("__s"))
+    val probed = sh.select(
+      col(idCol),
+      size(col("__s")).as("n_ngrams"),
+      size(filter(col("__s"), x => !inB(x))).as("__miss"),
+      filter(col("__s"), x => inB(x)).as("__suspects"))
+    probed
+      .select(col(idCol), col("n_ngrams"), col("__miss"),
+        explode_outer(col("__suspects")).as("__sh"))
+      .join(refShingles.withColumn("__hit", lit(1)), Seq("__sh"), "left")
+      .groupBy(col(idCol), col("n_ngrams"), col("__miss"))
+      .agg(sum(when(col("__sh").isNotNull && col("__hit").isNull, 1L).otherwise(0L))
+        .as("__fp_novel"))
+      .select(col(idCol), col("n_ngrams"),
+        (col("__miss") + col("__fp_novel")).as("novel"))
+      .withColumn("novelty", when(col("n_ngrams") > 0,
+        floor(col("novel").cast("double") / col("n_ngrams").cast("double") * lit(1e9)
+          + lit(0.5)) / lit(1e9)))
+  }
+
   /** SemDeDup-style semantic dedup: k-means clusters as dedup
     * buckets (Abbas et al. 2023 — cluster the embedding space, then
     * prune near-duplicate pairs WITHIN each cluster). The

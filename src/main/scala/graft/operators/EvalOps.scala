@@ -346,4 +346,62 @@ object EvalOps {
       when(col("n_rel") > 0,
         snap9(lit(1.0) / col("__first"))).as("mrr")): _*)
   }
+
+  /** Group-fairness report for a thresholded score (the 80%-rule /
+    * disparate-impact screen plus equal-opportunity gaps): per
+    * protected-attribute value, selection rate at `score >=
+    * threshold`, its ratio to the MOST-selected group
+    * (`di_ratio` — the four-fifths rule reads this against 0.8),
+    * and truth-conditioned TPR/FPR with the equal-opportunity gap
+    * `max TPR − TPR`. A curation gate (quality/classifier/LM
+    * score) that silently under-selects one language or source is
+    * exactly this report's job to surface.
+    *
+    * Scale shape: ONE map-side-combinable groupBy carrying six
+    * conditional counters collapses any input to |groups ×
+    * protected values| rows; the cross-group maxima are window
+    * aggregates over THAT tiny frame (partitioned by `groupCols`),
+    * never a second data pass. All rates are integer-count ratios
+    * snapped to the 1e-9 grid; ratios-of-rates divide the SNAPPED
+    * rates so the frame replays cross-engine. Degenerate
+    * denominators (empty class, zero max rate) yield NULL.
+    */
+  def fairnessReport(
+      df: DataFrame,
+      protectedCol: String,
+      labelCol: String,
+      scoreCol: String,
+      threshold: Double,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val lbl = col(labelCol).cast("boolean")
+    val pred = col(scoreCol) >= lit(threshold)
+    val agg = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull && col(protectedCol).isNotNull)
+      .groupBy(gs :+ col(protectedCol): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(pred, 1L).otherwise(0L)).as("sel"),
+        sum(when(lbl && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(lbl && !pred, 1L).otherwise(0L)).as("fn"),
+        sum(when(!lbl && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(!lbl && !pred, 1L).otherwise(0L)).as("tn"))
+      .withColumn("sel_rate", snap9(col("sel").cast("double") / col("n")))
+      .withColumn("tpr", when(col("tp") + col("fn") > 0,
+        snap9(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))))
+      .withColumn("fpr", when(col("fp") + col("tn") > 0,
+        snap9(col("fp").cast("double") / (col("fp") + col("tn")).cast("double"))))
+    // cross-group maxima over the |groups·values|-sized agg frame —
+    // a window on the tiny frame, not a second pass over the data
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    agg
+      .withColumn("__max_sel", max(col("sel_rate")).over(w))
+      .withColumn("__max_tpr", max(col("tpr")).over(w))
+      .withColumn("di_ratio", when(col("__max_sel") > 0,
+        snap9(col("sel_rate") / col("__max_sel"))))
+      .withColumn("eq_opp_gap", when(col("tpr").isNotNull && col("__max_tpr").isNotNull,
+        snap9(col("__max_tpr") - col("tpr"))))
+      .drop("__max_sel", "__max_tpr")
+  }
 }

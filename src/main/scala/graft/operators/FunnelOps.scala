@@ -265,4 +265,67 @@ object FunnelOps {
       .select(gs ++ Seq(col("col.t").as("t"), col("col.at_risk").as("at_risk"),
         col("col.d").as("d"), col("col.c").as("c"), col("survival")): _*)
   }
+
+  /** Multi-touch conversion attribution per channel — first-touch,
+    * last-touch and linear credit in one frame (the marketing-
+    * analytics complement of [[funnel]]: the funnel prescribes a
+    * step order, attribution asks which CHANNEL preceded the
+    * conversions that actually happened). Each conversion event
+    * credits the touch events of the same key inside
+    * `[conv_ts − lookbackSeconds, conv_ts]`: 1 to the earliest
+    * (first-touch), 1 to the latest (last-touch), and 1/n to each
+    * of its n touches (linear). Conversions with NO in-window touch
+    * drop (an organic conversion attributes to nothing); the
+    * conversion event itself is not a touch.
+    *
+    * Scale shape: both sides filter to their event types BEFORE the
+    * ONE hash equi-join on the key (the range bound rides as the
+    * join's residual predicate — never a BNLJ pair scan, since the
+    * key equality is the hash side); per-conversion ordering is a
+    * window over conversion-sized partitions bounded by
+    * touches-in-lookback; the final groupBy(channel) collapses to
+    * |channels| rows with map-side partials. first/last/touch
+    * counts stay exact integers; linear credit sums 1e-9-snapped
+    * per-touch terms and snaps the sum (the PSI term discipline).
+    * Ties on touch timestamp break by the touch event id, so
+    * first/last are deterministic.
+    */
+  def attribution(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      lookbackSeconds: Long
+  ): DataFrame = {
+    require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType), "conversion type cannot also be a touch type")
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val base = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val convs = base.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__cts"), col(eventIdCol).as("__cid"))
+    val touches = base.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tts"),
+        col(eventIdCol).as("__tid"), col(typeCol).as("channel"))
+    val joined = convs.join(touches, Seq("__k"))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+    val w = Window.partitionBy(col("__cid"))
+    val wAsc = w.orderBy(col("__tts").asc, col("__tid").asc)
+    val wDesc = w.orderBy(col("__tts").desc, col("__tid").desc)
+    joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__first", row_number().over(wAsc))
+      .withColumn("__last", row_number().over(wDesc))
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("__cid")).as("convs_touched"),
+        count(lit(1)).as("touches"),
+        sum(when(col("__first") === 1, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("__last") === 1, 1L).otherwise(0L)).as("last_touch"),
+        s9(sum(s9(lit(1.0) / col("__n").cast("double")))).as("linear_credit"))
+  }
 }

@@ -297,4 +297,52 @@ object SequenceOps {
         snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
       .select(col("lag"), col("n_buckets"), col("corr"))
   }
+
+  /** Rolling active-entity counts per calendar day — DAU/WAU/MAU
+    * and the stickiness ratio, the health dashboard every event
+    * log feeds. For each observed day and each trailing window `w`
+    * in `windows` (days, e.g. 1/7/28): the count of DISTINCT
+    * entities active in `[day − w + 1, day]`, plus
+    * `stickiness = au_min / au_max` (DAU/MAU for the default
+    * windows — the classic engagement ratio).
+    *
+    * Scale shape: the raw log collapses FIRST to the distinct
+    * (entity, day) frame (ONE shuffle — multiple events per day
+    * never fan out), then each entity-day row expands to the
+    * max(windows) report days it supports (fixed fan-out = maxW,
+    * e.g. 28×, independent of log size) and ONE groupBy(day)
+    * counts distinct entities per window via filtered
+    * count-distincts (Spark plans the multi-distinct with one
+    * expand). Report days are clamped to OBSERVED activity days by
+    * a broadcast semi-join against the tiny distinct-day frame, so
+    * trailing partial windows past the data's end never appear.
+    * The output frame is |days| rows.
+    */
+  def activeUsers(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windows: Seq[Int] = Seq(1, 7, 28)
+  ): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1), s"windows must be >= 1, got $windows")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ws = windows.distinct.sorted
+    val maxW = ws.last
+    val ud = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .distinct()
+    val obsDays = ud.select(col("__d").as("day")).distinct()
+    val fan = ud
+      .select(col("__u"), col("__d"), explode(sequence(lit(0), lit(maxW - 1))).as("__o"))
+      .select(date_add(col("__d"), col("__o")).as("day"), col("__u"), col("__o"))
+      .join(broadcast(obsDays), Seq("day"), "left_semi")
+    val agg = fan.groupBy(col("day")).agg(
+      countDistinct(when(col("__o") < ws.head, col("__u"))).as(s"au_${ws.head}"),
+      ws.tail.map(w => countDistinct(when(col("__o") < w, col("__u"))).as(s"au_$w")): _*)
+    if (ws.size < 2) agg
+    else agg.withColumn("stickiness",
+      when(col(s"au_${ws.last}") > 0,
+        snap9(col(s"au_${ws.head}").cast("double") / col(s"au_${ws.last}").cast("double"))))
+  }
 }
