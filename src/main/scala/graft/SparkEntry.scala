@@ -2808,6 +2808,60 @@ object SparkEntry {
       FunnelOps.attribution(ev, "user_id", "ts", "event_id", "event_type",
         convType = "purchase", touchTypes = Seq("view", "click", "signup"),
         lookbackSeconds = 259200L)
+    }),
+
+    // ---- N31: Holt–Winters additive forecast per user — the
+    //      seasonal member of the sequential-scan family (EWMA band,
+    //      CUSUM, Brown); seasonLen=4 with exact-binary smoothing
+    //      weights, every update snapped, recursive-CTE oracle. ----
+    "q_holt_winters" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .filter(col("value").isNotNull)
+      DriftOps.holtWinters(ev, Seq("user_id"), Seq("ts", "event_id"), "value",
+          seasonLen = 4, alpha = 0.5, beta = 0.25, gamma = 0.125)
+        .select(col("event_id"), col("user_id"), col("level"), col("trend"),
+          col("seasonal"), col("forecast"))
+    }),
+
+    // ---- M20: STREAMING Holt–Winters (N31 in stream state — the
+    //      buffered event-time-ordered replay): bit-identical to
+    //      the batch scan, so the same recursion grades the
+    //      streamed run. ----
+    "q_stream_hw" -> ((s, dir) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = BioLoader.nanosToTimestamp(
+            streamTable(s, dir, "events", EventsSchema), "ts")
+          .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+        val pusher = streamTable(s, dir, "nation",
+            "n_nationkey INT, n_name STRING, n_regionkey INT")
+          .filter(col("n_nationkey") === 0)
+          .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+            lit(PusherId).as("user_id"), lit(-1L).as("event_id"),
+            lit(null).cast("double").as("value"))
+        val hw = graft.streaming.EventStreams.streamingHoltWinters(
+          ev.unionByName(pusher), seasonLen = 4,
+          alpha = 0.5, beta = 0.25, gamma = 0.125, watermark = "1 hour")
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+          runStreamToMemory(hw, "m20hw").filter(col("user_id") =!= PusherId)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
+    // ---- N32: autocorrelation per user at lags 1..5 — the
+    //      seasonality screen that picks holtWinters' seasonLen;
+    //      bounded lag fan-out + position self-join + snapped-means
+    //      Pearson. ----
+    "q_autocorr" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.autocorrelation(ev, Seq("user_id"), Seq("ts", "event_id"),
+        "value", maxLag = 5)
     })
   )
 
@@ -3058,6 +3112,53 @@ object SparkEntry {
   // shared by q_cusum (batch scan) and q_stream_cusum (the streamed
   // replay is bit-identical on the sealed prefix): the snapped
   // tabular-CUSUM recurrence as a recursive fixed point
+  /** Holt–Winters recursive replay (seasonLen=4, α=.5, β=.25,
+    * γ=.125 — all exact binary fractions): state (ℓ, b, s0..s3, i)
+    * carried through the recursion, the three chained updates
+    * computed in nested subqueries so each snapped intermediate is
+    * written ONCE (the generated-expression discipline — Spark and
+    * DuckDB evaluate the identical formula).
+    */
+  private val holtWintersOracleSql: String = {
+    def sn(e: String) = s"floor(($e) * 1e9 + 0.5) / 1e9"
+    val sh = "CASE (rec.i % 4) WHEN 0 THEN rec.s0 WHEN 1 THEN rec.s1 WHEN 2 THEN rec.s2 ELSE rec.s3 END"
+    val ln = sn("0.5 * (q.value - q.sh) + 0.5 * (q.lp + q.bp)")
+    val fc = sn("q.lp + q.bp + q.sh")
+    val bn = sn("0.25 * (m.ln - m.lp) + 0.75 * m.bp")
+    val snw = sn("0.125 * (m.value - m.ln) + 0.875 * m.sh")
+    s"""WITH RECURSIVE s AS (
+       |  SELECT event_id, user_id, value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+       |  FROM events WHERE value IS NOT NULL
+       |), rec AS (
+       |  SELECT user_id, r, event_id,
+       |    CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+       |    CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+       |    CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+       |    CAST(1 AS BIGINT) AS i,
+       |    CAST(0.0 AS DOUBLE) AS seasonal_out, CAST(NULL AS DOUBLE) AS forecast_out
+       |  FROM s WHERE r = 1
+       |  UNION ALL
+       |  SELECT user_id, r, event_id, ln AS l, $bn AS b,
+       |    CASE WHEN ip % 4 = 0 THEN $snw ELSE p0 END AS s0,
+       |    CASE WHEN ip % 4 = 1 THEN $snw ELSE p1 END AS s1,
+       |    CASE WHEN ip % 4 = 2 THEN $snw ELSE p2 END AS s2,
+       |    CASE WHEN ip % 4 = 3 THEN $snw ELSE p3 END AS s3,
+       |    ip + 1 AS i, $snw AS seasonal_out, fc AS forecast_out
+       |  FROM (
+       |    SELECT q.*, $ln AS ln, $fc AS fc FROM (
+       |      SELECT s.user_id, s.r, s.event_id, s.value,
+       |        rec.l AS lp, rec.b AS bp, rec.s0 AS p0, rec.s1 AS p1,
+       |        rec.s2 AS p2, rec.s3 AS p3, rec.i AS ip, $sh AS sh
+       |      FROM rec JOIN s ON s.user_id = rec.user_id AND s.r = rec.r + 1
+       |    ) q
+       |  ) m
+       |)
+       |SELECT event_id, user_id, l AS level, b AS trend,
+       |  seasonal_out AS seasonal, forecast_out AS forecast
+       |FROM rec""".stripMargin
+  }
+
   private val cusumOracleSql: String =
     """WITH RECURSIVE s AS (
       |  SELECT event_id, user_id, value,
@@ -6621,7 +6722,45 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
         |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
         |  floor(sum(floor(1.0 / n * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS linear_credit
-        |FROM r GROUP BY channel""".stripMargin
+        |FROM r GROUP BY channel""".stripMargin,
+
+    // recursive replay of the snapped triple-smoothing fixed point
+    "q_holt_winters" -> holtWintersOracleSql,
+
+    // the streamed run replays the identical recursion (the
+    // processor is bit-identical to the batch scan)
+    "q_stream_hw" -> holtWintersOracleSql,
+
+    // position self-join at bounded lags + snapped-means Pearson
+    "q_autocorr" ->
+      """WITH p AS (
+        |  SELECT user_id, value AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, x AS x0, rn + o AS tr, o AS lag
+        |  FROM p CROSS JOIN (SELECT unnest(range(1, 6)) AS o)
+        |), j AS (
+        |  SELECT l.user_id, l.lag, l.x0, p.x AS x1
+        |  FROM l JOIN p ON p.user_id = l.user_id AND p.rn = l.tr
+        |), a AS (
+        |  SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    floor(avg(x0) * 1e9 + 0.5) / 1e9 AS mx, floor(avg(x1) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg(x0 * x0) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(x1 * x1) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg(x0 * x1) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM j GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, lag, n_pairs,
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
+        |  FROM a
+        |)
+        |SELECT user_id, lag, n_pairs,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    floor(cov / sqrt(vx * vy) * 1e9 + 0.5) / 1e9 END AS acf
+        |FROM c""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

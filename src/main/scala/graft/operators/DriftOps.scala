@@ -447,4 +447,100 @@ object DriftOps {
         s6(col("__s").cast("double") / (col("__rn") * 100)).as("mean_left"),
         s6((col("__st") - col("__s")).cast("double") / ((col("n") - col("__rn")) * 100)).as("mean_right")): _*)
   }
+
+  /** Holt–Winters additive triple exponential smoothing per key
+    * (Winters 1960 — the seasonal upgrade of [[doubleEwmaForecast]]:
+    * Brown recovers a trend, this also learns a repeating
+    * length-`seasonLen` profile, so "every 7th observation runs
+    * hot" stops registering as trend or anomaly). State per key is
+    * level ℓ, trend b and the m seasonal offsets; per non-null
+    * observation i (0-based over the key's non-null rows):
+    *
+    *   ŝ = s[i mod m]; forecast = ℓ + b + ŝ   (one-step-ahead,
+    *     from PRIOR state — each value judged by its past)
+    *   ℓ' = α(x − ŝ) + (1−α)(ℓ + b)
+    *   b' = β(ℓ' − ℓ) + (1−β)b
+    *   s[i mod m] = γ(x − ℓ') + (1−γ)ŝ
+    *
+    * Deterministic cold start (the replayable convention): the
+    * first non-null row sets ℓ = x, b = 0, seasonals all 0, emits a
+    * NULL forecast and consumes seasonal slot 0. Every update
+    * snaps to the 1e-9 grid, so the sequential fixed point is
+    * engine-independent and the whole scan replays via an unrolled
+    * recursive CTE carrying (ℓ, b, s₀…s_{m−1}). NULL values emit
+    * NULL outputs and leave state untouched.
+    *
+    * Scale shape — the [[cusum]] discipline: the recurrence is
+    * non-affine in the seasonal index, so no lawful merge exists;
+    * ONE repartition(keys) + in-partition sort + an O(m)-state
+    * imperative scan. Per-key state is m+2 doubles regardless of
+    * series length.
+    *
+    * @return input columns + (level, trend, seasonal, forecast)
+    */
+  def holtWinters(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      seasonLen: Int,
+      alpha: Double,
+      beta: Double,
+      gamma: Double
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(seasonLen >= 2, s"seasonLen must be >= 2, got $seasonLen")
+    for ((nm, v) <- Seq("alpha" -> alpha, "beta" -> beta, "gamma" -> gamma))
+      require(v > 0 && v < 1, s"$nm must be in (0,1), got $v")
+    val sorted = df
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols ++ orderCols).map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val kIdx = keyCols.map(sorted.schema.fieldIndex)
+    val outSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("level", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("trend", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("seasonal", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("forecast", org.apache.spark.sql.types.DoubleType)))
+    def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var init = false
+      var l = 0.0
+      var b = 0.0
+      var i = 0L
+      var s: Array[Double] = null
+      rows.map { row =>
+        val key = kIdx.map(row.get)
+        if (key != curKey) {
+          curKey = key; init = false; l = 0.0; b = 0.0; i = 0L
+          s = Array.fill(seasonLen)(0.0)
+        }
+        val extra: Seq[Any] =
+          if (row.isNullAt(vIdx)) Seq(null, null, null, null)
+          else {
+            val x = row.get(vIdx) match {
+              case d: Double => d
+              case f: Float => f.toDouble
+              case n: Number => n.doubleValue()
+            }
+            val idx = (i % seasonLen).toInt
+            i += 1
+            if (!init) {
+              init = true; l = x; b = 0.0
+              Seq(l, 0.0, 0.0, null)
+            } else {
+              val sHat = s(idx)
+              val forecast = snap9(l + b + sHat)
+              val lNew = snap9(alpha * (x - sHat) + (1.0 - alpha) * (l + b))
+              b = snap9(beta * (lNew - l) + (1.0 - beta) * b)
+              s(idx) = snap9(gamma * (x - lNew) + (1.0 - gamma) * sHat)
+              l = lNew
+              Seq(l, b, s(idx), forecast)
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

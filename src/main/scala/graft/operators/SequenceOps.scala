@@ -345,4 +345,61 @@ object SequenceOps {
       when(col(s"au_${ws.last}") > 0,
         snap9(col(s"au_${ws.head}").cast("double") / col(s"au_${ws.last}").cast("double"))))
   }
+
+  /** Autocorrelation function per key at lags 1..maxLag — "does
+    * this series echo itself k steps later" (the SELF twin of
+    * [[laggedCorrelation]], which correlates two different event
+    * series): Pearson between x_t and x_{t+lag} over each key's
+    * non-null observations in `orderCols` order. The
+    * seasonality-detection screen that tells you what `seasonLen`
+    * to hand [[graft.operators.DriftOps.holtWinters]], and the
+    * mixing diagnostic for any sequential metric.
+    *
+    * Scale shape: ONE keyed row_number window positions the series
+    * (nulls dropped first — ACF over observed positions), the lag
+    * pairing is a bounded maxLag-fan-out self equi-join on (key,
+    * position + lag) — a hash join carrying n·maxLag small rows,
+    * never a window over an unbounded frame — and ONE map-side-
+    * combinable groupBy(key, lag) collapses to the snapped-means
+    * Pearson (the [[laggedCorrelation]] formulation). Output is
+    * |keys|·maxLag rows; degenerate variances yield NULL.
+    */
+  def autocorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      maxLag: Int
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ks = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(orderCols.map(col): _*)
+    val pos = df.filter(col(valueCol).isNotNull)
+      .select(ks ++ orderCols.map(col) :+ col(valueCol).cast("double").as("__x"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .select(ks ++ Seq(col("__x"), col("__rn")): _*)
+    val left = pos
+      .select(ks ++ Seq(col("__x").as("__x0"), col("__rn"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag")): _*)
+      .withColumn("__tr", col("__rn") + col("lag"))
+      .drop("__rn")
+    val right = pos.select(ks ++ Seq(col("__x").as("__x1"), col("__rn").as("__tr")): _*)
+    left.join(right, keyCols :+ "__tr")
+      .groupBy(ks :+ col("lag"): _*)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        snap9(avg(col("__x0"))).as("__mx"), snap9(avg(col("__x1"))).as("__my"),
+        snap9(avg(col("__x0") * col("__x0"))).as("__mxx"),
+        snap9(avg(col("__x1") * col("__x1"))).as("__myy"),
+        snap9(avg(col("__x0") * col("__x1"))).as("__mxy"))
+      .withColumn("__cov", snap9(col("__mxy") - col("__mx") * col("__my")))
+      .withColumn("__vx", snap9(col("__mxx") - col("__mx") * col("__mx")))
+      .withColumn("__vy", snap9(col("__myy") - col("__my") * col("__my")))
+      .withColumn("acf", when(col("__vx") > 0 && col("__vy") > 0,
+        snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
+      .select(ks ++ Seq(col("lag"), col("n_pairs"), col("acf")): _*)
+  }
 }

@@ -749,6 +749,127 @@ object EventStreams {
     }
   }
 
+  final case class HwOut(event_id: Long, user_id: Long, level: Double,
+      trend: Double, seasonal: Double, forecast: Option[Double])
+  private final case class HwState(init: Boolean, l: Double, b: Double,
+      i: Long, s: Seq[Double])
+
+  /** Per-key Holt–Winters state machine for [[streamingHoltWinters]]
+    * — the [[BrownProcessor]] buffer-until-watermark / event-time-
+    * ordered replay, carrying (ℓ, b, obs count, m seasonal
+    * offsets). Null values emit nothing and leave state untouched,
+    * so the streamed rows are bit-identical to
+    * [[graft.operators.DriftOps.holtWinters]] on the sealed prefix.
+    */
+  private class HwProcessor(seasonLen: Int, alpha: Double, beta: Double, gamma: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChartIn, HwOut] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[ChartIn] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[HwState] = _
+
+    private def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[ChartIn]("buf",
+        org.apache.spark.sql.Encoders.product[ChartIn],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      st = getHandle.getValueState[HwState]("st",
+        org.apache.spark.sql.Encoders.product[HwState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[ChartIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HwOut] = {
+      rows.foreach(buf.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[HwOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      val (ready, rest) = all.partition(_.ts.getTime <= wm)
+      val out =
+        if (ready.isEmpty) Iterator.empty
+        else {
+          var state = if (st.exists()) st.get()
+            else HwState(init = false, 0.0, 0.0, 0L, Vector.fill(seasonLen)(0.0))
+          val res = ready.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
+            r.value match {
+              case Some(x) =>
+                val idx = (state.i % seasonLen).toInt
+                if (!state.init) {
+                  state = HwState(init = true, x, 0.0, state.i + 1, state.s)
+                  Some(HwOut(r.event_id, r.user_id, x, 0.0, 0.0, None))
+                } else {
+                  val sHat = state.s(idx)
+                  val forecast = snap9(state.l + state.b + sHat)
+                  val lNew = snap9(alpha * (x - sHat) + (1.0 - alpha) * (state.l + state.b))
+                  val bNew = snap9(beta * (lNew - state.l) + (1.0 - beta) * state.b)
+                  val sNew = snap9(gamma * (x - lNew) + (1.0 - gamma) * sHat)
+                  state = HwState(init = true, lNew, bNew, state.i + 1,
+                    state.s.updated(idx, sNew))
+                  Some(HwOut(r.event_id, r.user_id, lNew, bNew, sNew, Some(forecast)))
+                }
+              case None => None
+            }
+          }
+          st.update(state)
+          res.iterator
+        }
+      buf.clear()
+      if (rest.nonEmpty) {
+        rest.foreach(buf.appendValue)
+        getHandle.registerTimer(wm + 1)
+      }
+      out
+    }
+  }
+
+  /** STREAMING Holt–Winters additive forecast per user — the
+    * seasonal member of the streaming-monitor family
+    * ([[streamingEwmaChart]] flat band, [[streamingCusum]] shift
+    * detector, [[streamingBrownForecast]] trend): N31 in stream
+    * state via the same buffer-until-watermark / event-time-ordered
+    * replay. Same conf contract as [[streamingMinhashDedup]]
+    * (RocksDB state store). Durable per-key state beyond the
+    * in-watermark buffer is seasonLen+3 scalars; the streamed rows
+    * are bit-identical to the batch scan, so the batch recursion
+    * grades the streamed run directly — one call site serves both.
+    */
+  def streamingHoltWinters(
+      events: DataFrame,
+      seasonLen: Int = 4,
+      alpha: Double = 0.5,
+      beta: Double = 0.25,
+      gamma: Double = 0.125,
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      graft.operators.DriftOps.holtWinters(events, Seq("user_id"), Seq("ts", "event_id"),
+          "value", seasonLen, alpha, beta, gamma)
+        .select(col("event_id"), col("user_id"), col("level"), col("trend"),
+          col("seasonal"), col("forecast"))
+    } else {
+      events.withWatermark("ts", watermark)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[ChartIn]
+        .groupByKey(_.user_id)
+        .transformWithState[HwOut](
+          new HwProcessor(seasonLen, alpha, beta, gamma),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF()
+    }
+  }
+
   /** Streaming top-k: the k highest-`value` event ids per
     * (window, event_type), continuously maintained. The bounded
     * [[graft.functions.TopKAggregate.TopK]] aggregate is exactly
