@@ -2862,6 +2862,41 @@ object SparkEntry {
       val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
       SequenceOps.autocorrelation(ev, Seq("user_id"), Seq("ts", "event_id"),
         "value", maxLag = 5)
+    }),
+
+    // ---- E10: clipped bigram P/R/F1 — candidates vs references
+    //      with planted prefix additions (doc_id%3=0) and fully
+    //      unrelated references (doc_id%7=0); exact multiplicity
+    //      clipping, BLEU-style null for gram-less texts. ----
+    "q_ngram_prf" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("ref",
+          when(col("doc_id") % 7 === 0, lit("a wholly unrelated reference text"))
+            .when(col("doc_id") % 3 === 0, concat(lit("extra leading words "), col("text")))
+            .otherwise(col("text")))
+      EvalOps.ngramPrf(d, "doc_id", "text", "ref", n = 2)
+    }),
+
+    // ---- C38: daily OHLC bars per user — open/close by the
+    //      (ts, event_id) order struct inside ONE aggregation,
+    //      exact integer bucket ids. ----
+    "q_bars" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.ohlcBars(ev, Seq("user_id"), "ts", Seq("ts", "event_id"),
+          "value", bucketSeconds = 86400L)
+        .select(col("user_id"), col("bucket_start"), col("n"),
+          hround(col("open"), 6).as("open"), hround(col("high"), 6).as("high"),
+          hround(col("low"), 6).as("low"), hround(col("close"), 6).as("close"),
+          hround(col("sum"), 6).as("total"), hround(col("mean"), 6).as("mean"))
+    }),
+
+    // ---- G8: stride-scheduled interleave — src0/src1 run hot
+    //      (weights 2/1 vs 0.5 default); vt is a per-row formula,
+    //      no global sort in the plan. ----
+    "q_interleave" -> ((s, dir) => {
+      MixOps.interleaveBySource(BioLoader.load(s, t(dir, "documents")),
+          "source", Seq("doc_id"), Map("src0" -> 2.0, "src1" -> 1.0), defaultWeight = 0.5)
+        .select("doc_id", "source", "src_rank", "vt")
     })
   )
 
@@ -6760,7 +6795,94 @@ object SparkEntry {
         |SELECT user_id, lag, n_pairs,
         |  CASE WHEN vx > 0 AND vy > 0 THEN
         |    floor(cov / sqrt(vx * vy) * 1e9 + 0.5) / 1e9 END AS acf
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // bigram multisets with multiplicity, min-clipped overlap,
+    // BLEU-style null for gram-less texts
+    "q_ngram_prf" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'a wholly unrelated reference text'
+        |         WHEN doc_id % 3 = 0 THEN 'extra leading words ' || text
+        |         ELSE text END AS ref
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS tc,
+        |    [x FOR x IN string_split_regex(lower(ref), '[^\p{L}\p{N}]+') IF x <> ''] AS tr
+        |  FROM d
+        |), gr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tc) >= 2 THEN [tc[i] || ' ' || tc[i+1] FOR i IN range(1, len(tc))]
+        |         ELSE [] END AS gc,
+        |    CASE WHEN len(tr) >= 2 THEN [tr[i] || ' ' || tr[i+1] FOR i IN range(1, len(tr))]
+        |         ELSE [] END AS gre
+        |  FROM tok
+        |), cc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(gc) AS g FROM gr)
+        |  GROUP BY 1, 2
+        |), rc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(gre) AS g FROM gr)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(cc.doc_id, rc.doc_id) AS doc_id,
+        |    coalesce(cc.c, 0) AS ccnt, coalesce(rc.c, 0) AS rcnt
+        |  FROM cc FULL OUTER JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+        |), a AS (
+        |  SELECT doc_id, CAST(sum(ccnt) AS BIGINT) AS cand_grams,
+        |    CAST(sum(rcnt) AS BIGINT) AS ref_grams,
+        |    CAST(sum(least(ccnt, rcnt)) AS BIGINT) AS overlap
+        |  FROM j GROUP BY 1
+        |), full_ids AS (
+        |  SELECT doc_id, coalesce(cand_grams, 0) AS cand_grams,
+        |    coalesce(ref_grams, 0) AS ref_grams, coalesce(overlap, 0) AS overlap
+        |  FROM (SELECT DISTINCT doc_id FROM documents) LEFT JOIN a USING (doc_id)
+        |), m AS (
+        |  SELECT doc_id, cand_grams, ref_grams, overlap,
+        |    CASE WHEN cand_grams > 0 THEN
+        |      floor(CAST(overlap AS DOUBLE) / cand_grams * 1e9 + 0.5) / 1e9 END AS precision,
+        |    CASE WHEN ref_grams > 0 THEN
+        |      floor(CAST(overlap AS DOUBLE) / ref_grams * 1e9 + 0.5) / 1e9 END AS recall
+        |  FROM full_ids
+        |)
+        |SELECT doc_id, cand_grams, ref_grams, overlap, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |    AND precision + recall > 0 THEN
+        |    floor(2.0 * precision * recall / (precision + recall) * 1e9 + 0.5) / 1e9
+        |  END AS f1
+        |FROM m""".stripMargin,
+
+    // bucket = exact integer µs division; open/close replayed via
+    // asc/desc row_number over the same (ts, event_id) order
+    "q_bars" ->
+      """WITH e AS (
+        |  SELECT user_id, value, ts, event_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS b
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e
+        |)
+        |SELECT user_id, make_timestamp(b * 86400 * 1000000) AS bucket_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  floor(max(CASE WHEN ra = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS open,
+        |  floor(max(value) * 1e6 + 0.5) / 1e6 AS high,
+        |  floor(min(value) * 1e6 + 0.5) / 1e6 AS low,
+        |  floor(max(CASE WHEN rd = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS close,
+        |  floor((floor(sum(value) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS total,
+        |  floor((floor(sum(value) / count(*) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS mean
+        |FROM r GROUP BY user_id, b""".stripMargin,
+
+    // per-source rank over doc_id, plan-time literal weight CASE
+    "q_interleave" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank,
+        |  floor(CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+        |    / (CASE WHEN source = 'src0' THEN 2.0 WHEN source = 'src1' THEN 1.0
+        |            ELSE 0.5 END) * 1e9 + 0.5) / 1e9 AS vt
+        |FROM documents""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

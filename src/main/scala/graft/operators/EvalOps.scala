@@ -404,4 +404,74 @@ object EvalOps {
         snap9(col("__max_tpr") - col("tpr"))))
       .drop("__max_sel", "__max_tpr")
   }
+
+  /** Clipped n-gram precision/recall/F1 between a candidate and a
+    * reference text per row — the core of BLEU-n/ROUGE-n (modified
+    * n-gram precision WITH multiplicity clipping: a candidate that
+    * repeats "the the the" cannot farm credit beyond the
+    * reference's own count). The eval harness for summarization/
+    * paraphrase/synthetic-data pipelines, and a graded text-pair
+    * similarity next to [[graft.operators.DedupOps.ngramNovelty]]'s
+    * corpus-level novelty.
+    *
+    * overlap = Σ_g min(count_cand(g), count_ref(g));
+    * precision = overlap / |cand grams|, recall = overlap /
+    * |ref grams|, F1 from the SNAPPED P/R. Texts with fewer than n
+    * tokens have no n-grams → NULL metrics (BLEU's convention, not
+    * a fake 0). Tokenization is the corpus-wide `[^\p{L}\p{N}]+`
+    * lower split shared by the dedup family.
+    *
+    * Scale shape: each side explodes to its grams WITH multiplicity
+    * and collapses to (id, gram, count) in ONE map-side-combinable
+    * groupBy; the overlap is a hash equi-join on (id, gram) —
+    * per-pair cost is the pair's own gram count, never corpus-wide
+    * state — and ONE groupBy(id) re-collapses. All counts exact
+    * integers; ratios snap to the 1e-9 grid.
+    */
+  def ngramPrf(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int = 2
+  ): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = filter(split(lower(c), "[^\\p{L}\\p{N}]+"), x => x =!= "")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def sideCounts(textCol: String, cnt: String): DataFrame =
+      df.select(col(idCol), explode(coalesce(grams(col(textCol)),
+          array().cast("array<string>"))).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as(cnt))
+    val cand = sideCounts(candCol, "__cc")
+    val ref = sideCounts(refCol, "__rc")
+    val joined = cand.join(ref, Seq(idCol, "__g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(
+        sum(coalesce(col("__cc"), lit(0L))).as("cand_grams"),
+        sum(coalesce(col("__rc"), lit(0L))).as("ref_grams"),
+        sum(least(coalesce(col("__cc"), lit(0L)), coalesce(col("__rc"), lit(0L))))
+          .as("overlap"))
+    // rows where BOTH sides have < n tokens never reach the join —
+    // restore them with zero counts from the id frame
+    df.select(col(idCol)).distinct()
+      .join(joined, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cand_grams"), lit(0L)).as("cand_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("precision", when(col("cand_grams") > 0,
+        snap9(col("overlap").cast("double") / col("cand_grams"))))
+      .withColumn("recall", when(col("ref_grams") > 0,
+        snap9(col("overlap").cast("double") / col("ref_grams"))))
+      .withColumn("f1", when(col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall") > 0),
+        snap9(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")))))
+  }
 }

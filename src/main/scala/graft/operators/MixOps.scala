@@ -327,4 +327,49 @@ object MixOps {
       .orderBy(col(valueCol), col(tieBreakCol))
     df.withColumn(bucketCol, ntile(n).over(w))
   }
+
+  /** Stride-scheduled source interleaving (Waldspurger's stride
+    * scheduling applied to corpus order): every row gets a virtual
+    * time `vt = rank_within_source / weight`, and reading rows in
+    * `vt` order interleaves the sources proportionally to their
+    * weights AT EVERY PREFIX — a weight-2 source appears twice as
+    * often as a weight-1 source in any window of the schedule, not
+    * just in expectation over an epoch. The deterministic
+    * curriculum/mixing order a training pipeline shards by:
+    * unlike [[temperatureSample]] (which drops rows to hit a
+    * ratio), this keeps every row and ORDERS them.
+    *
+    * Scale shape: ONE window shuffle partitioned BY SOURCE for the
+    * within-source rank (the source axis is the parallel axis);
+    * `vt` is a per-row formula — no global sort appears in this
+    * plan. Consumers range-partition or sort by (vt, tie) at write
+    * time exactly like [[graft.operators.LayoutOps.zorderWrite]]
+    * orders by the curve key. vt snaps to the 1e-9 grid; ties
+    * across sources resolve by the caller's sort on (vt, source,
+    * order col).
+    *
+    * @param weights per-source relative rates; sources absent from
+    *                the map use `defaultWeight`
+    */
+  def interleaveBySource(
+      df: DataFrame,
+      sourceCol: String,
+      orderCols: Seq[String],
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(defaultWeight > 0, s"defaultWeight must be positive, got $defaultWeight")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(orderCols.map(col): _*)
+    // plan-time literal CASE over the (small, caller-authored)
+    // weight map — no join, the fact side never shuffles for it
+    val weight = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, v)) =>
+      when(col(sourceCol) === s, lit(v)).otherwise(acc)
+    }
+    df.withColumn("src_rank", row_number().over(w))
+      .withColumn("vt", snap9(col("src_rank").cast("double") / weight))
+  }
 }

@@ -402,4 +402,49 @@ object SequenceOps {
         snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
       .select(ks ++ Seq(col("lag"), col("n_pairs"), col("acf")): _*)
   }
+
+  /** Time-bucketed OHLC bars per key (open/high/low/close + count/
+    * sum/mean — the canonical downsampling of an irregular metric
+    * stream into fixed intervals, for dashboards and downstream
+    * models that want aligned series). `orderCols` break open/close
+    * ties deterministically (pass the event id alongside ts).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(key, bucket) —
+    * open/close ride `min_by`/`max_by` over the order struct inside
+    * the same aggregation (no window sort, no second pass), bucket
+    * ids are exact integer µs division. Output is |keys·buckets|
+    * rows; the mean snaps to the 1e-9 grid, extrema/sums are exact
+    * copies/sums of input doubles.
+    */
+  def ohlcBars(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ks = keyCols.map(col)
+    val x = col(valueCol).cast("double")
+    val ord = struct(orderCols.map(col): _*)
+    df.filter(col(tsCol).isNotNull && x.isNotNull)
+      .withColumn("__b",
+        expr(s"(unix_micros($tsCol) div 1000000) div $bucketSeconds"))
+      .groupBy(ks :+ col("__b"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(x, ord).as("open"),
+        max(x).as("high"),
+        min(x).as("low"),
+        max_by(x, ord).as("close"),
+        sum(x).as("__s"))
+      .withColumn("bucket_start",
+        (col("__b") * lit(bucketSeconds)).cast("timestamp"))
+      .withColumn("mean", snap9(col("__s") / col("n")))
+      .select(ks ++ Seq(col("bucket_start"), col("n"), col("open"), col("high"),
+        col("low"), col("close"), snap9(col("__s")).as("sum"), col("mean")): _*)
+  }
 }
