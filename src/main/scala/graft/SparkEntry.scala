@@ -2897,6 +2897,49 @@ object SparkEntry {
       MixOps.interleaveBySource(BioLoader.load(s, t(dir, "documents")),
           "source", Seq("doc_id"), Map("src0" -> 2.0, "src1" -> 1.0), defaultWeight = 0.5)
         .select("doc_id", "source", "src_rank", "vt")
+    }),
+
+    // ---- C39: rolling HLL distinct users — the sketch path for
+    //      DAU/WAU/MAU (≤ days·4096 register rows after the first
+    //      collapse vs the full user-day frame); register-max IS
+    //      the rolling union. ----
+    "q_active_hll" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+        .filter(col("user_id").isNotNull)
+      SketchOps.hllRollingDistinct(ev, "ts", "user_id", Seq(1, 7, 28), p = 12)
+    }),
+
+    // ---- M21: STREAMING daily OHLC bars — min_by/max_by as lawful
+    //      streaming aggregates, seven scalars of state per
+    //      (window, user); the batch q_bars replay grades the
+    //      streamed run. ----
+    "q_stream_bars" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit(PusherId).as("user_id"), lit(-1L).as("event_id"), lit(0.0).as("value"))
+      val bars = SequenceOps.ohlcBarsWindowed(ev.unionByName(pusher),
+        Seq("user_id"), "ts", Seq("ts", "event_id"), "value",
+        windowLen = "1 day", watermark = "1 hour")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(bars, "m21bars").filter(col("user_id") =!= PusherId)
+          .select(col("user_id"), col("bucket_start"), col("n"),
+            hround(col("open"), 6).as("open"), hround(col("high"), 6).as("high"),
+            hround(col("low"), 6).as("low"), hround(col("close"), 6).as("close"),
+            hround(col("sum"), 6).as("total"), hround(col("mean"), 6).as("mean"))
+      }
+    }),
+
+    // ---- C40: week-over-week deltas per event type — one
+    //      calendar-period collapse + a lag window over the tiny
+    //      periods frame; pct on the snap grid. ----
+    "q_pop" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.periodOverPeriod(ev, Seq("event_type"), "ts", "value", "week")
     })
   )
 
@@ -3192,6 +3235,94 @@ object SparkEntry {
        |SELECT event_id, user_id, l AS level, b AS trend,
        |  seasonal_out AS seasonal, forecast_out AS forecast
        |FROM rec""".stripMargin
+  }
+
+  /** Daily OHLC replay — shared by q_bars (batch) and
+    * q_stream_bars (the epoch-aligned 1-day window makes the
+    * streamed buckets identical).
+    */
+  private val barsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, value, ts, event_id,
+      |    (epoch_us(ts) // 1000000) // 86400 AS b
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e
+      |)
+      |SELECT user_id, make_timestamp(b * 86400 * 1000000) AS bucket_start,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  floor(max(CASE WHEN ra = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS open,
+      |  floor(max(value) * 1e6 + 0.5) / 1e6 AS high,
+      |  floor(min(value) * 1e6 + 0.5) / 1e6 AS low,
+      |  floor(max(CASE WHEN rd = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS close,
+      |  floor((floor(sum(value) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS total,
+      |  floor((floor(sum(value) / count(*) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS mean
+      |FROM r GROUP BY user_id, b""".stripMargin
+
+  /** Rolling HLL replay: the q_hll digit-by-digit register
+    * machinery per DAY, a 28-offset fan-out of the register frame,
+    * register-wise max per trailing window, the same HUGEINT
+    * harmonic estimate per day — the per-window blocks are
+    * GENERATED so all three replay the identical formula.
+    */
+  private val rollingHllOracleSql: String = {
+    val windows = Seq(1, 7, 28)
+    val est = windows.map { w =>
+      s"""r$w AS (
+         |  SELECT day, reg_idx, max(m) AS m FROM f WHERE o < $w GROUP BY 1, 2
+         |), a$w AS (
+         |  SELECT day, count(*) AS rh,
+         |    sum(CAST(pow(2.0, 53 - m) AS HUGEINT)) AS s
+         |  FROM r$w GROUP BY 1
+         |), o$w AS (
+         |  SELECT day, rh, 4096 - rh AS v,
+         |    0.7213/(1.0 + 1.079/4096.0) * 4096.0 * 4096.0 * 9007199254740992.0
+         |      / CAST(s + CAST(4096 - rh AS HUGEINT)
+         |                 * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw
+         |  FROM a$w
+         |), e$w AS (
+         |  SELECT day,
+         |    floor((CASE WHEN raw <= 10240.0 AND v > 0
+         |                THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+         |                ELSE raw END) * 1000000 + 0.5)/1000000 AS active_$w
+         |  FROM o$w
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH h AS (
+       |  SELECT CAST(ts AS DATE) AS dy, md5(CAST(user_id AS VARCHAR)) AS h
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |), idx AS (
+       |  SELECT dy,
+       |    ((instr('0123456789abcdef', substr(h,1,1))-1)*16
+       |      + (instr('0123456789abcdef', substr(h,2,1))-1))*16
+       |      + (instr('0123456789abcdef', substr(h,3,1))-1) AS reg_idx,
+       |    substr(h,4,13) AS rest
+       |  FROM h
+       |), rk AS (
+       |  SELECT dy, reg_idx,
+       |    length(regexp_extract(rest, '^(0*)', 1)) AS z,
+       |    instr('0123456789abcdef',
+       |      substr(rest, length(regexp_extract(rest, '^(0*)', 1))+1, 1))-1 AS dg
+       |  FROM idx
+       |), dayregs AS (
+       |  SELECT dy, reg_idx,
+       |    max(CASE WHEN z = 13 THEN 53
+       |        ELSE z*4 + (CASE WHEN dg >= 8 THEN 0 WHEN dg >= 4 THEN 1
+       |                         WHEN dg >= 2 THEN 2 ELSE 3 END) + 1 END) AS m
+       |  FROM rk GROUP BY 1, 2
+       |), obs AS (
+       |  SELECT DISTINCT dy AS day FROM dayregs
+       |), fan AS (
+       |  SELECT dy + CAST(o AS INTEGER) AS day, reg_idx, m, o
+       |  FROM dayregs CROSS JOIN (SELECT unnest(range(28)) AS o)
+       |), f AS (
+       |  SELECT fan.* FROM fan JOIN obs USING (day)
+       |), $est
+       |SELECT day, active_1, active_7, active_28
+       |FROM e1 JOIN e7 USING (day) JOIN e28 USING (day)""".stripMargin
   }
 
   private val cusumOracleSql: String =
@@ -6854,26 +6985,36 @@ object SparkEntry {
 
     // bucket = exact integer µs division; open/close replayed via
     // asc/desc row_number over the same (ts, event_id) order
-    "q_bars" ->
-      """WITH e AS (
-        |  SELECT user_id, value, ts, event_id,
-        |    (epoch_us(ts) // 1000000) // 86400 AS b
+    "q_bars" -> barsOracleSql,
+
+    // the streamed daily window is epoch-aligned, so the identical
+    // bucket replay grades the streamed run
+    "q_stream_bars" -> barsOracleSql,
+
+    // daily md5 registers, 28-day fan-out, register-wise max per
+    // window, the C19 harmonic estimate per day
+    "q_active_hll" -> rollingHllOracleSql,
+
+    // calendar-period collapse + lag over the periods frame
+    "q_pop" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS period,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    floor(sum(value) * 1e9 + 0.5) / 1e9 AS total
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
-        |), r AS (
+        |  GROUP BY 1, 2
+        |), l AS (
         |  SELECT *,
-        |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts, event_id) AS ra,
-        |    row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rd
-        |  FROM e
+        |    lag(period) OVER (PARTITION BY event_type ORDER BY period) AS prev_period,
+        |    lag(total) OVER (PARTITION BY event_type ORDER BY period) AS prev_total
+        |  FROM a
         |)
-        |SELECT user_id, make_timestamp(b * 86400 * 1000000) AS bucket_start,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  floor(max(CASE WHEN ra = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS open,
-        |  floor(max(value) * 1e6 + 0.5) / 1e6 AS high,
-        |  floor(min(value) * 1e6 + 0.5) / 1e6 AS low,
-        |  floor(max(CASE WHEN rd = 1 THEN value END) * 1e6 + 0.5) / 1e6 AS close,
-        |  floor((floor(sum(value) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS total,
-        |  floor((floor(sum(value) / count(*) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS mean
-        |FROM r GROUP BY user_id, b""".stripMargin,
+        |SELECT event_type, period, n, total, prev_period, prev_total,
+        |  CASE WHEN prev_total IS NOT NULL THEN
+        |    floor((total - prev_total) * 1e9 + 0.5) / 1e9 END AS delta,
+        |  CASE WHEN prev_total IS NOT NULL AND prev_total <> 0 THEN
+        |    floor((total - prev_total) / abs(prev_total) * 1e9 + 0.5) / 1e9 END AS pct_change
+        |FROM l""".stripMargin,
 
     // per-source rank over doc_id, plan-time literal weight CASE
     "q_interleave" ->

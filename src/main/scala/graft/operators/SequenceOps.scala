@@ -447,4 +447,78 @@ object SequenceOps {
       .select(ks ++ Seq(col("bucket_start"), col("n"), col("open"), col("high"),
         col("low"), col("close"), snap9(col("__s")).as("sum"), col("mean")): _*)
   }
+
+  /** STREAMING OHLC bars — [[ohlcBars]] as an event-time windowed
+    * aggregation (`min_by`/`max_by`/extrema/sum are all lawful
+    * streaming aggregates, so per-(window, key) state is the seven
+    * bar scalars regardless of event count; append mode emits each
+    * bar once its watermark passes). Works identically on a batch
+    * frame — the batch run IS the oracle twin.
+    */
+  def ohlcBarsWindowed(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      windowLen: String,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ks = keyCols.map(col)
+    val x = col(valueCol).cast("double")
+    val ord = struct(orderCols.map(col): _*)
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.filter(col(tsCol).isNotNull && x.isNotNull)
+      .groupBy(window(col(tsCol), windowLen).as("w") +: ks: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(x, ord).as("open"),
+        max(x).as("high"),
+        min(x).as("low"),
+        max_by(x, ord).as("close"),
+        sum(x).as("__s"))
+      .select(col("w.start").as("bucket_start") +: ks ++: Seq(col("n"),
+        col("open"), col("high"), col("low"), col("close"),
+        snap9(col("__s")).as("sum"), snap9(col("__s") / col("n")).as("mean")): _*)
+  }
+
+  /** Period-over-period deltas per key (WoW/MoM growth — the
+    * reporting layer over any keyed metric): ONE map-side-
+    * combinable groupBy(key, calendar period) collapses the log,
+    * then a lag window over the tiny |keys·periods| frame yields
+    * the previous OBSERVED period's value, the absolute delta and
+    * the snapped percent change. `prev_period` rides along so a
+    * consumer can tell calendar-adjacent comparisons from
+    * gap-jumping ones. Degenerate previous (absent or 0) → NULL
+    * pct.
+    *
+    * @param period "day" | "week" | "month" (date_trunc units —
+    *               week is ISO Monday)
+    */
+  def periodOverPeriod(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      period: String = "week"
+  ): DataFrame = {
+    require(Seq("day", "week", "month").contains(period),
+      s"period must be day/week/month, got $period")
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ks = keyCols.map(col)
+    val agg = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(ks :+ to_date(date_trunc(period, col(tsCol))).as("period"): _*)
+      .agg(count(lit(1)).as("n"), snap9(sum(col(valueCol).cast("double"))).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(col("period"))
+    agg
+      .withColumn("prev_period", lag(col("period"), 1).over(w))
+      .withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("delta", when(col("prev_total").isNotNull,
+        snap9(col("total") - col("prev_total"))))
+      .withColumn("pct_change", when(col("prev_total").isNotNull && col("prev_total") =!= 0.0,
+        snap9((col("total") - col("prev_total")) / abs(col("prev_total")))))
+  }
 }

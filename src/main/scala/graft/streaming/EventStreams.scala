@@ -751,7 +751,7 @@ object EventStreams {
 
   final case class HwOut(event_id: Long, user_id: Long, level: Double,
       trend: Double, seasonal: Double, forecast: Option[Double])
-  private final case class HwState(init: Boolean, l: Double, b: Double,
+  private final case class HwState(started: Boolean, l: Double, b: Double,
       i: Long, s: Seq[Double])
 
   /** Per-key Holt–Winters state machine for [[streamingHoltWinters]]
@@ -799,13 +799,13 @@ object EventStreams {
         if (ready.isEmpty) Iterator.empty
         else {
           var state = if (st.exists()) st.get()
-            else HwState(init = false, 0.0, 0.0, 0L, Vector.fill(seasonLen)(0.0))
+            else HwState(started = false, 0.0, 0.0, 0L, Vector.fill(seasonLen)(0.0))
           val res = ready.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
             r.value match {
               case Some(x) =>
                 val idx = (state.i % seasonLen).toInt
-                if (!state.init) {
-                  state = HwState(init = true, x, 0.0, state.i + 1, state.s)
+                if (!state.started) {
+                  state = HwState(started = true, x, 0.0, state.i + 1, state.s)
                   Some(HwOut(r.event_id, r.user_id, x, 0.0, 0.0, None))
                 } else {
                   val sHat = state.s(idx)
@@ -813,7 +813,7 @@ object EventStreams {
                   val lNew = snap9(alpha * (x - sHat) + (1.0 - alpha) * (state.l + state.b))
                   val bNew = snap9(beta * (lNew - state.l) + (1.0 - beta) * state.b)
                   val sNew = snap9(gamma * (x - lNew) + (1.0 - gamma) * sHat)
-                  state = HwState(init = true, lNew, bNew, state.i + 1,
+                  state = HwState(started = true, lNew, bNew, state.i + 1,
                     state.s.updated(idx, sNew))
                   Some(HwOut(r.event_id, r.user_id, lNew, bNew, sNew, Some(forecast)))
                 }
