@@ -2940,6 +2940,53 @@ object SparkEntry {
     "q_pop" -> ((s, dir) => {
       val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
       SequenceOps.periodOverPeriod(ev, Seq("event_type"), "ts", "value", "week")
+    }),
+
+    // ---- C41: snapshot diff — customer vs a mutated twin
+    //      (drops, balance bumps, synthetic adds); one full-outer
+    //      key join, null-safe column compare. ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val cust = BioLoader.load(s, t(dir, "customer"))
+      val newDf = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0,
+          col("c_acctbal") + 100.0).otherwise(col("c_acctbal")))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      MergeOps.snapshotDiff(cust, newDf, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
+        .select(col("c_custkey"), col("status"), col("changed_cols"),
+          hround(col("old_c_acctbal"), 6).as("old_c_acctbal"),
+          hround(col("new_c_acctbal"), 6).as("new_c_acctbal"),
+          col("old_c_mktsegment"), col("new_c_mktsegment"))
+    }),
+
+    // ---- P13: declarative data-quality report — five checks over
+    //      orders in ONE data pass (+ one shuffle for uniqueness);
+    //      range and regex checks catch real violations. ----
+    "q_quality_checks" -> ((s, dir) => {
+      val ord = BioLoader.load(s, t(dir, "orders"))
+      QualityOps.check(ord, Seq(
+        QualityOps.NotNull("o_custkey"),
+        QualityOps.InRange("o_totalprice", 0.0, 300000.0),
+        QualityOps.InSet("o_orderstatus", Seq("O", "F", "P")),
+        QualityOps.Matches("o_orderpriority", "[1-5]-[A-Z]+"),
+        QualityOps.Unique(Seq("o_orderkey"))))
+    }),
+
+    // ---- C42: golden-record survivorship — most recent non-null
+    //      per field within each 10-customer cluster (planted
+    //      nulls); single max_by aggregation, no window. ----
+    "q_golden" -> ((s, dir) => {
+      val cust = BioLoader.load(s, t(dir, "customer"))
+        .withColumn("cluster", expr("c_custkey div 10"))
+        .withColumn("c_mktsegment", when(col("c_custkey") % 3 === 0,
+          lit(null).cast("string")).otherwise(col("c_mktsegment")))
+        .withColumn("c_acctbal", when(col("c_custkey") % 4 === 0,
+          lit(null).cast("double")).otherwise(col("c_acctbal")))
+      MergeOps.goldenRecord(cust, "cluster", Seq("c_custkey"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .select(col("cluster"), col("n_members"), col("c_name"),
+          hround(col("c_acctbal"), 6).as("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -7015,6 +7062,93 @@ object SparkEntry {
         |  CASE WHEN prev_total IS NOT NULL AND prev_total <> 0 THEN
         |    floor((total - prev_total) / abs(prev_total) * 1e9 + 0.5) / 1e9 END AS pct_change
         |FROM l""".stripMargin,
+
+    // full-outer key join + IS DISTINCT FROM column compare, the
+    // changed-column list in the same fixed order
+    "q_snapshot_diff" ->
+      """WITH n AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), j AS (
+        |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+        |    o.c_acctbal AS oa, n.c_acctbal AS na,
+        |    o.c_mktsegment AS om, n.c_mktsegment AS nm
+        |  FROM customer o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+        |), s AS (
+        |  SELECT *, concat_ws(',',
+        |    CASE WHEN in_old AND in_new AND oa IS DISTINCT FROM na THEN 'c_acctbal' END,
+        |    CASE WHEN in_old AND in_new AND om IS DISTINCT FROM nm THEN 'c_mktsegment' END) AS cl
+        |  FROM j
+        |)
+        |SELECT c_custkey,
+        |  CASE WHEN NOT in_old THEN 'added' WHEN NOT in_new THEN 'removed'
+        |       WHEN cl <> '' THEN 'changed' ELSE 'unchanged' END AS status,
+        |  CASE WHEN in_old AND in_new AND cl <> '' THEN cl END AS changed_cols,
+        |  floor(oa * 1e6 + 0.5) / 1e6 AS old_c_acctbal,
+        |  floor(na * 1e6 + 0.5) / 1e6 AS new_c_acctbal,
+        |  om AS old_c_mktsegment, nm AS new_c_mktsegment
+        |FROM s WHERE NOT (in_old AND in_new AND cl = '')""".stripMargin,
+
+    // one conditional counter per row-level check + a groupBy for
+    // uniqueness; same literal check names
+    "q_quality_checks" ->
+      """WITH base AS (SELECT * FROM orders), u AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(sum(c - 1) AS BIGINT) AS violations
+        |  FROM (SELECT count(*) AS c FROM base GROUP BY o_orderkey)
+        |), rpt AS (
+        |  SELECT 'not_null(o_custkey)' AS "check", CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice,0.0,300000.0)', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0.0 OR o_totalprice > 300000.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'matches(o_orderpriority)', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+        |      AND NOT regexp_full_match(o_orderpriority, '([1-5]-[A-Z]+)')
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', n_rows, violations FROM u
+        |)
+        |SELECT "check", n_rows, violations,
+        |  CASE WHEN n_rows > 0 THEN
+        |    floor(CAST(violations AS DOUBLE) / n_rows * 1e9 + 0.5) / 1e9 ELSE 0.0 END
+        |    AS violation_rate,
+        |  CASE WHEN (CASE WHEN n_rows > 0 THEN
+        |    floor(CAST(violations AS DOUBLE) / n_rows * 1e9 + 0.5) / 1e9 ELSE 0.0 END) <= 0.0
+        |    THEN 1 ELSE 0 END AS passed
+        |FROM rpt""".stripMargin,
+
+    // arg_max over a null-masked order — aggregates skip null
+    // orderings on both engines
+    "q_golden" ->
+      """WITH c AS (
+        |  SELECT c_custkey // 10 AS cluster, c_custkey, c_name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |  arg_max(c_name, CASE WHEN c_name IS NOT NULL THEN c_custkey END) AS c_name,
+        |  floor(arg_max(c_acctbal, CASE WHEN c_acctbal IS NOT NULL THEN c_custkey END)
+        |    * 1e6 + 0.5) / 1e6 AS c_acctbal,
+        |  arg_max(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL THEN c_custkey END)
+        |    AS c_mktsegment
+        |FROM c GROUP BY cluster""".stripMargin,
 
     // per-source rank over doc_id, plan-time literal weight CASE
     "q_interleave" ->

@@ -71,4 +71,87 @@ object MergeOps {
       .filter(col(opCol) =!= "D")
       .drop(versionCol, opCol)
   }
+
+  /** Snapshot diff — added/removed/changed rows between two
+    * versions of a keyed table (the audit/reconciliation layer
+    * over [[applyChangelog]]: CDC APPLIES a change stream, this
+    * RECOVERS one from two snapshots — migration validation,
+    * replication drift, "what did yesterday's run change").
+    *
+    * Scale shape: ONE full-outer hash equi-join on the key (both
+    * sides shuffle once — co-locate via [[BucketOps]] for repeated
+    * diffs of the same table); per-row column comparison is pure
+    * scan-stage arithmetic with null-safe `<=>` semantics.
+    * `changed_cols` is a comma-joined sorted column list, so the
+    * output is flat and engine-portable. Unchanged rows drop by
+    * default (the diff of two 100 TB snapshots is the CHANGES, not
+    * a third snapshot).
+    *
+    * @param compareCols columns to compare (default: every shared
+    *                    non-key column)
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String] = Nil,
+      includeUnchanged: Boolean = false
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val shared = oldDf.columns.toSet.intersect(newDf.columns.toSet) -- keyCols
+    val cmp = if (compareCols.nonEmpty) compareCols else shared.toSeq.sorted
+    require(cmp.forall(shared), s"compare columns must exist on both sides: $cmp")
+    val o = oldDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_old", lit(1))
+      .select(keyCols.map(col) ++ cmp.map(c => col(c).as(s"__o_$c")) :+ col("__in_old"): _*)
+    val n = newDf.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_new", lit(1))
+      .select(keyCols.map(col) ++ cmp.map(c => col(c).as(s"__n_$c")) :+ col("__in_new"): _*)
+    val joined = o.join(n, keyCols, "full_outer")
+    val changedList = concat_ws(",",
+      cmp.map(c => when(!(col(s"__o_$c") <=> col(s"__n_$c")), lit(c))): _*)
+    val status = when(col("__in_old").isNull, lit("added"))
+      .when(col("__in_new").isNull, lit("removed"))
+      .when(changedList =!= "", lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = joined
+      .withColumn("status", status)
+      .withColumn("changed_cols", when(col("status") === "changed", changedList))
+      .select(keyCols.map(col) ++ Seq(col("status"), col("changed_cols")) ++
+        cmp.flatMap(c => Seq(col(s"__o_$c").as(s"old_$c"), col(s"__n_$c").as(s"new_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** Golden-record survivorship — one canonical row per duplicate
+    * cluster (the merge step after [[graft.operators.GraphOps]]
+    * connected components resolves [[graft.operators.FuzzyJoinOps]]
+    * matches into clusters, closing the C22c entity-resolution
+    * pipeline): per field, the value from the cluster's most
+    * recent row WHERE THAT FIELD IS NON-NULL — a newer record with
+    * a missing phone number must not erase the older one we have
+    * ("most recent non-null" survivorship, the standard MDM rule).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(cluster) — every
+    * field rides a `max_by` whose ordering struct is NULL when the
+    * field is null (max_by skips null orderings), so the whole
+    * merge is a single aggregation with no window sort and no
+    * second pass. `orderCols` must totally order rows within a
+    * cluster (pass a version/ts plus a unique id).
+    */
+  def goldenRecord(
+      df: DataFrame,
+      clusterCol: String,
+      orderCols: Seq[String],
+      valueCols: Seq[String]
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(valueCols.nonEmpty, "need at least one value column")
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(col(clusterCol))
+      .agg(
+        count(lit(1)).as("n_members"),
+        valueCols.map(c =>
+          max_by(col(c), when(col(c).isNotNull, ord)).as(c)): _*)
+      .select(col(clusterCol) +: col("n_members") +: valueCols.map(col): _*)
+  }
 }
