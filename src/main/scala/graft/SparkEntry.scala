@@ -2973,6 +2973,35 @@ object SparkEntry {
         QualityOps.Unique(Seq("o_orderkey"))))
     }),
 
+    // ---- T11: temporal split — train on the past 80% of event
+    //      rows, exact type-7 percentile cutoff on integer µs as a
+    //      1-row broadcast; the time-leakage guard. ----
+    "q_temporal_split" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SplitOps.temporalSplit(ev, "ts", testFraction = 0.2)
+        .select("event_id", "split")
+    }),
+
+    // ---- N35: additive seasonal decomposition per user —
+    //      5-point centered MA trend, phase-mean seasonal centered
+    //      to ~0, residual; the retrospective companion of
+    //      q_holt_winters. ----
+    "q_seasonal_decomp" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      DriftOps.seasonalDecompose(ev, Seq("user_id"), Seq("ts", "event_id"),
+          "value", seasonLen = 4)
+        .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
+    }),
+
+    // ---- D7n: degree power-law MLE on the part co-order graph —
+    //      two map-side-combinable shuffles to one (n, α) row. ----
+    "q_power_law" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      val edges = GraphOps.coOccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 64)
+      GraphOps.degreePowerLaw(edges, dMin = 2L)
+    }),
+
     // ---- C42: golden-record survivorship — most recent non-null
     //      per field within each 10-customer cluster (planted
     //      nulls); single max_by aggregation, no window. ----
@@ -7132,6 +7161,66 @@ object SparkEntry {
         |    floor(CAST(violations AS DOUBLE) / n_rows * 1e9 + 0.5) / 1e9 ELSE 0.0 END) <= 0.0
         |    THEN 1 ELSE 0 END AS passed
         |FROM rpt""".stripMargin,
+
+    // exact type-7 percentile cutoff (quantile_cont ≡ Spark
+    // percentile) on integer µs; ties → train, null ts → test
+    "q_temporal_split" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(epoch_us(ts), 0.8) AS cut
+        |  FROM events WHERE ts IS NOT NULL
+        |)
+        |SELECT event_id,
+        |  CASE WHEN epoch_us(ts) <= cut THEN 'train' ELSE 'test' END AS split
+        |FROM events, c""".stripMargin,
+
+    // centered 5-point MA + phase means + centering, identical snap
+    // points at every derived value
+    "q_seasonal_decomp" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, value,
+        |    (row_number() OVER wk - 1) % 4 AS phase,
+        |    CASE WHEN count(*) OVER wma = 5 THEN
+        |      floor(avg(value) OVER wma * 1e9 + 0.5) / 1e9 END AS trend
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW wk AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |    wma AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |), d AS (
+        |  SELECT *, value - trend AS detr FROM b
+        |), p AS (
+        |  SELECT user_id, phase, floor(avg(detr) * 1e9 + 0.5) / 1e9 AS raw
+        |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2
+        |), ctr AS (
+        |  SELECT user_id, floor(avg(raw) * 1e9 + 0.5) / 1e9 AS adj FROM p GROUP BY 1
+        |), s AS (
+        |  SELECT p.user_id, phase, floor((raw - adj) * 1e9 + 0.5) / 1e9 AS seasonal
+        |  FROM p JOIN ctr USING (user_id)
+        |)
+        |SELECT d.event_id, d.user_id, d.phase, d.trend, s.seasonal,
+        |  CASE WHEN d.trend IS NOT NULL AND s.seasonal IS NOT NULL THEN
+        |    floor((d.value - d.trend - s.seasonal) * 1e9 + 0.5) / 1e9 END AS residual
+        |FROM d LEFT JOIN s ON s.user_id = d.user_id AND s.phase = d.phase""".stripMargin,
+
+    // degree MLE: snapped ln terms over the tail, one closed form
+    "q_power_law" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CASE WHEN degree >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+        |    sum(CASE WHEN degree >= 2 THEN
+        |      floor(ln(CAST(degree AS DOUBLE) / 1.5) * 1e9 + 0.5) / 1e9 END) AS lnsum
+        |  FROM deg
+        |)
+        |SELECT n_nodes, n_tail, CAST(2 AS BIGINT) AS d_min,
+        |  CASE WHEN n_tail >= 2 THEN
+        |    floor((1.0 + CAST(n_tail AS DOUBLE) / lnsum) * 1e9 + 0.5) / 1e9 END AS alpha
+        |FROM a""".stripMargin,
 
     // arg_max over a null-masked order — aggregates skip null
     // orderings on both engines

@@ -543,4 +543,60 @@ object DriftOps {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Additive seasonal decomposition per key (classical
+    * decompose — the retrospective companion of [[holtWinters]]:
+    * HW tracks level/trend/season ONLINE, this splits a finished
+    * series into trend + seasonal + residual for inspection):
+    *
+    *   trend_t    = centered (2⌊m/2⌋+1)-point moving average
+    *                (NULL at the edges where the window is partial)
+    *   seasonal_p = per-(key, phase) mean of the detrended values,
+    *                centered so the m seasonals sum to ~0
+    *   residual_t = value − trend − seasonal
+    *
+    * The residual is where [[seasonalAnomalies]]-style bands or
+    * [[changePoint]] then apply without the calendar pattern
+    * polluting them.
+    *
+    * Scale shape: one keyed window sort (position + centered
+    * average in the same frame), ONE map-side-combinable
+    * groupBy(key, phase) for the seasonal profile (≤ keys·m rows)
+    * + a second tiny agg for centering, both joined back
+    * broadcast-sized. Every derived value snaps to the 1e-9 grid.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      seasonLen: Int
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    require(seasonLen >= 2, s"seasonLen must be >= 2, got $seasonLen")
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ks = keyCols.map(col)
+    val h = seasonLen / 2
+    val ordW = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks: _*).orderBy(orderCols.map(col): _*)
+    val maW = ordW.rowsBetween(-h, h)
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .withColumn("phase", (row_number().over(ordW) - 1) % seasonLen)
+      .withColumn("trend",
+        when(count(lit(1)).over(maW) === (2 * h + 1), s9(avg(x).over(maW))))
+      .withColumn("__detr", x - col("trend"))
+    val prof = base.filter(col("__detr").isNotNull)
+      .groupBy(ks :+ col("phase"): _*)
+      .agg(s9(avg(col("__detr"))).as("__raw"))
+    val center = prof.groupBy(ks: _*).agg(s9(avg(col("__raw"))).as("__adj"))
+    val seasonal = prof.join(center, keyCols)
+      .withColumn("seasonal", s9(col("__raw") - col("__adj")))
+      .select(ks ++ Seq(col("phase"), col("seasonal")): _*)
+    base.join(seasonal, keyCols :+ "phase", "left")
+      .withColumn("residual",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          s9(x - col("trend") - col("seasonal"))))
+      .drop("__detr")
+  }
 }

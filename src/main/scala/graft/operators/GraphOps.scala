@@ -754,4 +754,38 @@ object GraphOps {
             (col("degree") * (col("degree") - 1)).cast("double") * lit(1e9) + lit(0.5)) /
             lit(1e9)).as("clustering"))
   }
+
+  /** Degree power-law fit (continuous MLE, Clauset–Shalizi–Newman
+    * 2009: α = 1 + n / Σ ln(dᵢ / (dMin − ½)) over nodes with
+    * degree ≥ dMin) — the graph-side twin of X21's Zipf screen:
+    * web/social graphs run α ≈ 2–3; a bot farm or synthetic graph
+    * bends the tail, and degree-sensitive algorithms (D7g's hub
+    * gate, AQE skew handling) want to know the exponent they face.
+    *
+    * Scale shape: ONE degree groupBy over the normalized
+    * undirected edge frame + ONE global aggregation of (count,
+    * Σln) — two map-side-combinable shuffles, output one row:
+    * (n_nodes, n_tail, d_min, alpha). ln terms snap at 1e-9 before
+    * the sum; the fit is NULL when fewer than 2 tail nodes.
+    */
+  def degreePowerLaw(edges0: DataFrame, dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val edges = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .distinct()
+    val deg = edges.select(col("hi").as("node"))
+      .unionAll(edges.select(col("lo").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(when(col("degree") >= dMin, 1L).otherwise(0L)).as("n_tail"),
+      sum(when(col("degree") >= dMin,
+        s9(log(col("degree").cast("double") / lit(dMin - 0.5))))).as("__lnsum"))
+      .select(col("n_nodes"), col("n_tail"), lit(dMin).as("d_min"),
+        when(col("n_tail") >= 2,
+          s9(lit(1.0) + col("n_tail").cast("double") / col("__lnsum"))).as("alpha"))
+  }
 }

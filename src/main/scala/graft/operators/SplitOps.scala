@@ -214,4 +214,38 @@ object SplitOps {
     trainTestSplitWith(keyed, bucketOfKey(col("__key")), testFraction, splitCol)
       .withColumnRenamed("__key", "split_key").drop("__m", "__cl")
   }
+
+  /** Temporal train/test split — train on the past, evaluate on
+    * the future (the TIME-leakage guard next to
+    * [[clusterAwareSplit]]'s content-leakage guard: a random split
+    * of time-series data lets the model peek at the future; every
+    * forecasting/churn/drift eval needs this split instead). The
+    * cutoff is the exact type-7 `1 − testFraction` percentile of
+    * the event time, so the test side holds ~testFraction of ROWS
+    * (not of calendar span — a bursty tail week still lands wholly
+    * in test).
+    *
+    * Scale shape: ONE aggregation computes the percentile over
+    * integer µs (exact — the [[graft.operators.FunnelOps.rfm]]
+    * threshold discipline), rides back as a 1-row broadcast, and
+    * the row side never shuffles. Ties at the cutoff go to train
+    * (`<=`); NULL timestamps go to test (they cannot prove they
+    * precede the cutoff — the conservative side for training
+    * hygiene).
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      testFraction: Double,
+      splitCol: String = "split"
+  ): DataFrame = {
+    require(testFraction > 0 && testFraction < 1,
+      s"testFraction must be in (0,1), got $testFraction")
+    val cut = df.filter(col(tsCol).isNotNull)
+      .agg(expr(s"percentile(unix_micros($tsCol), ${1.0 - testFraction})").as("__cut"))
+    df.crossJoin(broadcast(cut))
+      .withColumn(splitCol,
+        when(expr(s"unix_micros($tsCol)") <= col("__cut"), "train").otherwise("test"))
+      .drop("__cut")
+  }
 }
