@@ -2993,6 +2993,51 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- N36: Spearman rank correlation matrix — the robust twin
+    //      of q_corr_matrix on the same per-user event-type means;
+    //      fractional ranks (tie-averaged, exact halves) through
+    //      the identical five-sum machinery. ----
+    "q_spearman" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events"))
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((floor(avg(col("value")) * 1e9 + lit(0.5)) / 1e9).as("m"))
+      StatsOps.spearmanMatrix(ev, "user_id", "event_type", "m")
+    }),
+
+    // ---- E13: precision-recall curve — the q_calibration
+    //      pseudo-score swept over 5 thresholds; fixed literal
+    //      fan-out, one groupBy(threshold). ----
+    "q_pr_curve" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
+      EvalOps.prCurve(d, "long_doc", "score", Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+    }),
+
+    // ---- M22: STREAMING quality monitor — daily violation
+    //      counters for three row checks in ONE windowed streaming
+    //      aggregation + a stateless stack to long form. ----
+    "q_stream_quality" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(lit(-1L).as("event_id"), expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit(PusherId).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val monitored = QualityOps.checkWindowed(ev.unionByName(pusher), "ts", Seq(
+        QualityOps.NotNull("user_id"),
+        QualityOps.InRange("value", 0.0, 90.0),
+        QualityOps.InSet("event_type", Seq("view", "click", "purchase", "signup"))),
+        windowLen = "1 day", watermark = "1 hour")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(monitored, "m22q")
+          .filter(col("window_start") < lit("2024-06-01"))
+      }
+    }),
+
     // ---- D7n: degree power-law MLE on the part co-order graph —
     //      two map-side-combinable shuffles to one (n, α) row. ----
     "q_power_law" -> ((s, dir) => {
@@ -7200,6 +7245,98 @@ object SparkEntry {
         |  CASE WHEN d.trend IS NOT NULL AND s.seasonal IS NOT NULL THEN
         |    floor((d.value - d.trend - s.seasonal) * 1e9 + 0.5) / 1e9 END AS residual
         |FROM d LEFT JOIN s ON s.user_id = d.user_id AND s.phase = d.phase""".stripMargin,
+
+    // fractional ranks (tie-averaged halves) through the identical
+    // five-sum Pearson replay
+    "q_spearman" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, floor(avg(value) * 1e9 + 0.5) / 1e9 AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    (CAST(rank() OVER (PARTITION BY event_type ORDER BY m) AS DOUBLE)
+        |      + (CAST(count(*) OVER (PARTITION BY event_type, m) AS DOUBLE) - 1.0) / 2.0)
+        |      / CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS rv
+        |  FROM m
+        |), p AS (
+        |  SELECT a.event_type AS f1, b.event_type AS f2, a.rv AS x, b.rv AS y
+        |  FROM r a JOIN r b ON a.user_id = b.user_id WHERE a.event_type < b.event_type
+        |), agg AS (
+        |  SELECT f1, f2, count(*) AS n_pairs,
+        |    floor(avg(x) * 1e9 + 0.5) / 1e9 AS mx, floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg(x * x) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(y * y) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg(x * y) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM p GROUP BY 1, 2
+        |), der AS (
+        |  SELECT f1, f2, n_pairs,
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
+        |  FROM agg
+        |)
+        |SELECT f1, f2, n_pairs,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN floor(cov / sqrt(vx * vy) * 1e9 + 0.5) / 1e9 END AS corr
+        |FROM der""".stripMargin,
+
+    // fixed literal threshold fan-out, counters per threshold, f1
+    // from the snapped P/R
+    "q_pr_curve" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id * 2654435761 % 1000 AS DOUBLE) / 1000.0 AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lbl
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), t AS (
+        |  SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS threshold
+        |), a AS (
+        |  SELECT threshold,
+        |    CAST(sum(CASE WHEN lbl = 1 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN lbl = 0 AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN lbl = 1 AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM d CROSS JOIN t GROUP BY 1
+        |), m AS (
+        |  SELECT threshold, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN
+        |      floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e9 + 0.5) / 1e9 END AS precision,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e9 + 0.5) / 1e9 END AS recall
+        |  FROM a
+        |)
+        |SELECT threshold, tp, fp, fn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |    AND precision + recall > 0 THEN
+        |    floor(2.0 * precision * recall / (precision + recall) * 1e9 + 0.5) / 1e9
+        |  END AS f1
+        |FROM m""".stripMargin,
+
+    // the streamed daily windows are epoch-aligned — the batch
+    // counter replay grades the streamed run
+    "q_stream_quality" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // 1000000) // 86400) * 86400 * 1000000)
+        |    AS window_start, user_id, value, event_type
+        |  FROM events WHERE ts IS NOT NULL
+        |), a AS (
+        |  SELECT window_start, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 90.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+        |      ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM w GROUP BY 1
+        |), s AS (
+        |  SELECT window_start, 'not_null(user_id)' AS "check", n_rows, v0 AS violations FROM a
+        |  UNION ALL
+        |  SELECT window_start, 'in_range(value,0.0,90.0)', n_rows, v1 FROM a
+        |  UNION ALL
+        |  SELECT window_start, 'in_set(event_type)', n_rows, v2 FROM a
+        |)
+        |SELECT window_start, "check", n_rows, violations,
+        |  CASE WHEN n_rows > 0 THEN
+        |    floor(CAST(violations AS DOUBLE) / n_rows * 1e9 + 0.5) / 1e9 ELSE 0.0 END
+        |    AS violation_rate
+        |FROM s""".stripMargin,
 
     // degree MLE: snapped ln terms over the tail, one closed form
     "q_power_law" ->

@@ -405,6 +405,47 @@ object EvalOps {
       .drop("__max_sel", "__max_tpr")
   }
 
+  /** Precision-recall curve at a fixed threshold grid — the sweep
+    * form of [[confusionMetrics]] (E2 reads ONE operating point,
+    * this frames the whole trade-off; with [[auc]]'s single rank
+    * statistic it completes the threshold-choice toolkit for any
+    * gate score). Each row of the output is one threshold's
+    * confusion counts + snapped P/R/F1.
+    *
+    * Scale shape: the row side explodes by the (small, plan-time
+    * literal) threshold list — a fixed |thresholds|× fan-out — and
+    * ONE map-side-combinable groupBy(group, threshold) collapses to
+    * |groups·thresholds| rows. No per-threshold pass, no sort, no
+    * distinct-score frame.
+    */
+  def prCurve(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      thresholds: Seq[Double],
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val gs = groupCols.map(col)
+    val lbl = col(labelCol).cast("boolean")
+    val pred = col(scoreCol) >= col("threshold")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("threshold", explode(array(thresholds.distinct.sorted.map(lit): _*)))
+      .groupBy(gs :+ col("threshold"): _*)
+      .agg(
+        sum(when(lbl && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!lbl && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(lbl && !pred, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        snap9(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        snap9(col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))))
+      .withColumn("f1", when(col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall") > 0),
+        snap9(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")))))
+  }
+
   /** Clipped n-gram precision/recall/F1 between a candidate and a
     * reference text per row — the core of BLEU-n/ROUGE-n (modified
     * n-gram precision WITH multiplicity clipping: a candidate that

@@ -101,4 +101,52 @@ object QualityOps {
       .withColumn("passed",
         (col("violation_rate") <= lit(maxViolationRate)).cast("int"))
   }
+
+  /** STREAMING quality monitor — row-level checks as per-event-time-
+    * window violation counters (the continuous twin of [[check]]:
+    * the batch report gates a finished dataset, this watches an
+    * ingest stream and emits per-window violation rates for
+    * alerting). Every check is a conditional counter inside ONE
+    * windowed streaming aggregation — per-(window) state is
+    * 1+|checks| longs regardless of event volume, and the emitted
+    * counters stay SUM-mergeable downstream. [[Unique]] needs
+    * cross-row state and is rejected here (dedup-family operators
+    * cover streaming uniqueness). Works identically on a batch
+    * frame — the batch run IS the oracle twin.
+    *
+    * @return (window_start, check, n_rows, violations,
+    *         violation_rate) — long form, one row per (window,
+    *         check)
+    */
+  def checkWindowed(
+      events: DataFrame,
+      tsCol: String,
+      checks: Seq[Check],
+      windowLen: String,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique needs cross-row state — not available in the windowed monitor")
+    val snap9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val agg = src
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(
+        count(lit(1)).as("__n"),
+        checks.zipWithIndex.map { case (c, i) =>
+          sum(when(violation(c), 1L).otherwise(0L)).as(s"__v_$i") }: _*)
+    // long form via ONE stateless stack over the single streaming
+    // aggregation (a per-check union would plan N copies of the
+    // state store)
+    val stackExpr = s"stack(${checks.size}, " + checks.zipWithIndex.map {
+      case (c, i) => s"'${c.name.replace("'", "''")}', __v_$i"
+    }.mkString(", ") + ") as (check, violations)"
+    agg.select(col("w.start").as("window_start"), col("__n").as("n_rows"),
+        expr(stackExpr))
+      .withColumn("violation_rate", when(col("n_rows") > 0,
+        snap9(col("violations").cast("double") / col("n_rows"))).otherwise(lit(0.0)))
+      .select(col("window_start"), col("check"), col("n_rows"),
+        col("violations"), col("violation_rate"))
+  }
 }

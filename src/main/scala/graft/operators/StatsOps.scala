@@ -608,6 +608,61 @@ object StatsOps {
       .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
   }
 
+  /** Pairwise Spearman rank correlation over long-format features —
+    * [[correlationMatrix]]'s robust twin (monotone association:
+    * outliers and nonlinear-but-monotone relationships that wreck
+    * Pearson leave rank correlation intact; the screen to run FIRST
+    * on raw abundance/metric data). Values transform to fractional
+    * ranks per feature — tied values share the average rank,
+    * `rank() + (ties − 1)/2`, exact binary halves — and the ranked
+    * frame rides the identical five-sum Pearson machinery.
+    *
+    * Scale shape: ONE window shuffle by feature for the ranks (the
+    * feature axis is the parallel axis), then [[correlationMatrix]]'s
+    * entity-key self-join bounded by feature-set width F (the F²
+    * blowup every correlation matrix pays).
+    */
+  def spearmanMatrix(
+      df: DataFrame,
+      entityCol: String,
+      featureCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val base = df
+      .filter(col(entityCol).isNotNull && col(featureCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(entityCol).as("__e2"), col(featureCol).as("__f2"),
+        col(valueCol).cast("double").as("__v2"))
+    val wRank = Window.partitionBy(col("__f2")).orderBy(col("__v2"))
+    val wTies = Window.partitionBy(col("__f2"), col("__v2"))
+    val wAll = Window.partitionBy(col("__f2"))
+    // ranks NORMALIZED to (0, 1]: Spearman is affine-invariant, and
+    // raw ranks at 100 TB cardinalities push Σr·r past the snap
+    // grid's exact-long range (the linearTrend overflow lesson) —
+    // normalized products stay ≤ 1 so the snapped MEANS below are
+    // genuine grid points
+    val ranked = base.withColumn("__r",
+      (rank().over(wRank).cast("double") +
+        (count(lit(1)).over(wTies).cast("double") - 1.0) / 2.0) /
+        count(lit(1)).over(wAll).cast("double"))
+    val a = ranked.select(col("__e2"), col("__f2").as("f1"), col("__r").as("__x"))
+    val b = ranked.select(col("__e2"), col("__f2").as("f2"), col("__r").as("__y"))
+    a.join(b, Seq("__e2")).filter(col("f1") < col("f2"))
+      .groupBy(col("f1"), col("f2"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        snap9(avg(col("__x"))).as("__mx"), snap9(avg(col("__y"))).as("__my"),
+        snap9(avg(col("__x") * col("__x"))).as("__mxx"),
+        snap9(avg(col("__y") * col("__y"))).as("__myy"),
+        snap9(avg(col("__x") * col("__y"))).as("__mxy"))
+      .withColumn("__cov", snap9(col("__mxy") - col("__mx") * col("__my")))
+      .withColumn("__vx", snap9(col("__mxx") - col("__mx") * col("__mx")))
+      .withColumn("__vy", snap9(col("__myy") - col("__my") * col("__my")))
+      .withColumn("corr", when(col("__vx") > 0 && col("__vy") > 0,
+        snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
+      .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
+  }
+
   /** Per-group OLS linear trend `y = slope·x + intercept` with r²
     * (metric drift over time, per-feature trend screens). Two-pass
     * shift-and-sum: pass 1 takes each group's min(x) (a tiny frame

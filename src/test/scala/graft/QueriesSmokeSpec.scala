@@ -42,7 +42,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 1-row broadcast scalar: corpus-end timestamp for censoring
     "q_survival",
     // 1-row broadcast scalar: the graph's edge count m
-    "q_modularity")
+    "q_modularity",
+    // 1-row broadcast scalar: the exact percentile time cutoff
+    "q_temporal_split")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
