@@ -2993,6 +2993,16 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- N37: rank-based inverse normal transform per feature —
+    //      Blom offsets + Moro probit (GWAS normalization); one
+    //      feature-partitioned window, pure scan-stage arithmetic,
+    //      Horner chains generated from shared coefficients. ----
+    "q_int_transform" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      NormalizeOps.inverseNormalTransform(li, "l_partkey", "l_quantity")
+    }),
+
     // ---- N36: Spearman rank correlation matrix — the robust twin
     //      of q_corr_matrix on the same per-user event-type means;
     //      fractional ranks (tie-averaged, exact halves) through
@@ -3356,6 +3366,36 @@ object SparkEntry {
        |SELECT event_id, user_id, l AS level, b AS trend,
        |  seasonal_out AS seasonal, forecast_out AS forecast
        |FROM rec""".stripMargin
+  }
+
+  private def sqlHorner(cs: Seq[Double], x: String): String =
+    cs.init.foldRight(cs.last.toString)((c, acc) => s"($c + $x * $acc)")
+
+  /** Moro-probit INT replay — the Horner chains are GENERATED from
+    * the same coefficient lists the Column expression uses
+    * (NormalizeOps.MoroA/B/C), so both engines evaluate the
+    * identical formula tree.
+    */
+  private val intOracleSql: String = {
+    import graft.operators.NormalizeOps.{MoroA, MoroB, MoroC}
+    val ha = sqlHorner(MoroA, "r"); val hb = sqlHorner(MoroB, "r")
+    val hc1 = sqlHorner(MoroC, "ln(-ln(1.0 - u))")
+    val hc2 = sqlHorner(MoroC, "ln(-ln(u))")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       |    (CAST(rank() OVER (PARTITION BY l_partkey ORDER BY l_quantity) AS DOUBLE)
+       |      + (CAST(count(*) OVER (PARTITION BY l_partkey, l_quantity) AS DOUBLE) - 1.0) / 2.0
+       |      - 0.375)
+       |      / (CAST(count(*) OVER (PARTITION BY l_partkey) AS DOUBLE) + 0.25) AS u
+       |  FROM lineitem WHERE l_quantity IS NOT NULL
+       |), c AS (
+       |  SELECT *, u - 0.5 AS y, (u - 0.5) * (u - 0.5) AS r FROM b
+       |)
+       |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       |  floor((CASE WHEN abs(y) <= 0.42 THEN y * $ha / (1.0 + r * $hb)
+       |              WHEN y >= 0 THEN $hc1
+       |              ELSE -($hc2) END) * 1e9 + 0.5) / 1e9 AS int_value
+       |FROM c""".stripMargin
   }
 
   /** Daily OHLC replay — shared by q_bars (batch) and
@@ -7245,6 +7285,9 @@ object SparkEntry {
         |  CASE WHEN d.trend IS NOT NULL AND s.seasonal IS NOT NULL THEN
         |    floor((d.value - d.trend - s.seasonal) * 1e9 + 0.5) / 1e9 END AS residual
         |FROM d LEFT JOIN s ON s.user_id = d.user_id AND s.phase = d.phase""".stripMargin,
+
+    // Blom ranks + the generated Moro-probit Horner chains
+    "q_int_transform" -> intOracleSql,
 
     // fractional ranks (tie-averaged halves) through the identical
     // five-sum Pearson replay

@@ -101,4 +101,64 @@ object NormalizeOps {
   }
 
   private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
+
+  /** Moro (1995) inverse-normal CDF coefficients — shared by the
+    * Column expression and the SQL oracle generator so both engines
+    * evaluate the IDENTICAL Horner chains.
+    */
+  private[graft] val MoroA = Seq(2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637)
+  private[graft] val MoroB = Seq(-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833)
+  private[graft] val MoroC = Seq(0.3374754822726147, 0.9761690190917186, 0.1607979714918209,
+    0.0276438810333863, 0.0038405729373609, 0.0003951896511919, 0.0000321767881768,
+    0.0000002888167364, 0.0000003960315187)
+
+  /** Φ⁻¹(u) via Moro's Beasley-Springer refinement: a rational
+    * central region (|u−½| ≤ 0.42) + a ln(−ln) Chebyshev tail —
+    * elementary operations only, so any engine replays it. */
+  private def probit(u: Column): Column = {
+    val y = u - lit(0.5)
+    def hornerChain(cs: Seq[Double], x: Column): Column =
+      cs.init.foldRight(lit(cs.last): Column)((c, acc) => lit(c) + x * acc)
+    val r = y * y
+    val central = y * hornerChain(MoroA, r) /
+      (lit(1.0) + r * hornerChain(MoroB, r))
+    val rTail = when(y > 0, lit(1.0) - u).otherwise(u)
+    val s = log(-log(rTail))
+    val tail = hornerChain(MoroC, s)
+    when(abs(y) <= lit(0.42), central)
+      .otherwise(when(y >= 0, tail).otherwise(-tail))
+  }
+
+  /** Rank-based inverse normal transform per feature (Blom 1958
+    * offsets + Moro probit — the GWAS/omics normalization that
+    * makes ANY continuous phenotype or abundance profile exactly
+    * standard-normal by construction, immune to outliers and
+    * skew where [[zscore]] is not): each value maps to
+    * Φ⁻¹((rank − 0.375)/(n + 0.25)), ties sharing the average
+    * rank.
+    *
+    * Scale shape: ONE window shuffle partitioned by feature (the
+    * feature axis is the parallel axis — every 100 TB omics matrix
+    * is wide in features, bounded per feature in samples); the
+    * probit is pure scan-stage arithmetic (rational central region
+    * + ln(−ln) tail, no special functions), snapped to the 1e-9
+    * grid for engine-stable replay.
+    */
+  def inverseNormalTransform(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      outputCol: String = "int_value"
+  ): DataFrame = {
+    val wRank = Window.partitionBy(col(featureCol)).orderBy(col(valueCol))
+    val wTies = Window.partitionBy(col(featureCol), col(valueCol))
+    val wAll = Window.partitionBy(col(featureCol))
+    val base = df.filter(col(valueCol).isNotNull)
+    val rAvg = rank().over(wRank).cast("double") +
+      (count(lit(1)).over(wTies).cast("double") - 1.0) / 2.0
+    val p = (rAvg - lit(0.375)) /
+      (count(lit(1)).over(wAll).cast("double") + lit(0.25))
+    base.withColumn(outputCol,
+      floor(probit(p) * lit(1e9) + lit(0.5)) / lit(1e9))
+  }
 }

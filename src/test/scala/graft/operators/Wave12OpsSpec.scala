@@ -89,4 +89,24 @@ class Wave12OpsSpec extends SparkSpec {
       assert(got == batch, s"stream $got vs batch $batch")
     } finally q.stop()
   }
+
+  test("inverseNormalTransform: Blom ranks through the Moro probit hit known quantiles") {
+    // 99 distinct values: ranks 1..99, p = (r-.375)/99.25; the median
+    // (r=50) maps to p≈0.5 → INT ≈ 0; symmetric tails mirror
+    val df = (1 to 99).map(i => ("f", i.toDouble)).toDF("feat", "v")
+    val r = NormalizeOps.inverseNormalTransform(df, "feat", "v")
+      .collect().map(x => x.getDouble(1) -> x.getDouble(2)).toMap
+    assert(math.abs(r(50.0)) < 0.01, s"median INT ${r(50.0)}")
+    assert(math.abs(r(25.0) + r(75.0)) < 1e-6, "symmetry")
+    // standard normal quartiles: p=0.25 -> -0.6745
+    assert(math.abs(r(25.0) - (-0.6745)) < 0.02, s"q1 ${r(25.0)}")
+    // extreme tail goes through the ln(-ln) branch and is finite/ordered
+    assert(r(1.0) < -2.0 && r(99.0) > 2.0 && r(1.0) == -r(99.0))
+    // ties share a rank: two equal values get the same INT
+    val t = NormalizeOps.inverseNormalTransform(
+      Seq(("f", 1.0), ("f", 2.0), ("f", 2.0), ("f", 3.0)).toDF("feat", "v"), "feat", "v")
+      .collect().map(x => (x.getDouble(1), x.getDouble(2)))
+    val twos = t.filter(_._1 == 2.0).map(_._2).distinct
+    assert(twos.length == 1 && math.abs(twos.head) < 1e-9)
+  }
 }
