@@ -7247,16 +7247,34 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS passed
         |FROM rpt""".stripMargin,
 
-    // exact type-7 percentile cutoff (quantile_cont ≡ Spark
-    // percentile) on integer µs; ties → train, null ts → test
+    // exact type-7 cutoff replayed from integer counts over the
+    // DISTINCT-µs frame (the q_outliers interpolation expression —
+    // never quantile_cont, whose formula is the engine's choice);
+    // ties → train, null ts → test
     "q_temporal_split" ->
-      """WITH c AS (
-        |  SELECT quantile_cont(epoch_us(ts), 0.8) AS cut
-        |  FROM events WHERE ts IS NOT NULL
+      """WITH counts AS (
+        |  SELECT CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS v, count(*) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |), staged AS (
+        |  SELECT v, c,
+        |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc,
+        |    sum(c) OVER () AS n
+        |  FROM counts
+        |), q AS (
+        |  SELECT
+        |    max(CASE WHEN cumc - c <= floor((n - 1) * 0.8)
+        |             AND floor((n - 1) * 0.8) < cumc THEN v END) AS vlo,
+        |    max(CASE WHEN cumc - c <= ceil((n - 1) * 0.8)
+        |             AND ceil((n - 1) * 0.8) < cumc THEN v END) AS vhi,
+        |    max((n - 1) * 0.8) AS h
+        |  FROM staged
+        |), cut AS (
+        |  SELECT vlo + (h - floor(h)) * (vhi - vlo) AS cut FROM q
         |)
         |SELECT event_id,
-        |  CASE WHEN epoch_us(ts) <= cut THEN 'train' ELSE 'test' END AS split
-        |FROM events, c""".stripMargin,
+        |  CASE WHEN CAST(epoch_us(ts) // 1000000 AS DOUBLE) <= cut
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM events, cut""".stripMargin,
 
     // centered 5-point MA + phase means + centering, identical snap
     // points at every derived value

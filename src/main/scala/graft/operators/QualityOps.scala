@@ -81,8 +81,10 @@ object QualityOps {
         rowChecks.zipWithIndex.map { case (c, i) =>
           sum(when(violation(c), 1L).otherwise(0L)).as(s"__v_$i") }: _*)
       frames += rowChecks.zipWithIndex.map { case (c, i) =>
+        // empty-frame aggregation yields NULL sums next to count 0 —
+        // a zero-row dataset has zero violations, not unknown ones
         agg.select(lit(c.name).as("check"), col("__n").as("n_rows"),
-          col(s"__v_$i").as("violations")) }.reduce(_ unionByName _)
+          coalesce(col(s"__v_$i"), lit(0L)).as("violations")) }.reduce(_ unionByName _)
     }
     uniqueChecks.foreach { u =>
       // the one check that needs its own shuffle: rows beyond the

@@ -225,27 +225,42 @@ object SplitOps {
     * (not of calendar span — a bursty tail week still lands wholly
     * in test).
     *
-    * Scale shape: ONE aggregation computes the percentile over
-    * integer µs (exact — the [[graft.operators.FunnelOps.rfm]]
-    * threshold discipline), rides back as a 1-row broadcast, and
-    * the row side never shuffles. Ties at the cutoff go to train
-    * (`<=`); NULL timestamps go to test (they cannot prove they
-    * precede the cutoff — the conservative side for training
+    * Scale shape: the cutoff is the exact type-7 percentile of the
+    * `granularitySeconds`-bucketed event time via
+    * [[StatsOps.groupQuantileExact]] — the DISTINCT-value
+    * discipline (groupBy(bucket) counts + cumulative windows),
+    * because Spark's own `percentile` aggregate BUFFERS every
+    * value and a 50M-row probe OOMs it (ScaleProbeR8f; the RFM
+    * precedent only works over pre-collapsed customer frames). The
+    * bucketing is what makes the distinct frame CALENDAR-bounded —
+    * at 1s granularity a year of data is ≤ 3.2·10⁷ quantile rows
+    * no matter how many trillion events it holds (and the one
+    * ordered window over it is the same documented single-partition
+    * frame as the KS statistic — coarsen granularity if the span
+    * is extreme). The cutoff rides back as a 1-row broadcast and
+    * the row side never shuffles. Ties at the cutoff bucket go to
+    * train (`<=`); NULL timestamps go to test (they cannot prove
+    * they precede the cutoff — the conservative side for training
     * hygiene).
     */
   def temporalSplit(
       df: DataFrame,
       tsCol: String,
       testFraction: Double,
-      splitCol: String = "split"
+      splitCol: String = "split",
+      granularitySeconds: Long = 1L
   ): DataFrame = {
     require(testFraction > 0 && testFraction < 1,
       s"testFraction must be in (0,1), got $testFraction")
-    val cut = df.filter(col(tsCol).isNotNull)
-      .agg(expr(s"percentile(unix_micros($tsCol), ${1.0 - testFraction})").as("__cut"))
+    require(granularitySeconds >= 1, s"granularitySeconds must be >= 1, got $granularitySeconds")
+    val bucket = expr(s"unix_micros($tsCol) div ${1000000L * granularitySeconds}")
+    val buckets = df.filter(col(tsCol).isNotNull)
+      .select(bucket.as("__m"), lit(1).as("__g"))
+    val cut = StatsOps.groupQuantileExact(buckets, Seq("__g"), "__m", 1.0 - testFraction)
+      .select(col("q_value").as("__cut"))
     df.crossJoin(broadcast(cut))
       .withColumn(splitCol,
-        when(expr(s"unix_micros($tsCol)") <= col("__cut"), "train").otherwise("test"))
+        when(bucket.cast("double") <= col("__cut"), "train").otherwise("test"))
       .drop("__cut")
   }
 }
