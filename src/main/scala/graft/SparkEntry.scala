@@ -2993,6 +2993,34 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- E14: average precision per source — the q_calibration
+    //      pseudo-score's full PR-area, distinct-score blocks with
+    //      snapped per-block terms. ----
+    "q_avg_precision" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
+      EvalOps.averagePrecision(d, "long_doc", "score", Seq("source"))
+    }),
+
+    // ---- D16: phonetic fuzzy join — soundex blocks with vowel-
+    //      mutated twins (consonant-initial first words of part
+    //      names, 1-in-20 sample); Jaro-Winkler gate at 0.85. The
+    //      oracle blocks on the (replayable) first letter — a
+    //      soundex superset — and the gate decides identically. ----
+    "q_phonetic_join" -> ((s, dir) => {
+      val base = BioLoader.load(s, t(dir, "part"))
+        .filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"), split(col("p_name"), " ").getItem(0).as("w"))
+        .filter(!substring(col("w"), 1, 1).isin("a", "e", "i", "o", "u"))
+      val left = base.select(col("p_partkey").as("id_l"), col("w").as("nm_l"))
+      val right = base.select(col("p_partkey").as("id_r"),
+        when(col("p_partkey") % 3 === 0, translate(col("w"), "aeiou", "eioua"))
+          .otherwise(col("w")).as("nm_r"))
+      FuzzyJoinOps.fuzzyJoinPhonetic(left, right, "nm_l", "nm_r", minSim = 0.85)
+        .select("id_l", "id_r", "jw_sim")
+    }),
+
     // ---- N37: rank-based inverse normal transform per feature —
     //      Blom offsets + Moro probit (GWAS normalization); one
     //      feature-partitioned window, pure scan-stage arithmetic,
@@ -7306,6 +7334,58 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // descending distinct-score blocks, snapped per-block terms,
+    // snapped sum — sklearn's step AP
+    "q_avg_precision" ->
+      """WITH d AS (
+        |  SELECT source, CAST(doc_id * 2654435761 % 1000 AS DOUBLE) / 1000.0 AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lbl
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), b AS (
+        |  SELECT source, score AS s, count(*) AS n, CAST(sum(lbl) AS BIGINT) AS np
+        |  FROM d GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source, s, n, np,
+        |    sum(n) OVER (PARTITION BY source ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cumn,
+        |    sum(np) OVER (PARTITION BY source ORDER BY s DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cump,
+        |    sum(np) OVER (PARTITION BY source) AS npos
+        |  FROM b
+        |), t AS (
+        |  SELECT source, n, np, npos,
+        |    CASE WHEN npos > 0 AND np > 0 THEN
+        |      floor((floor(CAST(cump AS DOUBLE) / cumn * 1e9 + 0.5) / 1e9)
+        |        * np / npos * 1e9 + 0.5) / 1e9
+        |    ELSE 0.0 END AS term
+        |  FROM st
+        |)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n, CAST(max(npos) AS BIGINT) AS n_pos,
+        |  CASE WHEN max(npos) > 0 THEN floor(sum(term) * 1e9 + 0.5) / 1e9 END
+        |    AS avg_precision
+        |FROM t GROUP BY source""".stripMargin,
+
+    // first-letter block (a replayable soundex superset) + the
+    // identical K22 Jaro-Winkler gate — the fixture guarantees the
+    // gate decides the same pair set
+    "q_phonetic_join" ->
+      """WITH base AS (
+        |  SELECT p_partkey, string_split(p_name, ' ')[1] AS w
+        |  FROM part WHERE p_partkey % 20 = 0
+        |), fb AS (
+        |  SELECT * FROM base WHERE substr(w, 1, 1) NOT IN ('a', 'e', 'i', 'o', 'u')
+        |), l AS (
+        |  SELECT p_partkey AS id_l, w AS nm_l FROM fb
+        |), r AS (
+        |  SELECT p_partkey AS id_r,
+        |    CASE WHEN p_partkey % 3 = 0 THEN translate(w, 'aeiou', 'eioua') ELSE w END AS nm_r
+        |  FROM fb
+        |)
+        |SELECT id_l, id_r,
+        |  floor(jaro_winkler_similarity(nm_l, nm_r) * 1e6 + 0.5) / 1e6 AS jw_sim
+        |FROM l JOIN r ON substr(nm_l, 1, 1) = substr(nm_r, 1, 1)
+        |WHERE floor(jaro_winkler_similarity(nm_l, nm_r) * 1e6 + 0.5) / 1e6 >= 0.85""".stripMargin,
 
     // fractional ranks (tie-averaged halves) through the identical
     // five-sum Pearson replay

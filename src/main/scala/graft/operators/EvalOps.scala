@@ -405,6 +405,54 @@ object EvalOps {
       .drop("__max_sel", "__max_tpr")
   }
 
+  /** Average precision per group (AP — the area under the PR curve
+    * as the threshold sweeps every distinct score; sklearn's
+    * `average_precision_score` step formulation `Σ ΔRecall·P`; the
+    * single-number imbalanced-data metric next to [[auc]]'s ROC
+    * view and [[prCurve]]'s fixed grid): descending distinct-score
+    * blocks contribute `(blockTP/n_pos) · P(after block)`.
+    *
+    * Scale shape — the [[auc]] distinct-value discipline: ONE
+    * groupBy(group, score) collapses rows to the distinct-score
+    * frame (counts only), cumulative windows over that frame give
+    * the per-block precision, and ONE final groupBy reduces to a
+    * row per group. All counts exact integers; each block's P and
+    * term snap to the 1e-9 grid before the snapped sum. No-positive
+    * groups yield NULL.
+    */
+  def averagePrecision(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val pos = col(labelCol).cast("double") =!= 0.0
+    val blocks = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(gs :+ col(scoreCol).cast("double").as("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum(when(pos, 1L).otherwise(0L)).as("__np"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val staged = blocks
+      .withColumn("__cumN", sum(col("__n")).over(w))
+      .withColumn("__cumP", sum(col("__np")).over(w))
+      .withColumn("__npos", sum(col("__np")).over(wAll))
+      .withColumn("__term", when(col("__npos") > 0 && col("__np") > 0,
+        snap9(snap9(col("__cumP").cast("double") / col("__cumN").cast("double")) *
+          col("__np").cast("double") / col("__npos").cast("double"))).otherwise(lit(0.0)))
+    staged
+      .groupBy(gs: _*)
+      .agg(
+        max(col("__npos")).as("n_pos"),
+        sum(col("__n")).as("n"),
+        snap9(sum(col("__term"))).as("__ap"))
+      .select(gs ++ Seq(col("n"), col("n_pos"),
+        when(col("n_pos") > 0, col("__ap")).as("avg_precision")): _*)
+  }
+
   /** Precision-recall curve at a fixed threshold grid — the sweep
     * form of [[confusionMetrics]] (E2 reads ONE operating point,
     * this frames the whole trade-off; with [[auc]]'s single rank

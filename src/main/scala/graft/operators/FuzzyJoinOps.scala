@@ -81,4 +81,39 @@ object FuzzyJoinOps {
       .filter(col("jw_sim") >= minSim)
       .drop("__blk", "__blk2")
   }
+
+  /** Phonetic-blocked fuzzy join — candidates share a SOUNDEX code
+    * (the classic record-linkage blocking key for person/company
+    * names: "Smith"/"Smyth"/"Smithe" all block together where
+    * [[fuzzyJoinJaro]]'s prefix block separates them at the first
+    * spelling divergence), verified by the codegen'd Jaro-Winkler
+    * gate. Spark's built-in `soundex` is codegen'd scan-stage
+    * work — no UDF.
+    *
+    * Scale shape: identical to the other blocked joins — a hash
+    * EQUI join on the 4-char code (≤ 26·7³ distinct blocks; at
+    * corpus scale soundex blocks are the skew axis, AQE splits the
+    * hot codes), the K22 kernel running inside the join, scores
+    * snapped to 1e-6 BEFORE the threshold. The blocking CONTRACT:
+    * pairs whose names differ in their consonant skeleton are not
+    * candidates — that is the phonetic trade, documented like the
+    * prefix block's.
+    */
+  def fuzzyJoinPhonetic(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      minSim: Double
+  ): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0, 1], got $minSim")
+    val l = left.withColumn("__snd", soundex(col(leftCol)))
+    val r = right.withColumn("__snd2", soundex(col(rightCol)))
+    l.join(r, col("__snd") === col("__snd2"))
+      .withColumn("jw_sim", floor(
+        graft.functions.StringSimilarity.jaroWinkler(col(leftCol), col(rightCol)) *
+          lit(1e6) + lit(0.5)) / lit(1e6))
+      .filter(col("jw_sim") >= minSim)
+      .drop("__snd", "__snd2")
+  }
 }
