@@ -2993,6 +2993,26 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- N38: weight of evidence / information value — which
+    //      source predicts "long doc"; per-category WOE + IV
+    //      contributions from one contingency shuffle. ----
+    "q_woe" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
+      StatsOps.weightOfEvidence(d, "source", "long_doc")
+    }),
+
+    // ---- E15: cumulative gains/lift at score deciles — the
+    //      campaign-targeting read-out on the q_calibration
+    //      pseudo-score; ntile + cumulative windows over the
+    //      decile frame. ----
+    "q_gains" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
+      EvalOps.gainsChart(d, "long_doc", "score", "doc_id", n = 10)
+    }),
+
     // ---- E14: average precision per source — the q_calibration
     //      pseudo-score's full PR-area, distinct-score blocks with
     //      snapped per-block terms. ----
@@ -7334,6 +7354,66 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // contingency counts, window class totals, eps-smoothed
+    // snapped fractions, ln-ratio terms
+    "q_woe" ->
+      """WITH d AS (
+        |  SELECT source AS category, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lbl
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |), c AS (
+        |  SELECT category,
+        |    CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT *, sum(n_pos) OVER () AS tp, sum(n_neg) OVER () AS tn FROM c
+        |), f AS (
+        |  SELECT category, n_pos, n_neg,
+        |    CASE WHEN tp > 0 THEN
+        |      floor((CAST(n_pos AS DOUBLE) / tp + 1e-6) * 1e9 + 0.5) / 1e9 END AS dp,
+        |    CASE WHEN tn > 0 THEN
+        |      floor((CAST(n_neg AS DOUBLE) / tn + 1e-6) * 1e9 + 0.5) / 1e9 END AS dn
+        |  FROM t
+        |), wv AS (
+        |  SELECT *, CASE WHEN dp IS NOT NULL AND dn IS NOT NULL THEN
+        |    floor(ln(dp / dn) * 1e9 + 0.5) / 1e9 END AS woe
+        |  FROM f
+        |)
+        |SELECT category, n_pos, n_neg, woe,
+        |  CASE WHEN woe IS NOT NULL THEN
+        |    floor((dp - dn) * woe * 1e9 + 0.5) / 1e9 END AS iv_contrib
+        |FROM wv""".stripMargin,
+
+    // ntile over (score desc, doc_id), cumulative capture + lift
+    // from the decile frame with the same snap points
+    "q_gains" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id * 2654435761 % 1000 AS DOUBLE) / 1000.0 AS score,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS lbl, doc_id
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), b AS (
+        |  SELECT ntile(10) OVER (ORDER BY score DESC, doc_id) AS bucket, lbl FROM d
+        |), a AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(lbl) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT *,
+        |    sum(n_rows) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_rows,
+        |    sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_pos,
+        |    sum(n_pos) OVER () AS tp, sum(n_rows) OVER () AS tn
+        |  FROM a
+        |)
+        |SELECT bucket, n_rows, n_pos, CAST(cum_rows AS BIGINT) AS cum_rows,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN tp > 0 THEN
+        |    floor(CAST(cum_pos AS DOUBLE) / tp * 1e9 + 0.5) / 1e9 END AS capture_rate,
+        |  CASE WHEN tp > 0 THEN
+        |    floor((floor(CAST(cum_pos AS DOUBLE) / cum_rows * 1e9 + 0.5) / 1e9)
+        |      / (floor(CAST(tp AS DOUBLE) / tn * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9
+        |  END AS cum_lift
+        |FROM c""".stripMargin,
 
     // descending distinct-score blocks, snapped per-block terms,
     // snapped sum — sklearn's step AP

@@ -494,6 +494,55 @@ object EvalOps {
           (col("precision") + col("recall")))))
   }
 
+  /** Cumulative gains / lift chart at equal-population score
+    * buckets ("target the top decile, capture X% of responders" —
+    * the campaign-targeting read-out next to [[prCurve]]'s
+    * threshold sweep): rows bucket by descending score via ntile
+    * (ties broken by `tieCol` for an engine-total order), then per
+    * bucket: counts, positives, cumulative capture rate and
+    * cumulative lift vs the base rate.
+    *
+    * Scale shape: one ntile window per group (the same single
+    * total-order axis as G7's buckets — grouped use keeps
+    * partitions parallel), ONE map-side-combinable
+    * groupBy(group, bucket), then cumulative windows over the
+    * |groups·n| bucket frame. Ratios snap at 1e-9.
+    */
+  def gainsChart(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      tieCol: String,
+      n: Int = 10,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val gs = groupCols.map(col)
+    val pos = col(labelCol).cast("double") =!= 0.0
+    val wTile = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col(scoreCol).desc, col(tieCol))
+    val buckets = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("bucket", ntile(n).over(wTile))
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(when(pos, 1L).otherwise(0L)).as("n_pos"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    buckets
+      .withColumn("cum_rows", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tp", sum(col("n_pos")).over(wAll))
+      .withColumn("__tn", sum(col("n_rows")).over(wAll))
+      .withColumn("capture_rate", when(col("__tp") > 0,
+        snap9(col("cum_pos").cast("double") / col("__tp"))))
+      .withColumn("cum_lift", when(col("__tp") > 0,
+        snap9(snap9(col("cum_pos").cast("double") / col("cum_rows")) /
+          snap9(col("__tp").cast("double") / col("__tn")))))
+      .drop("__tp", "__tn")
+  }
+
   /** Clipped n-gram precision/recall/F1 between a candidate and a
     * reference text per row — the core of BLEU-n/ROUGE-n (modified
     * n-gram precision WITH multiplicity clipping: a candidate that

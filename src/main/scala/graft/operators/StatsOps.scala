@@ -663,6 +663,52 @@ object StatsOps {
       .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
   }
 
+  /** Weight-of-evidence / information value per categorical feature
+    * (the credit-scoring feature screen, a monotone-story companion
+    * to [[mutualInformation]]: WOE_c = ln(P(c|pos)/P(c|neg)) per
+    * category, IV = Σ_c (P(c|pos) − P(c|neg))·WOE_c — IV < 0.02
+    * useless, > 0.3 strong, the classic thresholds): per (feature
+    * value, label) counts in ONE map-side-combinable shuffle, class
+    * totals as window sums over the tiny category frame, ε-smoothed
+    * fractions so empty cells stay finite (the N14 PSI discipline),
+    * every ratio/ln term snapped at 1e-9.
+    *
+    * @return one row per (groupCols*, category): counts, WOE, and
+    *         the category's IV contribution (sum per group for the
+    *         feature's IV)
+    */
+  def weightOfEvidence(
+      df: DataFrame,
+      categoryCol: String,
+      labelCol: String,
+      groupCols: Seq[String] = Nil,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val gs = groupCols.map(col)
+    val pos = col(labelCol).cast("double") =!= 0.0
+    val counts = df
+      .filter(col(categoryCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(gs :+ col(categoryCol).as("category"): _*)
+      .agg(
+        sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!pos, 1L).otherwise(0L)).as("n_neg"))
+    val w = Window.partitionBy(gs: _*)
+    counts
+      .withColumn("__tp", sum(col("n_pos")).over(w))
+      .withColumn("__tn", sum(col("n_neg")).over(w))
+      .withColumn("__dp", when(col("__tp") > 0,
+        snap9(col("n_pos").cast("double") / col("__tp") + lit(eps))))
+      .withColumn("__dn", when(col("__tn") > 0,
+        snap9(col("n_neg").cast("double") / col("__tn") + lit(eps))))
+      .withColumn("woe", when(col("__dp").isNotNull && col("__dn").isNotNull,
+        snap9(log(col("__dp") / col("__dn")))))
+      .withColumn("iv_contrib", when(col("woe").isNotNull,
+        snap9((col("__dp") - col("__dn")) * col("woe"))))
+      .select(gs ++ Seq(col("category"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_contrib")): _*)
+  }
+
   /** Per-group OLS linear trend `y = slope·x + intercept` with r²
     * (metric drift over time, per-feature trend screens). Two-pass
     * shift-and-sum: pass 1 takes each group's min(x) (a tiny frame
