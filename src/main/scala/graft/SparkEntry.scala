@@ -2993,6 +2993,35 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- E16: Wilson-interval rates — is-English rate per source
+    //      with the error bar that stays in [0,1]; two counters +
+    //      scan-stage interval arithmetic. ----
+    "q_rate_ci" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.rateWithCi(d, "is_en", Seq("source"), z = 1.96)
+    }),
+
+    // ---- T12: cluster-aware k-fold — the q_leak_split dup
+    //      clusters folded together on the portable coin; no
+    //      validation fold ever holds a near-copy of a training
+    //      row. ----
+    "q_group_kfold" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val keyed = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 30)).as("k"))
+      val w = Window.partitionBy("k")
+      val clusters = keyed
+        .withColumn("cluster_id", min("doc_id").over(w))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") > 1)
+        .select(col("doc_id").as("member"), col("cluster_id"))
+      SplitOps.groupKFoldWith(docs, "doc_id", clusters,
+          clusterCol = "cluster_id", memberCol = "member",
+          foldOf = key => pmod(key * lit(40503L), lit(5L)).cast("int"))
+        .select(col("doc_id"), col("fold_key"), col("fold"))
+    }),
+
     // ---- N38: weight of evidence / information value — which
     //      source predicts "long doc"; per-category WOE + IV
     //      contributions from one contingency shuffle. ----
@@ -7354,6 +7383,46 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // two counters + the Wilson formula at identical snap points
+    "q_rate_ci" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |), b AS (
+        |  SELECT *, floor(CAST(k AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS p,
+        |    floor((1.0 + 3.8415999999999997 / n) * 1e9 + 0.5) / 1e9 AS denom
+        |  FROM a
+        |), c AS (
+        |  SELECT *,
+        |    floor((p + 3.8415999999999997 / (2.0 * n)) / denom * 1e9 + 0.5) / 1e9 AS center,
+        |    floor(1.96 * sqrt(p * (1.0 - p) / n
+        |      + 3.8415999999999997 / (4.0 * n * n)) / denom * 1e9 + 0.5) / 1e9 AS hw
+        |  FROM b
+        |)
+        |SELECT source, n, k, p AS rate,
+        |  floor((center - hw) * 1e9 + 0.5) / 1e9 AS ci_lo,
+        |  floor((center + hw) * 1e9 + 0.5) / 1e9 AS ci_hi
+        |FROM c""".stripMargin,
+
+    // the q_leak_split clusters + the portable fold coin
+    "q_group_kfold" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(substr(text, 1, 30)) AS k FROM documents
+        |), cl AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM keyed
+        |), c2 AS (
+        |  SELECT doc_id AS member, cluster_id FROM cl WHERE n > 1
+        |), j AS (
+        |  SELECT d.doc_id, coalesce(c2.cluster_id, d.doc_id) AS fold_key
+        |  FROM documents d LEFT JOIN c2 ON d.doc_id = c2.member
+        |)
+        |SELECT doc_id, fold_key,
+        |  CAST((fold_key * 40503) % 5 AS INTEGER) AS fold
+        |FROM j""".stripMargin,
 
     // contingency counts, window class totals, eps-smoothed
     // snapped fractions, ln-ratio terms

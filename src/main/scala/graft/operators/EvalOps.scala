@@ -494,6 +494,47 @@ object EvalOps {
           (col("precision") + col("recall")))))
   }
 
+  /** Per-group rate with a Wilson score confidence interval (the
+    * dashboard-correct error bar for proportions: unlike the
+    * normal-approximation ±z√(p(1−p)/n) it never leaves [0,1] and
+    * stays honest at small n or extreme p — the interval every
+    * conversion/violation/accuracy rate should ship with):
+    *
+    *   center = (p + z²/2n)/(1 + z²/n),
+    *   halfwidth = z·√(p(1−p)/n + z²/4n²)/(1 + z²/n)
+    *
+    * Scale shape: ONE map-side-combinable groupBy of two counters;
+    * the interval is scan-stage arithmetic over the |groups| frame,
+    * every derived value snapped at 1e-9 in the same order the
+    * oracle replays.
+    */
+  def rateWithCi(
+      df: DataFrame,
+      labelCol: String,
+      groupCols: Seq[String] = Nil,
+      z: Double = 1.96
+  ): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val gs = groupCols.map(col)
+    val pos = col(labelCol).cast("double") =!= 0.0
+    val agg = df.filter(col(labelCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"), sum(when(pos, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("__p")
+    val z2 = lit(z * z)
+    agg
+      .withColumn("__p", snap9(col("k").cast("double") / n))
+      .withColumn("rate", col("__p"))
+      .withColumn("__denom", snap9(lit(1.0) + z2 / n))
+      .withColumn("__center", snap9((p + z2 / (lit(2.0) * n)) / col("__denom")))
+      .withColumn("__hw", snap9(lit(z) *
+        sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / col("__denom")))
+      .withColumn("ci_lo", snap9(col("__center") - col("__hw")))
+      .withColumn("ci_hi", snap9(col("__center") + col("__hw")))
+      .select(gs ++ Seq(col("n"), col("k"), col("rate"), col("ci_lo"), col("ci_hi")): _*)
+  }
+
   /** Cumulative gains / lift chart at equal-population score
     * buckets ("target the top decile, capture X% of responders" —
     * the campaign-targeting read-out next to [[prCurve]]'s

@@ -243,6 +243,51 @@ object SplitOps {
     * they precede the cutoff — the conservative side for training
     * hygiene).
     */
+  /** Cluster-aware k-fold — every member of a duplicate/near-dup
+    * cluster lands in the SAME fold ([[clusterAwareSplit]]'s
+    * contamination guard applied to cross-validation: a row-wise
+    * k-fold leaks near-copies of validation documents into every
+    * training fold). Rows absent from `clusters` are singletons
+    * folded on their own id. Same ONE left join (AQE-broadcast at
+    * typical dup rates) + the content-deterministic hash coin as
+    * the other splits — partitioning/retry/row-order independent.
+    */
+  def groupKFold(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterCol: String,
+      memberCol: String,
+      k: Int,
+      foldCol: String = "fold"
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    groupKFoldWith(df, idCol, clusters, clusterCol, memberCol,
+      key => pmod(xxhash64(key), lit(k.toLong)).cast("int"), foldCol)
+  }
+
+  /** [[groupKFold]] with a caller-supplied fold coin over the fold
+    * key (cluster id, or the row's own id for singletons) — the
+    * portable-coin form an SQL oracle replays exactly.
+    */
+  def groupKFoldWith(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      clusterCol: String,
+      memberCol: String,
+      foldOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      foldCol: String = "fold"
+  ): DataFrame = {
+    // join on the MEMBER id, fold by the CLUSTER id — the same
+    // (cluster, member) argument order as clusterAwareSplit
+    val cl = clusters.select(col(memberCol).as("__id"), col(clusterCol).as("__cl"))
+    df.join(cl, df(idCol) === col("__id"), "left")
+      .withColumn("fold_key", coalesce(col("__cl"), df(idCol)))
+      .withColumn(foldCol, foldOf(col("fold_key")))
+      .drop("__id", "__cl")
+  }
+
   def temporalSplit(
       df: DataFrame,
       tsCol: String,

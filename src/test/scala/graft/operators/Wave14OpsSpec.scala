@@ -62,4 +62,34 @@ class Wave14OpsSpec extends SparkSpec {
     r.foreach(x => assert(math.abs(x.getAs[Double]("cum_lift") - 1.0) < 0.25,
       s"bucket ${x.getAs[Int]("bucket")}: ${x.getAs[Double]("cum_lift")}"))
   }
+
+  test("rateWithCi: Wilson interval brackets the rate and stays inside [0,1]") {
+    def snap9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    // 8/10 positives
+    val df = (1 to 10).map(i => ("g", if (i <= 8) 1 else 0)).toDF("grp", "lbl")
+    val r = EvalOps.rateWithCi(df, "lbl", Seq("grp")).collect().head
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("k") == 8)
+    assert(r.getAs[Double]("rate") == 0.8)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < 0.8 && 0.8 < hi && lo > 0.4 && hi < 1.0, s"[$lo, $hi]")
+    // extreme p at tiny n: interval stays in [0,1] (the Wilson point)
+    val ext = Seq(("g", 1), ("g", 1), ("g", 1)).toDF("grp", "lbl")
+    val e = EvalOps.rateWithCi(ext, "lbl", Seq("grp")).collect().head
+    assert(e.getAs[Double]("rate") == 1.0 &&
+      e.getAs[Double]("ci_hi") <= 1.0 + 1e-9 && e.getAs[Double]("ci_lo") > 0.3)
+  }
+
+  test("groupKFold: cluster members share a fold; singletons fold on their own id") {
+    val docs = (1L to 20L).map(i => (i, s"d$i")).toDF("id", "x")
+    val clusters = Seq((3L, 1L), (7L, 1L), (12L, 10L), (15L, 10L))
+      .toDF("member", "cluster_id")
+      .select(col("cluster_id"), col("member"))
+    val f = SplitOps.groupKFold(docs, "id", clusters, "cluster_id", "member", k = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("fold")).toMap
+    assert(f(3L) == f(7L) && f(3L) == f(1L))   // cluster 1 members + id 1 share key 1
+    assert(f(12L) == f(15L) && f(12L) == f(10L))
+    assert(f.values.forall(v => v >= 0 && v < 4))
+    // folds are reasonably spread
+    assert(f.values.toSet.size >= 2)
+  }
 }
