@@ -2993,6 +2993,58 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- G12: duplicate-downweighting — soft dedup: every copy
+    //      kept at weight 1/cluster_size, singletons at 1.0; the
+    //      q_leak_split clusters. ----
+    "q_dedup_weights" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val keyed = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 30)).as("k"))
+      val w = Window.partitionBy("k")
+      val clusters = keyed
+        .withColumn("cluster_id", min("doc_id").over(w))
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(col("__n") > 1)
+        .select(col("doc_id").as("member"), col("cluster_id"))
+      MixOps.dedupWeights(docs, "doc_id", clusters, "cluster_id", "member")
+        .select("doc_id", "dedup_weight")
+    }),
+
+    // ---- C43: time-to-convert per first-touch channel — latency
+    //      stats with the exact distinct-value median; the speed
+    //      companion of q_attribution. ----
+    "q_time_to_convert" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      FunnelOps.timeToConvert(ev, "user_id", "ts", "event_id", "event_type",
+          convType = "purchase", touchTypes = Seq("view", "click", "signup"),
+          lookbackSeconds = 259200L)
+        .select(col("channel"), col("convs"), hround(col("mean_s"), 6).as("mean_s"),
+          col("min_s"), col("max_s"), col("median_s"))
+    }),
+
+    // ---- M23: STREAMING windowed Wilson rates — daily purchase
+    //      rate with honest error bars; two counters of state per
+    //      window, stateless interval arithmetic. ----
+    "q_stream_rate" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(lit(-1L).as("event_id"), expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit(PusherId).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"),
+          lit(0).as("is_purchase"))
+      val rates = EvalOps.rateWithCiWindowed(
+        ev.unionByName(pusher), "ts", "is_purchase",
+        windowLen = "1 day", watermark = "1 hour")
+      graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(rates, "m23rate")
+          .filter(col("window_start") < lit("2024-06-01"))
+      }
+    }),
+
     // ---- E16: Wilson-interval rates — is-English rate per source
     //      with the error bar that stays in [0,1]; two counters +
     //      scan-stage interval arithmetic. ----
@@ -7383,6 +7435,98 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // cluster sizes + exact-reciprocal weights, singletons 1.0
+    "q_dedup_weights" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(substr(text, 1, 30)) AS k FROM documents
+        |), cl AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS cluster_id,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM keyed
+        |), c2 AS (
+        |  SELECT doc_id AS member, cluster_id FROM cl WHERE n > 1
+        |), sz AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS s FROM c2 GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN sz.s IS NOT NULL THEN
+        |    floor(1.0 / sz.s * 1e9 + 0.5) / 1e9 ELSE 1.0 END AS dedup_weight
+        |FROM documents d
+        |LEFT JOIN c2 ON d.doc_id = c2.member
+        |LEFT JOIN sz ON c2.cluster_id = sz.cluster_id""".stripMargin,
+
+    // first touch by (ts, id) window, floor-div second latencies,
+    // the integer-count type-7 median per channel
+    "q_time_to_convert" ->
+      """WITH c AS (
+        |  SELECT user_id AS k, ts AS cts, event_id AS cid FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+        |), tt AS (
+        |  SELECT user_id AS k, ts AS tts, event_id AS tid, event_type AS channel FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup')
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL
+        |), j AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rf
+        |  FROM c JOIN tt USING (k)
+        |  WHERE tts <= cts AND tts >= cts - (259200 * INTERVAL 1 SECOND)
+        |), f AS (
+        |  SELECT cid, channel,
+        |    (epoch_us(cts) - epoch_us(tts)) // 1000000 AS latency_s
+        |  FROM j WHERE rf = 1
+        |), a AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS convs,
+        |    floor((floor(avg(latency_s) * 1e9 + 0.5) / 1e9) * 1e6 + 0.5) / 1e6 AS mean_s,
+        |    min(latency_s) AS min_s, max(latency_s) AS max_s
+        |  FROM f GROUP BY 1
+        |), counts AS (
+        |  SELECT channel, CAST(latency_s AS DOUBLE) AS v, count(*) AS cnt
+        |  FROM f GROUP BY 1, 2
+        |), staged AS (
+        |  SELECT channel, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY channel ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumc,
+        |    sum(cnt) OVER (PARTITION BY channel) AS n
+        |  FROM counts
+        |), med AS (
+        |  SELECT channel,
+        |    max(CASE WHEN cumc - cnt <= floor((n - 1) * 0.5)
+        |             AND floor((n - 1) * 0.5) < cumc THEN v END) AS vlo,
+        |    max(CASE WHEN cumc - cnt <= ceil((n - 1) * 0.5)
+        |             AND ceil((n - 1) * 0.5) < cumc THEN v END) AS vhi,
+        |    max((n - 1) * 0.5) AS h
+        |  FROM staged GROUP BY 1
+        |), m2 AS (
+        |  SELECT channel, vlo + (h - floor(h)) * (vhi - vlo) AS median_s FROM med
+        |)
+        |SELECT a.channel, convs, mean_s, min_s, max_s, median_s
+        |FROM a LEFT JOIN m2 ON a.channel = m2.channel""".stripMargin,
+
+    // epoch-aligned daily counters + the identical Wilson chain
+    "q_stream_rate" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // 1000000) // 86400) * 86400 * 1000000)
+        |    AS window_start,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+        |  FROM events WHERE ts IS NOT NULL
+        |), a AS (
+        |  SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lbl) AS BIGINT) AS k
+        |  FROM w GROUP BY 1
+        |), b AS (
+        |  SELECT *, floor(CAST(k AS DOUBLE) / n * 1e9 + 0.5) / 1e9 AS p,
+        |    floor((1.0 + 3.8415999999999997 / n) * 1e9 + 0.5) / 1e9 AS denom
+        |  FROM a
+        |), c AS (
+        |  SELECT *,
+        |    floor((p + 3.8415999999999997 / (2.0 * n)) / denom * 1e9 + 0.5) / 1e9 AS center,
+        |    floor(1.96 * sqrt(p * (1.0 - p) / n
+        |      + 3.8415999999999997 / (4.0 * n * n)) / denom * 1e9 + 0.5) / 1e9 AS hw
+        |  FROM b
+        |)
+        |SELECT window_start, n, k, p AS rate,
+        |  floor((center - hw) * 1e9 + 0.5) / 1e9 AS ci_lo,
+        |  floor((center + hw) * 1e9 + 0.5) / 1e9 AS ci_hi
+        |FROM c""".stripMargin,
 
     // two counters + the Wilson formula at identical snap points
     "q_rate_ci" ->

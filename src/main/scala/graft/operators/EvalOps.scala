@@ -535,6 +535,46 @@ object EvalOps {
       .select(gs ++ Seq(col("n"), col("k"), col("rate"), col("ci_lo"), col("ci_hi")): _*)
   }
 
+  /** STREAMING windowed rates with Wilson intervals — [[rateWithCi]]
+    * per event-time window (conversion/error rate monitoring with
+    * honest error bars, the metric twin of
+    * [[graft.operators.QualityOps.checkWindowed]]): ONE windowed
+    * streaming aggregation of two counters (per-window state is two
+    * longs, SUM-mergeable downstream), the Wilson arithmetic a
+    * stateless post-projection. Works identically on a batch frame
+    * — the batch run IS the oracle twin.
+    */
+  def rateWithCiWindowed(
+      events: DataFrame,
+      tsCol: String,
+      labelCol: String,
+      windowLen: String,
+      z: Double = 1.96,
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val pos = col(labelCol).cast("double") =!= 0.0
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val agg = src.filter(col(labelCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"), sum(when(pos, 1L).otherwise(0L)).as("k"))
+      .select(col("w.start").as("window_start"), col("n"), col("k"))
+    val n = col("n").cast("double")
+    val p = col("__p")
+    val z2 = lit(z * z)
+    agg
+      .withColumn("__p", snap9(col("k").cast("double") / n))
+      .withColumn("rate", col("__p"))
+      .withColumn("__denom", snap9(lit(1.0) + z2 / n))
+      .withColumn("__center", snap9((p + z2 / (lit(2.0) * n)) / col("__denom")))
+      .withColumn("__hw", snap9(lit(z) *
+        sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / col("__denom")))
+      .withColumn("ci_lo", snap9(col("__center") - col("__hw")))
+      .withColumn("ci_hi", snap9(col("__center") + col("__hw")))
+      .select(col("window_start"), col("n"), col("k"), col("rate"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Cumulative gains / lift chart at equal-population score
     * buckets ("target the top decile, capture X% of responders" —
     * the campaign-targeting read-out next to [[prCurve]]'s

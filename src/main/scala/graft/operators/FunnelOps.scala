@@ -290,6 +290,60 @@ object FunnelOps {
     * Ties on touch timestamp break by the touch event id, so
     * first/last are deterministic.
     */
+  /** Time-to-convert statistics per channel — how long after the
+    * FIRST in-lookback touch each conversion landed (the latency
+    * companion to [[attribution]]'s credit split: attribution says
+    * which channel, this says how fast). Per first-touch channel:
+    * conversion counts and exact-integer-second latency mean/min/
+    * max plus the exact type-7 median over the distinct-latency
+    * frame (the N16 discipline — aggregator memory is distinct
+    * latencies, never conversions).
+    *
+    * Scale shape: the same ONE user-keyed hash join as attribution
+    * + a per-conversion min_by for the first touch (no window
+    * sort), then ONE groupBy(channel) + the distinct-value median
+    * machinery. Latencies stay exact integer seconds until the
+    * snapped mean.
+    */
+  def timeToConvert(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String],
+      lookbackSeconds: Long
+  ): DataFrame = {
+    require(lookbackSeconds > 0, s"lookbackSeconds must be positive, got $lookbackSeconds")
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val base = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val convs = base.filter(col(typeCol) === convType)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__cts"), col(eventIdCol).as("__cid"))
+    val touches = base.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(keyCol).as("__k"), col(tsCol).as("__tts"),
+        col(eventIdCol).as("__tid"), col(typeCol).as("channel"))
+    val firsts = convs.join(touches, Seq("__k"))
+      .filter(col("__tts") <= col("__cts") &&
+        col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .groupBy(col("__cid"))
+      .agg(
+        min_by(col("channel"), struct(col("__tts"), col("__tid"))).as("channel"),
+        (max(expr("unix_micros(__cts)")) -
+          min_by(expr("unix_micros(__tts)"), struct(col("__tts"), col("__tid"))))
+          .as("__lat_us"))
+      .withColumn("latency_s", expr("__lat_us div 1000000"))
+    val agg = firsts.groupBy(col("channel"))
+      .agg(count(lit(1)).as("convs"),
+        s9(avg(col("latency_s"))).as("mean_s"),
+        min(col("latency_s")).as("min_s"),
+        max(col("latency_s")).as("max_s"))
+    val med = StatsOps.groupQuantileExact(firsts, Seq("channel"), "latency_s", 0.5)
+      .select(col("channel"), col("q_value").as("median_s"))
+    agg.join(med, Seq("channel"), "left")
+  }
+
   def attribution(
       events: DataFrame,
       keyCol: String,

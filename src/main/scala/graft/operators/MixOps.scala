@@ -372,4 +372,40 @@ object MixOps {
     df.withColumn("src_rank", row_number().over(w))
       .withColumn("vt", snap9(col("src_rank").cast("double") / weight))
   }
+
+  /** Duplicate-downweighting — SOFT dedup: instead of dropping a
+    * duplicate cluster's copies (the D-family operators), keep
+    * every row and weight it 1/cluster_size, so the cluster
+    * contributes ONE document's worth of probability mass to
+    * training (the "weighted dedup" alternative when provenance
+    * diversity matters — each copy keeps its own metadata — or when
+    * the sampler downstream consumes weights anyway, e.g.
+    * [[weightedSamplePerGroup]]).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(cluster) for the
+    * sizes + ONE left join back on the member id (cluster frames
+    * hold only the duplicated minority → AQE broadcast at typical
+    * dup rates); singletons weight 1.0 without touching the join.
+    * Weights are exact-integer reciprocals snapped at 1e-9.
+    */
+  def dedupWeights(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      clusters: org.apache.spark.sql.DataFrame,
+      clusterCol: String,
+      memberCol: String,
+      weightCol: String = "dedup_weight"
+  ): org.apache.spark.sql.DataFrame = {
+    val snap9 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val sizes = clusters
+      .groupBy(col(clusterCol).as("__cl"))
+      .agg(count(lit(1)).as("__sz"))
+    val cl = clusters.select(col(memberCol).as("__id"), col(clusterCol).as("__cl"))
+      .join(sizes, "__cl")
+    df.join(cl, df(idCol) === col("__id"), "left")
+      .withColumn(weightCol,
+        when(col("__sz").isNotNull, snap9(lit(1.0) / col("__sz").cast("double")))
+          .otherwise(lit(1.0)))
+      .drop("__id", "__cl", "__sz")
+  }
 }
