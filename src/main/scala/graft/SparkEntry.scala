@@ -2993,6 +2993,23 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- N40: partial autocorrelation per user at lags 1..3 —
+    //      Durbin-Levinson over the ACF frame, the AR-order picker
+    //      beside q_autocorr; recursion snapped per assignment. ----
+    "q_pacf" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
+      SequenceOps.partialAutocorrelation(ev, Seq("user_id"), Seq("ts", "event_id"),
+        "value", maxLag = 3)
+    }),
+
+    // ---- N42: Cramér's V — effect size for the q_chi2 association
+    //      (significance says "is it real", V says "is it big"). ----
+    "q_cramers_v" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("len_hi", (col("n_chars") >= 300).cast("int"))
+      StatsOps.cramersV(d, Seq("source"), "lang", "len_hi")
+    }),
+
     // ---- G12: duplicate-downweighting — soft dedup: every copy
     //      kept at weight 1/cluster_size, singletons at 1.0; the
     //      q_leak_split clusters. ----
@@ -3526,6 +3543,76 @@ object SparkEntry {
        |              ELSE -($hc2) END) * 1e9 + 0.5) / 1e9 AS int_value
        |FROM c""".stripMargin
   }
+
+  private val chi2OracleSql: String =
+      """WITH d AS (
+        |  SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_hi
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), obs AS (
+        |  SELECT source, lang, len_hi, count(*) AS o FROM d GROUP BY 1, 2, 3
+        |), rowm AS (
+        |  SELECT source, lang, sum(o) AS ra FROM obs GROUP BY 1, 2
+        |), colm AS (
+        |  SELECT source, len_hi, sum(o) AS rb FROM obs GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, sum(o) AS n, count(DISTINCT lang) AS ka,
+        |    count(DISTINCT len_hi) AS kb
+        |  FROM obs GROUP BY 1
+        |), grid AS (
+        |  SELECT rowm.source, rowm.lang, colm.len_hi,
+        |    COALESCE(obs.o, 0) AS o, rowm.ra * colm.rb / CAST(tot.n AS DOUBLE) AS e,
+        |    tot.n, tot.ka, tot.kb
+        |  FROM rowm
+        |  JOIN colm ON rowm.source = colm.source
+        |  JOIN tot ON rowm.source = tot.source
+        |  LEFT JOIN obs ON obs.source = rowm.source AND obs.lang = rowm.lang
+        |    AND obs.len_hi = colm.len_hi
+        |), st AS (
+        |  SELECT source, CAST(n AS BIGINT) AS n, (ka - 1) * (kb - 1) AS dof,
+        |    floor(sum(floor((o - e) * (o - e) / e * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS chi2
+        |  FROM grid GROUP BY source, n, ka, kb
+        |), erf AS (
+        |  SELECT source, n, dof, chi2,
+        |    exp(-chi2 / 2.0) AS eh,
+        |    sqrt(chi2) / sqrt(2.0) AS z,
+        |    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS s
+        |  FROM st
+        |), pe AS (
+        |  SELECT source, n, dof, chi2, eh,
+        |    s * (0.254829592 + s * (-0.284496736 + s * (1.421413741
+        |      + s * (-1.453152027 + s * 1.061405429)))) * exp(-z * z) AS erfc
+        |  FROM erf
+        |)
+        |SELECT source, n, CAST(dof AS BIGINT) AS dof, chi2,
+        |  floor((CASE dof
+        |    WHEN 1 THEN erfc
+        |    WHEN 2 THEN eh
+        |    WHEN 3 THEN erfc + eh * pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |    WHEN 4 THEN eh * (1.0 + chi2 / 2.0)
+        |    WHEN 5 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75))
+        |    WHEN 6 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0)
+        |    WHEN 7 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875))
+        |    WHEN 8 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0)
+        |    WHEN 9 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
+        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625))
+        |    WHEN 10 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0)
+        |    WHEN 11 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
+        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
+        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
+        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625)
+        |      + pow(chi2 / 2.0, 4.5) / (sqrt(pi()) * 29.53125))
+        |    WHEN 12 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
+        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0
+        |      + pow(chi2 / 2.0, 5.0) / 120.0)
+        |    END) * 1e9 + 0.5) / 1e9 AS p_value
+        |FROM pe""".stripMargin
 
   /** Daily OHLC replay — shared by q_bars (batch) and
     * q_stream_bars (the epoch-aligned 1-day window makes the
@@ -6126,75 +6213,7 @@ object SparkEntry {
     // cross join) + the SAME unrolled survival series per dof: even
     // df → exp(−x/2)Σ(x/2)^i/i!, odd df → A&S erfc chain + the
     // half-integer-gamma terms, every term snapped at 1e-9
-    "q_chi2" ->
-      """WITH d AS (
-        |  SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_hi
-        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-        |), obs AS (
-        |  SELECT source, lang, len_hi, count(*) AS o FROM d GROUP BY 1, 2, 3
-        |), rowm AS (
-        |  SELECT source, lang, sum(o) AS ra FROM obs GROUP BY 1, 2
-        |), colm AS (
-        |  SELECT source, len_hi, sum(o) AS rb FROM obs GROUP BY 1, 2
-        |), tot AS (
-        |  SELECT source, sum(o) AS n, count(DISTINCT lang) AS ka,
-        |    count(DISTINCT len_hi) AS kb
-        |  FROM obs GROUP BY 1
-        |), grid AS (
-        |  SELECT rowm.source, rowm.lang, colm.len_hi,
-        |    COALESCE(obs.o, 0) AS o, rowm.ra * colm.rb / CAST(tot.n AS DOUBLE) AS e,
-        |    tot.n, tot.ka, tot.kb
-        |  FROM rowm
-        |  JOIN colm ON rowm.source = colm.source
-        |  JOIN tot ON rowm.source = tot.source
-        |  LEFT JOIN obs ON obs.source = rowm.source AND obs.lang = rowm.lang
-        |    AND obs.len_hi = colm.len_hi
-        |), st AS (
-        |  SELECT source, CAST(n AS BIGINT) AS n, (ka - 1) * (kb - 1) AS dof,
-        |    floor(sum(floor((o - e) * (o - e) / e * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 AS chi2
-        |  FROM grid GROUP BY source, n, ka, kb
-        |), erf AS (
-        |  SELECT source, n, dof, chi2,
-        |    exp(-chi2 / 2.0) AS eh,
-        |    sqrt(chi2) / sqrt(2.0) AS z,
-        |    1.0 / (1.0 + 0.3275911 * (sqrt(chi2) / sqrt(2.0))) AS s
-        |  FROM st
-        |), pe AS (
-        |  SELECT source, n, dof, chi2, eh,
-        |    s * (0.254829592 + s * (-0.284496736 + s * (1.421413741
-        |      + s * (-1.453152027 + s * 1.061405429)))) * exp(-z * z) AS erfc
-        |  FROM erf
-        |)
-        |SELECT source, n, CAST(dof AS BIGINT) AS dof, chi2,
-        |  floor((CASE dof
-        |    WHEN 1 THEN erfc
-        |    WHEN 2 THEN eh
-        |    WHEN 3 THEN erfc + eh * pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
-        |    WHEN 4 THEN eh * (1.0 + chi2 / 2.0)
-        |    WHEN 5 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
-        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75))
-        |    WHEN 6 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0)
-        |    WHEN 7 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
-        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
-        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875))
-        |    WHEN 8 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
-        |      + pow(chi2 / 2.0, 3.0) / 6.0)
-        |    WHEN 9 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
-        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
-        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
-        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625))
-        |    WHEN 10 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
-        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0)
-        |    WHEN 11 THEN erfc + eh * (pow(chi2 / 2.0, 0.5) / (sqrt(pi()) * 0.5)
-        |      + pow(chi2 / 2.0, 1.5) / (sqrt(pi()) * 0.75)
-        |      + pow(chi2 / 2.0, 2.5) / (sqrt(pi()) * 1.875)
-        |      + pow(chi2 / 2.0, 3.5) / (sqrt(pi()) * 6.5625)
-        |      + pow(chi2 / 2.0, 4.5) / (sqrt(pi()) * 29.53125))
-        |    WHEN 12 THEN eh * (1.0 + chi2 / 2.0 + pow(chi2 / 2.0, 2.0) / 2.0
-        |      + pow(chi2 / 2.0, 3.0) / 6.0 + pow(chi2 / 2.0, 4.0) / 24.0
-        |      + pow(chi2 / 2.0, 5.0) / 120.0)
-        |    END) * 1e9 + 0.5) / 1e9 AS p_value
-        |FROM pe""".stripMargin,
+    "q_chi2" -> chi2OracleSql,
 
     // same contingency machinery as q_chi2; every MI/entropy term is
     // an integer-count ratio snapped to the 1e-9 grid before the sum
@@ -7435,6 +7454,74 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // the q_autocorr frame at lags 1..3 + the unrolled Durbin-
+    // Levinson closed forms with identical snap points
+    "q_pacf" ->
+      """WITH p AS (
+        |  SELECT user_id, value AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, x AS x0, rn + o AS tr, o AS lag
+        |  FROM p CROSS JOIN (SELECT unnest(range(1, 4)) AS o)
+        |), j AS (
+        |  SELECT l.user_id, l.lag, l.x0, p.x AS x1
+        |  FROM l JOIN p ON p.user_id = l.user_id AND p.rn = l.tr
+        |), a AS (
+        |  SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    floor(avg(x0) * 1e9 + 0.5) / 1e9 AS mx, floor(avg(x1) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg(x0 * x0) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(x1 * x1) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg(x0 * x1) * 1e9 + 0.5) / 1e9 AS mxy
+        |  FROM j GROUP BY 1, 2
+        |), c AS (
+        |  SELECT user_id, lag, n_pairs,
+        |    CASE WHEN floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 > 0
+        |         AND floor((myy - my * my) * 1e9 + 0.5) / 1e9 > 0 THEN
+        |      floor((floor((mxy - mx * my) * 1e9 + 0.5) / 1e9)
+        |        / sqrt((floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9)
+        |             * (floor((myy - my * my) * 1e9 + 0.5) / 1e9)) * 1e9 + 0.5) / 1e9
+        |    END AS acf
+        |  FROM a
+        |), pv AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN lag = 1 THEN acf END) AS a1,
+        |    max(CASE WHEN lag = 2 THEN acf END) AS a2,
+        |    max(CASE WHEN lag = 3 THEN acf END) AS a3
+        |  FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT user_id, a1, a2, a3,
+        |    CASE WHEN a1 IS NOT NULL AND a2 IS NOT NULL AND 1.0 - a1 * a1 <> 0 THEN
+        |      floor((a2 - a1 * a1) / (1.0 - a1 * a1) * 1e9 + 0.5) / 1e9 END AS f22
+        |  FROM pv
+        |), e AS (
+        |  SELECT *, CASE WHEN f22 IS NOT NULL THEN
+        |    floor((a1 - f22 * a1) * 1e9 + 0.5) / 1e9 END AS f21 FROM d
+        |), f AS (
+        |  SELECT *, CASE WHEN f21 IS NOT NULL AND a3 IS NOT NULL
+        |      AND (1.0 - f21 * a1 - f22 * a2) <> 0 THEN
+        |    floor((a3 - f21 * a2 - f22 * a1) / (1.0 - f21 * a1 - f22 * a2) * 1e9 + 0.5) / 1e9
+        |  END AS p3 FROM e
+        |)
+        |SELECT c.user_id, c.lag, c.n_pairs, c.acf,
+        |  CASE c.lag WHEN 1 THEN a1 WHEN 2 THEN f22 ELSE p3 END AS pacf
+        |FROM c JOIN f ON c.user_id = f.user_id""".stripMargin,
+
+    // the q_chi2 replay wrapped with table dimensions → V
+    "q_cramers_v" -> {
+      s"""WITH chi AS ($chi2OracleSql),
+         |dims AS (
+         |  SELECT source, count(DISTINCT lang) AS ka, count(DISTINCT len_hi) AS kb
+         |  FROM (SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_hi
+         |        FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
+         |  GROUP BY 1
+         |)
+         |SELECT chi.*, CASE WHEN least(ka, kb) - 1 > 0 AND n > 0 THEN
+         |  floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (least(ka, kb) - 1))) * 1e9 + 0.5) / 1e9
+         |END AS cramers_v
+         |FROM chi JOIN dims USING (source)""".stripMargin
+    },
 
     // cluster sizes + exact-reciprocal weights, singletons 1.0
     "q_dedup_weights" ->

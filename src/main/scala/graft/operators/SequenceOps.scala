@@ -403,6 +403,96 @@ object SequenceOps {
       .select(ks ++ Seq(col("lag"), col("n_pairs"), col("acf")): _*)
   }
 
+  /** Partial autocorrelation per key at lags 1..maxLag (Durbin–
+    * Levinson over the [[autocorrelation]] frame — PACF is THE
+    * AR-order picker: ACF of an AR(p) process tails off forever,
+    * PACF cuts off sharp at lag p, so this is what actually
+    * answers "how many lags does the forecaster need"): φ_11 = ρ₁,
+    * then for k ≥ 2 the standard recursion
+    * φ_kk = (ρ_k − Σ φ_{k−1,j}·ρ_{k−j}) / (1 − Σ φ_{k−1,j}·ρ_j),
+    * φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}, every assignment snapped
+    * at 1e-9 in a fixed evaluation order so the recursion replays
+    * cross-engine.
+    *
+    * Scale shape: the data pass IS [[autocorrelation]] (its one
+    * window + bounded lag join); the recursion runs as an O(L²)
+    * in-partition scan over the tiny |keys·maxLag| ACF frame (the
+    * CUSUM discipline — sequential fixed points that have no
+    * lawful merge run imperatively over pre-collapsed frames,
+    * never over raw rows). Keys with any NULL ρ in 1..maxLag (a
+    * degenerate variance) emit NULL pacf from that lag on.
+    */
+  def partialAutocorrelation(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      maxLag: Int
+  ): DataFrame = {
+    val acf = autocorrelation(df, keyCols, orderCols, valueCol, maxLag)
+    val sorted = acf
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols.map(col) :+ col("lag")): _*)
+    val kIdx = keyCols.map(sorted.schema.fieldIndex)
+    val lagIdx = sorted.schema.fieldIndex("lag")
+    val acfIdx = sorted.schema.fieldIndex("acf")
+    val outSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("pacf", org.apache.spark.sql.types.DoubleType))
+    def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    sorted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var rho: Array[Double] = null // 1-indexed, NaN = missing
+      var phi: Array[Double] = null // φ_{k-1, j}
+      var k = 0
+      var nextLag = 1
+      var dead = false
+      rows.map { row =>
+        val key = kIdx.map(row.get)
+        if (key != curKey) {
+          curKey = key
+          rho = Array.fill(maxLag + 1)(Double.NaN)
+          phi = Array.fill(maxLag + 1)(Double.NaN)
+          k = 0; nextLag = 1; dead = false
+        }
+        val lag = row.getInt(lagIdx)
+        // a gap in the lag sequence (an all-degenerate lag dropped
+        // from the ACF frame) kills the recursion for this key
+        if (lag != nextLag) dead = true
+        nextLag = lag + 1
+        val rhoK = if (row.isNullAt(acfIdx)) Double.NaN else row.getDouble(acfIdx)
+        rho(lag) = rhoK
+        k = lag
+        val pacf: Any =
+          if (dead || rhoK.isNaN) { dead = true; null }
+          else if (k == 1) { phi(1) = rhoK; rhoK }
+          else {
+            var num = rho(k)
+            var den = 1.0
+            var j = 1
+            while (j < k) {
+              num -= phi(j) * rho(k - j)
+              den -= phi(j) * rho(j)
+              j += 1
+            }
+            if (den == 0.0) { dead = true; null }
+            else {
+              val phiKK = snap9(num / den)
+              val newPhi = Array.fill(maxLag + 1)(Double.NaN)
+              var j2 = 1
+              while (j2 < k) {
+                newPhi(j2) = snap9(phi(j2) - phiKK * phi(k - j2))
+                j2 += 1
+              }
+              newPhi(k) = phiKK
+              phi = newPhi
+              phiKK
+            }
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pacf)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Time-bucketed OHLC bars per key (open/high/low/close + count/
     * sum/mean — the canonical downsampling of an irregular metric
     * stream into fixed intervals, for dashboards and downstream

@@ -251,6 +251,34 @@ object StatsOps {
         col("chi2"), snap9(p).as("p_value")): _*)
   }
 
+  /** Cramér's V effect size per group (the MAGNITUDE companion to
+    * [[chiSquaredIndependence]]'s significance: at 100 TB nearly
+    * everything is "significant" — V = √(χ²/(n·min(a−1, b−1))) ∈
+    * [0,1] says whether the association is worth acting on; ~0.1
+    * weak / ~0.3 moderate / ~0.5 strong): the χ² machinery plus
+    * ONE extra count-distinct aggregation for the table dimensions,
+    * joined over the |groups| frame.
+    */
+  def cramersV(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aCol: String,
+      bCol: String,
+      maxDf: Int = 12
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val chi = chiSquaredIndependence(df, groupCols, aCol, bCol, maxDf)
+    val dims = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(gs: _*)
+      .agg(countDistinct(col(aCol)).as("__ka"), countDistinct(col(bCol)).as("__kb"))
+    val minK = least(col("__ka"), col("__kb")) - 1
+    chi.join(dims, groupCols)
+      .withColumn("cramers_v", when(minK > 0 && col("n") > 0,
+        snap9(sqrt(col("chi2") / (col("n").cast("double") * minK.cast("double"))))))
+      .drop("__ka", "__kb")
+  }
+
   private def snap9(c: Column): Column =
     floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
 
