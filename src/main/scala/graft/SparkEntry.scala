@@ -2993,6 +2993,21 @@ object SparkEntry {
         .select("event_id", "user_id", "phase", "trend", "seasonal", "residual")
     }),
 
+    // ---- G13: end-to-end curation pipeline — quality score →
+    //      median gate → exact dedup → temperature re-balance, the
+    //      composition a training-data run actually executes; each
+    //      stage keeps its own scale shape and the whole chain
+    //      replays in one SQL. ----
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val scored = TextOps.qualityScore(docs, "text")
+      val gated = MixOps.filterByQuantile(scored, "quality", 0.5)
+      val deduped = DedupOps.exact(gated, "doc_id", col("text"))
+      val sampled = MixOps.temperatureSample(deduped, "source", "doc_id",
+        alpha = 0.5, targetFraction = 0.8)
+      sampled.select(col("doc_id"), col("source"), col("quality"))
+    }),
+
     // ---- N40: partial autocorrelation per user at lags 1..3 —
     //      Durbin-Levinson over the ACF frame, the AR-order picker
     //      beside q_autocorr; recursion snapped per assignment. ----
@@ -7454,6 +7469,49 @@ object SparkEntry {
 
     // Blom ranks + the generated Moro-probit Horner chains
     "q_int_transform" -> intOracleSql,
+
+    // the whole chain in one replay: X2 formula → quantile_cont
+    // gate → first-occurrence dedup → per-source rates + the
+    // portable coin
+    "q_curation_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, text,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks,
+        |    greatest(length(text), 1)::DOUBLE AS nchar
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, text,
+        |    list_sum([length(x) FOR x IN toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / nchar AS pd,
+        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / nchar AS dd,
+        |    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS ur,
+        |    CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1.0 ELSE 0.0 END AS lok
+        |  FROM f
+        |), s AS (
+        |  SELECT doc_id, source, text,
+        |    floor((0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
+        |      + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur)
+        |      * 1000000 + 0.5) / 1000000 AS quality
+        |  FROM g
+        |), thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM s),
+        |gated AS (SELECT s.* FROM s, thr WHERE quality >= t),
+        |dd AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM gated
+        |  ) WHERE rn = 1
+        |), c AS (
+        |  SELECT source, count(*)::DOUBLE AS n FROM dd GROUP BY 1
+        |), r AS (
+        |  SELECT source,
+        |    floor(least(1.0,
+        |      0.8 * sum(n) OVER () * (pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()) / n)
+        |      * 1000000 + 0.5) / 1000000 AS rate
+        |  FROM c
+        |)
+        |SELECT dd.doc_id, dd.source, dd.quality
+        |FROM dd JOIN r ON dd.source IS NOT DISTINCT FROM r.source
+        |WHERE (((((dd.doc_id % 999983) + 999983) % 999983) * 480879 % 999983)
+        |  * 104729 % 999983)::DOUBLE / 999983.0 < r.rate""".stripMargin,
 
     // the q_autocorr frame at lags 1..3 + the unrolled Durbin-
     // Levinson closed forms with identical snap points
