@@ -44,7 +44,9 @@ class QueriesSmokeSpec extends SparkSpec {
     // 1-row broadcast scalar: the graph's edge count m
     "q_modularity",
     // 1-row broadcast scalar: the exact percentile time cutoff
-    "q_temporal_split")
+    "q_temporal_split",
+    // inherits q_quantile_filter's 1-row broadcast threshold stage
+    "q_curation_pipeline")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
