@@ -39,6 +39,10 @@ object AsofJoinOps {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(right.columns.contains), "missing right payload columns")
     require(rightPayload.intersect(leftCols).isEmpty, "right payload collides with left columns")
+    // "__rt" is the tolerance-gate struct field riding alongside the
+    // payload; a payload column by that name would make getField
+    // ambiguous and the tolerance comparison wrong.
+    require(!rightPayload.contains("__rt"), "right payload column name \"__rt\" is reserved")
     toleranceSeconds.foreach { tol =>
       require(tol > 0, s"tolerance must be positive, got $tol")
       require(left.schema(leftTime).dataType.typeName == "timestamp" &&

@@ -583,10 +583,18 @@ object GraphOps {
     *
     * @param edges0 columns `src`, `dst`; self-loops, duplicate and
     *               reversed edges are normalized away
+    * @param requireConvergence when true (default) an
+    *               IllegalStateException is thrown if `maxRounds`
+    *               is exhausted before the fixpoint — a round-capped
+    *               partial peel may still contain nodes of degree
+    *               < k, which is NOT a k-core, and returning it
+    *               silently would be a wrong answer. Pass false to
+    *               accept the documented partial peel.
     * @return (node, degree) over the surviving k-core subgraph —
     *         empty when the graph has no k-core
     */
-  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 20,
+      requireConvergence: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     var edges = edges0
@@ -611,6 +619,11 @@ object GraphOps {
       cur = edges.count()
       round += 1
     }
+    if (requireConvergence && cur > 0 && cur != prev)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds rounds ($cur edges still " +
+          s"peeling) — the partial peel is not a valid $k-core; raise " +
+          "maxRounds or pass requireConvergence=false to accept it")
     degrees(edges)
   }
 

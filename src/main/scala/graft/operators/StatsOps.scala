@@ -927,8 +927,10 @@ object StatsOps {
     * (an unobserved digit still contributes `(0 − n·p)²/(n·p)` —
     * the [[chiSquaredIndependence]] zero-cell discipline).
     *
-    * `valueCol` must be integral and positive (pre-scale currency
-    * to cents): the digit comes from the decimal STRING of the
+    * `valueCol` must be integral and >= 1 (pre-scale currency to
+    * cents); rows with value < 1 are excluded so fractional values
+    * in (0,1) cannot inflate `__n` without landing on any digit
+    * row. The digit comes from the decimal STRING of the
     * exact long — no log₁₀/pow float extraction, whose boundary
     * behavior at powers of ten is engine-dependent. ONE map-side
     * groupBy(group, digit) + a 9-row literal grid join; expected
@@ -946,7 +948,7 @@ object StatsOps {
     val gs = groupCols.map(col)
     val digits = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
     val base = df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 1)
       .select(gs :+ substring(col(valueCol).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"): _*)
     val cnts = base.groupBy(gs :+ col("digit"): _*).agg(count(lit(1)).as("n_digit"))

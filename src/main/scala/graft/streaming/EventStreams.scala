@@ -223,12 +223,16 @@ object EventStreams {
       windowLen: String = "10 minutes"
   ): DataFrame = {
     import graft.functions.{HashExpressions => HE}
-    def bands(c: org.apache.spark.sql.Column) =
-      explode(HE.minhashBandKeys(HE.shingleHashesText(c, shingleSize), numHashes, rowsPerBand))
-    val corpusBands = corpus.select(bands(col(textCol)).as("band")).distinct()
+    def bandArr(c: org.apache.spark.sql.Column) =
+      HE.minhashBandKeys(HE.shingleHashesText(c, shingleSize), numHashes, rowsPerBand)
+    val corpusBands = corpus.select(explode(bandArr(col(textCol))).as("band")).distinct()
       .withColumn("__hit", lit(1))
+    // explode_outer, not explode: a null-text doc has a NULL band
+    // array, and a keep-unless-duplicate operator must pass it
+    // through (null band never equi-joins the corpus → hit 0), not
+    // silently delete it by dropping the row at the explode.
     val streamBands = (if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs)
-      .select(col(idCol), col(tsCol), col(textCol), bands(col(textCol)).as("band"))
+      .select(col(idCol), col(tsCol), col(textCol), explode_outer(bandArr(col(textCol))).as("band"))
     streamBands
       .join(corpusBands, Seq("band"), "left_outer")
       .groupBy(window(col(tsCol), windowLen), col(idCol))
@@ -305,6 +309,16 @@ object EventStreams {
 
   /** Streaming MinHash-LSH near-dedup WITHIN the stream.
     *
+    * LATE-DATA CONTRACT: rows arriving with event time behind the
+    * watermark (past the declared lateness) are best-effort, the
+    * standard Structured Streaming contract — a late duplicate of a
+    * band whose marker the watermark already TTL-evicted scores
+    * hit=0 and is retained. The batch twin assumes on-time data, so
+    * a fixture that generates beyond-watermark rows (e.g. unioned
+    * file sources racing a far-future row ahead of constant-ts
+    * docs) diverges from the twin; keep every role of a planted
+    * fixture in ONE source so batch assignment is deterministic.
+    *
     * REQUIRED SESSION CONF (streaming runs only):
     * `spark.sql.streaming.stateStore.providerClass=org.apache.spark.
     * sql.execution.streaming.state.RocksDBStateStoreProvider` —
@@ -351,15 +365,48 @@ object EventStreams {
       stateTtlMs: Long = 60 * 60 * 1000L,
       windowLen: String = "10 minutes"
   ): DataFrame = {
+    val vdf = minhashVerdicts(docs, idCol, textCol, tsCol, shingleSize,
+      numHashes, rowsPerBand, watermark, stateTtlMs)
+    vdf.groupBy(window(col("ts"), windowLen), col("doc_id"))
+      .agg(first(col("text")).as(textCol), max(col("hit")).as("__hits"))
+      .filter(col("__hits") === 0)
+      .select(col("doc_id").as(idCol), col(textCol))
+  }
+
+  /** Band-level verdict frame (doc_id, ts, text, hit) behind
+    * [[streamingMinhashDedup]] — package-visible so specs can pin
+    * the per-band hit layer directly.
+    */
+  private[streaming] def minhashVerdicts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      shingleSize: Int,
+      numHashes: Int,
+      rowsPerBand: Int,
+      watermark: String,
+      stateTtlMs: Long
+  ): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.{HashExpressions => HE}
     val isStreaming = docs.isStreaming
     val withWm = if (isStreaming) docs.withWatermark(tsCol, watermark) else docs
-    val banded = withWm.select(
-      explode(HE.minhashBandKeys(HE.shingleHashesText(col(textCol), shingleSize), numHashes, rowsPerBand)).as("band"),
+    val withBands = withWm.select(
+      HE.minhashBandKeys(HE.shingleHashesText(col(textCol), shingleSize), numHashes, rowsPerBand).as("__bands"),
       col(idCol).cast("long").as("doc_id"),
       col(tsCol).as("ts"), // no cast: a Cast wrapper would strip the event-time watermark metadata
       col(textCol).cast("string").as("text"))
+    // A null-text doc has a NULL band array; it must ROUTE AROUND the
+    // band explode (which would silently drop it) and rejoin the
+    // survivor stream as hit=0 — keep-unless-duplicate never deletes
+    // a doc it cannot band. (Empty/short text still bands: the
+    // all-sentinel MinHash signature makes empty texts exact dups of
+    // each other, which is the intended verdict.)
+    val nullText = withBands.filter(col("__bands").isNull)
+      .select(col("doc_id"), col("ts"), col("text"), lit(0).as("hit"))
+    val banded = withBands.filter(col("__bands").isNotNull).select(
+      explode(col("__bands")).as("band"), col("doc_id"), col("ts"), col("text"))
     val verdicts: DataFrame =
       if (!isStreaming) {
         // batch twin with the SAME TTL semantics as the state store:
@@ -385,11 +432,7 @@ object EventStreams {
       }
     // the transformWithState output already carries `ts` as its
     // event-time column; the batch twin needs no watermark at all
-    val vdf = verdicts
-    vdf.groupBy(window(col("ts"), windowLen), col("doc_id"))
-      .agg(first(col("text")).as(textCol), max(col("hit")).as("__hits"))
-      .filter(col("__hits") === 0)
-      .select(col("doc_id").as(idCol), col(textCol))
+    verdicts.unionByName(nullText)
   }
 
   final case class ChartIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Option[Double])
