@@ -2028,6 +2028,53 @@ object SparkEntry {
           col("event_type"), col("p"), col("n"), col("quantile"))
     }),
 
+    // ---- N43: mergeable hash-sample quantile sketch — the
+    //      unknown-range/heavy-tail complement to q_quantiles'
+    //      fixed grid. Built PER SHARD, merged, then read: the
+    //      oracle computes the global bottom-k directly, so a wrong
+    //      merge (bottom-k is a semilattice; merged must equal
+    //      global) hash-mismatches. Rank = md5-52bit of event_id —
+    //      deterministic, partition-invariant. ----
+    "q_tdigest" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events")).filter(col("value").isNotNull)
+      val shards = SketchOps.quantileSampleSketch(
+        ev.withColumn("__shard", (col("event_id") % 4).cast("int")),
+        Seq("event_type", "__shard"), "event_id", "value", k = 512)
+      val merged = SketchOps.quantileSampleMerge(shards, Seq("event_type"), k = 512)
+      SketchOps.quantileSampleQuantiles(merged, Seq("event_type"), Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), col("p"), col("q"),
+          col("n_sample").cast("long").as("n_sample"), col("n"))
+    }),
+
+    // ---- M24: streaming windowed hash-sample quantile sketch —
+    //      per-(3-day window, type) bounded k-entry sample state,
+    //      NO declared range (vs q_stream_quantiles' fixed grid);
+    //      the sunk sketches are read batch-side with the same
+    //      estimator the batch oracle replays. ----
+    "q_stream_tdigest" -> ((s, dir) => {
+      val ev = BioLoader.nanosToTimestamp(
+          streamTable(s, dir, "events", EventsSchema), "ts")
+        .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      val pusher = streamTable(s, dir, "nation",
+          "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .filter(col("n_nationkey") === 0)
+        .select(expr("timestamp'2024-06-01 00:00:00'").as("ts"),
+          lit(-1L).as("event_id"), lit("zz_pusher").as("event_type"),
+          lit(0.0).as("value"))
+      val cells = SketchOps.quantileSampleWindowed(
+        ev.unionByName(pusher), "ts", Seq("event_type"), "event_id", "value",
+        k = 256, windowLen = "3 days", watermark = "1 hour")
+      val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+        runStreamToMemory(cells, "m24qs")
+      }
+      SketchOps.quantileSampleQuantiles(
+          sunk.filter(col("event_type") =!= "zz_pusher"),
+          Seq("window_start", "event_type"), Seq(0.5, 0.95))
+        .select(expr("unix_micros(window_start)").as("start_us"),
+          col("event_type"), col("p"), col("q"),
+          col("n_sample").cast("long").as("n_sample"), col("n"))
+    }),
+
     // ---- X16: boilerplate line removal — each doc gets a planted
     //      per-source footer (shared by its 25 source-mates) plus a
     //      unique tail; the footer must vanish, everything else
@@ -6047,6 +6094,61 @@ object SparkEntry {
     // batch replay of the windowed fixed-grid binning + the same
     // CDF-crossing read, exact integer counts/ranks, interpolation
     // term-for-term on the 1e-9 grid
+    // global bottom-512-by-md5-rank per type (bottom-k of shard
+    // bottom-k's == global bottom-k), sorted by value, type-7 read
+    "q_tdigest" ->
+      s"""WITH raw AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |         md5(CAST(event_id AS VARCHAR)) AS h16
+        |  FROM events WHERE value IS NOT NULL
+        |), rr AS (
+        |  SELECT event_type, v, $Fold13 AS r FROM raw
+        |), rk AS (
+        |  SELECT event_type, v,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY r, v) AS rn
+        |  FROM rr
+        |), arr AS (
+        |  SELECT event_type, list(v ORDER BY v) AS vs, count(*) AS m
+        |  FROM rk WHERE rn <= 512 GROUP BY 1
+        |), tot AS (
+        |  SELECT event_type, count(*) AS n FROM raw GROUP BY 1
+        |), probs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(p))
+        |SELECT a.event_type, p.p,
+        |  floor((vs[CAST(floor((a.m - 1) * p.p) AS BIGINT) + 1]
+        |         + ((a.m - 1) * p.p - floor((a.m - 1) * p.p))
+        |           * (vs[least(CAST(floor((a.m - 1) * p.p) AS BIGINT) + 2, a.m)]
+        |              - vs[CAST(floor((a.m - 1) * p.p) AS BIGINT) + 1])) * 1e6 + 0.5) / 1e6 AS q,
+        |  CAST(a.m AS BIGINT) AS n_sample, t.n
+        |FROM arr a CROSS JOIN probs p JOIN tot t USING (event_type)""".stripMargin,
+
+    // per-(3-day window, type) replay of the same bottom-256 read
+    "q_stream_tdigest" ->
+      s"""WITH raw AS (
+        |  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS start_us,
+        |         event_type, CAST(value AS DOUBLE) AS v,
+        |         md5(CAST(event_id AS VARCHAR)) AS h16
+        |  FROM events WHERE value IS NOT NULL
+        |), rr AS (
+        |  SELECT start_us, event_type, v, $Fold13 AS r FROM raw
+        |), rk AS (
+        |  SELECT start_us, event_type, v,
+        |         row_number() OVER (PARTITION BY start_us, event_type ORDER BY r, v) AS rn
+        |  FROM rr
+        |), arr AS (
+        |  SELECT start_us, event_type, list(v ORDER BY v) AS vs, count(*) AS m
+        |  FROM rk WHERE rn <= 256 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT start_us, event_type, count(*) AS n FROM raw GROUP BY 1, 2
+        |), probs AS (SELECT * FROM (VALUES (0.5), (0.95)) AS t(p))
+        |SELECT a.start_us, a.event_type, p.p,
+        |  floor((vs[CAST(floor((a.m - 1) * p.p) AS BIGINT) + 1]
+        |         + ((a.m - 1) * p.p - floor((a.m - 1) * p.p))
+        |           * (vs[least(CAST(floor((a.m - 1) * p.p) AS BIGINT) + 2, a.m)]
+        |              - vs[CAST(floor((a.m - 1) * p.p) AS BIGINT) + 1])) * 1e6 + 0.5) / 1e6 AS q,
+        |  CAST(a.m AS BIGINT) AS n_sample, t.n
+        |FROM arr a CROSS JOIN probs p
+        |JOIN tot t USING (start_us, event_type)""".stripMargin,
+
     "q_stream_quantiles" ->
       """WITH items AS (
         |  SELECT (epoch_us(ts) // 259200000000) * 259200000000 AS start_us, event_type,

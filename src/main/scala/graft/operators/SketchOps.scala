@@ -491,4 +491,145 @@ object SketchOps {
         .select(col("day"), col("hll_est").as(s"active_$w"))
     }.reduce((a, b) => a.join(b, Seq("day")))
   }
+
+  // ---- Mergeable hash-sample quantile sketch ------------------------------
+
+  /** Mergeable QUANTILE sketch with NO declared range — the
+    * heavy-tailed/unknown-range complement to the fixed-grid binned
+    * CDF ([[graft.operators.StatsOps.approxQuantilesBinned]] needs a
+    * min/max pass; [[quantileBinsWindowed]] needs declared [lo, hi)).
+    * Where a t-digest/KLL keeps adaptive centroids/compactors whose
+    * construction is ORDER-DEPENDENT (the sketch depends on the
+    * partitioning, so no cross-engine oracle can replay it), this
+    * keeps the k rows with the smallest md5-derived 52-bit rank — a
+    * uniform row sample whose selection is a pure function of the
+    * data (the C19/KMV md5 trick applied to rank-error sketching):
+    * deterministic, partition-invariant, and a SEMILATTICE (bottom-k
+    * of a union = bottom-k of bottom-k's), so shard sketches merge
+    * exactly and the merged sketch is bit-identical to the global
+    * build. Rank error is the uniform-sampling bound
+    * O(sqrt(p(1-p)/k)) — k=4096 gives ~0.8% worst-case rank error,
+    * 64 KB per group.
+    *
+    * Scale shape: ONE map-side-combinable groupBy — the
+    * [[graft.functions.QuantileSampleAggregate]] buffer caps every
+    * partial at k entries, so the exchange carries ≤ groups·k rows
+    * per map task and nothing is globally sorted. No window, no
+    * driver data.
+    *
+    * @param idCol row-unique column (ids, not values — duplicates of
+    *              a value must each be sampleable); rank =
+    *              fold(md5(cast(id as string)))[52 bits]
+    * @return (groupCols*, qs: array<struct<r,v>> sorted by (r,v),
+    *         n: exact row count)
+    */
+  def quantileSampleSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int = 1024
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gs = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .select(gs :+ h52(idCol).as("__r") :+ col(valueCol).cast("double").as("__v"): _*)
+      .groupBy(gs: _*)
+      .agg(
+        graft.functions.QuantileSampleAggregate
+          .bottomKSample(col("__r"), col("__v"), k).as("qs"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Merge shard sketches ([[quantileSampleSketch]] frames keyed by
+    * group + any shard column upstream) back to one sketch per
+    * group: concat the sample arrays, re-sort by (r, v), keep the k
+    * smallest, sum the exact counts. Union-then-merge across
+    * days/shards/engines never touches raw rows, and because
+    * bottom-k is a semilattice the result is IDENTICAL to a global
+    * single-pass build — pinned by the oracle, which computes the
+    * global bottom-k directly.
+    */
+  def quantileSampleMerge(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      k: Int = 1024
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gs = groupCols.map(col)
+    sketches
+      .groupBy(gs: _*)
+      .agg(flatten(collect_list(col("qs"))).as("__all"), sum(col("n")).as("n"))
+      .select(gs :+ slice(array_sort(col("__all")), 1, k).as("qs") :+ col("n"): _*)
+  }
+
+  /** Read quantile estimates off a [[quantileSampleSketch]] /
+    * [[quantileSampleMerge]] frame: type-7 interpolation over the
+    * sample values (sorted by value), one output row per (group,
+    * prob), estimates snapped to the 1e-6 grid. Runs entirely on
+    * the ≤ k-element arrays with codegen'd array intrinsics.
+    *
+    * @return (groupCols*, p, q, n_sample, n)
+    */
+  def quantileSampleQuantiles(
+      sketch: DataFrame,
+      groupCols: Seq[String],
+      probs: Seq[Double]
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1], got $probs")
+    val gs = groupCols.map(col)
+    val vs = array_sort(transform(col("qs"), x => x.getField("v")))
+    sketch
+      .select(gs :+ vs.as("__vs") :+ col("n"): _*)
+      .withColumn("p", explode(typedlit(probs)))
+      .withColumn("__vsz", size(col("__vs")))
+      .select(
+        gs :+ col("p") :+
+          (floor({
+            val vv = col("__vs"); val mm = col("__vsz")
+            val hh = (mm - 1).cast("double") * col("p")
+            val ll = floor(hh)
+            val f = hh - ll
+            val a = element_at(vv, ll.cast("int") + 1)
+            val b = element_at(vv, least(ll.cast("int") + 2, mm))
+            a + f * (b - a)
+          } * 1e6 + lit(0.5)) / 1e6).as("q") :+
+          col("__vsz").as("n_sample") :+ col("n"): _*)
+  }
+
+  /** STREAMING twin: per-(event-time window, group) hash-sample
+    * quantile sketch — one streaming aggregation whose state is the
+    * bounded k-entry buffer, ≤ k sample rows per (window, group)
+    * regardless of event volume, mergeable downstream with
+    * [[quantileSampleMerge]] (re-keyed by window) and read with
+    * [[quantileSampleQuantiles]]. Unlike [[quantileBinsWindowed]]
+    * this needs NO declared [lo, hi): the sample adapts to whatever
+    * range the window's data has. Works identically on a batch
+    * frame (the oracle twin).
+    *
+    * @return (window_start, groupCols*, qs, n)
+    */
+  def quantileSampleWindowed(
+      events: DataFrame,
+      tsCol: String,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int = 1024,
+      windowLen: String = "1 day",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val gs = groupCols.map(col)
+    src
+      .filter(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen) +: gs: _*)
+      .agg(
+        graft.functions.QuantileSampleAggregate
+          .bottomKSample(h52(idCol), col(valueCol).cast("double"), k).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +: gs :+ col("qs") :+ col("n"): _*)
+  }
 }
