@@ -32,15 +32,21 @@ object Bench {
     // second, steady-state pass
     runAll()
     val results = runAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the record line ~5 KB — full
+    // double reprs tripled it and the driver's stdout tail-capture
+    // truncated the r7/r8 records into unparseable fragments
+    def r3(v: Double): Double = math.floor(v * 1e3 + 0.5) / 1e3
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // also land the record in a file: stdout through the sbt runner
+    // land the record in a file first: stdout through the sbt runner
     // gets log-prefixed and has produced truncated records
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
+    // print LAST, after spark.stop's log chatter, so a tail capture
+    // of stdout ends with the complete record
+    println(line)
   }
 }

@@ -1718,6 +1718,74 @@ object SparkEntry {
         .withColumn("is_canonical", (col("cluster") === col("id")).cast("int"))
     }),
 
+    // ---- M25: streaming incremental entity resolution — the
+    //      record-linkage pipeline streamed: per-BLOCK incremental
+    //      union-find over arriving Jaro match edges (blocking
+    //      confines components, so per-block state is exact); the
+    //      batch C22c composition is the oracle. Single-source
+    //      fixture (records + pusher from one part scan) for
+    //      deterministic batch assignment. ----
+    "q_stream_entity" -> ((s, dir) => {
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val t0 = expr("timestamp'2024-01-01 00:00:00'")
+        val t1 = expr("timestamp'2024-01-02 00:00:00'")
+        val recRole = struct(col("p_partkey").as("id"),
+          concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name"),
+          t0.as("ts"))
+        val pushRole = struct(lit(PusherId).as("id"),
+          lit("zq zq pusher").as("name"), t1.as("ts"))
+        val stream = streamTable(s, dir, "part", PartSchema)
+          .filter(col("p_partkey") % 4 === 0)
+          .select(explode(concat(array(recRole),
+            slice(array(pushRole), lit(1),
+              when(col("p_partkey") === 0, lit(1)).otherwise(lit(0))))).as("r"))
+          .select(col("r.id").as("id"), col("r.name").as("name"), col("r.ts").as("ts"))
+        val resolved = graft.streaming.EntityResolution.streamingEntityResolution(
+          stream, "id", "name", minSim = 0.95, blockPrefix = 2,
+          watermark = "10 seconds", windowLen = "1 minute")
+        graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
+          runStreamToMemory(resolved, "m25er").filter(col("id") < PusherId)
+            .select("id", "name", "cluster")
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }),
+
+    // ---- G9: budget-constrained mixture solving — spend an 80k
+    //      token budget across the 20 doc sources per a planted
+    //      weight recipe with an 80% per-source rate cap; the
+    //      waterfill's saturated prefix + level are closed-form
+    //      window arithmetic the oracle replays verbatim. ----
+    "q_mix_solve" -> ((s, dir) => {
+      val stats = BioLoader.load(s, t(dir, "documents"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          (lit(1) + regexp_extract(col("source"), "\\d+", 0).cast("int") % 5)
+            .cast("double"))
+      MixOps.solveMixtureBudget(stats, "source", "avail", "w",
+        budget = 80000.0, maxRate = 0.8)
+    }),
+
+    // ---- G10: exact-ratio mixture maximization — the largest total
+    //      hitting the recipe exactly under the same caps (the
+    //      planning step before sampling); T* is a one-row scalar. ----
+    "q_mix_solve_max" -> ((s, dir) => {
+      val stats = BioLoader.load(s, t(dir, "documents"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          (lit(1) + regexp_extract(col("source"), "\\d+", 0).cast("int") % 5)
+            .cast("double"))
+      MixOps.solveMixtureMax(stats, "source", "avail", "w", maxRate = 0.8)
+    }),
+
     // ---- N28: offline change-point (binary segmentation's first
     //      split) — where each user's value series actually moved;
     //      integer-cents prefix sums make the window engine-exact. ----
@@ -3300,6 +3368,8 @@ object SparkEntry {
     "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"
   private val DocsSchema =
     "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+  private val PartSchema =
+    "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE"
   /** Deterministic CDC change stream derived from orders: one change
     * per order against its customer, version = o_orderkey (globally
     * unique → unique per key), op = D on o_orderkey%37. Shared by
@@ -5120,6 +5190,77 @@ object SparkEntry {
 
     // the full pipeline replay: native jaro pairs, recursive
     // transitive closure, min-id cluster label
+    // the streamed incremental union-find must land on the exact
+    // batch closure: same recursive-CTE replay as q_entity_resolution
+    "q_stream_entity" ->
+      """WITH RECURSIVE rec AS (
+        |  SELECT p_partkey AS id, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name
+        |  FROM part WHERE p_partkey % 4 = 0
+        |), pr AS (
+        |  SELECT a.id AS src, b.id AS dst FROM rec a JOIN rec b
+        |  ON left(a.name, 2) = left(b.name, 2) AND a.id < b.id
+        |  WHERE floor(jaro_winkler_similarity(a.name, b.name) * 1e6 + 0.5) / 1e6 >= 0.95
+        |), sym AS (
+        |  SELECT src, dst FROM pr UNION SELECT dst, src FROM pr
+        |), r AS (
+        |  SELECT src AS a, dst AS b FROM sym
+        |  UNION
+        |  SELECT r.a, s.dst FROM r JOIN sym s ON r.b = s.src
+        |), m AS (
+        |  SELECT a, min(b) AS mn FROM r GROUP BY 1
+        |)
+        |SELECT rec.id, rec.name,
+        |  COALESCE(least(rec.id, m.mn), rec.id) AS cluster
+        |FROM rec LEFT JOIN m ON rec.id = m.a""".stripMargin,
+
+    // identical closed-form waterfill: cap/p order, prefix sums,
+    // saturated-prefix test, level t*, min(cap, p*t) takes
+    "q_mix_solve" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,
+        |    CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1
+        |), b AS (
+        |  SELECT source, avail, w / sum(w) OVER () AS p, avail * 0.8 AS cap FROM s
+        |), r AS (
+        |  SELECT *, cap / p AS ratio,
+        |    COALESCE(sum(cap) OVER win, 0) AS preCap,
+        |    COALESCE(sum(p) OVER win, 0) AS preP
+        |  FROM b WHERE p > 0
+        |  WINDOW win AS (ORDER BY cap / p, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), f AS (
+        |  SELECT *, CASE WHEN ratio * (1.0 - preP) <= 80000.0 - preCap THEN 1 ELSE 0 END AS sat
+        |  FROM r
+        |), l AS (
+        |  SELECT *, sum(cap * sat) OVER () AS satCap, sum(p * sat) OVER () AS satP FROM f
+        |)
+        |SELECT source, avail,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS p,
+        |  floor(cap * 1e6 + 0.5) / 1e6 AS cap,
+        |  floor(CASE WHEN sat = 1 THEN cap
+        |        ELSE least(cap, p * (80000.0 - satCap) / (1.0 - satP)) END * 1e6 + 0.5) / 1e6 AS take,
+        |  floor(CASE WHEN sat = 1 THEN cap
+        |        ELSE least(cap, p * (80000.0 - satCap) / (1.0 - satP)) END / avail * 1e6 + 0.5) / 1e6 AS rate,
+        |  sat AS saturated
+        |FROM l""".stripMargin,
+
+    "q_mix_solve_max" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,
+        |    CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1
+        |), b AS (
+        |  SELECT source, avail, w / sum(w) OVER () AS p, avail * 0.8 AS cap FROM s
+        |), m AS (
+        |  SELECT *, min(CASE WHEN p > 0 THEN cap / p END) OVER () AS t FROM b
+        |)
+        |SELECT source, avail,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS p,
+        |  floor(cap * 1e6 + 0.5) / 1e6 AS cap,
+        |  floor(CASE WHEN p > 0 THEN p * t ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS take,
+        |  floor(CASE WHEN avail > 0 THEN p * t / avail ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS rate
+        |FROM m""".stripMargin,
+
     "q_entity_resolution" ->
       """WITH RECURSIVE rec AS (
         |  SELECT p_partkey AS id, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name

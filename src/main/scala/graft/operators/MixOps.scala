@@ -408,4 +408,116 @@ object MixOps {
           .otherwise(lit(1.0)))
       .drop("__id", "__cl", "__sz")
   }
+
+  // ---- Mixture-weight solving -------------------------------------------
+
+  /** Exact-ratio mixture maximization: the largest total token count
+    * T whose per-source takes hit the target proportions EXACTLY
+    * without any source exceeding `maxRate` of its available tokens
+    * — T* = min_s(maxRate·avail_s / p_s), the closed-form LP this
+    * family's planning step needs before sampling (the rates feed
+    * [[temperatureSample]]/[[perGroupQuota]], closing the curation
+    * loop the E2E pipeline starts).
+    *
+    * Replayable by construction: weights normalize to exact ratios,
+    * the min is a ONE-ROW broadcast scalar, every output snaps to
+    * the 1e-6 grid — the oracle recomputes it verbatim. The stats
+    * frame is per-source (a bounded dimension by contract); the raw
+    * corpus never enters.
+    *
+    * @param stats one row per source: (sourceCol, availCol tokens
+    *              available, weightCol unnormalized target weight > 0)
+    * @return (sourceCol, avail, p, cap, take, rate) — take_s = p_s·T*
+    */
+  def solveMixtureMax(
+      stats: DataFrame,
+      sourceCol: String,
+      availCol: String,
+      weightCol: String,
+      maxRate: Double = 1.0
+  ): DataFrame = {
+    require(maxRate > 0.0 && maxRate <= 1.0, s"maxRate must be in (0, 1], got $maxRate")
+    val snap6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val wAll = Window.partitionBy()
+    val base = stats
+      .select(col(sourceCol), col(availCol).cast("double").as("avail"),
+        col(weightCol).cast("double").as("__w"))
+      .withColumn("p", col("__w") / sum(col("__w")).over(wAll))
+      .withColumn("cap", col("avail") * lit(maxRate))
+      .withColumn("__t", min(when(col("p") > 0, col("cap") / col("p"))).over(wAll))
+    base.select(col(sourceCol), col("avail"), snap6(col("p")).as("p"),
+      snap6(col("cap")).as("cap"),
+      snap6(when(col("p") > 0, col("p") * col("__t")).otherwise(lit(0.0))).as("take"),
+      snap6(when(col("avail") > 0, col("p") * col("__t") / col("avail"))
+        .otherwise(lit(0.0))).as("rate"))
+  }
+
+  /** Budget-constrained mixture solving (waterfilling LP): spend a
+    * token `budget` across sources as close to the target
+    * proportions as the per-source caps allow — sources whose cap
+    * binds take exactly their cap ("saturated"), the remainder
+    * redistributes among the others proportionally. The classic
+    * data-mixture planning problem (hit the recipe, respect
+    * availability, spill the excess by the recipe).
+    *
+    * Solved in CLOSED FORM, no iteration: order sources by cap/p
+    * ascending; the saturated set is a prefix of that order, and a
+    * source saturates iff its cap/p is ≤ the water level computed
+    * from everything before it — two window prefix sums produce the
+    * level t* = (budget − Σ_sat cap) / (1 − Σ_sat p) and
+    * take_s = min(cap_s, p_s·t*). All arithmetic on the tiny
+    * per-source frame (single-partition windows over a bounded
+    * dimension, the [[graft.operators.SketchOps.kmvJaccard]]
+    * contract), 1e-6 snapped, exactly replayable in SQL.
+    *
+    * If `budget` exceeds total capacity every source saturates and
+    * the achieved total is Σ cap < budget (under-delivery is
+    * visible in the output, never silent).
+    *
+    * @return (sourceCol, avail, p, cap, take, rate, saturated)
+    */
+  def solveMixtureBudget(
+      stats: DataFrame,
+      sourceCol: String,
+      availCol: String,
+      weightCol: String,
+      budget: Double,
+      maxRate: Double = 1.0
+  ): DataFrame = {
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    require(maxRate > 0.0 && maxRate <= 1.0, s"maxRate must be in (0, 1], got $maxRate")
+    val snap6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy(col("__ratio"), col(sourceCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = stats
+      .select(col(sourceCol), col(availCol).cast("double").as("avail"),
+        col(weightCol).cast("double").as("__w"))
+      .withColumn("p", col("__w") / sum(col("__w")).over(wAll))
+      .withColumn("cap", col("avail") * lit(maxRate))
+      .filter(col("p") > 0)
+      .withColumn("__ratio", col("cap") / col("p"))
+      // water level BEFORE this source: everything earlier in
+      // cap/p order saturated
+      .withColumn("__preCap", coalesce(sum(col("cap")).over(ord), lit(0.0)))
+      .withColumn("__preP", coalesce(sum(col("p")).over(ord), lit(0.0)))
+      .withColumn("__sat",
+        (col("__ratio") * (lit(1.0) - col("__preP")) <= lit(budget) - col("__preCap"))
+          .cast("int"))
+    val lvl = base
+      .withColumn("__satCap", sum(col("cap") * col("__sat")).over(wAll))
+      .withColumn("__satP", sum(col("p") * col("__sat")).over(wAll))
+      .withColumn("__t",
+        when(col("__satP") < 1.0,
+          (lit(budget) - col("__satCap")) / (lit(1.0) - col("__satP"))))
+    lvl.select(col(sourceCol), col("avail"), snap6(col("p")).as("p"),
+      snap6(col("cap")).as("cap"),
+      snap6(when(col("__sat") === 1, col("cap"))
+        .otherwise(least(col("cap"), col("p") * col("__t")))).as("take"),
+      snap6(when(col("avail") > 0,
+        when(col("__sat") === 1, col("cap"))
+          .otherwise(least(col("cap"), col("p") * col("__t"))) / col("avail"))
+        .otherwise(lit(0.0))).as("rate"),
+      col("__sat").as("saturated"))
+  }
 }

@@ -6,60 +6,55 @@ package graft
   */
 class QueriesSmokeSpec extends SparkSpec {
 
-  /** Queries whose DESIGNED plan contains a BroadcastNestedLoopJoin
-    * against a provably tiny broadcast side: the knn family scores
-    * every query row against broadcast centroids / the broadcast
-    * brute-force candidate set, and the gate/packing operators cross
-    * in a 1-row broadcast scalar threshold. A BNLJ there is the
-    * right plan; anywhere else it's a scale bug.
+  /** BNLJ build sides a query may legitimately broadcast: 1-row
+    * scalar gates (thresholds, corpus totals), bounded query/centroid
+    * sets (knn family), bounded pair frames (cohort/sketch sizes).
+    * Instead of a hand-grown name allowlist, MEASURE each build side:
+    * BNLJ cost is streamRows x buildRows, so the plan is scale-safe
+    * iff the build side is genuinely tiny — a real frame sneaking
+    * into a BNLJ build (the actual 100 TB hazard) fails the cap no
+    * matter what the query is called.
     */
-  private val tinyBroadcastBnlj = Set(
-    "q_knn_brute", "q_knn_ivf", "q_knn_opq", "q_knn_pq", "q_knn_pq_rerank",
-    "q_pq_persist", "q_pack", "q_prevalence", "q_quantile_filter",
-    // compose bruteForceTopK — the same broadcast-queries scoring BNLJ
-    "q_knn_recall", "q_rrf_fusion",
-    // pair-frame theta join (s_a < s_b) over broadcast per-sample
-    // totals: inherently nested-loop, side bounded by the cohort size
-    "q_bray_curtis",
-    // pair-frame theta join (g_a < g_b) over the per-group bottom-k
-    // sketch arrays: groups are a bounded dimension, each side ≤ k
-    // hashes — the raw value frames never meet
-    "q_kmv_jaccard",
-    // 1-row broadcast scalars: BM25/TF-IDF corpus stats, collocation
-    // totals, keyword doc count, target-encoding prior, LM vocab
-    // size, z-order column min/max
-    "q_bm25", "q_bm25_persist", "q_bm25_append", "q_tfidf", "q_collocations",
-    "q_keywords", "q_target_encode", "q_lm_score", "q_zorder",
-    // ungrouped kappa: the total/diagonal/expected-agreement frames
-    // are each ONE row (global aggregates) — their constant join key
-    // folds away and the 1-row joins become BNLJ by construction
-    "q_kappa",
-    // 1-row broadcast scalars: backoff-LM corpus totals (N, V) and
-    // association-rule basket totals
-    "q_lm_backoff", "q_rules",
-    // 1-row broadcast scalars: RFM quintile thresholds, G² bigram total
-    "q_rfm", "q_llr_collocations",
-    // 1-row broadcast scalar: corpus-end timestamp for censoring
-    "q_survival",
-    // 1-row broadcast scalar: the graph's edge count m
-    "q_modularity",
-    // 1-row broadcast scalar: the exact percentile time cutoff
-    "q_temporal_split",
-    // inherits q_quantile_filter's 1-row broadcast threshold stage
-    "q_curation_pipeline")
+  private val BnljBuildRowCap = 4096
+
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flattenPlan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => p +: flattenPlan(r.child)
+    case _ => p +: p.children.flatMap(flattenPlan)
+  }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
-      // global scale guard: no cartesian anywhere; nested-loop joins
-      // only in the allowlisted tiny-broadcast patterns
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      if (!tinyBroadcastBnlj.contains(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BroadcastNestedLoopJoin")
       val n = df.count()
       assert(n > 0, s"$name returned no rows")
+      // global scale guard, structural: every BroadcastNestedLoopJoin
+      // in the FINAL adaptive plan must broadcast a measured-tiny
+      // build side (checked after execution so AQE-materialized
+      // stages are final)
+      flattenPlan(df.queryExecution.executedPlan).foreach {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          // read the broadcast exchange's RUNTIME row-count metric
+          // (populated by the count() above) — no re-execution
+          val buildSide = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+          val exchanges = flattenPlan(buildSide).collect {
+            case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => e
+          }
+          assert(exchanges.nonEmpty, s"$name: BNLJ build side has no BroadcastExchange")
+          exchanges.foreach { e =>
+            val buildRows = e.metrics("numOutputRows").value
+            assert(buildRows <= BnljBuildRowCap,
+              s"$name plans a BroadcastNestedLoopJoin over a build side with $buildRows rows (> $BnljBuildRowCap) — not a tiny-broadcast pattern")
+          }
+        case _ =>
+      }
     }
   }
 
