@@ -413,6 +413,30 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S11: STREAMING IVF index maintenance — the planted
+    //      twins arrive as a STREAM through foreachBatch appends
+    //      against the frozen quantizer; rank-1 retrieval from the
+    //      reloaded index finds every twin iff the streamed rows
+    //      landed in the right lists. ----
+    "q_stream_ivf" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 10)
+      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sivf").toString
+      val path = tmp + "/idx"
+      IvfKnnOps.saveIndex(index, path)
+      val twinStream = streamTable(s, dir, "embeddings",
+          "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val mq = IvfKnnOps.maintainSavedIndexStream(s, path, twinStream,
+        "embedding", tmp + "/ckpt")
+      try { mq.processAllAvailable() } finally mq.stop()
+      val loaded = IvfKnnOps.loadIndex(s, path)
+      IvfKnnOps.topK(queries, loaded, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
+    }),
+
     // ---- S6: IVF-PQ ANN — planted-NN retrieval through m-byte
     //      codes: the twin's PQ code reconstructs to the same point
     //      as the query's own encoding, so its approximate distance
@@ -4076,6 +4100,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS n_hit,
         |  CAST(1 AS BIGINT) AS n_exact, 1.0 AS recall
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // the streamed append must place each twin in the probed list:
+    // rank-1 cosine 1.0 at the planted neighbor, same as q_knn_ivf
+    "q_stream_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "q_knn_ivf" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank

@@ -238,6 +238,45 @@ object IvfKnnOps {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
   }
 
+  /** STREAMING index maintenance: keep a persisted inverted file
+    * current from a vector stream — each microbatch assigns its new
+    * vectors against the FROZEN coarse quantizer and dynamic-
+    * partition-appends only the lists they land in (the
+    * [[appendToSavedIndex]] shape per trigger, checkpointed).
+    * Queries against [[loadIndex]] see appended vectors from the
+    * next read — the standard incremental-ANN serving loop: stream
+    * appends online, refit offline when drift degrades recall
+    * (watch it with [[graft.operators.KnnOps.recallAtK]]).
+    *
+    * foreachBatch parquet appends are at-least-once under trigger
+    * retry (a re-run batch re-appends); dedupe on read with a
+    * `dropDuplicates(idCol)` if the source cannot guarantee
+    * effectively-once delivery.
+    *
+    * @return the started StreamingQuery (caller owns lifecycle)
+    */
+  def maintainSavedIndexStream(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      vecCol: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rows.isStreaming, "maintainSavedIndexStream needs a streaming frame; use appendToSavedIndex for batch")
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        assignWith(batch, vecCol, centers)
+          .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+      }
+      .start()
+  }
+
   def loadIndex(spark: SparkSession, path: String): IvfIndex = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect()
