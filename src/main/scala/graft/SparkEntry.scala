@@ -2541,6 +2541,25 @@ object SparkEntry {
       }
     }),
 
+    // ---- D17: persisted cross-run band index — build on the even
+    //      half, APPEND ids ≡ 1 (mod 4), then dedup the full synth
+    //      set against the saved bucketed table: survivors must be
+    //      exactly ids ≡ 3 (mod 4), pinning build + append + probe
+    //      in one grade. Disjoint-vocab texts make band collisions
+    //      structural (collide iff equal text). ----
+    "q_band_index" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select(col("doc_id"), synthTextOf(col("doc_id")).as("text"))
+      DedupOps.saveBandIndex(docs.filter(col("doc_id") % 2 === 0), "text",
+        "graft_band_idx", shingleSize = 3, numHashes = 16)
+      DedupOps.appendToBandIndex(s, "graft_band_idx",
+        docs.filter(col("doc_id") % 4 === 1), "text",
+        shingleSize = 3, numHashes = 16)
+      DedupOps.dedupAgainstBandIndex(docs, "graft_band_idx", "doc_id", "text",
+          shingleSize = 3, numHashes = 16)
+        .select("doc_id")
+    }),
+
     // ---- M6: stream-vs-static-corpus NEAR dedup. Synthetic
     //      disjoint-vocabulary docs (tokens carry the doc id) make
     //      band collisions structural: a doc shares bands with the
@@ -6922,6 +6941,9 @@ object SparkEntry {
         |  FROM dt
         |)
         |SELECT doc_id FROM dsh, evsh WHERE NOT list_has_any(s, es)""".stripMargin,
+
+    "q_band_index" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 4 = 3""".stripMargin,
 
     "q_stream_corpus_near" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 1""".stripMargin,

@@ -874,4 +874,90 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
+
+  // ---- D17: persisted cross-run near-dedup band index ---------------------
+
+  private def bandArrOf(c: Column, shingleSize: Int, numHashes: Int, rowsPerBand: Int): Column =
+    HE.minhashBandKeys(HE.shingleHashesText(c, shingleSize), numHashes, rowsPerBand)
+
+  /** Persist the corpus's distinct MinHash band keys as a BUCKETED
+    * table — the cross-RUN near-dedup index. [[dedupAgainstCorpus]]
+    * recomputes corpus bands per invocation; a daily-ingestion
+    * pipeline deduping each new crawl against an ever-growing corpus
+    * should pay the corpus pass ONCE and append increments. Bucketed
+    * by band, the per-run probe join arrives pre-partitioned on the
+    * index side — only the NEW docs' bands shuffle, never the index
+    * (the [[graft.operators.BucketOps]] contract; at 100 TB the
+    * index side is the one you cannot afford to re-exchange).
+    *
+    * Index rows are distinct band LONGS (8 bytes each, ~bands/doc ×
+    * docs) — no text, no ids: membership is all near-dedup needs.
+    */
+  def saveBandIndex(
+      corpus: DataFrame,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      buckets: Int = 64
+  ): Unit =
+    BucketOps.writeBucketed(
+      corpus.select(explode(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
+        .distinct(),
+      table, "band", buckets)
+
+  /** Append a new batch's distinct bands to the saved index (same
+    * bucket spec, so co-location survives appends). Appended bands
+    * may duplicate existing ones — membership probing is unaffected
+    * and a periodic rewrite ([[saveBandIndex]] over the union)
+    * compacts if file count grows.
+    */
+  def appendToBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      newDocs: DataFrame,
+      textCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4,
+      buckets: Int = 64
+  ): Unit =
+    newDocs.select(explode(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
+      .distinct()
+      .write.mode("append").bucketBy(buckets, "band")
+      .format("parquet").saveAsTable(table)
+
+  /** Near-dedup a batch OR STREAM of docs against the saved band
+    * index: keep docs sharing NO band with the indexed corpus. The
+    * stream-static join re-resolves the table per microbatch, so an
+    * index that grows between triggers is picked up automatically —
+    * the [[graft.streaming.EventStreams.streamingDedupAgainstCorpus]]
+    * serving shape without recomputing corpus bands per run. Null-
+    * text docs route through as kept (explode_outer; the
+    * keep-unless-duplicate contract).
+    *
+    * @return (idCol, textCol) — the survivors
+    */
+  def dedupAgainstBandIndex(
+      docs: DataFrame,
+      table: String,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val index = spark.table(table).withColumn("__hit", lit(1))
+    docs
+      .select(col(idCol), col(textCol),
+        explode_outer(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
+      .join(index, Seq("band"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(first(col(textCol)).as(textCol), max(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .filter(col("__hits") === 0)
+      .select(col(idCol), col(textCol))
+  }
+
 }

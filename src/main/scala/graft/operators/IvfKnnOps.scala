@@ -159,11 +159,22 @@ object IvfKnnOps {
     * one job, no count. Null vectors are skipped (they would NPE
     * the collect).
     */
+  /** Bounded driver-collected fit sample, LAYOUT-INVARIANT: rows
+    * ranked by a hash of the vector itself and taken via
+    * orderBy+limit — Spark plans TakeOrderedAndProject (per-
+    * partition top-k, driver merge of ≤ maxSample rows), never a
+    * full sort. The previous first-rows-per-partition sample was
+    * bounded but PARTITION-LAYOUT-DEPENDENT: the same corpus
+    * repartitioned yielded different centroids. Hash order is also
+    * a pseudo-random shuffle — exactly what k-means init wants.
+    */
   private[operators] def sampleVectors(df: DataFrame, vecCol: String, maxSample: Int): Array[Array[Double]] = {
-    val rdd0 = df.select(col(vecCol).cast("array<double>"))
-      .where(col(vecCol).isNotNull).rdd
-    val perPart = math.max(1, maxSample / math.max(1, rdd0.getNumPartitions))
-    rdd0.mapPartitions(_.take(perPart)).collect().take(maxSample)
+    df.select(col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__r", xxhash64(to_json(col("__v"))))
+      .orderBy(col("__r"))
+      .limit(maxSample)
+      .collect()
       .map(_.getSeq[Double](0).toArray)
   }
 
