@@ -2541,6 +2541,29 @@ object SparkEntry {
       }
     }),
 
+    // ---- D18: persisted decontamination Bloom — the gate built
+    //      once from HALF the eval suite, the other half MERGED in,
+    //      then the batch probe against the saved file; same
+    //      planted fixture + true-5-gram-intersection oracle as
+    //      q_stream_decontaminate. ----
+    "q_bloom_persist" -> ((s, dir) => {
+      import s.implicits._
+      val ev1 = Seq("the secret holdout benchmark sentence for contamination screening").toDF("text")
+      val ev2 = Seq("another hidden evaluation phrase guarded against training data leakage").toDF("text")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val path = "file:" + tmp + "/decon.bloom"
+      DedupOps.saveDecontaminationBloom(ev1, "text", path,
+        n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
+      DedupOps.mergeIntoDecontaminationBloom(s, path, ev2, "text",
+        n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" the secret holdout benchmark sentence for contamination screening")))
+          .otherwise(col("text")))
+      DedupOps.decontaminateWithSavedBloom(docs, path, "text", n = 5)
+        .select("doc_id")
+    }),
+
     // ---- D17: persisted cross-run band index — build on the even
     //      half, APPEND ids ≡ 1 (mod 4), then dedup the full synth
     //      set against the saved bucketed table: survivors must be
@@ -6915,6 +6938,35 @@ object SparkEntry {
 
     // same planted fixture and true-5-gram-intersection oracle as
     // the batch q_decontaminate
+    // the saved+merged filter must gate exactly the true-intersection
+    // set (fpp 1e-9 makes FPs impossible at this corpus size)
+    "q_bloom_persist" ->
+      """WITH ev AS (
+        |  SELECT * FROM (VALUES
+        |    ('the secret holdout benchmark sentence for contamination screening'),
+        |    ('another hidden evaluation phrase guarded against training data leakage')) v(text)
+        |), evt AS (
+        |  SELECT [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM ev
+        |), evsh AS (
+        |  SELECT flatten(list(CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS es
+        |  FROM evt
+        |), d AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' the secret holdout benchmark sentence for contamination screening'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t FROM d
+        |), dsh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t) - 3)]
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM dt
+        |)
+        |SELECT doc_id FROM dsh, evsh WHERE NOT list_has_any(s, es)""".stripMargin,
+
     "q_stream_decontaminate" ->
       """WITH ev AS (
         |  SELECT * FROM (VALUES

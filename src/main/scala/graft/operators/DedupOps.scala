@@ -960,4 +960,89 @@ object DedupOps {
       .select(col(idCol), col(textCol))
   }
 
+
+  // ---- D18: persisted decontamination Bloom -------------------------------
+
+  /** Persist the eval-set shingle Bloom filter — the decontamination
+    * gate as a saved artifact. [[decontaminateStream]] rebuilds the
+    * filter from the eval set per run; a serving pipeline gating
+    * every crawl against a stable benchmark suite should build it
+    * ONCE, ship the (kilobytes-to-megabytes) filter file, and let
+    * each run load + broadcast it — no eval-set access, no build
+    * pass, and the eval TEXTS never travel with the job (only
+    * hashes, which also matters for holdout secrecy). Written via
+    * the Hadoop FileSystem API, so `path` may be any scheme the
+    * cluster reaches (file:/, hdfs:/, s3a:/).
+    */
+  def saveDecontaminationBloom(
+      evalSet: DataFrame,
+      textCol: String,
+      path: String,
+      n: Int = 5,
+      expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.0001
+  ): Unit = {
+    val shingles = evalSet
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    val bf = bloomOf(shingles, expectedEvalShingles, fpp)
+    val spark = evalSet.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Merge a NEW eval set's shingles into the saved filter (same
+    * `expectedEvalShingles`/`fpp` so the bit layouts are
+    * mergeable) — benchmark-suite accretion without rebuilding.
+    */
+  def mergeIntoDecontaminationBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newEval: DataFrame,
+      textCol: String,
+      n: Int = 5,
+      expectedEvalShingles: Long = 1000000L,
+      fpp: Double = 0.0001
+  ): Unit = {
+    val existing = loadDecontaminationBloom(spark, path)
+    val shingles = newEval
+      .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
+      .distinct()
+    val incoming = bloomOf(shingles, expectedEvalShingles, fpp)
+    existing.mergeInPlace(incoming)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try existing.writeTo(out) finally out.close()
+  }
+
+  def loadDecontaminationBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** [[decontaminateStream]]'s probe against a SAVED filter — batch
+    * or streaming docs, stateless scan-stage filter, conservative at
+    * the filter's fpp (an FP drops a clean doc; contamination can
+    * never leak). Null-text docs have no shingles and pass.
+    */
+  def decontaminateWithSavedBloom(
+      docs: DataFrame,
+      path: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val bf = loadDecontaminationBloom(docs.sparkSession, path)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    docs.filter(!coalesce(exists(HE.shingleHashesText(col(textCol), n),
+      s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
+  }
+
 }
