@@ -2138,6 +2138,18 @@ object SparkEntry {
           col("n_sample").cast("long").as("n_sample"), col("n"))
     }),
 
+    // ---- N44: KS drift straight FROM the sketches — the even/odd
+    //      event halves sketched separately (k=256), D read off the
+    //      joined sample arrays; raw frames never meet. ----
+    "q_sketch_ks" -> ((s, dir) => {
+      val ev = BioLoader.load(s, t(dir, "events")).filter(col("value").isNotNull)
+      val a = SketchOps.quantileSampleSketch(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "event_id", "value", k = 256)
+      val b = SketchOps.quantileSampleSketch(
+        ev.filter(col("event_id") % 2 === 1), Seq("event_type"), "event_id", "value", k = 256)
+      SketchOps.quantileSampleKs(a, b, Seq("event_type"))
+    }),
+
     // ---- M24: streaming windowed hash-sample quantile sketch —
     //      per-(3-day window, type) bounded k-entry sample state,
     //      NO declared range (vs q_stream_quantiles' fixed grid);
@@ -6309,6 +6321,37 @@ object SparkEntry {
     // term-for-term on the 1e-9 grid
     // global bottom-512-by-md5-rank per type (bottom-k of shard
     // bottom-k's == global bottom-k), sorted by value, type-7 read
+    // both samples replayed (bottom-256 per side), then the exact
+    // max-CDF-gap list expression over the union of sample points
+    "q_sketch_ks" ->
+      s"""WITH raw AS (
+        |  SELECT event_type, event_id % 2 AS side, CAST(value AS DOUBLE) AS v,
+        |         md5(CAST(event_id AS VARCHAR)) AS h16
+        |  FROM events WHERE value IS NOT NULL
+        |), rr AS (
+        |  SELECT event_type, side, v, $Fold13 AS r FROM raw
+        |), rk AS (
+        |  SELECT event_type, side, v,
+        |         row_number() OVER (PARTITION BY event_type, side ORDER BY r, v) AS rn
+        |  FROM rr
+        |), arr AS (
+        |  SELECT event_type, side, list(v ORDER BY v) AS vs
+        |  FROM rk WHERE rn <= 256 GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, side, count(*) AS n FROM raw GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.event_type, a.vs AS va, ta.n AS n_a, b.vs AS vb, tb.n AS n_b
+        |  FROM arr a
+        |  JOIN arr b ON a.event_type = b.event_type AND a.side = 0 AND b.side = 1
+        |  JOIN tot ta ON ta.event_type = a.event_type AND ta.side = 0
+        |  JOIN tot tb ON tb.event_type = a.event_type AND tb.side = 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  floor(list_max([abs(len(list_filter(va, x -> x <= p)) / CAST(len(va) AS DOUBLE)
+        |    - len(list_filter(vb, x -> x <= p)) / CAST(len(vb) AS DOUBLE))
+        |    FOR p IN list_distinct(list_sort(va || vb))]) * 1e9 + 0.5) / 1e9 AS d_stat
+        |FROM j""".stripMargin,
+
     "q_tdigest" ->
       s"""WITH raw AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS v,

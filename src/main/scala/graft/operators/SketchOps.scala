@@ -632,4 +632,38 @@ object SketchOps {
         count(lit(1)).as("n"))
       .select(col("window.start").as("window_start") +: gs :+ col("qs") :+ col("n"): _*)
   }
+
+  /** Two-sample KS statistic straight FROM the sketches — drift
+    * detection when the raw rows are gone or remote: ship per-shard
+    * [[quantileSampleSketch]] frames (k·16 bytes per group), join
+    * them, and read D = max |CDF_a − CDF_b| over the union of the
+    * two samples. The sketch-native twin of
+    * [[graft.operators.DriftOps.ksStatistic]]: exact over the
+    * samples, a √(1/k)-resolution estimate of the population D.
+    * All codegen'd array intrinsics on ≤ k-element arrays (O(k²)
+    * per group, k ≤ a few thousand) — the raw value frames never
+    * meet.
+    *
+    * @return (groupCols*, n_a, n_b, d_stat) — d on the 1e-9 grid
+    */
+  def quantileSampleKs(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val gs = groupCols.map(col)
+    val va = array_sort(transform(col("__qa"), x => x.getField("v")))
+    val vb = array_sort(transform(col("__qb"), x => x.getField("v")))
+    val joined = a.select(gs :+ col("qs").as("__qa") :+ col("n").as("n_a"): _*)
+      .join(b.select(gs :+ col("qs").as("__qb") :+ col("n").as("n_b"): _*), groupCols)
+      .withColumn("__va", va)
+      .withColumn("__vb", vb)
+    val pts = array_distinct(array_sort(concat(col("__va"), col("__vb"))))
+    val d = array_max(transform(pts, p =>
+      abs(size(filter(col("__va"), x => x <= p)).cast("double") / size(col("__va")).cast("double") -
+        size(filter(col("__vb"), x => x <= p)).cast("double") / size(col("__vb")).cast("double"))))
+    joined.select(gs :+ col("n_a") :+ col("n_b") :+
+      (floor(d * lit(1e9) + lit(0.5)) / lit(1e9)).as("d_stat"): _*)
+  }
+
 }

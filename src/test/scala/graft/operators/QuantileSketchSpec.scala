@@ -57,6 +57,24 @@ class QuantileSketchSpec extends SparkSpec {
     assert(qs(0.0) == 10.0 && qs(0.5) == 20.0 && qs(1.0) == 30.0, s"got $qs")
   }
 
+  test("quantileSampleKs: identical distributions score ~0, shifted ones score the true gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    // same distribution on both sides → D within sampling noise of 0;
+    // side b shifted by +100 on half its mass → true D = 0.5
+    val same = (1 to 4000).map(i => (i.toLong, "g", rnd.nextDouble() * 10))
+    val a = SketchOps.quantileSampleSketch(same.toDF("id", "g", "v"), Seq("g"), "id", "v", k = 512)
+    val b = SketchOps.quantileSampleSketch(
+      same.map { case (i, g, v) => (i + 100000L, g, v) }.toDF("id", "g", "v"),
+      Seq("g"), "id", "v", k = 512)
+    val dSame = SketchOps.quantileSampleKs(a, b, Seq("g")).head().getAs[Double]("d_stat")
+    assert(dSame < 0.15, s"same-dist D $dSame")
+    val shifted = same.map { case (i, g, v) => (i + 200000L, g, if (i % 2 == 0) v + 100 else v) }
+    val c = SketchOps.quantileSampleSketch(shifted.toDF("id", "g", "v"), Seq("g"), "id", "v", k = 512)
+    val dShift = SketchOps.quantileSampleKs(a, c, Seq("g")).head().getAs[Double]("d_stat")
+    assert(math.abs(dShift - 0.5) < 0.1, s"shifted D $dShift")
+  }
+
   test("streaming windowed sketch equals the batch twin row-for-row") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
