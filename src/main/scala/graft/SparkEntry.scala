@@ -358,8 +358,11 @@ object SparkEntry {
       val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
       val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
+      // nProbe 2: a twin pair straddling a Voronoi boundary under
+      // single assignment would never be compared — multi-probe
+      // makes the planted oracle robust to any quantizer fit
       DedupOps.semanticDedup(emb.union(twins), "vec_id", "embedding",
-        threshold = 0.999, nClusters = 16)
+        threshold = 0.999, nClusters = 16, nProbe = 2)
         .filter(col("id_b") === col("id_a") + 100000L)
         .select(col("id_a"), col("id_b"), hround(col("cosine"), 3).as("cosine"))
     }),
@@ -2136,6 +2139,22 @@ object SparkEntry {
       SketchOps.quantileSampleQuantiles(merged, Seq("event_type"), Seq(0.5, 0.9, 0.99))
         .select(col("event_type"), col("p"), col("q"),
           col("n_sample").cast("long").as("n_sample"), col("n"))
+    }),
+
+    // ---- G11: plan → solve → APPLY — the solved waterfill rates
+    //      executed against the corpus with the portable coin; one
+    //      deterministic path from recipe to sampled rows. ----
+    "q_mix_apply" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val stats = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("avail"))
+        .withColumn("w",
+          (lit(1) + regexp_extract(col("source"), "\\d+", 0).cast("int") % 5)
+            .cast("double"))
+      val solved = MixOps.solveMixtureBudget(stats, "source", "avail", "w",
+        budget = 80000.0, maxRate = 0.8)
+      MixOps.applyMixture(docs, solved, "source", "doc_id")
+        .select("doc_id", "source")
     }),
 
     // ---- N44: KS drift straight FROM the sketches — the even/odd
@@ -5299,6 +5318,35 @@ object SparkEntry {
 
     // identical closed-form waterfill: cap/p order, prefix sums,
     // saturated-prefix test, level t*, min(cap, p*t) takes
+    // the q_mix_solve waterfill rates + the q_temp_sample coin
+    "q_mix_apply" ->
+      """WITH s AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,
+        |    CAST(1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1
+        |), b AS (
+        |  SELECT source, avail, w / sum(w) OVER () AS p, avail * 0.8 AS cap FROM s
+        |), r AS (
+        |  SELECT *, cap / p AS ratio,
+        |    COALESCE(sum(cap) OVER win, 0) AS preCap,
+        |    COALESCE(sum(p) OVER win, 0) AS preP
+        |  FROM b WHERE p > 0
+        |  WINDOW win AS (ORDER BY cap / p, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), f AS (
+        |  SELECT *, CASE WHEN ratio * (1.0 - preP) <= 80000.0 - preCap THEN 1 ELSE 0 END AS sat
+        |  FROM r
+        |), l AS (
+        |  SELECT *, sum(cap * sat) OVER () AS satCap, sum(p * sat) OVER () AS satP FROM f
+        |), rates AS (
+        |  SELECT source,
+        |    floor(CASE WHEN sat = 1 THEN cap
+        |          ELSE least(cap, p * (80000.0 - satCap) / (1.0 - satP)) END / avail * 1e6 + 0.5) / 1e6 AS rate
+        |  FROM l
+        |)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates ON d.source IS NOT DISTINCT FROM rates.source
+        |WHERE (((((d.doc_id % 999983) + 999983) % 999983) * 480879 % 999983) * 104729 % 999983)::DOUBLE / 999983.0 < rates.rate""".stripMargin,
+
     "q_mix_solve" ->
       """WITH s AS (
         |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS avail,

@@ -845,8 +845,10 @@ object DedupOps {
       maxBucket: Int = 2000,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536
+      maxSample: Int = 65536,
+      nProbe: Int = 1
   ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sample = IvfKnnOps.sampleVectors(df, vecCol, maxSample)
     // empty / all-null input -> zero duplicate pairs, not a crash
@@ -862,9 +864,16 @@ object DedupOps {
           org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
     }
     val centers = IvfKnnOps.lloyds(sample, math.min(nClusters, sample.length), maxIter, seed)
-    val bkt = ColumnBridge.column(
-      IvfKnnOps.NearestCentroid(ColumnBridge.expression(col(vecCol)), centers))
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"), bkt.as("bkt"))
+    // nProbe > 1 = multi-probe assignment: a near-identical pair
+    // straddling a Voronoi boundary under single assignment lands in
+    // DIFFERENT buckets and is never compared; probing the nProbe
+    // nearest buckets makes boundary twins co-bucket (the final
+    // distinct() collapses pairs found in more than one shared
+    // bucket). Cost: nProbe x the bucket row count.
+    val bkts = ColumnBridge.column(
+      IvfKnnOps.TopCentroids(ColumnBridge.expression(col(vecCol)), centers, nProbe))
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(bkts).as("bkt"))
       .filter(col("v").isNotNull)
     val buckets = assigned.groupBy("bkt")
       .agg(PG.cappedCollectList(struct(col("id"), col("v")), maxBucket + 1).as("m"))

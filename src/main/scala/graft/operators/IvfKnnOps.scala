@@ -71,6 +71,72 @@ object IvfKnnOps {
     }
   }
 
+  def topNearestCentroidsKernel(arr: ArrayData, centroids: Array[Array[Double]], n: Int, elemIsFloat: Boolean): ArrayData = {
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+    val dists = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val dd = math.min(v.length, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < dd) { val x = v(j) - cent(j); acc += x * x; j += 1 }
+      dists(c) = acc
+      c += 1
+    }
+    val k = math.min(n, centroids.length)
+    val out = new Array[Any](k)
+    val used = new Array[Boolean](centroids.length)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var t = 0
+      while (t < dists.length) {
+        if (!used(t) && (dists(t) < bestD || (dists(t) == bestD && (best < 0 || t < best)))) {
+          bestD = dists(t); best = t
+        }
+        t += 1
+      }
+      used(best) = true
+      out(s) = java.lang.Integer.valueOf(best)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** The `n` nearest centroid ids by L2², distance-ordered (ties by
+    * id) — the multi-probe generalization of [[NearestCentroid]]:
+    * SemDeDup-style bucketed comparison misses a near-identical pair
+    * straddling a Voronoi boundary under single assignment; probing
+    * the 2 nearest buckets makes boundary twins co-bucket. Same
+    * zero-shuffle codegen'd scan assignment.
+    */
+  case class TopCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "top_centroids"
+    override protected def withNewChildInternal(newChild: Expression): TopCentroids = copy(child = newChild)
+
+    private lazy val elemIsFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any =
+      topNearestCentroidsKernel(input.asInstanceOf[ArrayData], centroids, n, elemIsFloat)
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+    ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val centRef = ctx.addReferenceObj("graftCentroidsN", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.operators.IvfKnnOps.topNearestCentroidsKernel($a, $centRef, $n, $elemIsFloat);")
+    }
+  }
+
   private def nearest(v: Array[Double], centroids: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue

@@ -520,4 +520,28 @@ object MixOps {
         .otherwise(lit(0.0))).as("rate"),
       col("__sat").as("saturated"))
   }
+
+  /** Execute a SOLVED mixture ([[solveMixtureBudget]] /
+    * [[solveMixtureMax]] output) against the corpus: keep each
+    * source's rows at its solved `rate` with the portable integer
+    * coin — the same layout-independent, seeded, row-for-row
+    * SQL-replayable keep rule [[temperatureSample]] uses, so
+    * plan → solve → apply is one deterministic path from recipe to
+    * sampled corpus. Rates broadcast (a per-source frame); the doc
+    * side never shuffles.
+    */
+  def applyMixture(
+      df: DataFrame,
+      solved: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      seed: Long = 0L
+  ): DataFrame = {
+    val rates = solved.select(col(sourceCol).as("__src"), col("rate").as("__rate"))
+    val u = portableHash(col(idCol), seed).cast("double") / lit(HashP.toDouble)
+    df.join(broadcast(rates), col(sourceCol) <=> col("__src"))
+      .filter(u < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
 }
