@@ -14,8 +14,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketOps {
 
-  /** Write as a bucketed managed table (spark_catalog). */
+  /** Write as a bucketed managed table (spark_catalog).
+    *
+    * Overwrite-robust across SESSIONS: with the default in-memory
+    * catalog, a managed table's warehouse directory survives the JVM
+    * while its catalog entry does not — a fresh session's
+    * `mode("overwrite").saveAsTable` then fails with
+    * LOCATION_ALREADY_EXISTS. Drop any registered table AND clear a
+    * stale orphaned location first, so re-running a build is
+    * idempotent (found by the r9 sf0.1 re-verify of q_band_index).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     var w = df.write.mode("overwrite").bucketBy(buckets, key)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.format("parquet").saveAsTable(table)
