@@ -209,7 +209,9 @@ class PlanQualitySpec extends SparkSpec {
 
   test("semantic dedup is ONE cluster-bucket exchange; assignment rides the scan") {
     val p = planOf(q("q_semantic_dedup"))
-    assert(p.contains("nearest_centroid"), p)
+    // multi-probe assignment (top_centroids + explode) since r9 —
+    // still a zero-shuffle scan-stage expression
+    assert(p.contains("top_centroids"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
