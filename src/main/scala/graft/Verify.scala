@@ -41,8 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS dump the FULL oracle map: the SPARK_GRAFT_ONLY filter
+    // applies to query execution only — a filtered dump would
+    // clobber a previous full run's oracle_sql.json in the same
+    // outDir and silently shrink a later whole-registry compare to
+    // the subset (bit an r9 scalecheck)
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
