@@ -1352,6 +1352,15 @@ object SparkEntry {
       GraphOps.modularity(edges, labels)
     }),
 
+    // ---- D7o: Louvain local-move communities — synchronous
+    //      modularity-greedy moves on the shared co-order graph,
+    //      2 rounds; the gain comparison is EXACT-INTEGER
+    //      (2m·k_iC − deg_i·vol'_C), so the oracle unrolls both
+    //      rounds with zero float arithmetic. ----
+    "q_louvain" -> ((s, dir) => {
+      GraphOps.louvainMoves(sharedCoOrderEdges(s, dir), rounds = 2)
+    }),
+
     // ---- C35: item-item cosine similarity — "bought with X" from
     //      order baskets; capped pair machinery + two item-count
     //      joins, popularity-damped exact-count cosine. ----
@@ -4991,6 +5000,55 @@ object SparkEntry {
     // 3 unrolled synchronous rounds: count neighbor labels, adopt
     // the most frequent (ties to the smallest label) — deterministic
     // integer arithmetic end to end
+    // 2 unrolled synchronous Louvain rounds, pure integer scores
+    "q_louvain" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_partkey < l2.l_partkey
+        |), m AS (
+        |  SELECT count(*) AS m FROM e0
+        |), e2 AS (
+        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+        |), deg AS (
+        |  SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1
+        |), l0 AS (
+        |  SELECT node, node AS community FROM deg
+        |), v1 AS (
+        |  SELECT l.community, sum(d.deg) AS vol FROM l0 l JOIN deg d USING (node) GROUP BY 1
+        |), k1 AS (
+        |  SELECT e2.src, l.community AS c, count(*) AS k
+        |  FROM e2 JOIN l0 l ON e2.dst = l.node GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT k1.src, k1.c,
+        |    2 * m.m * k1.k - d.deg * (v.vol - CASE WHEN k1.c = o.community THEN d.deg ELSE 0 END) AS score
+        |  FROM k1
+        |  JOIN l0 o ON k1.src = o.node
+        |  JOIN deg d ON d.node = k1.src
+        |  JOIN v1 v ON v.community = k1.c
+        |  CROSS JOIN m
+        |), l1 AS (
+        |  SELECT src AS node, c AS community FROM (
+        |    SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY score DESC, c) AS rn FROM c1
+        |  ) WHERE rn = 1
+        |), v2 AS (
+        |  SELECT l.community, sum(d.deg) AS vol FROM l1 l JOIN deg d USING (node) GROUP BY 1
+        |), k2 AS (
+        |  SELECT e2.src, l.community AS c, count(*) AS k
+        |  FROM e2 JOIN l1 l ON e2.dst = l.node GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT k2.src, k2.c,
+        |    2 * m.m * k2.k - d.deg * (v.vol - CASE WHEN k2.c = o.community THEN d.deg ELSE 0 END) AS score
+        |  FROM k2
+        |  JOIN l1 o ON k2.src = o.node
+        |  JOIN deg d ON d.node = k2.src
+        |  JOIN v2 v ON v.community = k2.c
+        |  CROSS JOIN m
+        |)
+        |SELECT src AS node, c AS community FROM (
+        |  SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY score DESC, c) AS rn FROM c2
+        |) WHERE rn = 1""".stripMargin,
+
     "q_label_prop" ->
       """WITH e0 AS (
         |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
