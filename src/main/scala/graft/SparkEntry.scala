@@ -2581,6 +2581,18 @@ object SparkEntry {
       }
     }),
 
+    // ---- L12: TFRecord export/ingest — the training-loader
+    //      handoff: documents written as CRC32C-framed tf.train
+    //      .Example shards (hand-rolled wire format, no TF dep),
+    //      read back byte-exactly. ----
+    "q_tfrecord" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tfr").toString
+      graft.sources.TfRecordIO.write(docs.repartition(8), "file:" + tmp + "/docs")
+      graft.sources.TfRecordIO.read(s, "file:" + tmp + "/docs", docs.schema)
+    }),
+
     // ---- D18: persisted decontamination Bloom — the gate built
     //      once from HALF the eval suite, the other half MERGED in,
     //      then the batch probe against the saved file; same
@@ -7089,6 +7101,9 @@ object SparkEntry {
     // the batch q_decontaminate
     // the saved+merged filter must gate exactly the true-intersection
     // set (fpp 1e-9 makes FPs impossible at this corpus size)
+    "q_tfrecord" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin,
+
     "q_bloom_persist" ->
       """WITH ev AS (
         |  SELECT * FROM (VALUES
