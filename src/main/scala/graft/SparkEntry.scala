@@ -2581,6 +2581,19 @@ object SparkEntry {
       }
     }),
 
+    // ---- L13: WebDataset tar-shard export/ingest — the
+    //      multimodal loader layout ({key}.{field} members in POSIX
+    //      ustar shards the system tar can list); documents written
+    //      and read back byte-exactly. ----
+    "q_webdataset" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select(col("doc_id").cast("string").as("key"), col("text"),
+          col("lang"), col("source"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wds").toString
+      graft.sources.WebDatasetIO.write(docs.repartition(8), "file:" + tmp + "/docs", "key")
+      graft.sources.WebDatasetIO.read(s, "file:" + tmp + "/docs", docs.schema, "key")
+    }),
+
     // ---- L12: TFRecord export/ingest — the training-loader
     //      handoff: documents written as CRC32C-framed tf.train
     //      .Example shards (hand-rolled wire format, no TF dep),
@@ -7101,6 +7114,9 @@ object SparkEntry {
     // the batch q_decontaminate
     // the saved+merged filter must gate exactly the true-intersection
     // set (fpp 1e-9 makes FPs impossible at this corpus size)
+    "q_webdataset" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS key, text, lang, source FROM documents""".stripMargin,
+
     "q_tfrecord" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""".stripMargin,
 
