@@ -41,6 +41,7 @@ object ScaleProbeR9 {
     mergeFanIn(spark)
     bigEr(spark)
     hotBlockEr(spark)
+    sinkThroughput(spark)
     spark.stop()
   }
 
@@ -100,6 +101,27 @@ object ScaleProbeR9 {
       resolved.count()
     }
     println(s"[probe]   rows: $n")
+  }
+
+  def sinkThroughput(spark: SparkSession): Unit = {
+    // 10M synthetic (id, text ~60B, 8 longs) rows through each sink —
+    // one mapPartitions pass, shard per partition; throughput is the
+    // per-executor serialize+write rate (the 100 TB axis)
+    val df = spark.range(10000000L).select(
+      col("id"),
+      concat(lit("document text payload number "),
+        col("id").cast("string"), lit(" with deterministic filler words")).as("text"),
+      array((0 until 8).map(i => col("id") * (i + 1)): _*).as("toks"))
+      .repartition(32)
+    val tmp1 = java.nio.file.Files.createTempDirectory("probe-tfr").toString
+    time("TFRecord write 10M rows / 32 shards") {
+      graft.sources.TfRecordIO.write(df, "file:" + tmp1 + "/o")
+    }
+    val wdf = df.select(col("id").cast("string").as("key"), col("text"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("probe-wds").toString
+    time("WebDataset write 10M rows / 32 shards") {
+      graft.sources.WebDatasetIO.write(wdf, "file:" + tmp2 + "/o", "key")
+    }
   }
 
   def hotBlockEr(spark: SparkSession): Unit = {

@@ -81,6 +81,29 @@ class MixSolveSpec extends SparkSpec {
     assert(out == Map("a" -> (100.0, 1), "b" -> (200.0, 1)))
   }
 
+  test("applyMixture on a STREAM keeps exactly the batch-coin rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val stats = Seq(("a", 1000.0, 1.0), ("b", 2000.0, 3.0)).toDF("source", "avail", "w")
+    val solved = MixOps.solveMixtureBudget(stats, "source", "avail", "w", budget = 1500.0)
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val want = MixOps.applyMixture(rows.toDF("id", "source"), solved, "source", "id")
+      .select("id").as[Long].collect().toSet
+    val ms = MemoryStream[(Long, String)](spark)
+    val out = MixOps.applyMixture(ms.toDF().toDF("id", "source"), solved, "source", "id")
+    val q = out.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(rows.take(200): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(200): _*)
+      q.processAllAvailable()
+      val got = spark.table("mix_stream").select("id").as[Long].collect().toSet
+      assert(got == want, s"${got.diff(want)} extra, ${want.diff(got)} missing")
+    } finally q.stop()
+  }
+
   test("solveMixtureMax: exact ratios at the binding source's cap") {
     import spark.implicits._
     val stats = Seq(("a", 1000.0, 1.0), ("b", 10000.0, 1.0)).toDF("source", "avail", "w")
