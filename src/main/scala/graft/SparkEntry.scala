@@ -27,11 +27,19 @@ object SparkEntry {
     * dir) so sf0.01/sf0.1 runs and fresh sessions never cross.
     */
   private val coEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def sharedCoOrderEdges(s: SparkSession, dir: String): DataFrame =
-    coEdgeCache.computeIfAbsent(
-      System.identityHashCode(s).toString + "|" + dir,
-      _ => {
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private[graft] def sharedCoOrderEdges(s: SparkSession, dir: String): DataFrame =
+    coEdgeCache.synchronized {
+      // Keyed WEAKLY by the session instance (not its identity hash,
+      // which a new session can reuse after GC): a stopped session's
+      // entries drop with the session, and a stale entry bound to a
+      // stopped context is never handed out.
+      var perSession = coEdgeCache.get(s)
+      if (perSession == null || s.sparkContext.isStopped) {
+        perSession = scala.collection.mutable.Map.empty
+        coEdgeCache.put(s, perSession)
+      }
+      perSession.getOrElseUpdate(dir, {
         val li = BioLoader.load(s, t(dir, "lineitem"))
         // heavy-basket-guarded edge building: TPC-H orders hold <= 7
         // parts, so the 64-item cap never fires here — on real basket
@@ -42,6 +50,7 @@ object SparkEntry {
         e.count() // materialize once, off every query's critical path
         e
       })
+    }
 
   /** State-store partition count for the streaming queries (one
     * RocksDB instance per partition per stateful operator; results

@@ -26,9 +26,22 @@ object BucketOps {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
+    // Only simple (unqualified, path-safe) names: the orphan-location
+    // cleanup below must never be able to point outside the table's
+    // own default warehouse directory.
+    require(
+      table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed requires a simple unqualified table name, got '$table'")
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // Resolve the REGISTERED location (external tables live elsewhere)
+    // before dropping, falling back to the default managed path for
+    // an orphaned directory with no catalog entry.
+    val loc: org.apache.hadoop.fs.Path =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     var w = df.write.mode("overwrite").bucketBy(buckets, key)

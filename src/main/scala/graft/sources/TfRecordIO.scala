@@ -189,6 +189,10 @@ object TfRecordIO {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs0 = base.getFileSystem(conf.value)
     fs0.mkdirs(base)
+    // Re-writing with fewer partitions must not leave stale shards
+    // that read() would silently merge in: clear prior part-*.tfrecord.
+    fs0.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.tfrecord"))
+      .foreach(st => fs0.delete(st.getPath, false))
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.tfrecord")
       val fs = p.getFileSystem(conf.value)

@@ -43,6 +43,41 @@ class WebDatasetIOSpec extends SparkSpec {
     assert(names == Set("k0.txt", "k1.txt"), s"tar listed $names")
   }
 
+  test("re-write with fewer partitions leaves no stale shards behind") {
+    val tmp = java.nio.file.Files.createTempDirectory("wds4").toString
+    val big = Seq(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")).toDF("key", "txt")
+    WebDatasetIO.write(big.repartition(4), s"file:$tmp/w", "key")
+    assert(new java.io.File(s"$tmp/w").listFiles().count(_.getName.endsWith(".tar")) == 4)
+    val small = Seq(("x", "9")).toDF("key", "txt")
+    WebDatasetIO.write(small.repartition(1), s"file:$tmp/w", "key")
+    assert(new java.io.File(s"$tmp/w").listFiles().count(_.getName.endsWith(".tar")) == 1)
+    val schema = StructType(Seq(StructField("key", StringType), StructField("txt", StringType)))
+    val back = WebDatasetIO.read(spark, s"file:$tmp/w", schema, "key").collect()
+    assert(back.map(_.getString(0)).toSet == Set("x"), "stale shard rows leaked into read")
+  }
+
+  test("externally-produced shard with PAX/directory members ingests (typeflag skip)") {
+    // GNU tar under a long-path/pax profile emits 'x' extended headers
+    // and directory entries; the reader must skip them, not crash.
+    val tmp = java.nio.file.Files.createTempDirectory("wds5").toFile
+    val d = new java.io.File(tmp, "samples"); d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "k0.txt").toPath, "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(d, "k1.txt").toPath, "beta".getBytes("UTF-8"))
+    val shardDir = new java.io.File(tmp, "shard"); shardDir.mkdirs()
+    val shard = new java.io.File(shardDir, "part-00000.tar")
+    // --format=pax forces extended 'x' headers per member; archiving the
+    // DIRECTORY adds a type-'5' member; strip the dir prefix so member
+    // basenames are {key}.{field}
+    val proc = new ProcessBuilder(
+      "tar", "--format=pax", "-cf", shard.getAbsolutePath,
+      "-C", tmp.getAbsolutePath, "samples").start()
+    assert(proc.waitFor() == 0, "system tar failed")
+    val raw = java.nio.file.Files.readAllBytes(shard.toPath)
+    val members = WebDatasetIO.parseTar(raw).map(_._1).toList
+    assert(members.map(_.split('/').last).toSet == Set("k0.txt", "k1.txt"),
+      s"parseTar surfaced $members")
+  }
+
   test("documents table round-trips at sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("key"), col("text"), col("lang"))
