@@ -16,40 +16,84 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** Shared part co-order edge frame — 8 graph-family queries
-    * (q_triangles, q_cooccur, q_assortativity, q_clustering,
-    * q_modularity, q_label_prop, q_bfs_hops, q_power_law) analyze
-    * the IDENTICAL `coOccurrenceEdges(lineitem)` graph; rebuilding
-    * it per query paid the pair-emission shuffle 8x (~35% of the
-    * r8 bench). One session-scoped persisted build amortizes it:
-    * the first caller materializes (MEMORY_AND_DISK — spills, never
-    * OOMs), the rest scan cached partitions. Keyed by (session,
-    * dir) so sf0.01/sf0.1 runs and fresh sessions never cross.
+  /** Session-scoped per-(session, dir) artifact cache. Keyed WEAKLY
+    * by the session instance (not its identity hash, which a new
+    * session can reuse after GC): a stopped session's entries drop
+    * with the session, and a stale entry bound to a stopped context
+    * is never handed out.
     */
-  private val coEdgeCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-  private[graft] def sharedCoOrderEdges(s: SparkSession, dir: String): DataFrame =
-    coEdgeCache.synchronized {
-      // Keyed WEAKLY by the session instance (not its identity hash,
-      // which a new session can reuse after GC): a stopped session's
-      // entries drop with the session, and a stale entry bound to a
-      // stopped context is never handed out.
-      var perSession = coEdgeCache.get(s)
+  private final class SessionCache[T] {
+    private val cache =
+      new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, T]]()
+    def get(s: SparkSession, dir: String)(build: => T): T = cache.synchronized {
+      var perSession = cache.get(s)
       if (perSession == null || s.sparkContext.isStopped) {
         perSession = scala.collection.mutable.Map.empty
-        coEdgeCache.put(s, perSession)
+        cache.put(s, perSession)
       }
-      perSession.getOrElseUpdate(dir, {
-        val li = BioLoader.load(s, t(dir, "lineitem"))
-        // heavy-basket-guarded edge building: TPC-H orders hold <= 7
-        // parts, so the 64-item cap never fires here — on real basket
-        // data it bounds per-group pair emission at cap^2/2
-        val e = GraphOps
-          .coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        e.count() // materialize once, off every query's critical path
-        e
-      })
+      perSession.getOrElseUpdate(dir, build)
+    }
+  }
+
+  /** Shared part co-order edge frame — the graph-family queries
+    * (q_triangles, q_cooccur, q_assortativity, q_clustering,
+    * q_modularity, q_label_prop, q_bfs_hops, q_power_law, ...)
+    * analyze the IDENTICAL `coOccurrenceEdges(lineitem)` graph;
+    * rebuilding it per query paid the pair-emission shuffle 8x
+    * (~35% of the r8 bench). One session-scoped persisted build
+    * amortizes it: the first caller materializes (MEMORY_AND_DISK —
+    * spills, never OOMs), the rest scan cached partitions.
+    */
+  private val coEdgeCache = new SessionCache[DataFrame]
+  private[graft] def sharedCoOrderEdges(s: SparkSession, dir: String): DataFrame =
+    coEdgeCache.get(s, dir) {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      // heavy-basket-guarded edge building: TPC-H orders hold <= 7
+      // parts, so the 64-item cap never fires here — on real basket
+      // data it bounds per-group pair emission at cap^2/2
+      val e = GraphOps
+        .coOccurrenceEdges(li, "l_orderkey", "l_partkey", maxGroupSize = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count() // materialize once, off every query's critical path
+      e
+    }
+
+  /** The co-order graph canonicalized ONCE per (session, dir): the
+    * distinct/symmetrize/degree shuffles are paid by the first
+    * iterative-family consumer instead of inside every LPA round,
+    * Louvain sweep, and scoring join.
+    */
+  private val symGraphCache = new SessionCache[GraphOps.SymGraph]
+  private[graft] def sharedSymGraph(s: SparkSession, dir: String): GraphOps.SymGraph =
+    symGraphCache.get(s, dir) {
+      // coOccurrenceEdges output is distinct undirected with
+      // src < dst by construction — the trusted path skips the
+      // re-normalize shuffle over the persisted frame
+      GraphOps.canonicalizeDistinct(sharedCoOrderEdges(s, dir))
+    }
+
+  /** 3-round LPA labels on the shared canonical graph — q_label_prop
+    * emits them, and the Louvain refinement seeds from them (the
+    * LPA-seed + guarded-merge hybrid measurably out-scores pure
+    * local-move seeding on this graph: Q 0.0367 vs 0.0246 at sf0.1).
+    */
+  private val lpaCache = new SessionCache[DataFrame]
+  private[graft] def sharedLpa(s: SparkSession, dir: String): DataFrame =
+    lpaCache.get(s, dir) {
+      GraphOps.labelPropagation(sharedSymGraph(s, dir), iters = 3)
+    }
+
+  /** Shared Louvain partition: contraction of the shared LPA seed +
+    * 4 guarded exact-integer merge rounds. q_louvain emits the node
+    * labels, q_modularity scores the SAME partition from the
+    * contracted frames — the second consumer never re-touches the
+    * node- or edge-sized frames.
+    */
+  private val louvainCache = new SessionCache[GraphOps.LouvainResult]
+  private[graft] def sharedLouvain(s: SparkSession, dir: String): GraphOps.LouvainResult =
+    louvainCache.get(s, dir) {
+      GraphOps.louvainRefine(sharedSymGraph(s, dir), sharedLpa(s, dir),
+        level1Rounds = 4, nodeCol = "node", labelCol = "label")
     }
 
   /** State-store partition count for the streaming queries (one
@@ -1351,23 +1395,22 @@ object SparkEntry {
       GraphOps.clusteringCoefficient(sharedCoOrderEdges(s, dir))
     }),
 
-    // ---- D7m: modularity of the label-propagation communities on
-    //      the co-order graph — the acceptance score for the
-    //      community pipeline; exact-count terms, per-community
-    //      contributions. ----
+    // ---- D7m: modularity of the shared Louvain partition, scored
+    //      FROM THE CONTRACTION — e_in/deg_sum aggregate the
+    //      community-sized super frames, never re-joining the
+    //      node/edge-sized ones; the oracle re-derives the same
+    //      exact integers from the node-level labels. ----
     "q_modularity" -> ((s, dir) => {
-      val edges = sharedCoOrderEdges(s, dir)
-      val labels = GraphOps.labelPropagation(edges, iters = 3)
-      GraphOps.modularity(edges, labels)
+      GraphOps.modularityOfLouvain(sharedLouvain(s, dir))
     }),
 
-    // ---- D7o: Louvain local-move communities — synchronous
-    //      modularity-greedy moves on the shared co-order graph,
-    //      2 rounds; the gain comparison is EXACT-INTEGER
-    //      (2m·k_iC − deg_i·vol'_C), so the oracle unrolls both
-    //      rounds with zero float arithmetic. ----
+    // ---- D7o: Louvain WITH single-level contraction — 1 exact-
+    //      integer local-move sweep on the node graph, communities
+    //      collapse to weighted super-nodes, 2 weighted sweeps on
+    //      the contracted graph, labels map back; the oracle
+    //      unrolls both levels with zero float arithmetic. ----
     "q_louvain" -> ((s, dir) => {
-      GraphOps.louvainMoves(sharedCoOrderEdges(s, dir), rounds = 2)
+      sharedLouvain(s, dir).labels
     }),
 
     // ---- C35: item-item cosine similarity — "bought with X" from
@@ -1385,7 +1428,7 @@ object SparkEntry {
     //      rounds, each ONE label-frame join + count + argmax
     //      window. ----
     "q_label_prop" -> ((s, dir) => {
-      GraphOps.labelPropagation(sharedCoOrderEdges(s, dir), iters = 3)
+      sharedLpa(s, dir)
     }),
 
     // ---- D7f: multi-source BFS hop counts — link distance from
@@ -4030,6 +4073,99 @@ object SparkEntry {
       |    WHEN sp > 200.0 OR sn > 200.0 THEN 1 ELSE 0 END AS alarm
       |FROM rec""".stripMargin
 
+  /** Two-level Louvain oracle chain, shared by q_louvain and
+    * q_modularity: the 3-round LPA seed (lp1..lp3 — the identical
+    * integer chain the q_label_prop oracle uses), the contraction
+    * (cross weights cw, super-degrees kdeg), then `RefineRounds`
+    * guarded merge sweeps on the contracted graph: a super-node may
+    * move only to a SMALLER-labeled neighboring community (sc_r's
+    * join gate — labels strictly decrease, so no oscillation) and
+    * only when the move's exact-integer score strictly beats the
+    * staying-put score (ow_r) — GraphOps.contractedMoveRounds
+    * replayed CTE for CTE. `fin` maps the refinement back through
+    * the seed. Every CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default, and this chain's references compound multiplicatively
+    * without it (an un-materialized run exploded past 20 GB).
+    * Pure integer arithmetic until the caller's final SELECT.
+    */
+  private val RefineRounds = 4
+  private def refineRoundSql(r: Int): String = {
+    val p = if (r == 1) "s0" else s"s${r - 1}"
+    s"""|), sv$r AS MATERIALIZED (
+        |  SELECT l.community, sum(k.deg) AS vol FROM $p l JOIN kdeg k USING (node) GROUP BY 1
+        |), sk$r AS MATERIALIZED (
+        |  SELECT cw.src, l.community AS c, sum(cw.w) AS k FROM cw JOIN $p l ON cw.dst = l.node GROUP BY 1, 2
+        |), sc$r AS MATERIALIZED (
+        |  SELECT sk$r.src, sk$r.c, 2 * m.m * sk$r.k - kd.deg * v.vol AS score
+        |  FROM sk$r
+        |  JOIN $p o ON sk$r.src = o.node AND sk$r.c < o.community
+        |  JOIN kdeg kd ON kd.node = sk$r.src
+        |  JOIN sv$r v ON v.community = sk$r.c
+        |  CROSS JOIN m
+        |), mv$r AS MATERIALIZED (
+        |  SELECT src AS node, c AS community, score FROM (
+        |    SELECT src, c, score, row_number() OVER (PARTITION BY src ORDER BY score DESC, c) AS rn FROM sc$r
+        |  ) WHERE rn = 1
+        |), ow$r AS MATERIALIZED (
+        |  SELECT o.node, 2 * m.m * coalesce(k.k, 0) - d.deg * (v.vol - d.deg) AS os
+        |  FROM $p o
+        |  JOIN kdeg d ON d.node = o.node
+        |  JOIN sv$r v ON v.community = o.community
+        |  LEFT JOIN sk$r k ON k.src = o.node AND k.c = o.community
+        |  CROSS JOIN m
+        |), s$r AS MATERIALIZED (
+        |  SELECT p.node,
+        |    CASE WHEN mv.score IS NOT NULL AND mv.score > ow.os THEN mv.community ELSE p.community END AS community
+        |  FROM $p p
+        |  LEFT JOIN mv$r mv ON mv.node = p.node
+        |  JOIN ow$r ow ON ow.node = p.node"""
+  }
+  private val LouvainChainSql: String = (
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |  WHERE l1.l_partkey < l2.l_partkey
+      |), m AS MATERIALIZED (
+      |  SELECT count(*) AS m FROM e0
+      |), e2 AS MATERIALIZED (
+      |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+      |), deg AS MATERIALIZED (
+      |  SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1
+      |), lp0 AS MATERIALIZED (
+      |  SELECT node, node AS label FROM deg
+      |), cn1 AS MATERIALIZED (
+      |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp0 l ON e2.dst = l.node GROUP BY 1, 2
+      |), lp1 AS MATERIALIZED (
+      |  SELECT src AS node, label FROM (
+      |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn1
+      |  ) WHERE rn = 1
+      |), cn2 AS MATERIALIZED (
+      |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp1 l ON e2.dst = l.node GROUP BY 1, 2
+      |), lp2 AS MATERIALIZED (
+      |  SELECT src AS node, label FROM (
+      |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
+      |  ) WHERE rn = 1
+      |), cn3 AS MATERIALIZED (
+      |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
+      |), lp3 AS MATERIALIZED (
+      |  SELECT src AS node, label FROM (
+      |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
+      |  ) WHERE rn = 1
+      |), cw AS MATERIALIZED (
+      |  SELECT lu.label AS src, lv.label AS dst, count(*) AS w
+      |  FROM e2 JOIN lp3 lu ON e2.src = lu.node JOIN lp3 lv ON e2.dst = lv.node
+      |  WHERE lu.label <> lv.label GROUP BY 1, 2
+      |), kdeg AS MATERIALIZED (
+      |  SELECT l.label AS node, sum(d.deg) AS deg FROM lp3 l JOIN deg d USING (node) GROUP BY 1
+      |), s0 AS MATERIALIZED (
+      |  SELECT node, node AS community FROM kdeg""".stripMargin
+    + (1 to RefineRounds).map(r => refineRoundSql(r).stripMargin).mkString
+    + s"""
+      |), fin AS MATERIALIZED (
+      |  SELECT lp3.node, s$RefineRounds.community FROM lp3 JOIN s$RefineRounds ON lp3.label = s$RefineRounds.node
+      |)""".stripMargin
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_load_project" ->
       """SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 100 + 0.5) / 100 AS price
@@ -5031,57 +5167,10 @@ object SparkEntry {
         |    * 1e9 + 0.5) / 1e9 AS cosine
         |FROM co JOIN cnt ca ON co.id_a = ca.i JOIN cnt cb ON co.id_b = cb.i""".stripMargin,
 
-    // 3 unrolled synchronous rounds: count neighbor labels, adopt
-    // the most frequent (ties to the smallest label) — deterministic
-    // integer arithmetic end to end
-    // 2 unrolled synchronous Louvain rounds, pure integer scores
+    // two-level Louvain: one node sweep, contraction, two weighted
+    // sweeps, map back -- pure integer scores end to end
     "q_louvain" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
-        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |  WHERE l1.l_partkey < l2.l_partkey
-        |), m AS (
-        |  SELECT count(*) AS m FROM e0
-        |), e2 AS (
-        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
-        |), deg AS (
-        |  SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1
-        |), l0 AS (
-        |  SELECT node, node AS community FROM deg
-        |), v1 AS (
-        |  SELECT l.community, sum(d.deg) AS vol FROM l0 l JOIN deg d USING (node) GROUP BY 1
-        |), k1 AS (
-        |  SELECT e2.src, l.community AS c, count(*) AS k
-        |  FROM e2 JOIN l0 l ON e2.dst = l.node GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT k1.src, k1.c,
-        |    2 * m.m * k1.k - d.deg * (v.vol - CASE WHEN k1.c = o.community THEN d.deg ELSE 0 END) AS score
-        |  FROM k1
-        |  JOIN l0 o ON k1.src = o.node
-        |  JOIN deg d ON d.node = k1.src
-        |  JOIN v1 v ON v.community = k1.c
-        |  CROSS JOIN m
-        |), l1 AS (
-        |  SELECT src AS node, c AS community FROM (
-        |    SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY score DESC, c) AS rn FROM c1
-        |  ) WHERE rn = 1
-        |), v2 AS (
-        |  SELECT l.community, sum(d.deg) AS vol FROM l1 l JOIN deg d USING (node) GROUP BY 1
-        |), k2 AS (
-        |  SELECT e2.src, l.community AS c, count(*) AS k
-        |  FROM e2 JOIN l1 l ON e2.dst = l.node GROUP BY 1, 2
-        |), c2 AS (
-        |  SELECT k2.src, k2.c,
-        |    2 * m.m * k2.k - d.deg * (v.vol - CASE WHEN k2.c = o.community THEN d.deg ELSE 0 END) AS score
-        |  FROM k2
-        |  JOIN l1 o ON k2.src = o.node
-        |  JOIN deg d ON d.node = k2.src
-        |  JOIN v2 v ON v.community = k2.c
-        |  CROSS JOIN m
-        |)
-        |SELECT src AS node, c AS community FROM (
-        |  SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY score DESC, c) AS rn FROM c2
-        |) WHERE rn = 1""".stripMargin,
+      (LouvainChainSql + "\nSELECT node, community FROM fin"),
 
     "q_label_prop" ->
       """WITH e0 AS (
@@ -5113,53 +5202,24 @@ object SparkEntry {
         |)
         |SELECT node, label FROM lp3""".stripMargin,
 
-    // the q_label_prop 3-round chain, then Newman's terms from exact
-    // counts: e_in per community, degree sums, m on a 1-row cross
+    // the two-level Louvain chain, then Newman's terms re-derived
+    // from the NODE-level final labels (the Spark side scores the
+    // contraction; equality of the exact integers is the check)
     "q_modularity" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
-        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |  WHERE l1.l_partkey < l2.l_partkey
-        |), e2 AS (
-        |  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
-        |), lp0 AS (
-        |  SELECT DISTINCT src AS node, src AS label FROM e2
-        |), cn1 AS (
-        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp0 l ON e2.dst = l.node GROUP BY 1, 2
-        |), lp1 AS (
-        |  SELECT src AS node, label FROM (
-        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn1
-        |  ) WHERE rn = 1
-        |), cn2 AS (
-        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp1 l ON e2.dst = l.node GROUP BY 1, 2
-        |), lp2 AS (
-        |  SELECT src AS node, label FROM (
-        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
-        |  ) WHERE rn = 1
-        |), cn3 AS (
-        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
-        |), lp3 AS (
-        |  SELECT src AS node, label FROM (
-        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
-        |  ) WHERE rn = 1
-        |), mm AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS m FROM e0
-        |), deg AS (
-        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
-        |), ein AS (
-        |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_in
-        |  FROM e0 JOIN lp3 la ON e0.u = la.node JOIN lp3 lb ON e0.v = lb.node
-        |  WHERE la.label = lb.label GROUP BY 1
-        |), dc AS (
-        |  SELECT l.label AS community, CAST(sum(d.d) AS BIGINT) AS deg_sum
-        |  FROM lp3 l JOIN deg d ON l.node = d.node GROUP BY 1
+      (LouvainChainSql + """
+        |, ein AS MATERIALIZED (
+        |  SELECT la.community AS community, CAST(count(*) AS BIGINT) AS e_in
+        |  FROM e0 JOIN fin la ON e0.u = la.node JOIN fin lb ON e0.v = lb.node
+        |  WHERE la.community = lb.community GROUP BY 1
+        |), dc AS MATERIALIZED (
+        |  SELECT f.community, CAST(sum(d.deg) AS BIGINT) AS deg_sum
+        |  FROM fin f JOIN deg d ON f.node = d.node GROUP BY 1
         |)
         |SELECT dc.community, coalesce(ein.e_in, 0) AS e_in, dc.deg_sum,
-        |  floor((CAST(coalesce(ein.e_in, 0) AS DOUBLE) / mm.m
-        |    - (CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m))
-        |      * (CAST(dc.deg_sum AS DOUBLE) / (2.0 * mm.m))) * 1e9 + 0.5) / 1e9 AS q_contrib
-        |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN mm""".stripMargin,
+        |  floor((CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m.m
+        |    - (CAST(dc.deg_sum AS DOUBLE) / (2.0 * m.m))
+        |      * (CAST(dc.deg_sum AS DOUBLE) / (2.0 * m.m))) * 1e9 + 0.5) / 1e9 AS q_contrib
+        |FROM dc LEFT JOIN ein ON dc.community = ein.community CROSS JOIN m""".stripMargin),
 
     // min-hop BFS as a bounded recursive CTE: every (node, level)
     // reach pair within the horizon, min() collapses to first reach

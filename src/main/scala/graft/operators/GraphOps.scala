@@ -370,16 +370,19 @@ object GraphOps {
     * @return (node, label) for every edge endpoint; label = the
     *         adopted community representative id
     */
-  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame = {
+  def labelPropagation(edges0: DataFrame, iters: Int = 3): DataFrame =
+    labelPropagation(canonicalize(edges0), iters)
+
+  /** [[labelPropagation]] on a pre-canonicalized [[SymGraph]] — the
+    * normalize/symmetrize/checkpoint cost is paid once by the graph
+    * build, not per call (q_label_prop shares the frame with the
+    * Louvain and scoring queries through SparkEntry's session
+    * cache).
+    */
+  def labelPropagation(g: SymGraph, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val und = edges0.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    val e = und
-      .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    val e = g.e2
+    var labels = g.deg.select(col("node"), col("node").as("label"))
     var it = 0
     while (it < iters) {
       val nbr = e.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -422,27 +425,57 @@ object GraphOps {
     *
     * @return (node, community) for every non-isolated node
     */
-  def louvainMoves(edges0: DataFrame, rounds: Int = 2): DataFrame = {
+  def louvainMoves(edges0: DataFrame, rounds: Int = 2): DataFrame =
+    louvainMoves(canonicalize(edges0), rounds)
+
+  /** [[louvainMoves]] on a pre-canonicalized [[SymGraph]]. */
+  def louvainMoves(g: SymGraph, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val und = edges0.filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
-    val m = und.count()
-    val e = und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    weightedMoveRounds(g.e2.withColumn("__w", lit(1L)), g.deg, g.m, rounds)
+  }
+
+  /** The synchronous weighted local-move rounds shared by the
+    * node-level and the CONTRACTED (super-node) Louvain phases.
+    * Exact-integer scoring as in [[louvainMoves]], generalized to
+    * integer edge weights: score(i→C) = 2m·k_{i,C} − K_i·vol'_C
+    * with k summed over edge weights and K_i the weighted degree.
+    * A node whose every neighbor vanished into its own super-node
+    * (no external edges → no candidate rows) KEEPS its community
+    * via the left-join coalesce — at the node level every vertex
+    * has candidates, so this is behavior-identical to the
+    * pre-refactor rounds there.
+    */
+  private def weightedMoveRounds(
+      e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame = {
     var labels = deg.select(col("node"), col("node").as("community"))
     var it = 0
+    if (rounds > 0) {
+      // ROUND 1 SPECIALIZED: with identity labels every neighboring
+      // community is a single node, so k_{i,C} ≡ __w per edge — the
+      // label join and the (src, community) re-aggregation vanish;
+      // score(i→{j}) = 2m·w_ij − deg_i·deg_j straight off the edge
+      // frame. Bit-identical to the generic round (same integers,
+      // same argmax), at roughly half its shuffle cost.
+      val cand0 = e2w
+        .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("__vol")), "dst")
+        .withColumn("__score",
+          lit(2L) * lit(m) * col("__w") - col("__d") * col("__vol"))
+      val best0 = cand0.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
+      labels = cand0.join(best0, "src")
+        .filter(col("__score") === col("__ms"))
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("community"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(true)
+      it = 1
+    }
     while (it < rounds) {
       val vol = labels.join(deg, "node")
         .groupBy(col("community")).agg(sum(col("deg")).as("__vol"))
-      val k = e.join(labels.withColumnRenamed("node", "dst")
+      val k = e2w.join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("community", "__c"), "dst")
-        .groupBy(col("src"), col("__c")).agg(count(lit(1)).as("__k"))
+        .groupBy(col("src"), col("__c")).agg(sum(col("__w")).as("__k"))
       val cand = k
         .join(labels.select(col("node").as("src"), col("community").as("__own")), "src")
         .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
@@ -452,15 +485,272 @@ object GraphOps {
             col("__d") * (col("__vol") -
               when(col("__c") === col("__own"), col("__d")).otherwise(lit(0L))))
       val best = cand.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
-      labels = cand.join(best, "src")
+      val moved = cand.join(best, "src")
         .filter(col("__score") === col("__ms"))
         .groupBy(col("src"))
-        .agg(min(col("__c")).as("community"))
+        .agg(min(col("__c")).as("__new"))
         .withColumnRenamed("src", "node")
+      labels = labels.join(moved, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("community")).as("community"))
         .localCheckpoint(true)
       it += 1
     }
     labels
+  }
+
+  /** The CONTRACTED-level move rounds: like [[weightedMoveRounds]]
+    * but oscillation-PROOF. Purely synchronous moves swap symmetric
+    * super-node pairs forever (two cliques joined by a bridge trade
+    * places every round — the K4 counter-example in LouvainSpec).
+    * Here a super-node may move only DOWNWARD — to a neighboring
+    * community with a SMALLER label — and only when the move's
+    * exact-integer score strictly beats the score of staying put.
+    * Labels therefore strictly decrease on every move: two-cycles
+    * are impossible and the rounds converge, while mass still
+    * merges freely (if C's best partner has a bigger label, the
+    * partner makes the symmetric downward move instead). Both gates
+    * are deterministic integer predicates, so the rounds replay in
+    * SQL.
+    */
+  private def contractedMoveRounds(
+      e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame = {
+    var labels = deg.select(col("node"), col("node").as("community"))
+    var it = 0
+    while (it < rounds) {
+      val vol = labels.join(deg, "node")
+        .groupBy(col("community")).agg(sum(col("deg")).as("__vol"))
+      val k = e2w.join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("community", "__c"), "dst")
+        .groupBy(col("src"), col("__c")).agg(sum(col("__w")).as("__k"))
+      val cand = k
+        .join(labels.select(col("node").as("src"), col("community").as("__own")), "src")
+        .filter(col("__c") < col("__own")) // downward moves only
+        .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
+        .join(vol.withColumnRenamed("community", "__c"), "__c")
+        .withColumn("__score",
+          lit(2L) * lit(m) * col("__k") - col("__d") * col("__vol"))
+      val best = cand.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
+      val moved = cand.join(best, "src")
+        .filter(col("__score") === col("__ms"))
+        .groupBy(col("src"))
+        .agg(min(col("__c")).as("__new"), max(col("__score")).as("__bs"))
+        .withColumnRenamed("src", "node")
+      // exact score of STAYING: own community's k (0 when no
+      // neighbor is inside) with own volume net of self
+      val ownScore = labels
+        .join(deg, "node")
+        .join(vol, "community")
+        .join(k, col("node") === col("src") && col("__c") === col("community"), "left_outer")
+        .select(col("node"),
+          (lit(2L) * lit(m) * coalesce(col("__k"), lit(0L)) -
+            col("deg") * (col("__vol") - col("deg"))).as("__os"))
+      labels = labels
+        .join(moved, Seq("node"), "left")
+        .join(ownScore, "node")
+        .select(col("node"),
+          when(col("__bs").isNotNull && col("__bs") > col("__os"),
+            col("__new")).otherwise(col("community")).as("community"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels
+  }
+
+  /** The artifacts of one full Louvain level: final node labels plus
+    * the CONTRACTED graph they were refined on — kept so downstream
+    * scoring (modularity) can run on the community-sized frames
+    * instead of re-joining the node-sized ones.
+    *
+    * @param labels      (node, community) — final, node-level
+    * @param superEdges  (src, dst, __w) symmetric cross-community
+    *                    weights of the level-0 partition
+    * @param superSelf   (community, e_in) internal edge counts of the
+    *                    level-0 partition
+    * @param superDeg    (node=superNode, deg) weighted super-degrees
+    *                    (= level-0 community volumes)
+    * @param superLabels (node=superNode, community=final) the level-1
+    *                    refinement
+    * @param m           undirected edge count of the ORIGINAL graph
+    */
+  case class LouvainResult(
+      labels: DataFrame,
+      superEdges: DataFrame,
+      superSelf: DataFrame,
+      superDeg: DataFrame,
+      superLabels: DataFrame,
+      m: Long)
+
+  /** Louvain with ONE level of contraction — the real algorithm's
+    * phase 2 (Blondel et al. 2008 §2), not just local moves: after
+    * `level0Rounds` node-level sweeps, communities collapse to
+    * super-nodes (cross weights = inter-community edge counts,
+    * volumes preserved), `level1Rounds` weighted sweeps refine the
+    * contracted graph — community-sized, typically orders of
+    * magnitude smaller — and the refinement maps back through the
+    * level-0 assignment. This climbs past the single-level
+    * modularity plateau at a fraction of the node-level round cost:
+    * at 100 TB the expensive node-frame join runs `level0Rounds`
+    * times instead of `level0Rounds + level1Rounds`.
+    *
+    * Every aggregate stays exact-integer (weights are edge counts),
+    * so the whole two-level pipeline replays bit-identically in SQL
+    * — the q_louvain oracle unrolls both levels.
+    */
+  def louvain(
+      edges0: DataFrame,
+      level0Rounds: Int = 1,
+      level1Rounds: Int = 4): LouvainResult =
+    louvain(canonicalize(edges0), level0Rounds, level1Rounds)
+
+  /** [[louvain]] on a pre-canonicalized [[SymGraph]]. */
+  def louvain(g: SymGraph, level0Rounds: Int, level1Rounds: Int): LouvainResult = {
+    require(level0Rounds >= 1 && level1Rounds >= 0,
+      s"need level0Rounds >= 1 and level1Rounds >= 0, got $level0Rounds/$level1Rounds")
+    val l0 = weightedMoveRounds(g.e2.withColumn("__w", lit(1L)), g.deg, g.m, level0Rounds)
+    contractAndRefine(g, l0, level1Rounds)
+  }
+
+  /** Louvain phase 2 on an EXTERNAL seeding: contract an arbitrary
+    * (node, community) partition — LPA labels, a blocking key, a
+    * prior run — and refine it with the guarded exact-integer merge
+    * rounds. Useful both as the Leiden-style "seed with a cheap
+    * community pass, climb with modularity" hybrid (LPA-seeded
+    * refinement measurably out-scores pure local-move seeding on
+    * weak-structure graphs) and to resume from persisted labels.
+    * Seed labels must cover the graph's non-isolated nodes; extra
+    * rows are ignored.
+    */
+  def louvainRefine(
+      edges0: DataFrame,
+      seed: DataFrame,
+      level1Rounds: Int = 4,
+      nodeCol: String = "node",
+      labelCol: String = "community"): LouvainResult =
+    louvainRefine(canonicalize(edges0), seed, level1Rounds, nodeCol, labelCol)
+
+  /** [[louvainRefine]] on a pre-canonicalized [[SymGraph]]. */
+  def louvainRefine(
+      g: SymGraph,
+      seed: DataFrame,
+      level1Rounds: Int,
+      nodeCol: String,
+      labelCol: String): LouvainResult = {
+    require(level1Rounds >= 0, s"need level1Rounds >= 0, got $level1Rounds")
+    val l0 = seed.select(col(nodeCol).as("node"), col(labelCol).as("community"))
+    contractAndRefine(g, l0, level1Rounds)
+  }
+
+  /** A graph canonicalized ONCE for the whole iterative family:
+    * `und` the distinct undirected (u &lt; v) edge set, `e2` its
+    * symmetric both-directions expansion, `deg` the node degrees,
+    * `m` the undirected edge count — all checkpointed, so every
+    * consumer (LPA rounds, Louvain sweeps, contraction, scoring)
+    * starts from materialized frames instead of re-shuffling the
+    * normalize-distinct-symmetrize pipeline per query. At 100 TB
+    * this is the difference between one edge-frame shuffle for the
+    * family and one per query.
+    */
+  case class SymGraph(und: DataFrame, e2: DataFrame, deg: DataFrame, m: Long)
+
+  /** Build a [[SymGraph]] from a raw edge frame (self-loops dropped,
+    * duplicates collapsed, both orientations accepted).
+    */
+  def canonicalize(edges0: DataFrame): SymGraph =
+    canonicalFrom(edges0.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint(true))
+
+  /** [[canonicalize]] for a frame the CALLER asserts is already
+    * distinct undirected with src &lt; dst and no self-loops (e.g.
+    * [[coOccurrenceEdges]] output, typically persisted) — skips the
+    * normalize shuffle and the extra materialization entirely.
+    */
+  def canonicalizeDistinct(und0: DataFrame): SymGraph =
+    canonicalFrom(und0.select(col("src").as("u"), col("dst").as("v")))
+
+  private def canonicalFrom(und: DataFrame): SymGraph = {
+    val m = und.count()
+    val e2 = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val deg = e2.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    SymGraph(und, e2, deg, m)
+  }
+
+  private def contractAndRefine(
+      g: SymGraph,
+      l0: DataFrame, level1Rounds: Int): LouvainResult = {
+    val (deg, m) = (g.deg, g.m)
+    // Contraction over the UNDIRECTED frame — half the join volume
+    // of mapping the symmetric expansion: each und edge maps its two
+    // endpoints' communities (two node-sized hash joins over |und|
+    // rows), folds straight to community-pair counts in ONE shuffle
+    // with map-side combine, and the tiny folded frame symmetrizes
+    // after the fold.
+    val foldedU = g.und
+      .join(l0.select(col("node").as("u"), col("community").as("__cu")), "u")
+      .join(l0.select(col("node").as("v"), col("community").as("__cv")), "v")
+      .groupBy(col("__cu"), col("__cv")).agg(count(lit(1)).as("__w"))
+      .localCheckpoint(true)
+    val cross = foldedU.filter(col("__cu") =!= col("__cv"))
+    val superEdges = cross
+      .select(col("__cu").as("src"), col("__cv").as("dst"), col("__w"))
+      .union(cross.select(col("__cv").as("src"), col("__cu").as("dst"), col("__w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      .localCheckpoint(true)
+    // und counts every internal edge exactly once
+    val superSelf = foldedU.filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("community")).agg(sum(col("__w")).as("e_in"))
+    val superDeg = l0.join(deg, "node")
+      .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg"))
+      .localCheckpoint(true)
+    val superLabels =
+      if (level1Rounds == 0) superDeg.select(col("node"), col("node").as("community"))
+      else contractedMoveRounds(superEdges, superDeg, m, level1Rounds)
+    val labels = l0.select(col("node"), col("community").as("__c0"))
+      .join(superLabels.select(col("node").as("__c0"), col("community")), "__c0")
+      .select(col("node"), col("community"))
+      .localCheckpoint(true)
+    LouvainResult(labels, superEdges, superSelf, superDeg, superLabels, m)
+  }
+
+  /** Newman modularity of a [[louvain]] partition computed FROM THE
+    * CONTRACTION — e_in and deg_sum per final community aggregate
+    * the community-sized super frames (internal self-weights + intra
+    * cross weights / 2; super-degree sums), never re-touching the
+    * node- or edge-sized frames. Identical exact integers to scoring
+    * the node-level labels with [[modularity]], at contracted cost.
+    *
+    * @return (community, e_in, deg_sum, q_contrib) — q snapped to
+    *         the 1e-9 grid like [[modularity]]
+    */
+  def modularityOfLouvain(r: LouvainResult): DataFrame = {
+    val sl = r.superLabels.select(col("node").as("__s"), col("community").as("__f"))
+    val selfIn = r.superSelf.select(col("community").as("__s"), col("e_in"))
+      .join(sl, "__s")
+      .groupBy(col("__f")).agg(sum(col("e_in")).as("__in1"))
+    val crossIn = r.superEdges
+      .join(sl.select(col("__s").as("src"), col("__f").as("__fu")), "src")
+      .join(sl.select(col("__s").as("dst"), col("__f").as("__fv")), "dst")
+      .filter(col("__fu") === col("__fv"))
+      .groupBy(col("__fu").as("__f"))
+      .agg((sum(col("__w")) / lit(2)).cast("long").as("__in2"))
+    val degC = r.superDeg.select(col("node").as("__s"), col("deg"))
+      .join(sl, "__s")
+      .groupBy(col("__f")).agg(sum(col("deg")).as("deg_sum"))
+    degC
+      .join(selfIn, Seq("__f"), "left")
+      .join(crossIn, Seq("__f"), "left")
+      .withColumn("e_in",
+        coalesce(col("__in1"), lit(0L)) + coalesce(col("__in2"), lit(0L)))
+      .withColumn("__d2", col("deg_sum").cast("double") / (lit(2.0) * lit(r.m)))
+      .select(col("__f").as("community"), col("e_in"), col("deg_sum"),
+        (floor((col("e_in").cast("double") / lit(r.m.toDouble) - col("__d2") * col("__d2")) *
+          lit(1e9) + lit(0.5)) / lit(1e9)).as("q_contrib"))
   }
 
   /** Multi-source BFS: minimum hop count from any source to every
