@@ -11,11 +11,22 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // 490 query executions full of localCheckpoints pin shuffle/
+      // RDD blocks until a driver GC lets the ContextCleaner run;
+      // the default 30min periodic GC never fires inside a bench
+      // pass, so late queries measured block-starved executors.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/FS once so per-query numbers measure the
     // queries, not session startup
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // materialize the session-shared graph artifacts and CHARGE THEM
+    // TO THEIR OWN LINE — without this a single-pass record bills
+    // the ~20s shared build to an arbitrary first graph query
+    val tW = System.nanoTime()
+    try SparkEntry.warmShared(spark, sfDir) catch { case _: Throwable => () }
+    val warmSecs = (System.nanoTime() - tW) / 1e9
     // optional comma-separated name filter for targeted experiments
     // (the driver never sets it — all queries run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -31,7 +42,7 @@ object Bench {
     // ~50% of its wall-clock; run it as a discard and report the
     // second, steady-state pass
     runAll()
-    val results = runAll()
+    val results = runAll() + ("_shared_graph_build" -> warmSecs)
     // millisecond precision keeps the record line ~5 KB — full
     // double reprs tripled it and the driver's stdout tail-capture
     // truncated the r7/r8 records into unparseable fragments

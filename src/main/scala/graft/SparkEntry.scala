@@ -139,6 +139,17 @@ object SparkEntry {
     StatsOps.summarize(normed, Seq("encoded_labels"), "tss")
   }
 
+  /** Materialize the session-shared graph artifacts (co-order
+    * edges, canonical graph, LPA seed, Louvain refinement) up
+    * front. The bench harness calls this in its preamble and
+    * reports the cost as its own line item, so a single-pass run
+    * cannot charge the shared build to whichever graph query
+    * happens to execute first (the r9 record charged ~20 s to
+    * q_assortativity/q_modularity this way).
+    */
+  def warmShared(spark: SparkSession, dir: String): Unit =
+    sharedLouvain(spark, dir).labels.count()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- L1/C1: load + filter + projection (pushdown) ----
     "q_load_project" -> ((s, dir) => {

@@ -959,14 +959,35 @@ object DedupOps {
   ): DataFrame = {
     val spark = docs.sparkSession
     val index = spark.table(table).withColumn("__hit", lit(1))
-    docs
-      .select(col(idCol), col(textCol),
-        explode_outer(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
-      .join(index, Seq("band"), "left_outer")
-      .groupBy(col(idCol))
-      .agg(first(col(textCol)).as(textCol), max(coalesce(col("__hit"), lit(0))).as("__hits"))
-      .filter(col("__hits") === 0)
-      .select(col(idCol), col(textCol))
+    if (docs.isStreaming) {
+      // stream-stream joins are unsupported, so the microbatch path
+      // keeps the single-aggregation shape — text copies through the
+      // band shuffle are bounded by microbatch size, not corpus size
+      docs
+        .select(col(idCol), col(textCol),
+          explode_outer(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
+        .join(index, Seq("band"), "left_outer")
+        .groupBy(col(idCol))
+        .agg(first(col(textCol)).as(textCol), max(coalesce(col("__hit"), lit(0))).as("__hits"))
+        .filter(col("__hits") === 0)
+        .select(col(idCol), col(textCol))
+    } else {
+      // batch serving shape: the band-keyed exchange carries
+      // (id, band) ONLY — never the text column (the old shape
+      // shipped docs×bands text copies through the probe shuffle).
+      // Hit ids collapse to one row per doc; the anti-join ships
+      // each surviving text exactly once, keyed by id.
+      val hitIds = docs
+        .select(col(idCol),
+          explode_outer(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
+        .join(index, Seq("band"), "left_outer")
+        .groupBy(col(idCol))
+        .agg(max(coalesce(col("__hit"), lit(0))).as("__hits"))
+        .filter(col("__hits") > 0)
+        .select(col(idCol))
+      docs.join(hitIds, Seq(idCol), "left_anti")
+        .select(col(idCol), col(textCol))
+    }
   }
 
 

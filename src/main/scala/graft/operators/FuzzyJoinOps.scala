@@ -62,24 +62,80 @@ object FuzzyJoinOps {
     *
     * @return left + right rows paired with `jw_sim` ≥ minSim
     */
+  /** @param maxBlockSize structural guard against non-selective
+    *   blocking keys: a prefix block with more than this many rows
+    *   on EITHER side is dropped WHOLESALE before the join (the
+    *   same drop-and-report semantics as the capped dedup buckets
+    *   and M25's streaming `maxBlockSize`), so pair generation is
+    *   bounded at cap² per block instead of OOMing the downstream
+    *   closure — query the dropped blocks with
+    *   [[jaroBlockOverflowReport]]. Default = no cap (the r9
+    *   contract, oracle-stable).
+    */
   def fuzzyJoinJaro(
       left: DataFrame,
       right: DataFrame,
       leftCol: String,
       rightCol: String,
       minSim: Double,
-      blockPrefix: Int = 2
+      blockPrefix: Int = 2,
+      maxBlockSize: Int = Int.MaxValue
   ): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0, 1], got $minSim")
     require(blockPrefix > 0, s"blockPrefix must be positive, got $blockPrefix")
-    val l = left.withColumn("__blk", substring(col(leftCol), 1, blockPrefix))
-    val r = right.withColumn("__blk2", substring(col(rightCol), 1, blockPrefix))
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2, got $maxBlockSize")
+    val l0 = left.withColumn("__blk", substring(col(leftCol), 1, blockPrefix))
+    val r0 = right.withColumn("__blk2", substring(col(rightCol), 1, blockPrefix))
+    val (l, r) =
+      if (maxBlockSize == Int.MaxValue) (l0, r0)
+      else {
+        // over-cap block keys are FEW by construction (each holds
+        // > cap rows), so the exclusion list rides a broadcast
+        // anti-join — the count pass is one count-only partial-agg
+        // shuffle per side, far lighter than the pairs it prevents
+        val big = l0.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBlockSize).select(col("__blk"))
+          .union(r0.groupBy(col("__blk2")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > maxBlockSize).select(col("__blk2").as("__blk")))
+          .distinct()
+        (l0.join(broadcast(big), Seq("__blk"), "left_anti"),
+          r0.join(broadcast(big.select(col("__blk").as("__blk2"))), Seq("__blk2"), "left_anti"))
+      }
     l.join(r, col("__blk") === col("__blk2"))
       .withColumn("jw_sim", floor(
         graft.functions.StringSimilarity.jaroWinkler(col(leftCol), col(rightCol)) *
           lit(1e6) + lit(0.5)) / lit(1e6))
       .filter(col("jw_sim") >= minSim)
       .drop("__blk", "__blk2")
+  }
+
+  /** "No silent caps" telemetry for [[fuzzyJoinJaro]]'s
+    * `maxBlockSize` — the prefix blocks the capped join drops
+    * wholesale, with the candidate pairs they would have generated.
+    * Same discipline as the dedup bucket overflow reports: run it
+    * when a capped ER pass resolves suspiciously many singletons.
+    *
+    * @return (block, n_left, n_right, n_lost_pairs)
+    */
+  def jaroBlockOverflowReport(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      blockPrefix: Int = 2,
+      maxBlockSize: Int = 1000
+  ): DataFrame = {
+    require(blockPrefix > 0, s"blockPrefix must be positive, got $blockPrefix")
+    val ln = left.select(substring(col(leftCol), 1, blockPrefix).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("n_left"))
+    val rn = right.select(substring(col(rightCol), 1, blockPrefix).as("block"))
+      .groupBy(col("block")).agg(count(lit(1)).as("n_right"))
+    ln.join(rn, Seq("block"), "full_outer")
+      .select(col("block"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .filter(col("n_left") > maxBlockSize || col("n_right") > maxBlockSize)
+      .withColumn("n_lost_pairs", col("n_left") * col("n_right"))
   }
 
   /** Phonetic-blocked fuzzy join — candidates share a SOUNDEX code

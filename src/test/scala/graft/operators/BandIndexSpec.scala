@@ -28,6 +28,20 @@ class BandIndexSpec extends SparkSpec {
     assert(kept == want, s"${kept.diff(want)} extra, ${want.diff(kept)} missing")
   }
 
+  test("plan guard: batch probe never ships text through a band-keyed exchange") {
+    val docs = docsDf
+    DedupOps.saveBandIndex(docs.filter(col("doc_id") % 2 === 0), "text",
+      "band_idx_plan", shingleSize = 3, numHashes = 16)
+    val out = DedupOps.dedupAgainstBandIndex(docs, "band_idx_plan", "doc_id", "text",
+      shingleSize = 3, numHashes = 16)
+    val offenders = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.output.exists(_.name == "band") && e.output.exists(_.name == "text") => e
+    }
+    assert(offenders.isEmpty,
+      s"text rides a band-keyed shuffle (docs x bands copies):\n${offenders.mkString("\n")}")
+  }
+
   test("streaming probe sees an index APPEND made between microbatches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

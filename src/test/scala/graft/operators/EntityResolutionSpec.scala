@@ -29,4 +29,37 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out(20L) == 20L && out(21L) == 20L)
     assert(out(30L) == 30L, "singleton is its own canonical")
   }
+
+  test("maxBlockSize: over-cap block drops wholesale, selective blocks keep matching") {
+    // hot block: 8 near-identical names under prefix "hh"; selective
+    // block: one matching pair under "zz"
+    val hot = (0L until 8L).map(i => (100L + i, s"hh entity $i"))
+    val rec = (hot ++ Seq((1L, "zz corp alpha"), (2L, "zz corp alphb"))).toDF("id", "name")
+    def pairsWith(cap: Int) = FuzzyJoinOps.fuzzyJoinJaro(
+        rec.select(col("id").as("id_a"), col("name").as("name_a")),
+        rec.select(col("id").as("id_b"), col("name").as("name_b")),
+        "name_a", "name_b", minSim = 0.9, blockPrefix = 2, maxBlockSize = cap)
+      .filter(col("id_a") < col("id_b"))
+    val capped = pairsWith(4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"hot-block pairs leaked past the cap: $capped")
+    // uncapped default still emits the hot-block pairs
+    val uncapped = pairsWith(Int.MaxValue).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.exists(_._1 >= 100L))
+    // the dropped block is observable, with its lost-pair count
+    val report = FuzzyJoinOps.jaroBlockOverflowReport(
+        rec.select(col("name").as("name_a")), rec.select(col("name").as("name_b")),
+        "name_a", "name_b", blockPrefix = 2, maxBlockSize = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(report.toSeq == Seq(("hh", 8L, 8L, 64L)), s"report: ${report.toSeq}")
+  }
+
+  test("maxBlockSize semantics deterministic across repartitionings") {
+    val rec = (0L until 40L).map(i => (i, s"pp name ${i % 7}")).toDF("id", "name")
+    def run(df: org.apache.spark.sql.DataFrame) = FuzzyJoinOps.fuzzyJoinJaro(
+        df.select(col("id").as("id_a"), col("name").as("name_a")),
+        df.select(col("id").as("id_b"), col("name").as("name_b")),
+        "name_a", "name_b", minSim = 0.9, blockPrefix = 2, maxBlockSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(rec) == run(rec.repartition(13)))
+  }
 }
