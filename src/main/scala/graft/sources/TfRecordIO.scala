@@ -20,10 +20,11 @@ import org.apache.spark.sql.types._
   * each partition streams its rows into `part-NNNNN.tfrecord` via
   * the Hadoop FileSystem (any scheme), no driver data, shard count
   * = partition count (repartition upstream to size shards). The
-  * reader lists shards as a binaryFile frame and parses records per
-  * file (shards are loader-sized by construction — the same
-  * contract every TFRecord consumer assumes), verifying both CRCs
-  * (corrupt shards fail loudly, never yield silent rows).
+  * reader lists shard paths (driver metadata only) and STREAMS
+  * records per shard off an FSDataInputStream — peak task memory is
+  * one record, so shard size is unbounded (no binaryFile 2 GiB
+  * ceiling) — verifying both CRCs (corrupt shards fail loudly,
+  * never yield silent rows).
   *
   * Type mapping (round-trip exact unless noted): long/int ↔
   * int64_list; string ↔ bytes_list (UTF-8); binary ↔ bytes_list;
@@ -347,17 +348,75 @@ object TfRecordIO {
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
+  /** Stream CRC-verified record payloads off an input stream without
+    * materializing the shard — removes the 2 GiB `binaryFile`
+    * ceiling and the shard-sized task memory spike; peak memory is
+    * one record. Same corruption semantics as [[parseShard]]: both
+    * CRCs checked (the length crc BEFORE the payload allocation, so
+    * a corrupt length can never drive a giant alloc), mismatch or
+    * truncation fails loudly, never silent rows. Closes `in` when
+    * the last record is consumed.
+    */
+  def streamRecords(in: java.io.InputStream, totalLen: Long, name: String): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pos = 0L
+      private var closed = false
+      private def readFully(buf: Array[Byte], len: Int): Unit = {
+        var got = 0
+        while (got < len) {
+          val n = in.read(buf, got, len - got)
+          require(n >= 0, s"truncated TFRecord shard $name at offset ${pos + got}")
+          got += n
+        }
+      }
+      override def hasNext: Boolean = {
+        val more = pos < totalLen
+        if (!more && !closed) { closed = true; in.close() }
+        more
+      }
+      override def next(): Array[Byte] = {
+        val header = new Array[Byte](12)
+        readFully(header, 12)
+        require(u32le(header, 8) == maskedCrc(header, 0, 8),
+          s"TFRecord length crc mismatch at offset $pos in $name")
+        var len = 0L; var i = 0
+        while (i < 8) { len |= (header(i) & 0xFFL) << (8 * i); i += 1 }
+        require(len <= Int.MaxValue - 8, s"TFRecord record length $len overflows at offset $pos in $name")
+        val body = new Array[Byte](len.toInt + 4)
+        readFully(body, len.toInt + 4)
+        require(u32le(body, len.toInt) == maskedCrc(body, 0, len.toInt),
+          s"TFRecord data crc mismatch at offset $pos in $name")
+        pos += 12 + len + 4
+        java.util.Arrays.copyOfRange(body, 0, len.toInt)
+      }
+    }
+
   /** Read TFRecord shards back into a DataFrame with the given
     * schema (features absent from a record come back null).
+    *
+    * Scale shape: shard paths are driver-side METADATA (a
+    * `globStatus` listing); the bytes stream record-at-a-time per
+    * task via [[streamRecords]] over an `FSDataInputStream`, one
+    * Spark partition per shard — a 10 GiB shard costs one record of
+    * task memory, where the old `binaryFile` read held the whole
+    * shard (and hard-failed past 2 GiB).
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord").load(path)
-      .select("content")
-    val rows = files.rdd.flatMap { r =>
-      val bytes = r.getAs[Array[Byte]]("content")
-      parseShard(bytes).map(parseExample(_, schema))
-    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf.value)
+    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tfrecord"))
+      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
+    val rows = spark.sparkContext
+      .parallelize(shards, math.max(1, shards.length))
+      .flatMap { case (p, totalLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val in = new java.io.BufferedInputStream(hp.getFileSystem(conf.value).open(hp), 1 << 16)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        streamRecords(in, totalLen, p).map(parseExample(_, schema))
+      }
     spark.createDataFrame(rows, schema)
   }
 }

@@ -34,10 +34,73 @@ object ScaleProbeR10 {
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
-    cappedBoundaryEr(spark)
-    cappedSelectiveEr(spark)
-    louvainContractionScale(spark)
+    if (args.contains("--tfrecord-only")) tfRecordBigShard(spark)
+    else {
+      cappedBoundaryEr(spark)
+      cappedSelectiveEr(spark)
+      louvainContractionScale(spark)
+      if (args.contains("--tfrecord")) tfRecordBigShard(spark)
+    }
     spark.stop()
+  }
+
+  /** Probe 4: a single >2 GiB TFRecord shard — the shape
+    * `binaryFile` hard-fails on (2 GiB array ceiling) and the r10
+    * streaming reader must stream with one-record peak memory.
+    * Writes ~2.2 GiB of 2 MiB binary records, reads them back
+    * CRC-verified, checks count + sampled payload integrity.
+    */
+  def tfRecordBigShard(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.types._
+    val dir = "/tmp/graft_probe_tfr_big"
+    val recBytes = 2 << 20 // 2 MiB payload per record
+    val nRecs = 1100 // ~2.2 GiB total
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", BinaryType)))
+    time(s"write 1 shard: $nRecs x 2MiB = ${nRecs.toLong * recBytes / (1L << 30)}+ GiB") {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val out = new java.io.BufferedOutputStream(
+        fs.create(new org.apache.hadoop.fs.Path(dir, "part-00000.tfrecord"), true), 1 << 20)
+      val base = new Array[Byte](recBytes)
+      try {
+        var i = 0L
+        while (i < nRecs) {
+          // deterministic per-record payload: first 8 bytes carry the id
+          java.nio.ByteBuffer.wrap(base).putLong(0, i)
+          out.write(frame(graft.sources.TfRecordIO.exampleBytes(
+            org.apache.spark.sql.Row(i, base), schema)))
+          i += 1
+        }
+      } finally out.close()
+    }
+    val n = time("stream-read the >2GiB shard (binaryFile would throw)") {
+      graft.sources.TfRecordIO.read(spark, dir, schema)
+        .select(col("id"), length(col("payload")).as("len"))
+        .agg(count(lit(1)), sum(col("len")), countDistinct(col("id"))).head()
+    }
+    println(s"[probe]   rows=${n.getLong(0)} bytes=${n.getLong(1)} distinct=${n.getLong(2)} " +
+      s"(expect $nRecs / ${nRecs.toLong * recBytes} / $nRecs)")
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  private def frame(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    val lenBytes = new Array[Byte](8)
+    var l = data.length.toLong
+    var i = 0
+    while (i < 8) { lenBytes(i) = (l & 0xFF).toByte; l >>>= 8; i += 1 }
+    out.write(lenBytes)
+    writeU32le(out, graft.sources.TfRecordIO.maskedCrc(lenBytes, 0, 8))
+    out.write(data)
+    writeU32le(out, graft.sources.TfRecordIO.maskedCrc(data, 0, data.length))
+    out.toByteArray
+  }
+
+  private def writeU32le(out: java.io.OutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
   }
 
   /** The r9 OOM shape, now bounded: 676 two-letter blocks x ~3000

@@ -47,6 +47,27 @@ class TfRecordIOSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("streamRecords: record-at-a-time off an InputStream, truncation fails loudly") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("id", "t").coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("tfr4").toString
+    TfRecordIO.write(df, s"file:$tmp/s")
+    val f = new java.io.File(s"$tmp/s").listFiles().filter(_.getName.endsWith(".tfrecord")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // full stream yields 3 records identical to the whole-shard parse
+    val streamed = TfRecordIO.streamRecords(
+      new java.io.ByteArrayInputStream(bytes), bytes.length.toLong, "s").toList
+    val parsed = TfRecordIO.parseShard(bytes).toList
+    assert(streamed.size == 3 &&
+      streamed.zip(parsed).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+    // cut mid-payload: the CRC/readFully path must throw, not EOF-silently
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 6)
+    val ex = intercept[Exception] {
+      TfRecordIO.streamRecords(
+        new java.io.ByteArrayInputStream(cut), bytes.length.toLong, "s").toList
+    }
+    assert(ex.getMessage.contains("truncated"), s"got: ${ex.getMessage}")
+  }
+
   test("a flipped byte fails the CRC loudly, never yields silent rows") {
     val df = Seq((1L, "abc")).toDF("id", "t")
     val tmp = java.nio.file.Files.createTempDirectory("tfr3").toString
