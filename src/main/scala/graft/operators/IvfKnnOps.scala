@@ -340,18 +340,182 @@ object IvfKnnOps {
       checkpointDir: String
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     require(rows.isStreaming, "maintainSavedIndexStream needs a streaming frame; use appendToSavedIndex for batch")
-    val centers = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-      .map(_._2)
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // centroids re-resolve PER TRIGGER (one tiny driver read), so
+        // an offline refit swapped in mid-stream — by this process's
+        // recall trigger or any other — is picked up at the next
+        // batch instead of appending against stale geometry
+        val centers = loadCenters(spark, path)
         assignWith(batch, vecCol, centers)
           .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
       }
       .start()
+  }
+
+  private def loadCenters(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .map(_._2)
+
+  // ---- recall-triggered refit: the offline half of the serving loop ------
+
+  /** Mean recall@k of the saved IVF index vs brute force over its
+    * OWN stored vectors, probed with `queries` — the drift sentinel
+    * for the incremental-ANN loop. Probe cost is |Q|·k-bounded
+    * (both sides ride [[KnnOps.rankTopK]]'s bounded aggregate);
+    * keep |Q| a planted sample (hundreds), never the corpus.
+    */
+  def savedIndexRecall(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): Double = {
+    val idx = loadIndex(spark, path)
+    val approx = topK(queries, idx, idCol, vecCol, k, nProbe)
+    val exact = KnnOps.bruteForceTopK(
+      queries, idx.assigned.drop("list_id"), idCol, vecCol, k)
+    val r = KnnOps.recallAtK(approx, exact, k).agg(avg(col("recall"))).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+  }
+
+  /** Offline refit of a persisted IVF index: re-fit the coarse
+    * quantizer over the CURRENT stored vectors (stream appends
+    * included) and atomically swap the new layout in — the
+    * `.old`-staged rename machinery of [[compactSavedPqIndex]], same
+    * maintenance-window contract (quiesce writers for the swap
+    * instant; a crash between renames leaves the `.old` dir
+    * recoverable). Readers loading mid-swap see old or new, never a
+    * mix of one dir's halves; `centroids` swaps FIRST so the
+    * maintenance stream's per-trigger centroid re-read can never
+    * append new-geometry rows into the old lists layout.
+    */
+  def refitSavedIndex(
+      spark: SparkSession,
+      path: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      maxSample: Int = 65536
+  ): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val all = spark.read.parquet(s"$path/lists").drop("list_id")
+    val idx = buildIndex(all, idCol = "", vecCol = vecCol, nLists = nLists,
+      seed = seed, maxIter = maxIter, maxSample = maxSample)
+    import spark.implicits._
+    idx.centroids.toSeq.toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/.centroids.refit")
+    idx.assigned.write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/.lists.refit")
+    stageSwap(fs, new HPath(s"$path/centroids"), new HPath(s"$path/.centroids.refit"),
+      new HPath(s"$path/.centroids.old"))
+    stageSwap(fs, new HPath(s"$path/lists"), new HPath(s"$path/.lists.refit"),
+      new HPath(s"$path/.lists.old"))
+  }
+
+  /** The recall-triggered recluster step: probe [[savedIndexRecall]]
+    * with a planted query sample; below `minRecall` → offline
+    * [[refitSavedIndex]] + atomic swap. Call it periodically from
+    * the maintenance loop (or wire it in-stream with
+    * [[maintainSavedIndexStreamWithRefit]]).
+    *
+    * @return (recallBefore, refitted, recallAfter) —
+    *   recallAfter == recallBefore when no refit fired
+    */
+  def refitSavedIndexIfRecallBelow(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      minRecall: Double,
+      nLists: Int,
+      seed: Long = 42L
+  ): (Double, Boolean, Double) = {
+    require(minRecall > 0.0 && minRecall <= 1.0, s"minRecall in (0,1], got $minRecall")
+    val before = savedIndexRecall(spark, path, queries, idCol, vecCol, k, nProbe)
+    if (before >= minRecall) (before, false, before)
+    else {
+      refitSavedIndex(spark, path, vecCol, nLists, seed)
+      (before, true, savedIndexRecall(spark, path, queries, idCol, vecCol, k, nProbe))
+    }
+  }
+
+  /** [[maintainSavedIndexStream]] with the recall trigger wired in:
+    * every `probeEvery` microbatches, probe recall@k against
+    * `probeQueries` and refit + swap when it sinks below
+    * `minRecall`. The complete incremental-ANN serving loop —
+    * stream appends online, recluster exactly when drift has
+    * actually degraded retrieval, not on a blind timer. The probe
+    * runs inside foreachBatch (driver-coordinated between appends),
+    * so the swap never races this stream's own writes; quiesce
+    * OTHER appenders per the [[refitSavedIndex]] contract.
+    */
+  def maintainSavedIndexStreamWithRefit(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      checkpointDir: String,
+      probeQueries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      minRecall: Double,
+      nLists: Int,
+      probeEvery: Int = 10,
+      onRefit: (Double, Double) => Unit = (_, _) => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rows.isStreaming, "maintainSavedIndexStreamWithRefit needs a streaming frame")
+    require(probeEvery >= 1, s"probeEvery >= 1, got $probeEvery")
+    val sinceProbe = new java.util.concurrent.atomic.AtomicInteger(0)
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val centers = loadCenters(spark, path)
+        assignWith(batch, vecCol, centers)
+          .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
+        if (sinceProbe.incrementAndGet() >= probeEvery) {
+          sinceProbe.set(0)
+          val (before, fired, after) = refitSavedIndexIfRecallBelow(
+            spark, path, probeQueries, idCol, vecCol, k, nProbe, minRecall, nLists)
+          if (fired) onRefit(before, after)
+        }
+      }
+      .start()
+  }
+
+  /** Swap `staging` into `live` with an `.old` backup: the rename
+    * discipline shared with [[compactSavedPqIndex]].
+    */
+  private def stageSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path
+  ): Unit = {
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"swap: cannot stage out $live")
+    }
+    if (!fs.rename(staging, live)) { // roll back, keep the index usable
+      fs.rename(old, live)
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"swap: cannot swap $staging into place")
+    }
+    fs.delete(old, true)
   }
 
   def loadIndex(spark: SparkSession, path: String): IvfIndex = {
@@ -1140,18 +1304,7 @@ object IvfKnnOps {
     spark.read.parquet(codes.toString)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
-    val old = new HPath(s"$path/.codes.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(codes, old)) {
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"compact: cannot stage out $codes")
-    }
-    if (!fs.rename(staging, codes)) { // roll back, keep the index usable
-      fs.rename(old, codes)
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"compact: cannot swap $staging into place")
-    }
-    fs.delete(old, true)
+    stageSwap(fs, codes, staging, new HPath(s"$path/.codes.old"))
   }
 
   /** Incremental append against a PERSISTED PQ index: new vectors
