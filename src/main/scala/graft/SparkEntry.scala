@@ -3692,35 +3692,22 @@ object SparkEntry {
       prefix: String,
       quiesce: Boolean = true): DataFrame = {
     val name = prefix + java.lang.Long.toHexString(System.nanoTime())
+    // Trigger.AvailableNow: the engine plans all available source
+    // offsets AT START (so multi-source file listings cannot race
+    // into different batches — the r9 q_stream_minhash hazard),
+    // runs them, runs the trailing watermark/eviction no-data
+    // batch, and TERMINATES. awaitTermination is then a complete-
+    // output barrier by the trigger's own contract, replacing the
+    // r9 harness's processAllAvailable + 400 ms batch-quiescence
+    // heuristic (the `quiesce` flag is now moot — kept so call
+    // sites still document which streams are stateless). Floor
+    // measured in tools/StreamFloorProbe: ~2.1 s → ~1.6 s per
+    // query steady-state at sf0.01.
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try {
-      q.processAllAvailable()
-      // processAllAvailable only guarantees INPUT completeness. When
-      // the sources land in different microbatches (two file sources
-      // race their listings), watermark-driven emissions fire in a
-      // trailing NO-DATA batch that starts after it returns — so wait
-      // for batch quiescence: no newly committed batch for 400 ms
-      // (the trigger loop is hot at ProcessingTime(0), so a pending
-      // eviction batch commits within milliseconds), capped at 30 s.
-      // STATELESS streams (bloom probes, broadcast joins — no state
-      // store, no watermark emissions) pass quiesce = false: every
-      // output row rode a data batch, so input completeness IS
-      // output completeness and the wait would be a pure 400 ms tax.
-      if (quiesce) {
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-        var lastSeen = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-        var quietSince = System.nanoTime()
-        while (System.nanoTime() - quietSince < 400L * 1000 * 1000 &&
-            System.nanoTime() < deadline) {
-          Thread.sleep(20)
-          val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-          if (b != lastSeen) { lastSeen = b; quietSince = System.nanoTime() }
-        }
-      }
-    } finally q.stop()
+    try q.awaitTermination() finally q.stop()
     df.sparkSession.table(name)
   }
 
