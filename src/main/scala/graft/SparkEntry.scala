@@ -504,6 +504,32 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S12: recall-triggered IVF refit — the offline half of the
+    //      incremental-ANN serving loop. Negated twins of the first
+    //      50 vectors drift into a region the frozen quantizer never
+    //      fitted (scattered across lists), the nProbe=1 recall probe
+    //      sinks below threshold, the trigger refits + atomically
+    //      swaps, and each drifted query's rank-1 is its planted
+    //      twin — the part the oracle can grade exactly. ----
+    "q_ivf_refit" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-refit").toString
+      val path = tmp + "/idx"
+      IvfKnnOps.saveIndex(index, path)
+      val neg = (c: Column) => transform(c, x => -x)
+      val drift = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), neg(col("embedding")).as("embedding"))
+      IvfKnnOps.appendToSavedIndex(s, path, drift, "embedding")
+      val probes = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 9000000L).as("vec_id"), neg(col("embedding")).as("embedding"))
+      IvfKnnOps.refitSavedIndexIfRecallBelow(s, path, probes, "vec_id", "embedding",
+        k = 5, nProbe = 1, minRecall = 0.9, nLists = 17)
+      val loaded = IvfKnnOps.loadIndex(s, path)
+      IvfKnnOps.topK(probes, loaded, "vec_id", "embedding", 5, nProbe = 4)
+        .filter(col("rank") === 1)
+    }),
+
     // ---- S6: IVF-PQ ANN — planted-NN retrieval through m-byte
     //      codes: the twin's PQ code reconstructs to the same point
     //      as the query's own encoding, so its approximate distance
@@ -1904,6 +1930,39 @@ object SparkEntry {
         concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
       FuzzyJoinOps.fuzzyJoinJaro(names, variants, "name_a", "name_b",
         minSim = 0.9, blockPrefix = 2)
+    }),
+
+    // ---- C22d: capped fuzzy join — the batch ER block-size guard.
+    //      Customer names all share prefix "Cu" (one non-selective
+    //      block, >1000 rows per side at every SF — the r9 OOM
+    //      shape in miniature); part names block selectively. The
+    //      cap drops the hot block WHOLESALE pre-join; the oracle
+    //      recomputes the same exclusion in SQL. ----
+    "q_jaro_capped" -> ((s, dir) => {
+      val part = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") <= 2000)
+      val cust = BioLoader.load(s, t(dir, "customer")).filter(col("c_custkey") <= 1200)
+      val lefts = part.select(col("p_name").as("name_a")).distinct()
+        .unionByName(cust.select(col("c_name").as("name_a")))
+      val rights = part.select(
+          concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
+        .unionByName(cust.select(concat(col("c_name"), lit(" x")).as("name_b")))
+      FuzzyJoinOps.fuzzyJoinJaro(lefts, rights, "name_a", "name_b",
+        minSim = 0.9, blockPrefix = 2, maxBlockSize = 1000)
+    }),
+
+    // ---- C22d telemetry: the dropped blocks, observable — same
+    //      frame `jaroBlockOverflowReport` returns for the capped
+    //      join above ("no silent caps"). ----
+    "q_jaro_overflow" -> ((s, dir) => {
+      val part = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") <= 2000)
+      val cust = BioLoader.load(s, t(dir, "customer")).filter(col("c_custkey") <= 1200)
+      val lefts = part.select(col("p_name").as("name_a")).distinct()
+        .unionByName(cust.select(col("c_name").as("name_a")))
+      val rights = part.select(
+          concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
+        .unionByName(cust.select(concat(col("c_name"), lit(" x")).as("name_b")))
+      FuzzyJoinOps.jaroBlockOverflowReport(lefts, rights, "name_a", "name_b",
+        blockPrefix = 2, maxBlockSize = 1000)
     }),
 
     // ---- P9: Benford first-digit conformity — the fraud screen on
@@ -4361,6 +4420,13 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // the drifted query IS the planted twin's vector, so its rank-1
+    // is the twin at cosine 1.0 — through whatever index layout the
+    // recall trigger left behind
+    "q_ivf_refit" ->
+      """SELECT vec_id + 9000000 AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
     "q_knn_pq" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -5606,6 +5672,48 @@ object SparkEntry {
         |  floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 AS jw_sim
         |FROM names JOIN v ON left(name_a, 2) = left(name_b, 2)
         |WHERE floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 >= 0.9""".stripMargin,
+
+    // block-cap exclusion recomputed in SQL: blocks with > 1000 rows
+    // on EITHER side drop wholesale before the prefix join
+    "q_jaro_capped" ->
+      """WITH lft AS (
+        |  SELECT DISTINCT p_name AS name_a FROM part WHERE p_partkey <= 2000
+        |  UNION ALL
+        |  SELECT c_name FROM customer WHERE c_custkey <= 1200
+        |), rgt AS (
+        |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name_b FROM part WHERE p_partkey <= 2000
+        |  UNION ALL
+        |  SELECT c_name || ' x' FROM customer WHERE c_custkey <= 1200
+        |), big AS (
+        |  SELECT left(name_a, 2) AS blk FROM lft GROUP BY 1 HAVING count(*) > 1000
+        |  UNION
+        |  SELECT left(name_b, 2) AS blk FROM rgt GROUP BY 1 HAVING count(*) > 1000
+        |)
+        |SELECT name_a, name_b,
+        |  floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 AS jw_sim
+        |FROM lft JOIN rgt ON left(name_a, 2) = left(name_b, 2)
+        |WHERE left(name_a, 2) NOT IN (SELECT blk FROM big)
+        |  AND floor(jaro_winkler_similarity(name_a, name_b) * 1e6 + 0.5) / 1e6 >= 0.9""".stripMargin,
+
+    "q_jaro_overflow" ->
+      """WITH lft AS (
+        |  SELECT DISTINCT p_name AS name_a FROM part WHERE p_partkey <= 2000
+        |  UNION ALL
+        |  SELECT c_name FROM customer WHERE c_custkey <= 1200
+        |), rgt AS (
+        |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name_b FROM part WHERE p_partkey <= 2000
+        |  UNION ALL
+        |  SELECT c_name || ' x' FROM customer WHERE c_custkey <= 1200
+        |), ln AS (
+        |  SELECT left(name_a, 2) AS block, count(*) AS n_left FROM lft GROUP BY 1
+        |), rn AS (
+        |  SELECT left(name_b, 2) AS block, count(*) AS n_right FROM rgt GROUP BY 1
+        |)
+        |SELECT COALESCE(ln.block, rn.block) AS block,
+        |  COALESCE(n_left, 0) AS n_left, COALESCE(n_right, 0) AS n_right,
+        |  COALESCE(n_left, 0) * COALESCE(n_right, 0) AS n_lost_pairs
+        |FROM ln FULL OUTER JOIN rn ON ln.block = rn.block
+        |WHERE COALESCE(n_left, 0) > 1000 OR COALESCE(n_right, 0) > 1000""".stripMargin,
 
     // native ASOF LEFT JOIN plus the staleness gate on the matched
     // right time (rt >= ts - tol ⟺ ts - rt <= tol, exact in µs)
