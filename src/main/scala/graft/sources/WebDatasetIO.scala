@@ -158,34 +158,111 @@ object WebDatasetIO {
     }
   }
 
-  /** Read shards back; `keyCol` must be in `schema` (string-typed
-    * keys round-trip; numeric keys re-parse).
+  /** Stream a tar's REGULAR-file members off an input stream —
+    * one member of peak memory instead of the whole shard (the old
+    * binaryFile read held every shard byte AND re-materialized all
+    * members, with a 2 GiB hard ceiling). PAX extended headers
+    * ('x'/'g') and directories skip exactly as in [[parseTar]];
+    * truncation mid-member throws. Closes `in` at end-of-archive.
     */
-  def read(spark: SparkSession, path: String, schema: StructType, keyCol: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar").load(path)
-      .select("content")
-    val rows = files.rdd.flatMap { r =>
-      val members = parseTar(r.getAs[Array[Byte]]("content")).toSeq
-      // group by key prefix: member = "{key}.{field}" with field = a
-      // schema column name (keys may themselves contain dots)
-      val fieldNames = schema.fields.map(_.name).filter(_ != keyCol).toSet
-      val grouped = members.groupBy { case (name, _) =>
-        val cut = name.lastIndexOf('.')
-        require(cut > 0 && fieldNames.contains(name.substring(cut + 1)),
-          s"unexpected member $name")
-        name.substring(0, cut)
+  def streamTarMembers(in: java.io.InputStream, shard: String): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var closed = false
+      private var staged: (String, Array[Byte]) = _
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var got = 0
+        while (got < len) {
+          val n = in.read(buf, got, len - got)
+          if (n < 0) {
+            require(got == 0, s"truncated tar member in $shard")
+            return false
+          }
+          got += n
+        }
+        true
       }
-      grouped.toSeq.map { case (key, ms) =>
-        val byField = ms.map { case (name, c) =>
-          name.substring(name.lastIndexOf('.') + 1) -> c
-        }.toMap
-        Row.fromSeq(schema.fields.map { f =>
-          if (f.name == keyCol) valueOf(f.dataType, key.getBytes("UTF-8"))
-          else byField.get(f.name).map(valueOf(f.dataType, _)).orNull
-        }.toSeq)
+      private def advance(): Unit = {
+        staged = null
+        val header = new Array[Byte](Block)
+        while (staged == null && !closed) {
+          if (!readFully(header, Block) || header(0) == 0) {
+            closed = true; in.close(); return
+          }
+          var nameEnd = 0
+          while (nameEnd < 100 && header(nameEnd) != 0) nameEnd += 1
+          val name = new String(header, 0, nameEnd, "UTF-8")
+          val sizeStr = new String(header, 124, 12, "US-ASCII")
+            .replace("\u0000", "").replace(" ", "").trim
+          val size = java.lang.Long.parseLong(sizeStr, 8).toInt
+          val tf = header(156)
+          val regular = tf == '0'.toByte || tf == 0.toByte
+          val padded = size + ((Block - (size % Block)) % Block)
+          if (regular) {
+            val content = new Array[Byte](size)
+            require(readFully(content, size), s"truncated tar member $name in $shard")
+            val pad = new Array[Byte](padded - size)
+            require(readFully(pad, pad.length), s"truncated tar padding after $name in $shard")
+            staged = (name, content)
+          } else {
+            val skip = new Array[Byte](padded)
+            require(readFully(skip, padded), s"truncated tar member $name in $shard")
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = staged != null
+      override def next(): (String, Array[Byte]) = {
+        val r = staged; advance(); r
       }
     }
+
+  /** Read shards back; `keyCol` must be in `schema` (string-typed
+    * keys round-trip; numeric keys re-parse).
+    *
+    * Scale shape: shard paths are driver-side metadata; members
+    * stream per shard via [[streamTarMembers]] and group into rows
+    * by ADJACENCY — a sample's members are consecutive in the tar,
+    * which is the WebDataset format's own contract (samples stream
+    * sequentially through loaders) and what [[write]] emits — so
+    * peak task memory is ONE SAMPLE, not one shard.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType, keyCol: String): DataFrame = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf.value)
+    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tar"))
+      .map(_.getPath.toString).sorted.toSeq
+    val fieldNames = schema.fields.map(_.name).filter(_ != keyCol).toSet
+    val rows = spark.sparkContext
+      .parallelize(shards, math.max(1, shards.length))
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val in = new java.io.BufferedInputStream(hp.getFileSystem(conf.value).open(hp), 1 << 16)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val members = streamTarMembers(in, p).map { case (name, c) =>
+          val cut = name.lastIndexOf('.')
+          require(cut > 0 && fieldNames.contains(name.substring(cut + 1)),
+            s"unexpected member $name")
+          (name.substring(0, cut), name.substring(cut + 1), c)
+        }.buffered
+        new Iterator[Row] {
+          override def hasNext: Boolean = members.hasNext
+          override def next(): Row = {
+            val key = members.head._1
+            val byField = scala.collection.mutable.Map.empty[String, Array[Byte]]
+            while (members.hasNext && members.head._1 == key) {
+              val (_, f, c) = members.next()
+              byField(f) = c
+            }
+            Row.fromSeq(schema.fields.map { f =>
+              if (f.name == keyCol) valueOf(f.dataType, key.getBytes("UTF-8"))
+              else byField.get(f.name).map(valueOf(f.dataType, _)).orNull
+            }.toSeq)
+          }
+        }
+      }
     spark.createDataFrame(rows, schema)
   }
 }

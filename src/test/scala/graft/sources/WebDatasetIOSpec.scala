@@ -78,6 +78,30 @@ class WebDatasetIOSpec extends SparkSpec {
       s"parseTar surfaced $members")
   }
 
+  test("streamTarMembers: stream == whole-shard parse, incl. PAX skip; truncation throws") {
+    val tmp = java.nio.file.Files.createTempDirectory("wds6").toFile
+    val d = new java.io.File(tmp, "samples"); d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "k0.txt").toPath, "alpha".getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(d, "k1.txt").toPath, "beta".getBytes("UTF-8"))
+    val shard = new java.io.File(tmp, "p.tar")
+    val proc = new ProcessBuilder(
+      "tar", "--format=pax", "-cf", shard.getAbsolutePath,
+      "-C", tmp.getAbsolutePath, "samples").start()
+    assert(proc.waitFor() == 0, "system tar failed")
+    val raw = java.nio.file.Files.readAllBytes(shard.toPath)
+    val streamed = WebDatasetIO.streamTarMembers(
+      new java.io.ByteArrayInputStream(raw), "p").toList
+    val parsed = WebDatasetIO.parseTar(raw).toList
+    assert(streamed.map(_._1) == parsed.map(_._1) &&
+      streamed.zip(parsed).forall { case (a, b) => java.util.Arrays.equals(a._2, b._2) })
+    // cut mid-member: loud failure, not a silent partial sample
+    val cut = java.util.Arrays.copyOfRange(raw, 0, 513)
+    val ex = intercept[Exception] {
+      WebDatasetIO.streamTarMembers(new java.io.ByteArrayInputStream(cut), "p").toList
+    }
+    assert(ex.getMessage.contains("truncated"), s"got: ${ex.getMessage}")
+  }
+
   test("documents table round-trips at sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("key"), col("text"), col("lang"))
