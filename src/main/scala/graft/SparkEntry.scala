@@ -1940,12 +1940,14 @@ object SparkEntry {
     //      recomputes the same exclusion in SQL. ----
     "q_jaro_capped" -> ((s, dir) => {
       val part = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") <= 2000)
-      val cust = BioLoader.load(s, t(dir, "customer")).filter(col("c_custkey") <= 1200)
+      // the hot block: order keys are dense from 0, so <= 1300 gives
+      // 1301 same-prefix names (> cap) at EVERY SF incl. sf0.001
+      val hot = BioLoader.load(s, t(dir, "orders")).filter(col("o_orderkey") <= 1300)
       val lefts = part.select(col("p_name").as("name_a")).distinct()
-        .unionByName(cust.select(col("c_name").as("name_a")))
+        .unionByName(hot.select(concat(lit("cu hot "), col("o_orderkey")).as("name_a")))
       val rights = part.select(
           concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
-        .unionByName(cust.select(concat(col("c_name"), lit(" x")).as("name_b")))
+        .unionByName(hot.select(concat(lit("cu hot "), col("o_orderkey"), lit(" x")).as("name_b")))
       FuzzyJoinOps.fuzzyJoinJaro(lefts, rights, "name_a", "name_b",
         minSim = 0.9, blockPrefix = 2, maxBlockSize = 1000)
     }),
@@ -1955,12 +1957,12 @@ object SparkEntry {
     //      join above ("no silent caps"). ----
     "q_jaro_overflow" -> ((s, dir) => {
       val part = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") <= 2000)
-      val cust = BioLoader.load(s, t(dir, "customer")).filter(col("c_custkey") <= 1200)
+      val hot = BioLoader.load(s, t(dir, "orders")).filter(col("o_orderkey") <= 1300)
       val lefts = part.select(col("p_name").as("name_a")).distinct()
-        .unionByName(cust.select(col("c_name").as("name_a")))
+        .unionByName(hot.select(concat(lit("cu hot "), col("o_orderkey")).as("name_a")))
       val rights = part.select(
           concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name_b"))
-        .unionByName(cust.select(concat(col("c_name"), lit(" x")).as("name_b")))
+        .unionByName(hot.select(concat(lit("cu hot "), col("o_orderkey"), lit(" x")).as("name_b")))
       FuzzyJoinOps.jaroBlockOverflowReport(lefts, rights, "name_a", "name_b",
         blockPrefix = 2, maxBlockSize = 1000)
     }),
@@ -5679,11 +5681,11 @@ object SparkEntry {
       """WITH lft AS (
         |  SELECT DISTINCT p_name AS name_a FROM part WHERE p_partkey <= 2000
         |  UNION ALL
-        |  SELECT c_name FROM customer WHERE c_custkey <= 1200
+        |  SELECT 'cu hot ' || o_orderkey FROM orders WHERE o_orderkey <= 1300
         |), rgt AS (
         |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name_b FROM part WHERE p_partkey <= 2000
         |  UNION ALL
-        |  SELECT c_name || ' x' FROM customer WHERE c_custkey <= 1200
+        |  SELECT 'cu hot ' || o_orderkey || ' x' FROM orders WHERE o_orderkey <= 1300
         |), big AS (
         |  SELECT left(name_a, 2) AS blk FROM lft GROUP BY 1 HAVING count(*) > 1000
         |  UNION
@@ -5699,11 +5701,11 @@ object SparkEntry {
       """WITH lft AS (
         |  SELECT DISTINCT p_name AS name_a FROM part WHERE p_partkey <= 2000
         |  UNION ALL
-        |  SELECT c_name FROM customer WHERE c_custkey <= 1200
+        |  SELECT 'cu hot ' || o_orderkey FROM orders WHERE o_orderkey <= 1300
         |), rgt AS (
         |  SELECT p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name_b FROM part WHERE p_partkey <= 2000
         |  UNION ALL
-        |  SELECT c_name || ' x' FROM customer WHERE c_custkey <= 1200
+        |  SELECT 'cu hot ' || o_orderkey || ' x' FROM orders WHERE o_orderkey <= 1300
         |), ln AS (
         |  SELECT left(name_a, 2) AS block, count(*) AS n_left FROM lft GROUP BY 1
         |), rn AS (
