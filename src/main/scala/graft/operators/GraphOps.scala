@@ -298,12 +298,30 @@ object GraphOps {
     val wedges = e1.join(e2, Seq("src"))
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
       .select(col("src").as("a"), col("b"), col("c"))
-    val tri = wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // The close join's left side is the WEDGE frame — O(m^1.5) rows,
+    // 34x the edge count on the sf0.1 co-order graph (41M vs 1.2M).
+    // Shuffling it dominates the query, while the closing edge list
+    // is m rows exactly — so when m is broadcast-sized (known
+    // precisely: `oriented` is a materialized checkpoint), hash it
+    // to every task and the wedge frame never moves; past the
+    // threshold, fall back to the shuffle join (the 100 TB shape,
+    // where m itself is too big to ship).
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val closingSide =
+      if (oriented.count() <= TriangleBroadcastMaxEdges) broadcast(closing) else closing
+    val tri = wedges.join(closingSide, Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))
   }
+
+  /** Edge-count ceiling for broadcasting the triangle close join's
+    * edge list (~16 B/edge → ≈64 MB hashed at the cap — a
+    * deliberate, algorithm-aware step past Spark's conservative
+    * 10 MB autoBroadcast default, still comfortable in executor
+    * memory on any real cluster).
+    */
+  private val TriangleBroadcastMaxEdges = 4000000L
 
   /** Co-occurrence edges: items sharing a group become an undirected
     * edge (market baskets → part pairs, docs → term pairs, sessions
