@@ -281,11 +281,16 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // the degree table is NODE-sized; when it is broadcast-sized the
+    // two degree joins go map-side and the edge frame never shuffles
+    // before orientation (it is already a materialized checkpoint)
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val degB = if (deg.count() <= DegreeBroadcastMaxNodes) broadcast(deg) else deg
     val withDeg = e
-      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .join(degB.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(degB.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     // orient low-(deg, id) → high-(deg, id); carry the head's rank key
     val lowIsU = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val oriented = withDeg.select(
@@ -322,6 +327,11 @@ object GraphOps {
     * memory on any real cluster).
     */
   private val TriangleBroadcastMaxEdges = 4000000L
+
+  /** Node-count ceiling for broadcasting a degree table into the
+    * edge-frame joins (~24 B/node → ≈100 MB hashed at the cap).
+    */
+  private val DegreeBroadcastMaxNodes = 4000000L
 
   /** Co-occurrence edges: items sharing a group become an undirected
     * edge (market baskets → part pairs, docs → term pairs, sessions
@@ -1029,12 +1039,16 @@ object GraphOps {
     val e = edges0
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    // node-sized degree table: broadcast when small so the edge
+    // frame rides both degree joins map-side (zero edge shuffles)
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val degB = if (deg.count() <= DegreeBroadcastMaxNodes) broadcast(deg) else deg
     val withD = e
-      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .join(degB.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(degB.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
     val sym = withD.select(col("dx"), col("dy"))
       .unionAll(withD.select(col("dy").as("dx"), col("dx").as("dy")))
     val a = sym.agg(
