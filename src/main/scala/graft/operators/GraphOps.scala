@@ -333,6 +333,13 @@ object GraphOps {
     */
   private val DegreeBroadcastMaxNodes = 4000000L
 
+  /** Broadcast-hint a node-sized frame when the owning graph is
+    * under [[DegreeBroadcastMaxNodes]]: node-frame ⋈ edge-frame
+    * joins then run map-side and the big edge frame never shuffles.
+    */
+  private def nodeHint(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
   /** Co-occurrence edges: items sharing a group become an undirected
     * edge (market baskets → part pairs, docs → term pairs, sessions
     * → page pairs). The quadratic hazard lives HERE, not in the graph
@@ -410,17 +417,25 @@ object GraphOps {
   def labelPropagation(g: SymGraph, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = g.e2
+    // node-sized label frame: broadcast it into each round's edge
+    // join when the graph is under the node ceiling, so the
+    // symmetric edge frame never shuffles (one cheap count over the
+    // checkpointed degree frame decides)
+    val nb = nodeHint(g.deg.count() <= DegreeBroadcastMaxNodes) _
     var labels = g.deg.select(col("node"), col("node").as("label"))
     var it = 0
     while (it < iters) {
-      val nbr = e.join(labels.withColumnRenamed("node", "dst"), "dst")
+      // argmax fused into ONE aggregation: minimizing (-cnt, label)
+      // IS max-count-tie-min-label, and the key is unique per
+      // (src, label) row so min_by is deterministic — replaces the
+      // max + join-back + filter + min re-aggregation (two extra
+      // shuffles and a recompute) the unfused form paid per round
+      labels = e.join(nb(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
-      val mx = nbr.groupBy(col("src")).agg(max(col("__cnt")).as("__mc"))
-      labels = nbr.join(mx, "src")
-        .filter(col("__cnt") === col("__mc"))
         .groupBy(col("src"))
-        .agg(min(col("label")).as("label"))
+        .agg(min_by(col("label"),
+          struct((-col("__cnt")).as("nc"), col("label").as("lb"))).as("label"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(true)
       it += 1
@@ -475,6 +490,7 @@ object GraphOps {
     */
   private def weightedMoveRounds(
       e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame = {
+    val nb = nodeHint(deg.count() <= DegreeBroadcastMaxNodes) _
     var labels = deg.select(col("node"), col("node").as("community"))
     var it = 0
     if (rounds > 0) {
@@ -485,15 +501,16 @@ object GraphOps {
       // frame. Bit-identical to the generic round (same integers,
       // same argmax), at roughly half its shuffle cost.
       val cand0 = e2w
-        .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
-        .join(deg.select(col("node").as("dst"), col("deg").as("__vol")), "dst")
+        .join(nb(deg.select(col("node").as("src"), col("deg").as("__d"))), "src")
+        .join(nb(deg.select(col("node").as("dst"), col("deg").as("__vol"))), "dst")
         .withColumn("__score",
           lit(2L) * lit(m) * col("__w") - col("__d") * col("__vol"))
-      val best0 = cand0.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
-      labels = cand0.join(best0, "src")
-        .filter(col("__score") === col("__ms"))
+      // fused argmax: min over (-score, dst) IS max-score-tie-min-dst,
+      // one aggregation instead of max + join-back + filter + min
+      labels = cand0
         .groupBy(col("src"))
-        .agg(min(col("dst")).as("community"))
+        .agg(min_by(col("dst"),
+          struct((-col("__score")).as("ns"), col("dst").as("d"))).as("community"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(true)
       it = 1
@@ -501,22 +518,21 @@ object GraphOps {
     while (it < rounds) {
       val vol = labels.join(deg, "node")
         .groupBy(col("community")).agg(sum(col("deg")).as("__vol"))
-      val k = e2w.join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("community", "__c"), "dst")
+      val k = e2w.join(nb(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("community", "__c")), "dst")
         .groupBy(col("src"), col("__c")).agg(sum(col("__w")).as("__k"))
       val cand = k
-        .join(labels.select(col("node").as("src"), col("community").as("__own")), "src")
-        .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
-        .join(vol.withColumnRenamed("community", "__c"), "__c")
+        .join(nb(labels.select(col("node").as("src"), col("community").as("__own"))), "src")
+        .join(nb(deg.select(col("node").as("src"), col("deg").as("__d"))), "src")
+        .join(nb(vol.withColumnRenamed("community", "__c")), "__c")
         .withColumn("__score",
           lit(2L) * lit(m) * col("__k") -
             col("__d") * (col("__vol") -
               when(col("__c") === col("__own"), col("__d")).otherwise(lit(0L))))
-      val best = cand.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
-      val moved = cand.join(best, "src")
-        .filter(col("__score") === col("__ms"))
+      val moved = cand
         .groupBy(col("src"))
-        .agg(min(col("__c")).as("__new"))
+        .agg(min_by(col("__c"),
+          struct((-col("__score")).as("ns"), col("__c").as("c"))).as("__new"))
         .withColumnRenamed("src", "node")
       labels = labels.join(moved, Seq("node"), "left")
         .select(col("node"),
@@ -558,11 +574,11 @@ object GraphOps {
         .join(vol.withColumnRenamed("community", "__c"), "__c")
         .withColumn("__score",
           lit(2L) * lit(m) * col("__k") - col("__d") * col("__vol"))
-      val best = cand.groupBy(col("src")).agg(max(col("__score")).as("__ms"))
-      val moved = cand.join(best, "src")
-        .filter(col("__score") === col("__ms"))
+      val moved = cand
         .groupBy(col("src"))
-        .agg(min(col("__c")).as("__new"), max(col("__score")).as("__bs"))
+        .agg(min_by(col("__c"),
+          struct((-col("__score")).as("ns"), col("__c").as("c"))).as("__new"),
+          max(col("__score")).as("__bs"))
         .withColumnRenamed("src", "node")
       // exact score of STAYING: own community's k (0 when no
       // neighbor is inside) with own volume net of self
@@ -719,9 +735,10 @@ object GraphOps {
     // rows), folds straight to community-pair counts in ONE shuffle
     // with map-side combine, and the tiny folded frame symmetrizes
     // after the fold.
+    val nb = nodeHint(g.deg.count() <= DegreeBroadcastMaxNodes) _
     val foldedU = g.und
-      .join(l0.select(col("node").as("u"), col("community").as("__cu")), "u")
-      .join(l0.select(col("node").as("v"), col("community").as("__cv")), "v")
+      .join(nb(l0.select(col("node").as("u"), col("community").as("__cu"))), "u")
+      .join(nb(l0.select(col("node").as("v"), col("community").as("__cv"))), "v")
       .groupBy(col("__cu"), col("__cv")).agg(count(lit(1)).as("__w"))
       .localCheckpoint(true)
     val cross = foldedU.filter(col("__cu") =!= col("__cv"))
