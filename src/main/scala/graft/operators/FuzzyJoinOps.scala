@@ -90,14 +90,18 @@ object FuzzyJoinOps {
       if (maxBlockSize == Int.MaxValue) (l0, r0)
       else {
         // over-cap block keys are FEW by construction (each holds
-        // > cap rows), so the exclusion list rides a broadcast
-        // anti-join — the count pass is one count-only partial-agg
-        // shuffle per side, far lighter than the pairs it prevents
+        // > cap rows, so ≤ n/cap of them exist), so the exclusion
+        // list rides a broadcast anti-join — the count pass is one
+        // count-only partial-agg shuffle per side, far lighter than
+        // the pairs it prevents. Materialized ONCE (eager local
+        // checkpoint): both anti-joins reuse it instead of
+        // re-scanning both inputs per consumer.
         val big = l0.groupBy(col("__blk")).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > maxBlockSize).select(col("__blk"))
           .union(r0.groupBy(col("__blk2")).agg(count(lit(1)).as("__n"))
             .filter(col("__n") > maxBlockSize).select(col("__blk2").as("__blk")))
           .distinct()
+          .localCheckpoint(true)
         (l0.join(broadcast(big), Seq("__blk"), "left_anti"),
           r0.join(broadcast(big.select(col("__blk").as("__blk2"))), Seq("__blk2"), "left_anti"))
       }
