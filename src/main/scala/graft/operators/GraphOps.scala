@@ -58,18 +58,21 @@ object GraphOps {
     var iter = 0
     while (!converged && iter < maxIter) {
       // ---- large-star over the symmetrized neighborhood ----
+      // min-maps are node-sized (one row per endpoint): broadcast
+      // them under the ceiling so the edge-sized sides never shuffle
+      val nb = nodeHint(prevCount * 2 <= DegreeBroadcastMaxNodes) _
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val afterLarge = sym.join(mins, "u")
+      val afterLarge = sym.join(nb(mins), "u")
         .filter(col("v") > col("u"))
         // v > u ≥ m, so (v, m) is already (hi, lo)-oriented
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
       // ---- small-star on the (hi > lo) orientation ----
       val mins2 = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = afterLarge.join(mins2, "hi")
+      val next = afterLarge.join(nb(mins2), "hi")
         .filter(col("lo") =!= col("m"))
         // lo > m (m is the min neighbor), so orientation holds
         .select(col("lo").as("hi"), col("m").as("lo"))
@@ -1012,10 +1015,13 @@ object GraphOps {
     var round = 0
     while (cur > 0 && cur != prev && round < maxRounds) {
       prev = cur
+      // alive set is node-sized (<= 2*cur): broadcast it under the
+      // ceiling so the edge frame rides both peel joins map-side
+      val nb = nodeHint(cur * 2 <= DegreeBroadcastMaxNodes) _
       val alive = degrees(edges).filter(col("degree") >= k).select("node")
       edges = edges
-        .join(alive.withColumnRenamed("node", "hi"), Seq("hi"))
-        .join(alive.withColumnRenamed("node", "lo"), Seq("lo"))
+        .join(nb(alive.withColumnRenamed("node", "hi")), Seq("hi"))
+        .join(nb(alive.withColumnRenamed("node", "lo")), Seq("lo"))
         .localCheckpoint(true)
       cur = edges.count()
       round += 1
