@@ -406,8 +406,11 @@ object TfRecordIO {
       spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf.value)
-    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tfrecord"))
-      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
+    // globStatus returns NULL (not empty) when the directory does
+    // not exist — surface the path error, never an NPE
+    val listed = Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tfrecord")))
+      .getOrElse(throw new java.io.FileNotFoundException(s"TFRecord path does not exist: $path"))
+    val shards = listed.map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
     val rows = spark.sparkContext
       .parallelize(shards, math.max(1, shards.length))
       .flatMap { case (p, totalLen) =>

@@ -231,7 +231,8 @@ object WebDatasetIO {
       spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf.value)
-    val shards = fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tar"))
+    val shards = Option(fs.globStatus(new org.apache.hadoop.fs.Path(base, "*.tar")))
+      .getOrElse(throw new java.io.FileNotFoundException(s"WebDataset path does not exist: $path"))
       .map(_.getPath.toString).sorted.toSeq
     val fieldNames = schema.fields.map(_.name).filter(_ != keyCol).toSet
     val rows = spark.sparkContext
