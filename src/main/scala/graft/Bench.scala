@@ -21,15 +21,25 @@ object Bench {
     // warm the JVM/codegen/FS once so per-query numbers measure the
     // queries, not session startup
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // materialize the session-shared graph artifacts and CHARGE THEM
-    // TO THEIR OWN LINE — without this a single-pass record bills
-    // the ~20s shared build to an arbitrary first graph query
-    val tW = System.nanoTime()
-    try SparkEntry.warmShared(spark, sfDir) catch { case _: Throwable => () }
-    val warmSecs = (System.nanoTime() - tW) / 1e9
     // optional comma-separated name filter for targeted experiments
     // (the driver never sets it — all queries run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // materialize the session-shared graph artifacts and CHARGE THEM
+    // TO THEIR OWN LINE — without this a single-pass record bills
+    // the ~20s shared build to an arbitrary first graph query. Only
+    // when a graph query actually runs (a targeted non-graph filter
+    // must not pay it), and loudly on failure (a swallowed error
+    // would push the build back into the first graph query — the
+    // exact mis-attribution this preamble exists to prevent).
+    val graphKeys = Set("q_louvain", "q_modularity", "q_label_prop", "q_triangles",
+      "q_cooccur", "q_assortativity", "q_clustering", "q_bfs_hops", "q_power_law")
+    val wantsGraph = only.forall(f => graphKeys.exists(f.contains))
+    val tW = System.nanoTime()
+    if (wantsGraph) {
+      try SparkEntry.warmShared(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warmShared FAILED: $e") }
+    }
+    val warmSecs = (System.nanoTime() - tW) / 1e9
     def runAll(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -42,7 +52,8 @@ object Bench {
     // ~50% of its wall-clock; run it as a discard and report the
     // second, steady-state pass
     runAll()
-    val results = runAll() + ("_shared_graph_build" -> warmSecs)
+    val results = runAll() ++
+      (if (wantsGraph) Map("_shared_graph_build" -> warmSecs) else Map.empty)
     // millisecond precision keeps the record line ~5 KB — full
     // double reprs tripled it and the driver's stdout tail-capture
     // truncated the r7/r8 records into unparseable fragments
@@ -53,7 +64,11 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // land the record in a file first: stdout through the sbt runner
     // gets log-prefixed and has produced truncated records
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // a TARGETED run must never clobber the committed full-registry
+    // record — partial records land in a sibling file unless the
+    // caller overrides explicitly
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
     // print LAST, after spark.stop's log chatter, so a tail capture

@@ -16,16 +16,39 @@ object SparkEntry {
 
   private def t(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** Session-scoped per-(session, dir) artifact cache. Keyed WEAKLY
-    * by the session instance (not its identity hash, which a new
-    * session can reuse after GC): a stopped session's entries drop
-    * with the session, and a stale entry bound to a stopped context
-    * is never handed out.
+  /** Query-scoped scratch dir, deleted at JVM exit via Hadoop's
+    * deleteOnExit hook. Registry queries materialize persisted
+    * artifacts (indexes, sinks, caches) that their RESULT frames
+    * read lazily, so deletion cannot be eager — but without the
+    * hook, repeated bench/verify passes accumulate orphaned index
+    * copies under /tmp until the disk fills.
+    */
+  private def tmpDir(s: SparkSession, prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    d
+  }
+
+  /** Session-scoped per-(session, dir) artifact cache, keyed by the
+    * session INSTANCE. WeakHashMap alone cannot evict here — the
+    * cached values are DataFrames whose queryExecution strongly
+    * references the key session (the classic value→key cycle the
+    * WeakHashMap javadoc warns about) — so every `get` also SWEEPS
+    * entries whose owning context has stopped: a long-lived JVM
+    * creating sessions per job cannot accumulate dead sessions'
+    * persisted-frame references, and a stale entry bound to a
+    * stopped context is never handed out.
     */
   private final class SessionCache[T] {
     private val cache =
       new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, T]]()
     def get(s: SparkSession, dir: String)(build: => T): T = cache.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != null && k.sparkContext.isStopped) it.remove()
+      }
       var perSession = cache.get(s)
       if (perSession == null || s.sparkContext.isStopped) {
         perSession = scala.collection.mutable.Map.empty
@@ -489,7 +512,7 @@ object SparkEntry {
       val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 10)
       val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sivf").toString
+      val tmp = tmpDir(s, "graft-sivf")
       val path = tmp + "/idx"
       IvfKnnOps.saveIndex(index, path)
       val twinStream = streamTable(s, dir, "embeddings",
@@ -514,7 +537,7 @@ object SparkEntry {
     "q_ivf_refit" -> ((s, dir) => {
       val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
       val index = IvfKnnOps.buildIndex(emb, "vec_id", "embedding", nLists = 16, maxIter = 5)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-refit").toString
+      val tmp = tmpDir(s, "graft-refit")
       val path = tmp + "/idx"
       IvfKnnOps.saveIndex(index, path)
       val neg = (c: Column) => transform(c, x => -x)
@@ -1089,7 +1112,7 @@ object SparkEntry {
     "q_shards" -> ((s, dir) => {
       val li = BioLoader.load(s, t(dir, "lineitem"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
-      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/shards"
+      val out = tmpDir(s, "graft-shards") + "/shards"
       graft.operators.ExportOps.writeShards(li, out, shardCount = 8, Seq("l_orderkey", "l_linenumber"))
       val back = s.read.parquet(out)
       val nFiles = back.select(input_file_name()).distinct().count()
@@ -1104,7 +1127,7 @@ object SparkEntry {
       val agg = BioLoader.load(s, t(dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(hround(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
-      val cacheDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      val cacheDir = tmpDir(s, "graft-ckpt")
       graft.api.CacheOps.checkpoint(agg, cacheDir).count() // miss path: compute + write
       graft.api.CacheOps.checkpoint(agg, cacheDir)         // hit path: read-back is graded
     }),
@@ -1147,7 +1170,7 @@ object SparkEntry {
     //      inferred sample column, roles inferred, labels encoded.
     //      The oracle replays join + dictionary encode. ----
     "q_load_pipeline" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-load").toString
+      val tmp = tmpDir(s, "graft-load")
       val data = BioLoader.load(s, t(dir, "lineitem"))
         .filter(col("l_orderkey") % 7 === 0)
         .select(col("l_orderkey").as("samples"), col("l_linenumber"), col("l_quantity"))
@@ -1179,7 +1202,7 @@ object SparkEntry {
       val splits = Map(
         "train" -> encoded.filter(coin >= 2000L),
         "test" -> encoded.filter(coin < 2000L))
-      val path = java.nio.file.Files.createTempDirectory("graft-io").toString + "/ds"
+      val path = tmpDir(s, "graft-io") + "/ds"
       graft.api.DatasetIO.save(ds, path, splits)
       val (frames, loaded) = graft.api.DatasetIO.load(s, path)
       frames.toSeq.sortBy(_._1)
@@ -1238,7 +1261,7 @@ object SparkEntry {
       }.toMap
       val annotated = graft.operators.MetadataOps.attachFeatureMetadata(
         li.select(feats.map(col): _*), meta)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fmeta").toString + "/t"
+      val tmp = tmpDir(s, "graft-fmeta") + "/t"
       annotated.write.mode("overwrite").parquet(tmp)
       val back = s.read.parquet(tmp)
       val rows = back.schema.fields.flatMap { f =>
@@ -1307,7 +1330,7 @@ object SparkEntry {
       val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
       val queries = emb.filter(col("vec_id") < 10)
       val index = IvfKnnOps.buildPqIndex(emb, "vec_id", "embedding", nLists = 16, m = 8, maxIter = 5)
-      val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/idx"
+      val path = tmpDir(s, "graft-pq") + "/idx"
       IvfKnnOps.savePqIndex(index, path)
       IvfKnnOps.appendToSavedPqIndex(s, path,
         queries.select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
@@ -1441,11 +1464,14 @@ object SparkEntry {
       GraphOps.modularityOfLouvain(sharedLouvain(s, dir))
     }),
 
-    // ---- D7o: Louvain WITH single-level contraction — 1 exact-
-    //      integer local-move sweep on the node graph, communities
-    //      collapse to weighted super-nodes, 2 weighted sweeps on
-    //      the contracted graph, labels map back; the oracle
-    //      unrolls both levels with zero float arithmetic. ----
+    // ---- D7o: Louvain WITH single-level contraction — LPA(3)
+    //      seeds the partition, communities collapse to weighted
+    //      super-nodes, 4 exact-integer downward-move refine rounds
+    //      run on the contracted graph, labels map back
+    //      (sharedLouvain = louvainRefine(sharedSymGraph, sharedLpa,
+    //      level1Rounds = 4)); the oracle unrolls the identical
+    //      chain (LouvainChainSql: lp1..lp3 seed + RefineRounds = 4)
+    //      with zero float arithmetic. ----
     "q_louvain" -> ((s, dir) => {
       sharedLouvain(s, dir).labels
     }),
@@ -2713,7 +2739,7 @@ object SparkEntry {
       val docs = BioLoader.load(s, t(dir, "documents"))
         .select(col("doc_id").cast("string").as("key"), col("text"),
           col("lang"), col("source"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-wds").toString
+      val tmp = tmpDir(s, "graft-wds")
       graft.sources.WebDatasetIO.write(docs.repartition(8), "file:" + tmp + "/docs", "key")
       graft.sources.WebDatasetIO.read(s, "file:" + tmp + "/docs", docs.schema, "key")
     }),
@@ -2725,7 +2751,7 @@ object SparkEntry {
     "q_tfrecord" -> ((s, dir) => {
       val docs = BioLoader.load(s, t(dir, "documents"))
         .select("doc_id", "text", "lang", "source", "n_chars")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tfr").toString
+      val tmp = tmpDir(s, "graft-tfr")
       graft.sources.TfRecordIO.write(docs.repartition(8), "file:" + tmp + "/docs")
       graft.sources.TfRecordIO.read(s, "file:" + tmp + "/docs", docs.schema)
     }),
@@ -2739,7 +2765,7 @@ object SparkEntry {
       import s.implicits._
       val ev1 = Seq("the secret holdout benchmark sentence for contamination screening").toDF("text")
       val ev2 = Seq("another hidden evaluation phrase guarded against training data leakage").toDF("text")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val tmp = tmpDir(s, "graft-bloom")
       val path = "file:" + tmp + "/decon.bloom"
       DedupOps.saveDecontaminationBloom(ev1, "text", path,
         n = 5, expectedEvalShingles = 1000L, fpp = 1e-9)
@@ -2860,7 +2886,7 @@ object SparkEntry {
     //      round-trip must not change a single score. ----
     "q_bm25_persist" -> ((s, dir) => {
       val docs = BioLoader.load(s, t(dir, "documents"))
-      val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString + "/idx"
+      val path = tmpDir(s, "graft-bm25") + "/idx"
       RetrievalOps.saveIndex(docs, "text", "doc_id", path, nBuckets = 16)
       RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
     }),
@@ -2871,7 +2897,7 @@ object SparkEntry {
     //      growth must not change a single score. ----
     "q_bm25_append" -> ((s, dir) => {
       val docs = BioLoader.load(s, t(dir, "documents"))
-      val path = java.nio.file.Files.createTempDirectory("graft-bm25a").toString + "/idx"
+      val path = tmpDir(s, "graft-bm25a") + "/idx"
       RetrievalOps.saveIndex(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", path, nBuckets = 16)
       RetrievalOps.appendToIndex(s, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
       RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
@@ -3768,7 +3794,14 @@ object SparkEntry {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    // bounded: a stream that fails to self-terminate (wedged source
+    // or state store) must not hang a 248-query pass — the old
+    // quiesce loop capped its wait the same way
+    try {
+      if (!q.awaitTermination(120000L))
+        throw new IllegalStateException(
+          s"AvailableNow stream $name failed to terminate within 120s")
+    } finally q.stop()
     df.sparkSession.table(name)
   }
 

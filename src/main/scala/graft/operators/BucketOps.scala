@@ -34,16 +34,25 @@ object BucketOps {
       s"writeBucketed requires a simple unqualified table name, got '$table'")
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    // Resolve the REGISTERED location (external tables live elsewhere)
-    // before dropping, falling back to the default managed path for
-    // an orphaned directory with no catalog entry.
-    val loc: org.apache.hadoop.fs.Path =
-      if (catalog.tableExists(ident))
-        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
-      else new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val meta =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident)) else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // Backing data is deleted ONLY for a MANAGED registration (DROP
+    // on an EXTERNAL table preserves its data by Spark's own
+    // contract — overwriting the NAME must never destroy unrelated
+    // external storage), plus any stale orphan at the default
+    // managed path (the cross-session LOCATION_ALREADY_EXISTS case).
+    val managedLoc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+    val clear = meta match {
+      case Some(m)
+          if m.tableType == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED =>
+        Seq(new org.apache.hadoop.fs.Path(m.location), managedLoc)
+      case _ => Seq(managedLoc)
+    }
+    clear.distinct.foreach { loc =>
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     var w = df.write.mode("overwrite").bucketBy(buckets, key)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.format("parquet").saveAsTable(table)

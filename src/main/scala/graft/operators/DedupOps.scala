@@ -975,8 +975,13 @@ object DedupOps {
       // batch serving shape: the band-keyed exchange carries
       // (id, band) ONLY — never the text column (the old shape
       // shipped docs×bands text copies through the probe shuffle).
-      // Hit ids collapse to one row per doc; the anti-join ships
-      // each surviving text exactly once, keyed by id.
+      // Hit ids collapse to one row per doc; survivors ship each
+      // text exactly once through an id-keyed collapse. The
+      // streaming shape's contract is preserved exactly: one output
+      // row per id (duplicate-id inputs collapse via first), and a
+      // NULL id still groups/matches (null-safe anti-join key — a
+      // plain left_anti would wave every null-id doc through the
+      // contamination gate unexamined).
       val hitIds = docs
         .select(col(idCol),
           explode_outer(bandArrOf(col(textCol), shingleSize, numHashes, rowsPerBand)).as("band"))
@@ -984,8 +989,9 @@ object DedupOps {
         .groupBy(col(idCol))
         .agg(max(coalesce(col("__hit"), lit(0))).as("__hits"))
         .filter(col("__hits") > 0)
-        .select(col(idCol))
-      docs.join(hitIds, Seq(idCol), "left_anti")
+        .select(col(idCol).as("__hit_id"))
+      docs.groupBy(col(idCol)).agg(first(col(textCol)).as(textCol))
+        .join(hitIds, col(idCol) <=> col("__hit_id"), "left_anti")
         .select(col(idCol), col(textCol))
     }
   }

@@ -344,9 +344,14 @@ object IvfKnnOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // centroids re-resolve PER TRIGGER (one tiny driver read), so
-        // an offline refit swapped in mid-stream — by this process's
-        // recall trigger or any other — is picked up at the next
-        // batch instead of appending against stale geometry
+        // a refit fired BETWEEN this stream's batches — the in-loop
+        // trigger of [[maintainSavedIndexStreamWithRefit]], or an
+        // external one run while this stream is PAUSED — is picked up
+        // at the next batch instead of appending against stale
+        // geometry. This does NOT make a refit that runs CONCURRENTLY
+        // with an active batch safe: rows appended between the
+        // refit's corpus read and its swap are dropped with the old
+        // layout (see [[refitSavedIndex]]'s quiesce contract).
         val centers = loadCenters(spark, path)
         assignWith(batch, vecCol, centers)
           .write.mode("append").partitionBy("list_id").parquet(s"$path/lists")
@@ -388,14 +393,19 @@ object IvfKnnOps {
 
   /** Offline refit of a persisted IVF index: re-fit the coarse
     * quantizer over the CURRENT stored vectors (stream appends
-    * included) and atomically swap the new layout in — the
-    * `.old`-staged rename machinery of [[compactSavedPqIndex]], same
-    * maintenance-window contract (quiesce writers for the swap
-    * instant; a crash between renames leaves the `.old` dir
-    * recoverable). Readers loading mid-swap see old or new, never a
-    * mix of one dir's halves; `centroids` swaps FIRST so the
-    * maintenance stream's per-trigger centroid re-read can never
-    * append new-geometry rows into the old lists layout.
+    * included) and swap the new layout in via the `.old`-staged
+    * rename machinery of [[compactSavedPqIndex]].
+    *
+    * Maintenance-window contract — STRICTER than compact's because
+    * TWO directories swap: quiesce writers AND readers from the
+    * corpus read through the second rename. A writer appending
+    * between the corpus read and the lists swap loses those rows
+    * with the staged-out layout; a reader loading between the two
+    * swaps can pair new centroids with old lists. The in-stream
+    * trigger ([[maintainSavedIndexStreamWithRefit]]) serializes the
+    * refit inside its own foreachBatch, so its OWN appends are safe
+    * by construction; quiesce everything else. A crash between
+    * renames leaves the `.old` dir recoverable.
     */
   def refitSavedIndex(
       spark: SparkSession,

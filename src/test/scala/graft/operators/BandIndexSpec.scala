@@ -72,6 +72,22 @@ class BandIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null-ID contaminated doc is still dropped; duplicate ids collapse to one row") {
+    val t1 = "the quick brown fox jumps over the lazy dog near the river today"
+    val t2 = "a completely different second document about catalyst physical plans"
+    DedupOps.saveBandIndex(Seq(t1).toDF("text"), "text", "band_idx_nullid",
+      shingleSize = 3, numHashes = 16)
+    val docs = Seq(
+      (Option.empty[Long], t1),            // contaminated, null id -> must drop
+      (Some(1L), t2), (Some(1L), t2),      // duplicate id -> one row
+      (Some(2L), t1)                       // contaminated -> drops
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.dedupAgainstBandIndex(docs, "band_idx_nullid", "doc_id", "text",
+      shingleSize = 3, numHashes = 16).collect()
+    assert(kept.map(r => Option(r.get(0))).toSet == Set(Some(1L)) && kept.length == 1,
+      s"kept ${kept.mkString(",")}")
+  }
+
   test("null-text docs pass through the saved-index probe") {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog near the river today"),
       (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
