@@ -1420,7 +1420,7 @@ object SparkEntry {
     //      orientation bounds wedge generation at O(m^1.5) — hubs
     //      are neutralized, each triangle closes exactly once. ----
     "q_triangles" -> ((s, dir) => {
-      GraphOps.triangleCounts(sharedCoOrderEdges(s, dir))
+      GraphOps.triangleCounts(sharedSymGraph(s, dir))
     }),
 
     // ---- D7j: k-core decomposition — the maximal subgraph where
@@ -1444,7 +1444,7 @@ object SparkEntry {
     //      exact integer sums over the symmetrized endpoint-degree
     //      pairs, closed form on the 1e-9 grid. ----
     "q_assortativity" -> ((s, dir) => {
-      GraphOps.degreeAssortativity(sharedCoOrderEdges(s, dir))
+      GraphOps.degreeAssortativity(sharedSymGraph(s, dir))
     }),
 
     // ---- D7l: local clustering coefficient — per-part neighborhood
@@ -1452,7 +1452,7 @@ object SparkEntry {
     //      triangle count + one node-frame left join, exact-integer
     //      numerator/denominator. ----
     "q_clustering" -> ((s, dir) => {
-      GraphOps.clusteringCoefficient(sharedCoOrderEdges(s, dir))
+      GraphOps.clusteringCoefficient(sharedSymGraph(s, dir))
     }),
 
     // ---- D7m: modularity of the shared Louvain partition, scored

@@ -128,40 +128,50 @@ object GraphOps {
     // The big edge frame materializes in ONE shuffle: repartition on
     // `src` first — HashPartitioning(src) satisfies the (src,dst)
     // clustering dropDuplicates needs AND the per-iteration join key,
-    // so the dedup runs in-partition, the out-degree is a sort-only
-    // window over the same partitioning, and no second exchange ever
-    // touches the 100 TB side. Everything downstream (node set,
-    // dangling set, every iteration) reads this cache, never the
-    // caller's edge-building plan (itself a big join at scale).
-    val em = edges0.select(col("src"), col("dst"))
+    // so the dedup AND the out-degree groupBy both run in-partition
+    // (map-side partial aggregation, no sort — a window over the big
+    // side would sort every partition), the deg join re-attaches on
+    // the same partitioning (AQE broadcasts the node-sized degree
+    // frame when it is small), and no second exchange ever touches
+    // the 100 TB side. Everything downstream (node set, dangling
+    // set, every iteration) reads this cache, never the caller's
+    // edge-building plan (itself a big join at scale).
+    val base = edges0.select(col("src"), col("dst"))
       .repartition(col("src"))
       .dropDuplicates(Seq("src", "dst"))
-      .withColumn("deg",
-        count(lit(1)).over(Window.partitionBy(col("src"))).cast("double"))
-      .persist()
+    val degF = base.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val em = base.join(degF, Seq("src")).persist()
     em.count()
     val nodes = em
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count().toDouble
+    // node-sized frames (ranks, contrib, the dangling set) broadcast
+    // into every per-round join when the node set fits the ceiling —
+    // each round's edge⋈rank join then runs map-side over the cached
+    // edge partitions and only the groupBy(dst) partial-aggregate
+    // shuffle remains; past the cap the joins fall back to shuffling
+    // the NODE frame to the cached edge partitioning (the 100 TB
+    // shape — the big side still never re-shuffles)
+    val small = n <= DegreeBroadcastMaxNodes
     // the dangling SET is static across iterations (nodes with no
     // out-edges) — compute it once; only its rank MASS changes per
     // round, a broadcast-semi-join aggregate over the tiny set
     val dang = nodes
-      .join(em.select(col("src").as("node")), Seq("node"), "left_anti")
+      .join(em.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint(true)
     var ranks = nodes.select(col("node"), snap(lit(1.0) / n).as("rank"))
-      .localCheckpoint(true)
     try {
       for (_ <- 1 to iters) {
-        val contrib = em.join(ranks, em("src") === ranks("node"))
+        val contrib = em.join(nodeHint(small)(ranks), em("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("contrib"))
         val dangling = ranks
-          .join(dang, Seq("node"), "left_semi")
+          .join(nodeHint(small)(dang), Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
         ranks = nodes
-          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
           .crossJoin(broadcast(dangling))
           .select(nodes("node"),
             snap(lit((1.0 - damping) / n) +
@@ -199,12 +209,14 @@ object GraphOps {
     require(iters > 0, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
-    val em = edges0.select(col("src"), col("dst"))
+    // same one-shuffle edge materialization as [[pageRank]]: dedup
+    // and degree both in-partition aggregates, no window sort
+    val base = edges0.select(col("src"), col("dst"))
       .repartition(col("src"))
       .dropDuplicates(Seq("src", "dst"))
-      .withColumn("deg",
-        count(lit(1)).over(Window.partitionBy(col("src"))).cast("double"))
-      .persist()
+    val degF = base.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val em = base.join(degF, Seq("src")).persist()
     em.count()
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
     val nS = seedSet.count().toDouble
@@ -217,19 +229,23 @@ object GraphOps {
         when(col("__s").isNotNull, snap(lit(1.0 / nS))).otherwise(lit(0.0)).as("p"))
       .localCheckpoint(true)
     val dang = nodes.select(col("node"))
-      .join(em.select(col("src").as("node")), Seq("node"), "left_anti")
+      .join(em.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint(true)
-    var ranks = nodes.select(col("node"), col("p").as("rank")).localCheckpoint(true)
+    // same cost-based node-frame broadcast as [[pageRank]]: under
+    // the ceiling every per-round join is map-side over the cached
+    // edge partitions
+    val small = nodes.count() <= DegreeBroadcastMaxNodes
+    var ranks = nodes.select(col("node"), col("p").as("rank"))
     try {
       for (_ <- 1 to iters) {
-        val contrib = em.join(ranks, em("src") === ranks("node"))
+        val contrib = em.join(nodeHint(small)(ranks), em("src") === ranks("node"))
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("contrib"))
         val dangling = ranks
-          .join(dang, Seq("node"), "left_semi")
+          .join(nodeHint(small)(dang), Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
         ranks = nodes
-          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
           .crossJoin(broadcast(dangling))
           .select(nodes("node"),
             snap(lit(1.0 - damping) * col("p") +
@@ -290,6 +306,21 @@ object GraphOps {
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
+    triangleCountsCore(e, deg)
+  }
+
+  /** [[triangleCounts]] over an already-canonicalized [[SymGraph]] —
+    * reuses the materialized distinct edge frame and the degree
+    * table (both built once per session for the shared graph) and
+    * skips the normalize/distinct shuffle plus both checkpoint
+    * materializations entirely.
+    */
+  def triangleCounts(g: SymGraph): DataFrame =
+    triangleCountsCore(
+      g.und,
+      g.deg.select(col("node").as("n"), col("deg").as("d")))
+
+  private def triangleCountsCore(e: DataFrame, deg: DataFrame): DataFrame = {
     val degB = if (deg.count() <= DegreeBroadcastMaxNodes) broadcast(deg) else deg
     val withDeg = e
       .join(degB.select(col("n").as("u"), col("d").as("du")), Seq("u"))
@@ -825,14 +856,19 @@ object GraphOps {
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // frontier/settled are node-sized (≤ 2·edges); under the edge
+    // ceiling they broadcast into the expansion join and the settled
+    // anti-join, so the materialized edge frame never shuffles —
+    // past it, both fall back to shuffle joins (the 100 TB shape)
+    val small = e.count() <= 2 * DegreeBroadcastMaxNodes
     var settled = sources.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
-      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      val next = e.join(nodeHint(small)(frontier.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(nodeHint(small)(settled), Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
       settled = settled.union(next).localCheckpoint(true)
@@ -933,31 +969,38 @@ object GraphOps {
       .dropDuplicates(Seq("src", "dst"))
       .persist()
     emSrc.count()
-    val emDst = emSrc.repartition(col("dst")).persist()
-    emDst.count()
     val nodes = emSrc
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(true)
-    var hub = nodes.select(col("node"), lit(1.0).as("hub")).localCheckpoint(true)
+    // cost-based node-frame broadcast ([[pageRank]]'s discipline):
+    // under the ceiling the hub/auth frames hash to every task, both
+    // half-step joins run map-side over the ONE src-partitioned edge
+    // cache, and the dst-partitioned second copy is never built;
+    // past it, materialize the dst partitioning so the hub step's
+    // shuffle moves the node frame, not the edges
+    val small = nodes.count() <= DegreeBroadcastMaxNodes
+    val emDst = if (small) emSrc else emSrc.repartition(col("dst")).persist()
+    if (!small) emDst.count()
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     var auth = nodes.select(col("node"), lit(0.0).as("auth"))
     try {
       for (_ <- 1 to iters) {
-        val rawAuth = emSrc.join(hub, emSrc("src") === hub("node"))
+        val rawAuth = emSrc.join(nodeHint(small)(hub), emSrc("src") === hub("node"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
         val ta = rawAuth.agg(coalesce(sum(col("__a")), lit(0.0)).as("__t"))
         auth = nodes
-          .join(rawAuth, nodes("node") === rawAuth("dst"), "left")
+          .join(nodeHint(small)(rawAuth), nodes("node") === rawAuth("dst"), "left")
           .crossJoin(broadcast(ta))
           .select(nodes("node"),
             when(col("__t") > 0,
               snap(coalesce(col("__a"), lit(0.0)) / col("__t")))
               .otherwise(lit(0.0)).as("auth"))
           .localCheckpoint(true)
-        val rawHub = emDst.join(auth, emDst("dst") === auth("node"))
+        val rawHub = emDst.join(nodeHint(small)(auth), emDst("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
         val th = rawHub.agg(coalesce(sum(col("__h")), lit(0.0)).as("__t"))
         hub = nodes
-          .join(rawHub, nodes("node") === rawHub("src"), "left")
+          .join(nodeHint(small)(rawHub), nodes("node") === rawHub("src"), "left")
           .crossJoin(broadcast(th))
           .select(nodes("node"),
             when(col("__t") > 0,
@@ -965,7 +1008,7 @@ object GraphOps {
               .otherwise(lit(0.0)).as("hub"))
           .localCheckpoint(true)
       }
-    } finally { emSrc.unpersist(); emDst.unpersist() }
+    } finally { emSrc.unpersist(); if (!small) emDst.unpersist() }
     hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
 
@@ -1068,6 +1111,21 @@ object GraphOps {
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    assortativityCore(e, deg)
+  }
+
+  /** [[degreeAssortativity]] over an already-canonicalized
+    * [[SymGraph]] — the shared materialized edge frame and degree
+    * table feed the joins directly (the result depends only on the
+    * endpoint-degree PAIRS, which are key-representation-invariant,
+    * so skipping the string cast is value-identical).
+    */
+  def degreeAssortativity(g: SymGraph): DataFrame =
+    assortativityCore(
+      g.und.select(col("u").as("src"), col("v").as("dst")),
+      g.deg)
+
+  private def assortativityCore(e: DataFrame, deg: DataFrame): DataFrame = {
     val degB = if (deg.count() <= DegreeBroadcastMaxNodes) broadcast(deg) else deg
     val withD = e
       .join(degB.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
@@ -1170,6 +1228,20 @@ object GraphOps {
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     val tri = triangleCounts(e.select(col("u").as("src"), col("v").as("dst")))
+    clusteringFrom(deg, tri)
+  }
+
+  /** [[clusteringCoefficient]] over an already-canonicalized
+    * [[SymGraph]] — both the degree table and the triangle count
+    * read the shared materialized frames; nothing edge-sized is
+    * rebuilt.
+    */
+  def clusteringCoefficient(g: SymGraph): DataFrame =
+    clusteringFrom(
+      g.deg.select(col("node"), col("deg").as("degree")),
+      triangleCounts(g))
+
+  private def clusteringFrom(deg: DataFrame, tri: DataFrame): DataFrame =
     deg.join(tri, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
@@ -1177,7 +1249,6 @@ object GraphOps {
           floor(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
             (col("degree") * (col("degree") - 1)).cast("double") * lit(1e9) + lit(0.5)) /
             lit(1e9)).as("clustering"))
-  }
 
   /** Degree power-law fit (continuous MLE, Clauset–Shalizi–Newman
     * 2009: α = 1 + n / Σ ln(dᵢ / (dMin − ½)) over nodes with
