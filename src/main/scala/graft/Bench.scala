@@ -32,7 +32,8 @@ object Bench {
     // would push the build back into the first graph query — the
     // exact mis-attribution this preamble exists to prevent).
     val graphKeys = Set("q_louvain", "q_modularity", "q_label_prop", "q_triangles",
-      "q_cooccur", "q_assortativity", "q_clustering", "q_bfs_hops", "q_power_law")
+      "q_cooccur", "q_assortativity", "q_clustering", "q_bfs_hops", "q_power_law",
+      "q_pagerank", "q_ppr", "q_hits")
     val wantsGraph = only.forall(f => graphKeys.exists(f.contains))
     val tW = System.nanoTime()
     if (wantsGraph) {

@@ -162,16 +162,35 @@ object SparkEntry {
     StatsOps.summarize(normed, Seq("encoded_labels"), "tss")
   }
 
-  /** Materialize the session-shared graph artifacts (co-order
-    * edges, canonical graph, LPA seed, Louvain refinement) up
-    * front. The bench harness calls this in its preamble and
-    * reports the cost as its own line item, so a single-pass run
-    * cannot charge the shared build to whichever graph query
-    * happens to execute first (the r9 record charged ~20 s to
-    * q_assortativity/q_modularity this way).
+  /** Shared customer→supplier purchase edge frame, materialized as
+    * the (src, dst, deg) cache the iterative-rank family consumes —
+    * q_pagerank, q_ppr, and q_hits all analyze the IDENTICAL
+    * orders⋈lineitem bipartite graph; one [[GraphOps.degreeEdgeFrame]]
+    * build (one shuffle, persisted) serves all three.
     */
-  def warmShared(spark: SparkSession, dir: String): Unit =
+  private val purchaseEmCache = new SessionCache[DataFrame]
+  private[graft] def sharedPurchaseEm(s: SparkSession, dir: String): DataFrame =
+    purchaseEmCache.get(s, dir) {
+      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
+      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
+      val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      GraphOps.degreeEdgeFrame(edges)
+    }
+
+  /** Materialize the session-shared graph artifacts (co-order
+    * edges, canonical graph, LPA seed, Louvain refinement, the
+    * purchase-graph degree-edge frame) up front. The bench harness
+    * calls this in its preamble and reports the cost as its own
+    * line item, so a single-pass run cannot charge the shared build
+    * to whichever graph query happens to execute first (the r9
+    * record charged ~20 s to q_assortativity/q_modularity this way).
+    */
+  def warmShared(spark: SparkSession, dir: String): Unit = {
     sharedLouvain(spark, dir).labels.count()
+    sharedPurchaseEm(spark, dir)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- L1/C1: load + filter + projection (pushdown) ----
@@ -1499,10 +1518,9 @@ object SparkEntry {
     //      frontier-expanded with each node settled exactly once. ----
     "q_bfs_hops" -> ((s, dir) => {
       val li = BioLoader.load(s, t(dir, "lineitem"))
-      val edges = sharedCoOrderEdges(s, dir)
       val sources = li.filter(col("l_partkey") < 100)
         .select(col("l_partkey").as("node")).distinct()
-      GraphOps.shortestHops(edges, sources, maxHops = 3)
+      GraphOps.shortestHops(sharedSymGraph(s, dir), sources, maxHops = 3)
     }),
 
     // ---- D7g: link prediction on the customer co-order graph (a
@@ -1581,16 +1599,10 @@ object SparkEntry {
     //      (s_suppkey < 10) instead of global centrality; 3 snapped
     //      iterations over the same cached edge partitioning. ----
     "q_ppr" -> ((s, dir) => {
-      import s.implicits._
-      val o = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
-      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
-      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
       val seeds = BioLoader.load(s, t(dir, "supplier"))
         .filter(col("s_suppkey") < 10)
         .select(concat(lit("s"), col("s_suppkey")).as("node"))
-      GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+      GraphOps.personalizedPageRankOn(sharedPurchaseEm(s, dir), seeds, iters = 3)
         .filter(col("rank") > 0)
     }),
 
@@ -2197,12 +2209,7 @@ object SparkEntry {
     //      auth 0 and suppliers hub 0 structurally (pure
     //      bipartite). ----
     "q_hits" -> ((s, dir) => {
-      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
-      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
-      val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      GraphOps.hits(edges, iters = 2)
+      GraphOps.hitsOn(sharedPurchaseEm(s, dir), iters = 2)
     }),
 
     // ---- D14: asymmetric n-gram containment — each doc_id < 200
@@ -3130,12 +3137,7 @@ object SparkEntry {
     //      bit-identical doubles. Suppliers have no out-edges, so
     //      the dangling-mass path is structurally exercised. ----
     "q_pagerank" -> ((s, dir) => {
-      val li = BioLoader.load(s, t(dir, "lineitem")).select("l_orderkey", "l_suppkey")
-      val ord = BioLoader.load(s, t(dir, "orders")).select("o_orderkey", "o_custkey")
-      val edges = ord.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-      GraphOps.pageRank(edges, iters = 3)
+      GraphOps.pageRankOn(sharedPurchaseEm(s, dir), iters = 3)
     }),
 
     // ---- CDC merge: apply an orders-derived changelog (updates +
@@ -3623,7 +3625,7 @@ object SparkEntry {
     // ---- D7n: degree power-law MLE on the part co-order graph —
     //      two map-side-combinable shuffles to one (n, α) row. ----
     "q_power_law" -> ((s, dir) => {
-      GraphOps.degreePowerLaw(sharedCoOrderEdges(s, dir), dMin = 2L)
+      GraphOps.degreePowerLaw(sharedSymGraph(s, dir), dMin = 2L)
     }),
 
     // ---- C42: golden-record survivorship — most recent non-null

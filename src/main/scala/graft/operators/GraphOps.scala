@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the transitive-closure step a
@@ -122,20 +121,30 @@ object GraphOps {
     * @return (node, rank), Σ rank = 1 up to grid rounding
     */
   def pageRank(edges0: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    require(iters > 0, s"iters must be positive, got $iters")
-    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
-    // The big edge frame materializes in ONE shuffle: repartition on
-    // `src` first — HashPartitioning(src) satisfies the (src,dst)
-    // clustering dropDuplicates needs AND the per-iteration join key,
-    // so the dedup AND the out-degree groupBy both run in-partition
-    // (map-side partial aggregation, no sort — a window over the big
-    // side would sort every partition), the deg join re-attaches on
-    // the same partitioning (AQE broadcasts the node-sized degree
-    // frame when it is small), and no second exchange ever touches
-    // the 100 TB side. Everything downstream (node set, dangling
-    // set, every iteration) reads this cache, never the caller's
-    // edge-building plan (itself a big join at scale).
+    val em = degreeEdgeFrame(edges0)
+    try pageRankOn(em, iters, damping) finally em.unpersist()
+  }
+
+  /** Materialize a directed edge frame into the (src, dst, deg)
+    * cache every iterative-rank operator consumes — ONE
+    * repartition(src) shuffle: HashPartitioning(src) satisfies the
+    * (src,dst) clustering dropDuplicates needs AND the per-iteration
+    * join key, so the dedup AND the out-degree groupBy both run
+    * in-partition (map-side partial aggregation, no sort — a window
+    * over the big side would sort every partition), and the deg join
+    * re-attaches on the same partitioning (AQE broadcasts the
+    * node-sized degree frame when it is small). No second exchange
+    * ever touches the 100 TB side, and every downstream consumer
+    * reads this cache, never the caller's edge-building plan (itself
+    * a big join at scale).
+    *
+    * The frame comes back persisted and materialized; the CALLER
+    * owns the lifecycle (unpersist when the last consumer is done) —
+    * which is exactly what lets several rank operators over the same
+    * graph ([[pageRankOn]], [[personalizedPageRankOn]], [[hitsOn]])
+    * amortize one build.
+    */
+  def degreeEdgeFrame(edges0: DataFrame): DataFrame = {
     val base = edges0.select(col("src"), col("dst"))
       .repartition(col("src"))
       .dropDuplicates(Seq("src", "dst"))
@@ -143,6 +152,17 @@ object GraphOps {
       .agg(count(lit(1)).cast("double").as("deg"))
     val em = base.join(degF, Seq("src")).persist()
     em.count()
+    em
+  }
+
+  /** [[pageRank]] over a pre-materialized [[degreeEdgeFrame]] — the
+    * shared-artifact path: the caller amortizes the edge build
+    * across several rank operators and owns its persist lifecycle.
+    */
+  def pageRankOn(em: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
     val nodes = em
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(true)
@@ -179,7 +199,7 @@ object GraphOps {
               .as("rank"))
           .localCheckpoint(true)
       }
-    } finally em.unpersist()
+    }
     ranks
   }
 
@@ -206,18 +226,22 @@ object GraphOps {
       iters: Int,
       damping: Double = 0.85
   ): DataFrame = {
+    val em = degreeEdgeFrame(edges0)
+    try personalizedPageRankOn(em, seeds, iters, damping) finally em.unpersist()
+  }
+
+  /** [[personalizedPageRank]] over a pre-materialized
+    * [[degreeEdgeFrame]] (caller-owned persist lifecycle).
+    */
+  def personalizedPageRankOn(
+      em: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
-    // same one-shuffle edge materialization as [[pageRank]]: dedup
-    // and degree both in-partition aggregates, no window sort
-    val base = edges0.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .dropDuplicates(Seq("src", "dst"))
-    val degF = base.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("deg"))
-    val em = base.join(degF, Seq("src")).persist()
-    em.count()
     val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
     val nS = seedSet.count().toDouble
     require(nS > 0, "need at least one seed node")
@@ -253,7 +277,7 @@ object GraphOps {
               .as("rank"))
           .localCheckpoint(true)
       }
-    } finally em.unpersist()
+    }
     ranks
   }
 
@@ -849,18 +873,35 @@ object GraphOps {
     *         (sources themselves at 0)
     */
   def shortestHops(edges0: DataFrame, sources: DataFrame, maxHops: Int = 6): DataFrame = {
-    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val e = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    shortestHopsOn(e, e.count(), sources, maxHops)
+  }
+
+  /** [[shortestHops]] over an already-canonicalized [[SymGraph]] —
+    * the session-shared symmetrized edge frame (`e2`) is exactly the
+    * expansion frame the frontier loop needs; skips the
+    * symmetrize/distinct shuffle and its materialization.
+    */
+  def shortestHops(g: SymGraph, sources: DataFrame, maxHops: Int): DataFrame =
+    shortestHopsOn(g.e2, 2 * g.m, sources, maxHops)
+
+  private def shortestHopsOn(
+      e: DataFrame,
+      dirEdgeCount: Long,
+      sources: DataFrame,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     // frontier/settled are node-sized (≤ 2·edges); under the edge
     // ceiling they broadcast into the expansion join and the settled
     // anti-join, so the materialized edge frame never shuffles —
     // past it, both fall back to shuffle joins (the 100 TB shape)
-    val small = e.count() <= 2 * DegreeBroadcastMaxNodes
+    val small = dirEdgeCount <= 2 * DegreeBroadcastMaxNodes
     var settled = sources.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))
@@ -961,14 +1002,23 @@ object GraphOps {
     *         in-edges auth 0
     */
   def hits(edges0: DataFrame, iters: Int): DataFrame = {
-    require(iters > 0, s"iters must be positive, got $iters")
-    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
-    val emSrc = edges0.select(col("src"), col("dst"))
+    val em = edges0.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("src"))
       .dropDuplicates(Seq("src", "dst"))
       .persist()
-    emSrc.count()
+    em.count()
+    try hitsOn(em, iters) finally em.unpersist()
+  }
+
+  /** [[hits]] over a pre-materialized src-partitioned deduplicated
+    * edge frame (e.g. a [[degreeEdgeFrame]] — extra columns are
+    * dropped; caller-owned persist lifecycle).
+    */
+  def hitsOn(em0: DataFrame, iters: Int): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
+    val emSrc = em0.select(col("src"), col("dst"))
     val nodes = emSrc
       .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
       .localCheckpoint(true)
@@ -1008,7 +1058,7 @@ object GraphOps {
               .otherwise(lit(0.0)).as("hub"))
           .localCheckpoint(true)
       }
-    } finally { emSrc.unpersist(); if (!small) emDst.unpersist() }
+    } finally { if (!small) emDst.unpersist() }
     hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
 
@@ -1264,8 +1314,6 @@ object GraphOps {
     * the sum; the fit is NULL when fewer than 2 tail nodes.
     */
   def degreePowerLaw(edges0: DataFrame, dMin: Long = 2L): DataFrame = {
-    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
-    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
     val edges = edges0
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("hi"),
@@ -1274,6 +1322,20 @@ object GraphOps {
     val deg = edges.select(col("hi").as("node"))
       .unionAll(edges.select(col("lo").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    powerLawFromDegrees(deg, dMin)
+  }
+
+  /** [[degreePowerLaw]] over an already-canonicalized [[SymGraph]] —
+    * the MLE is a pure function of the degree multiset, which the
+    * shared graph already materialized; one aggregation over the
+    * node-sized degree table, nothing edge-sized touched.
+    */
+  def degreePowerLaw(g: SymGraph, dMin: Long): DataFrame =
+    powerLawFromDegrees(g.deg.select(col("node"), col("deg").as("degree")), dMin)
+
+  private def powerLawFromDegrees(deg: DataFrame, dMin: Long): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
     deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(when(col("degree") >= dMin, 1L).otherwise(0L)).as("n_tail"),
