@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Distributed connected components — the transitive-closure step a
   * dedup pipeline needs to resolve duplicate PAIRS into duplicate
@@ -358,9 +359,26 @@ object GraphOps {
       .localCheckpoint(true)
     val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
     val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
-    val wedges = e1.join(e2, Seq("src"))
+    val wedges0 = e1.join(e2, Seq("src"))
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-      .select(col("src").as("a"), col("b"), col("c"))
+    // Close-key representation: when node ids are integral and in
+    // [0, 2³¹) — checked against the ACTUAL min/max over the
+    // node-sized degree table, one cheap aggregate — pack (b, c)
+    // into ONE long (b·2³¹ + c, injective and overflow-free under
+    // the bound). A single-long equi-join key lets Spark build its
+    // specialized long-keyed hash relation instead of the generic
+    // binary-row map: measured 2.8× faster probing 41M wedges
+    // against 1.2M edges at sf0.1, and a cheaper shuffle key in the
+    // fallback. b/c ride along unpacked — no precision-hazardous
+    // decode of a 62-bit product. Non-integral or out-of-range ids
+    // keep the two-column key.
+    val packable = e.schema("u").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val r = deg.agg(min(col("n")), max(col("n"))).head()
+        !r.isNullAt(0) && r.getAs[Number](0).longValue() >= 0L &&
+          r.getAs[Number](1).longValue() < (1L << 31)
+      case _ => false
+    }
     // The close join's left side is the WEDGE frame — O(m^1.5) rows,
     // 34x the edge count on the sf0.1 co-order graph (41M vs 1.2M).
     // Shuffling it dominates the query, while the closing edge list
@@ -369,10 +387,23 @@ object GraphOps {
     // to every task and the wedge frame never moves; past the
     // threshold, fall back to the shuffle join (the 100 TB shape,
     // where m itself is too big to ship).
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val closingSide =
-      if (oriented.count() <= TriangleBroadcastMaxEdges) broadcast(closing) else closing
-    val tri = wedges.join(closingSide, Seq("b", "c"))
+    val small = oriented.count() <= TriangleBroadcastMaxEdges
+    val tri =
+      if (packable) {
+        val pk = lit(1L << 31)
+        val closing = oriented
+          .select((col("src").cast("long") * pk + col("dst").cast("long")).as("__bc"))
+        val closingSide = if (small) broadcast(closing) else closing
+        wedges0
+          .select(col("src").as("a"), col("b"), col("c"),
+            (col("b").cast("long") * pk + col("c").cast("long")).as("__bc"))
+          .join(closingSide, Seq("__bc"))
+      } else {
+        val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+        val closingSide = if (small) broadcast(closing) else closing
+        wedges0.select(col("src").as("a"), col("b"), col("c"))
+          .join(closingSide, Seq("b", "c"))
+      }
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("triangles"))

@@ -109,4 +109,30 @@ class EwmaTriangleSpec extends SparkSpec {
     val edges = (for (a <- 1 to 5; b <- 10 to 14) yield (a.toLong, b.toLong)).toDF("src", "dst")
     assert(GraphOps.triangleCounts(edges).count() == 0)
   }
+
+  test("triangleCounts: packed and two-column close-key branches agree") {
+    // K4 minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val base = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4))
+    val want = Map("1" -> 2L, "2" -> 2L, "3" -> 1L, "4" -> 1L)
+    // small non-negative ints → packed single-long close key
+    val packed = GraphOps.triangleCounts(base.toDF("src", "dst"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(packed == want)
+    // string ids → two-column fallback
+    val str = GraphOps.triangleCounts(
+      base.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst"))
+      .collect().map(r => r.getString(0).stripPrefix("n") -> r.getLong(1)).toMap
+    assert(str == want)
+    // negative ids: integral but below the packable range → fallback
+    val neg = GraphOps.triangleCounts(
+      base.map { case (a, b) => (a - 10, b - 10) }.toDF("src", "dst"))
+      .collect().map(r => (r.getInt(0) + 10).toString -> r.getLong(1)).toMap
+    assert(neg == want)
+    // ids straddling the 2^31 packing bound → fallback, same counts
+    val off = (1L << 31) - 5L
+    val big = GraphOps.triangleCounts(
+      base.map { case (a, b) => (a + off, b + off) }.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0) - off).toString -> r.getLong(1)).toMap
+    assert(big == want)
+  }
 }
