@@ -1090,7 +1090,8 @@ object GraphOps {
           .localCheckpoint(true)
       }
     } finally { if (!small) emDst.unpersist() }
-    hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
+    hub.join(nodeHint(small)(auth), Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
   }
 
   /** k-core decomposition membership (Seidman 1983): iteratively
