@@ -3204,6 +3204,16 @@ object SparkEntry {
         "text", "doc_id", n = 3, expectedRefShingles = 100000L)
     }),
 
+    // ---- D19: exact-substring span dedup (Lee et al. 2022) —
+    //      every 5-token window repeated anywhere in the corpus
+    //      keeps its first (doc_id, pos) site; later sites are
+    //      scrubbed token-wise and the text re-joined. ----
+    "q_substring_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
+      DedupOps.removeRepeatedNgrams(docs, "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("text_clean"), col("removed_tokens"))
+    }),
+
     // ---- P11: rolling active users — DAU/WAU/MAU + stickiness
     //      over the 30-day event log; distinct user-day collapse
     //      first, fixed 28× fan-out, observed-day clamp. ----
@@ -7908,6 +7918,39 @@ object SparkEntry {
         |  CASE WHEN tpr IS NOT NULL AND mx_tpr IS NOT NULL THEN
         |    floor((mx_tpr - tpr) * 1e9 + 0.5) / 1e9 END AS eq_opp_gap
         |FROM m""".stripMargin,
+
+    // token-window replay of the keep-first span scrub: same
+    // whitespace split, same (doc_id, pos) first-site rule; DuckDB
+    // keys windows by their joined STRING where Spark keys by
+    // xxhash64 — identical absent 64-bit collisions. coalesce('')
+    // because DuckDB's array_to_string(NULL-empty list) is NULL
+    // where Spark's concat_ws is ''.
+    "q_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS tk
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, u.gs AS pos0, array_to_string(tk[u.gs+1 : u.gs+5], chr(1)) AS w
+        |  FROM t, UNNEST(CASE WHEN len(tk) >= 5 THEN range(0, len(tk)-4) ELSE [] END) AS u(gs)
+        |), d AS (
+        |  SELECT doc_id, pos0 FROM (
+        |    SELECT doc_id, pos0,
+        |      row_number() OVER (PARTITION BY w ORDER BY doc_id, pos0) AS rn,
+        |      count(*) OVER (PARTITION BY w) AS c
+        |    FROM s)
+        |  WHERE c > 1 AND rn > 1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos0 + u.o AS i
+        |  FROM d, UNNEST(range(0, 5)) AS u(o)
+        |), a AS (
+        |  SELECT doc_id, list(i) AS cv FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(1, len(tk)+1), i -> a.cv IS NULL OR NOT list_contains(a.cv, i-1)),
+        |    i -> tk[i]), ' '), '') AS text_clean,
+        |  CASE WHEN a.cv IS NULL THEN 0 ELSE len(a.cv) END AS removed_tokens
+        |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // true 3-gram set difference (same tokenizer + short-doc
     // whole-window rule as the Spark shingle hashes)

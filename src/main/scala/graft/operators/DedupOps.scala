@@ -1081,4 +1081,97 @@ object DedupOps {
       s => graft.functions.CurationExpressions.inBloom(s, bc)), lit(false)))
   }
 
+  /** Exact-substring span dedup at token-window granularity (the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better" operator, re-expressed for Spark): every word
+    * `n`-gram that occurs at more than one (doc, position) site
+    * ACROSS the corpus keeps its FIRST occurrence in (id, pos)
+    * order and is scrubbed from every later site — token-level
+    * removal, so a doc that merely quotes an earlier doc loses the
+    * quoted span, not the whole doc (the gap [[dedupLines]] leaves:
+    * line dedup misses sub-line/reflowed copies, whole-doc minhash
+    * misses partial copies). Cleaned text lands in `outputCol`
+    * (tokens re-joined single-spaced); `removed_tokens` counts the
+    * scrubbed tokens per doc.
+    *
+    * Scale shape (no suffix array needed): window sites are
+    * (id, pos, xxhash64) rows — the TEXT never shuffles. ONE
+    * hash-aggregate on the window hash (count + min(struct(id,pos)),
+    * both partial-aggregable, so a million-fold repeated boilerplate
+    * window collapses map-side — no row_number sort skew), one
+    * sites⋈dup-windows hash join (AQE-skew-splittable), one
+    * groupBy(id) covered-index collect bounded by the doc's own
+    * token count. Everything is content-derived: layout- and
+    * partitioning-invariant.
+    *
+    * Identity is the 64-bit window hash (the minhash family's
+    * convention); tokens are whitespace-split, so reconstruction
+    * normalizes runs of whitespace to single spaces.
+    */
+  def removeRepeatedNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      outputCol: String = "text_clean"
+  ): DataFrame = {
+    require(n >= 2, s"window size must be >= 2 tokens, got $n")
+    val sep = "\u0001"
+    val base = df.withColumn("__tk",
+      split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+    val sites = base
+      .select(col(idCol), posexplode(
+        when(size(col("__tk")) >= n,
+          transform(sequence(lit(0), size(col("__tk")) - n),
+            p => xxhash64(concat_ws(sep, slice(col("__tk"), p + lit(1), lit(n))))))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__h")
+    // duplicated windows + their first site: partial-aggregable, so
+    // the exchange carries one row per distinct window per partition
+    val dupWins = sites
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("d"), col("__pos").as("p"))).as("__f"))
+      .filter(col("__c") > 1)
+      .select(col("__h"), col("__f"))
+    val dupSites = sites.join(dupWins, Seq("__h"))
+      .filter(!(col(idCol) === col("__f.d") && col("__pos") === col("__f.p")))
+    val covered = dupSites
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__i"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__i")).as("__cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn(outputCol,
+        concat_ws(" ", filter(col("__tk"),
+          (_, i) => col("__cov").isNull || !array_contains(col("__cov"), i))))
+      .withColumn("removed_tokens",
+        when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov"))))
+      .drop("__tk", "__cov")
+  }
+
+  /** Corpus-level telemetry for [[removeRepeatedNgrams]]: one row
+    * per duplicated window hash with its site count — the "how much
+    * boilerplate is there" profile (heavy hashes = hot boilerplate),
+    * and the observability half of the scrub's contract.
+    */
+  def repeatedNgramReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    require(n >= 2, s"window size must be >= 2 tokens, got $n")
+    val sep = "\u0001"
+    df.select(explode(
+        when(size(split(trim(coalesce(col(textCol), lit(""))), "\\s+")) >= n,
+          transform(sequence(lit(0),
+              size(split(trim(coalesce(col(textCol), lit(""))), "\\s+")) - n),
+            p => xxhash64(concat_ws(sep,
+              slice(split(trim(coalesce(col(textCol), lit(""))), "\\s+"), p + lit(1), lit(n))))))
+          .otherwise(array().cast("array<bigint>"))).as("window_hash"))
+      .groupBy("window_hash").agg(count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") > 1)
+  }
+
 }
