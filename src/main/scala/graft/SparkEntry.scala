@@ -848,6 +848,52 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- M1d: perceptual image dedup — REAL PNG decode → dHash64
+    //      → quarter-band hamming pairs. The fixture plants 8 image
+    //      classes ≥16 hamming apart with per-doc brightness noise
+    //      (bytes differ, gradients don't): a broken hash either
+    //      over-pairs across classes or misses the planted twins,
+    //      so the class-arithmetic oracle discriminates. ----
+    "q_image_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select("doc_id").filter(col("doc_id") < 500)
+      val gen = udf((id: Long) =>
+        graft.multimodal.MultimodalOps.classPatternPng((id % 8).toInt, (id % 5).toInt))
+      graft.multimodal.MultimodalOps.perceptualDedup(
+        docs.withColumn("content", gen(col("doc_id"))), "doc_id", "content", maxHamming = 3)
+    }),
+
+    // ---- X23: canonical-URL dedup — four scrape variants of each
+    //      planted page (case/port/fragment, www + tracking params,
+    //      trailing slash) must collapse to ONE canonical string;
+    //      the oracle pins the exact canonical output. ----
+    "q_url_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select("doc_id").filter(col("doc_id") < 500)
+        .withColumn("k", (col("doc_id") % 125).cast("long"))
+        .withColumn("v", floor(col("doc_id") / 125))
+      val base = concat(lit("site"), col("k"), lit(".com/p"), col("k"))
+      val variants = docs.withColumn("url",
+        when(col("v") === 0, concat(lit("https://"), base))
+          .when(col("v") === 1, concat(lit("HTTPS://SITE"), col("k"), lit(".COM:443/p"), col("k"), lit("#frag")))
+          .when(col("v") === 2, concat(lit("https://www.site"), col("k"), lit(".com/p"), col("k"), lit("?utm_source=x&gclid=1")))
+          .otherwise(concat(lit("https://"), base, lit("/"))))
+      TextOps.urlDedupGroups(variants, "doc_id", "url")
+    }),
+
+    // ---- M1e: audio near-dup — REAL WAV decode → 65-slice
+    //      energy-envelope fingerprint → quarter-band hamming
+    //      pairs. Per-doc gain scaling (bytes differ, energy-delta
+    //      signs don't) plays the brightness role of q_image_dedup. ----
+    "q_audio_dedup" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .select("doc_id").filter(col("doc_id") < 500)
+      val gen = udf((id: Long) =>
+        graft.multimodal.MultimodalOps.classPatternWav((id % 8).toInt, 1.0 / (1 + (id % 3))))
+      graft.multimodal.MultimodalOps.audioDedup(
+        docs.withColumn("content", gen(col("doc_id"))), "doc_id", "content", maxHamming = 3)
+    }),
+
     // ---- C13: salted join for skewed keys — must be result-
     //      identical to the plain join (the oracle IS the plain
     //      join), while spreading each hot key over saltFactor
@@ -4531,6 +4577,31 @@ object SparkEntry {
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_md5, CAST(8 AS INTEGER) AS feat_dim
         |FROM documents""".stripMargin,
+
+    // class arithmetic replay: the planted classes are ≥16 hamming
+    // apart and same-class twins hamming-0, so the exact pair set
+    // is (a, b) within a doc_id%8 class — any decode/hash/banding
+    // defect changes the pair set and fails the hash compare
+    "q_image_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id % 8 = b.doc_id % 8""".stripMargin,
+
+    // the canonical strings are PINNED literally: a normalization
+    // defect (missed port, unsorted params, kept fragment…) yields
+    // different canonical_url values or split groups → hash fail
+    "q_url_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 125 AS k FROM documents WHERE doc_id < 500)
+        |SELECT 'https://site' || k || '.com/p' || k AS canonical_url,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM d GROUP BY k""".stripMargin,
+
+    // same class-arithmetic replay as q_image_dedup: planted audio
+    // classes ≥16 hamming apart, gain-scaled twins hamming-0
+    "q_audio_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id % 8 = b.doc_id % 8""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,

@@ -137,6 +137,109 @@ object MultimodalOps {
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an encoded image:
+    * ImageIO decode → area-average onto a 9×8 luma grid (manual
+    * block averaging with the [[imageDecode]] subsample stride, so
+    * the hash is deterministic across JVMs — no Graphics2D
+    * interpolation in the path) → bit (8·y + x) set when cell
+    * (x, y) is darker than its right neighbor. Gradient signs
+    * survive brightness shifts and lossless re-encodes, so
+    * near-identical images collide and the hash feeds straight into
+    * the simhash-style hamming-banded dedup. Unreadable bytes →
+    * null (fail-closed, the multimodal codec contract).
+    */
+  def imageDHash: Array[Byte] => java.lang.Long = bytes => {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val step = math.max(1, math.max(w, h) / 64)
+        val luma = Array.ofDim[Double](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+            var s = 0L; var n = 0L
+            var y = y0
+            while (y < y1 && y < h) {
+              var x = x0
+              while (x < x1 && x < w) {
+                val px = img.getRGB(x, y)
+                s += (299 * ((px >> 16) & 0xff) + 587 * ((px >> 8) & 0xff) + 114 * (px & 0xff)) / 1000
+                n += 1; x += step
+              }
+              y += step
+            }
+            luma(gy)(gx) = if (n == 0) 0.0 else s.toDouble / n
+            gx += 1
+          }
+          gy += 1
+        }
+        var sig = 0L
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            if (luma(yy)(xx) < luma(yy)(xx + 1)) sig |= 1L << (yy * 8 + xx)
+            xx += 1
+          }
+          yy += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Deterministic 9×8 grayscale PNG whose dHash is exactly the
+    * class pattern `((x + y + cls) % 8) < 4` — adjacent classes are
+    * ≥ 16 hamming apart, same-class images are hamming-0 regardless
+    * of `brightness` (a uniform luma shift that changes the BYTES
+    * but no gradient sign). The fixture generator for perceptual-
+    * dedup oracles and specs: class membership, not byte equality,
+    * must drive the pairing.
+    */
+  def classPatternPng(cls: Int, brightness: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var l = 128 + brightness
+      var x = 0
+      while (x < 9) {
+        if (x > 0) l = if (((x - 1 + y + cls) % 8 + 8) % 8 < 4) l + 10 else l - 10
+        val v = math.max(0, math.min(255, l))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual near-dup pairs over an image bytes column: [[imageDHash]]
+    * per blob (scan-stage, no shuffle), then the simhash quarter-band
+    * plan ([[graft.operators.DedupOps.hammingPairs64]]) — ONE
+    * groupBy(band) shuffle of (id, sig) rows, capped buckets,
+    * bucket-local fused hamming verify. Undecodable blobs drop out
+    * (null sig) rather than pairing up.
+    */
+  def perceptualDedup(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val dhash = udf((b: Array[Byte]) => Option(imageDHash(b)).map(_.longValue()))
+    graft.operators.DedupOps.hammingPairs64(
+      df.select(col(idCol).cast("long").as("id"), dhash(col(bytesCol)).as("sig")),
+      "id", "sig", maxHamming, maxBucket)
+  }
+
   /** REAL audio codec on the JDK's javax.sound.sampled WAV/AIFF/AU
     * parsers: decode → `[sampleRate, channels, durationMs, RMS,
     * zeroCrossingRate, ...]` padded to `dim`. PCM frames are
@@ -184,6 +287,113 @@ object MultimodalOps {
       if (in != null) in.close()
       if (raw != null) raw.close()
     }
+  }
+
+  /** 64-bit audio fingerprint — the [[imageDHash]] idea on the time
+    * axis: canonicalize to 16-bit PCM (the [[audioDecode]]
+    * converter), mean |sample| over 65 equal time slices, bit i set
+    * when slice i is quieter than slice i+1. Energy-DELTA signs
+    * survive uniform gain changes and bit-depth re-encodes, so the
+    * same clip at different volumes collides; feeds
+    * [[graft.operators.DedupOps.hammingPairs64]] like the image
+    * hash. Streams frames (no whole-clip buffering); unparseable
+    * bytes or unknown frame length → null (fail-closed).
+    */
+  def audioFingerprint: Array[Byte] => java.lang.Long = bytes => {
+    var raw: javax.sound.sampled.AudioInputStream = null
+    var in: javax.sound.sampled.AudioInputStream = null
+    try {
+      raw = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val srcFmt = raw.getFormat
+      val totalFrames = raw.getFrameLength
+      if (totalFrames <= 0) null
+      else {
+        val canon = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(canon, raw)
+        val ch = srcFmt.getChannels
+        val sliceSum = new Array[Double](65)
+        val sliceN = new Array[Long](65)
+        val buf = new Array[Byte](4096)
+        var frameIdx = 0L
+        var read = in.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 2 * ch <= read) {
+            // one FRAME: mean |sample| across channels, so a stereo
+            // mixdown of the same material stays comparable
+            var c = 0; var s = 0.0
+            while (c < ch) {
+              s += math.abs(((buf(i + 2 * c + 1) << 8) | (buf(i + 2 * c) & 0xff)).toShort.toInt)
+              c += 1
+            }
+            val slice = math.min((frameIdx * 65 / totalFrames).toInt, 64)
+            sliceSum(slice) += s / ch; sliceN(slice) += 1
+            frameIdx += 1; i += 2 * ch
+          }
+          read = in.read(buf)
+        }
+        if (frameIdx == 0) null
+        else {
+          val e = Array.tabulate(65)(s => if (sliceN(s) == 0) 0.0 else sliceSum(s) / sliceN(s))
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (e(b) < e(b + 1)) sig |= 1L << b; b += 1 }
+          java.lang.Long.valueOf(sig)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally {
+      if (in != null) in.close()
+      if (raw != null) raw.close()
+    }
+  }
+
+  /** Deterministic mono 16-bit WAV whose [[audioFingerprint]] is
+    * exactly the class pattern `((i + cls) % 8) < 4`: 65 slices of
+    * 40 samples, each slice a ±amplitude square wave (mean |sample|
+    * = the amplitude EXACTLY, no partial-period noise), amplitude
+    * laddering ±60 on the class bit. `gain` scales every sample —
+    * different bytes, identical energy-delta signs. Fixture
+    * generator for audio-dedup oracles and specs.
+    */
+  def classPatternWav(cls: Int, gain: Double): Array[Byte] = {
+    val amps = new Array[Double](65)
+    amps(0) = 5000.0
+    for (i <- 0 until 64)
+      amps(i + 1) = if (((i + cls) % 8 + 8) % 8 < 4) amps(i) + 60 else amps(i) - 60
+    val pcm = new Array[Byte](65 * 40 * 2)
+    var k = 0
+    for (s <- 0 until 65; j <- 0 until 40) {
+      val a = (amps(s) * gain * (if ((j / 2) % 2 == 0) 1 else -1)).toInt.toShort
+      pcm(k) = (a & 0xff).toByte; pcm(k + 1) = ((a >> 8) & 0xff).toByte
+      k += 2
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 65L * 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio near-dup pairs over a bytes column: [[audioFingerprint]]
+    * in the scan stage, then the shared quarter-band hamming plan —
+    * same contract as [[perceptualDedup]].
+    */
+  def audioDedup(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val fp = udf((b: Array[Byte]) => Option(audioFingerprint(b)).map(_.longValue()))
+    graft.operators.DedupOps.hammingPairs64(
+      df.select(col(idCol).cast("long").as("id"), fp(col(bytesCol)).as("sig")),
+      "id", "sig", maxHamming, maxBucket)
   }
 
   /** REAL video codec over the ISO-BMFF container structure

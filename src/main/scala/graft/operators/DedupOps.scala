@@ -101,7 +101,30 @@ object DedupOps {
     // null text → null sig; drop before bucketing (the groupBy keeps
     // null keys, so null-sig docs would all land in the (q, null)
     // buckets and pair up as spurious hamming-0 "duplicates")
-    val sigs = df.select(col(idCol).as("id"), HE.simhashText(col(textCol)).as("sig"))
+    hammingPairs64(
+      df.select(col(idCol).as("id"), HE.simhashText(col(textCol)).as("sig")),
+      "id", "sig", maxHamming, maxBucket)
+  }
+
+  /** Hamming-≤-`maxHamming` pairs over ANY precomputed 64-bit
+    * signature column (simhash, image dHash, audio fingerprints…):
+    * quarter-band the signature into 4 16-bit keys — by pigeonhole
+    * a pair within hamming 3 agrees on at least one quarter, so the
+    * banding is candidate-COMPLETE for maxHamming ≤ 3 (enforced) —
+    * then ONE groupBy(band) with capped member collection and the
+    * fused bucket-local hamming verify. Null signatures drop out
+    * before bucketing. (id, sig) rows are all that shuffles.
+    */
+  def hammingPairs64(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"quarter-banding is candidate-complete only for maxHamming <= 3, got $maxHamming")
+    val sigs = df.select(col(idCol).cast("long").as("id"), col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
     val quarters = sigs.select(
       col("id"),
@@ -1094,14 +1117,18 @@ object DedupOps {
     * (tokens re-joined single-spaced); `removed_tokens` counts the
     * scrubbed tokens per doc.
     *
-    * Scale shape (no suffix array needed): window sites are
-    * (id, pos, xxhash64) rows — the TEXT never shuffles. ONE
-    * hash-aggregate on the window hash (count + min(struct(id,pos)),
-    * both partial-aggregable, so a million-fold repeated boilerplate
+    * Scale shape (no suffix array needed): the duplicate-detection
+    * passes carry only (id, pos, xxhash64) rows — ONE hash-aggregate
+    * on the window hash (count + min(struct(id,pos)), both
+    * partial-aggregable, so a million-fold repeated boilerplate
     * window collapses map-side — no row_number sort skew), one
     * sites⋈dup-windows hash join (AQE-skew-splittable), one
     * groupBy(id) covered-index collect bounded by the doc's own
-    * token count. Everything is content-derived: layout- and
+    * token count. The text moves only in the final attach join of
+    * the covered-index frame (touched docs only): AQE broadcasts it
+    * when the touched set is small, and the worst case is ONE
+    * id-keyed text shuffle — the unavoidable colocate-to-rewrite
+    * step. Everything is content-derived: layout- and
     * partitioning-invariant.
     *
     * Identity is the 64-bit window hash (the minhash family's

@@ -446,4 +446,52 @@ object TextOps {
         s9(col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
         s9(col("n_tokens").cast("double") / col("n_types")).as("mean_term_freq")): _*)
   }
+
+  /** Canonical URL form for URL-keyed dedup — the scrape-pipeline
+    * normalization pass that runs BEFORE content dedup (the same
+    * page arrives as `HTTP://Site.com:80/p#x`, `http://www.site.com/p/`
+    * and `http://site.com/p?utm_source=…`; keyed raw, they are four
+    * "distinct" docs). Pure native column functions — regexp splits,
+    * a lambda filter, `array_sort` — so the whole normalization
+    * codegens inside the scan stage, zero shuffle, no UDF.
+    *
+    * Rules (each replayable in ANSI-ish SQL for the oracle):
+    * fragment dropped; scheme + host lowercased; leading `www.`
+    * and default ports (`:80` http, `:443` https) dropped; tracking
+    * params (`utm_*`, `gclid`, `fbclid`, `ref`) dropped; surviving
+    * query params sorted; trailing path slashes collapsed (root
+    * stays `/`, empty path becomes `/`). Strings without a
+    * `scheme://` prefix pass through trimmed (not every doc field
+    * is a URL; garbage stays byte-stable rather than half-mangled).
+    */
+  def urlNormalize(u: Column): Column = {
+    val t = trim(u)
+    val scheme = lower(regexp_extract(t, "^([^:/?#]+)://.*$", 1))
+    val rest = regexp_extract(t, "^[^:/?#]+://([^#]*).*$", 1) // fragment dropped here
+    val hostport = lower(regexp_extract(rest, "^([^/?]*).*$", 1))
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val pathq = regexp_extract(rest, "^[^/?]*(.*)$", 1)
+    val path0 = regexp_extract(pathq, "^([^?]*).*$", 1)
+    val path = when(regexp_replace(path0, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val query0 = regexp_extract(pathq, "^[^?]*\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query0, "&"),
+      p => !(p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)") || p === "")))
+    val query = concat_ws("&", kept)
+    val canon = concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    when(t.rlike("^[^:/?#]+://"), canon).otherwise(t)
+  }
+
+  /** URL-keyed exact dedup groups: [[urlNormalize]] in the scan
+    * stage, then one hash-aggregate on the canonical form — keeper
+    * (min id), copy count, and the canonical key per group.
+    */
+  def urlDedupGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), urlNormalize(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 }
