@@ -124,6 +124,12 @@ object DedupOps {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"quarter-banding is candidate-complete only for maxHamming <= 3, got $maxHamming")
+    // fail fast on non-integral ids: cast('long') would turn e.g. a
+    // string id column into silent nulls instead of pairs
+    val idType = df.select(col(idCol)).schema.head.dataType
+    require(Seq("byte", "short", "int", "long", "integer", "bigint")
+        .contains(idType.typeName),
+      s"$idCol must be an integral id column, got ${idType.typeName}")
     val sigs = df.select(col(idCol).cast("long").as("id"), col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
     val quarters = sigs.select(
@@ -1143,6 +1149,9 @@ object DedupOps {
       outputCol: String = "text_clean"
   ): DataFrame = {
     require(n >= 2, s"window size must be >= 2 tokens, got $n")
+    val reserved = Seq("__tk", "__cov", "__pos", "__h", "__c", "__f", "__i")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with reserved working names ${reserved.mkString(", ")}")
     val sep = "\u0001"
     val base = df.withColumn("__tk",
       split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
