@@ -31,16 +31,42 @@ object Bench {
     // must not pay it), and loudly on failure (a swallowed error
     // would push the build back into the first graph query — the
     // exact mis-attribution this preamble exists to prevent).
-    val graphKeys = Set("q_louvain", "q_modularity", "q_label_prop", "q_triangles",
-      "q_cooccur", "q_assortativity", "q_clustering", "q_bfs_hops", "q_power_law",
-      "q_pagerank", "q_ppr", "q_hits")
-    val wantsGraph = only.forall(f => graphKeys.exists(f.contains))
+    // the shared build is split per consumer family: a targeted
+    // SPARK_GRAFT_ONLY=q_pagerank run must not pay the unrelated
+    // LPA+Louvain chain (~20s at sf0.1) just to warm the purchase
+    // frame it actually reads
+    val coOrderKeys = Set("q_louvain", "q_modularity", "q_label_prop", "q_triangles",
+      "q_cooccur", "q_assortativity", "q_clustering", "q_bfs_hops", "q_power_law")
+    val purchaseKeys = Set("q_pagerank", "q_ppr", "q_hits")
+    val wantsCoOrder = only.forall(f => coOrderKeys.exists(f.contains))
+    val wantsPurchase = only.forall(f => purchaseKeys.exists(f.contains))
     val tW = System.nanoTime()
-    if (wantsGraph) {
-      try SparkEntry.warmShared(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] warmShared FAILED: $e") }
+    if (wantsCoOrder) {
+      try SparkEntry.warmSharedCoOrder(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warmSharedCoOrder FAILED: $e") }
+    }
+    if (wantsPurchase) {
+      try SparkEntry.warmSharedPurchase(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warmSharedPurchase FAILED: $e") }
     }
     val warmSecs = (System.nanoTime() - tW) / 1e9
+    // host-speed calibration: six queries whose code paths are
+    // frozen (picked in SCALEPROBE_r10.md §8 when an idle-VM window
+    // re-ran them 50-150% slower). Run discard + measured passes and
+    // report the measured sum as `_host_control` so every record
+    // self-documents how fast the host was when it was taken —
+    // records whose control diverges >~1.2x from the committed
+    // reference (see SCALEPROBE_r11.md) are not like-for-like.
+    // Excluded from `total`: it is a meter, not benchmarked work.
+    val controlKeys = Seq("q_stream_cms", "q_rules", "q_bm25_append",
+      "q_outliers", "q_profile", "q_stream_tdigest")
+    def runControl(): Double = controlKeys.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
+    runControl() // discard: one-time codegen/page-cache costs
+    val hostControl = runControl()
     def runAll(): Map[String, Double] = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -53,15 +79,19 @@ object Bench {
     // ~50% of its wall-clock; run it as a discard and report the
     // second, steady-state pass
     runAll()
-    val results = runAll() ++
-      (if (wantsGraph) Map("_shared_graph_build" -> warmSecs) else Map.empty)
+    val warmLine: Map[String, Double] =
+      if (wantsCoOrder || wantsPurchase) Map("_shared_graph_build" -> warmSecs) else Map.empty
+    val results = runAll() ++ warmLine
     // millisecond precision keeps the record line ~5 KB — full
     // double reprs tripled it and the driver's stdout tail-capture
     // truncated the r7/r8 records into unparseable fragments
     def r3(v: Double): Double = math.floor(v * 1e3 + 0.5) / 1e3
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    // total sums the benchmarked work (incl. the shared-build line);
+    // the control meter rides in `queries` but not in `total`
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
+    val qs = (results + ("_host_control" -> hostControl))
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // land the record in a file first: stdout through the sbt runner
     // gets log-prefixed and has produced truncated records

@@ -179,17 +179,31 @@ object SparkEntry {
       GraphOps.degreeEdgeFrame(edges)
     }
 
-  /** Materialize the session-shared graph artifacts (co-order
-    * edges, canonical graph, LPA seed, Louvain refinement, the
-    * purchase-graph degree-edge frame) up front. The bench harness
-    * calls this in its preamble and reports the cost as its own
-    * line item, so a single-pass run cannot charge the shared build
-    * to whichever graph query happens to execute first (the r9
-    * record charged ~20 s to q_assortativity/q_modularity this way).
+  /** Materialize the co-order half of the session-shared graph
+    * artifacts (co-order edges, canonical graph, LPA seed, Louvain
+    * refinement). The bench harness calls this in its preamble and
+    * reports the cost on the `_shared_graph_build` line, so a
+    * single-pass run cannot charge the shared build to whichever
+    * graph query happens to execute first (the r9 record charged
+    * ~20 s to q_assortativity/q_modularity this way). Split from
+    * the purchase-graph half so a targeted run (SPARK_GRAFT_ONLY)
+    * warms only the frames its selected queries actually consume.
     */
-  def warmShared(spark: SparkSession, dir: String): Unit = {
+  def warmSharedCoOrder(spark: SparkSession, dir: String): Unit =
     sharedLouvain(spark, dir).labels.count()
+
+  /** Materialize the purchase-graph degree-edge frame consumed by
+    * q_pagerank / q_ppr / q_hits. See [[warmSharedCoOrder]].
+    */
+  def warmSharedPurchase(spark: SparkSession, dir: String): Unit = {
     sharedPurchaseEm(spark, dir)
+    ()
+  }
+
+  /** Both halves — the full-registry warm path. */
+  def warmShared(spark: SparkSession, dir: String): Unit = {
+    warmSharedCoOrder(spark, dir)
+    warmSharedPurchase(spark, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -892,6 +906,39 @@ object SparkEntry {
         graft.multimodal.MultimodalOps.classPatternWav((id % 8).toInt, 1.0 / (1 + (id % 3))))
       graft.multimodal.MultimodalOps.audioDedup(
         docs.withColumn("content", gen(col("doc_id"))), "doc_id", "content", maxHamming = 3)
+    }),
+
+    // ---- M1d/M1e telemetry: the hammingPairs64 cap must not be
+    //      silent. Four constant-signature media classes (bytes
+    //      differ per copy via brightness/gain, the 64-bit
+    //      signatures don't) replicated r = 40 + 10·cls times with
+    //      maxBucket = 50: only the r ∈ {60, 70} classes may
+    //      surface, each as 4 quarter-band buckets of exactly r
+    //      members — the lost-pair arithmetic is closed-form, so
+    //      the report itself is oracled (same discipline as D12's
+    //      q_overflow_report). ----
+    "q_hamming_overflow" -> ((s, dir) => {
+      val copies = BioLoader.load(s, t(dir, "documents")).select("doc_id")
+        .filter(col("doc_id") < 4)
+        .withColumn("r", (lit(40) + (col("doc_id") % 4) * 10).cast("int"))
+        .select(col("doc_id"), explode(sequence(lit(1), col("r"))).as("c"))
+      val genPng = udf((cls: Long, c: Long) =>
+        graft.multimodal.MultimodalOps.classPatternPng(cls.toInt, (c % 5).toInt))
+      val genWav = udf((cls: Long, c: Long) =>
+        graft.multimodal.MultimodalOps.classPatternWav(cls.toInt, 1.0 / (1 + (c % 3))))
+      def fold(rep: DataFrame, family: String): DataFrame = rep
+        .groupBy("n_members")
+        .agg(count(lit(1)).as("n_buckets"), sum("n_lost_pairs").as("lost_pairs"))
+        .select(lit(family).as("family"), col("n_members"), col("n_buckets"), col("lost_pairs"))
+      val img = graft.multimodal.MultimodalOps.perceptualOverflowReport(
+        copies.select((col("doc_id") * 1000 + col("c")).as("id"),
+          genPng(col("doc_id"), col("c")).as("content")),
+        "id", "content", maxBucket = 50)
+      val aud = graft.multimodal.MultimodalOps.audioOverflowReport(
+        copies.select((col("doc_id") * 1000 + col("c")).as("id"),
+          genWav(col("doc_id"), col("c")).as("content")),
+        "id", "content", maxBucket = 50)
+      fold(img, "image").unionByName(fold(aud, "audio"))
     }),
 
     // ---- C13: salted join for skewed keys — must be result-
@@ -4602,6 +4649,22 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
         |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id % 8 = b.doc_id % 8""".stripMargin,
+
+    // closed-form replay of the planted constant-signature classes:
+    // each over-cap class (r > 50) is exactly 4 quarter-band buckets
+    // of r members in BOTH media families
+    "q_hamming_overflow" ->
+      """WITH p AS (SELECT doc_id, 40 + (doc_id % 4) * 10 AS r
+        |           FROM documents WHERE doc_id < 4)
+        |SELECT 'image' AS family, CAST(r AS BIGINT) AS n_members,
+        |       CAST(4 AS BIGINT) AS n_buckets,
+        |       CAST(4 * (r * (r - 1) // 2) AS BIGINT) AS lost_pairs
+        |FROM p WHERE r > 50
+        |UNION ALL
+        |SELECT 'audio' AS family, CAST(r AS BIGINT) AS n_members,
+        |       CAST(4 AS BIGINT) AS n_buckets,
+        |       CAST(4 * (r * (r - 1) // 2) AS BIGINT) AS lost_pairs
+        |FROM p WHERE r > 50""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,

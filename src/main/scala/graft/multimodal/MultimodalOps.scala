@@ -148,7 +148,14 @@ object MultimodalOps {
     * the simhash-style hamming-banded dedup. Unreadable bytes →
     * null (fail-closed, the multimodal codec contract).
     */
-  def imageDHash: Array[Byte] => java.lang.Long = bytes => {
+  def imageDHash: Array[Byte] => java.lang.Long = imageDHashKernel(_)
+
+  /** Static kernel form of [[imageDHash]] — generated code calls it
+    * through the object's static forwarder
+    * (`graft.multimodal.MultimodalOps.imageDHashKernel`), the same
+    * discipline as `HashExpressions.simhashTextKernel`.
+    */
+  def imageDHashKernel(bytes: Array[Byte]): java.lang.Long = {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) null
@@ -233,12 +240,32 @@ object MultimodalOps {
       bytesCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000
-  ): DataFrame = {
-    val dhash = udf((b: Array[Byte]) => Option(imageDHash(b)).map(_.longValue()))
+  ): DataFrame =
+    // id passes through UN-cast: hammingPairs64's integral-id check
+    // must see the caller's type (a silent cast('long') here would
+    // turn a string id into nulls — the failure the guard exists for)
     graft.operators.DedupOps.hammingPairs64(
-      df.select(col(idCol).cast("long").as("id"), dhash(col(bytesCol)).as("sig")),
+      df.select(col(idCol).as("id"),
+        graft.functions.PerceptualExpressions.imageDHash64(col(bytesCol)).as("sig")),
       "id", "sig", maxHamming, maxBucket)
-  }
+
+  /** "No silent caps" telemetry for [[perceptualDedup]]: exact
+    * member counts of the quarter-band buckets past `maxBucket` —
+    * the constant-signature classes (black frames, test cards) that
+    * the capped pass drops wholesale at scrape scale. Same
+    * drop-and-report contract as the D12 family. Returns
+    * (q, k, n_members, n_lost_pairs).
+    */
+  def perceptualOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxBucket: Int = 1000
+  ): DataFrame =
+    graft.operators.DedupOps.hammingOverflowReport(
+      df.select(col(idCol).as("id"),
+        graft.functions.PerceptualExpressions.imageDHash64(col(bytesCol)).as("sig")),
+      "id", "sig", maxBucket)
 
   /** REAL audio codec on the JDK's javax.sound.sampled WAV/AIFF/AU
     * parsers: decode → `[sampleRate, channels, durationMs, RMS,
@@ -299,7 +326,12 @@ object MultimodalOps {
     * hash. Streams frames (no whole-clip buffering); unparseable
     * bytes or unknown frame length → null (fail-closed).
     */
-  def audioFingerprint: Array[Byte] => java.lang.Long = bytes => {
+  def audioFingerprint: Array[Byte] => java.lang.Long = audioFingerprintKernel(_)
+
+  /** Static kernel form of [[audioFingerprint]] — see
+    * [[imageDHashKernel]] for the codegen-forwarder rationale.
+    */
+  def audioFingerprintKernel(bytes: Array[Byte]): java.lang.Long = {
     var raw: javax.sound.sampled.AudioInputStream = null
     var in: javax.sound.sampled.AudioInputStream = null
     try {
@@ -389,12 +421,27 @@ object MultimodalOps {
       bytesCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000
-  ): DataFrame = {
-    val fp = udf((b: Array[Byte]) => Option(audioFingerprint(b)).map(_.longValue()))
+  ): DataFrame =
+    // un-cast id: see perceptualDedup
     graft.operators.DedupOps.hammingPairs64(
-      df.select(col(idCol).cast("long").as("id"), fp(col(bytesCol)).as("sig")),
+      df.select(col(idCol).as("id"),
+        graft.functions.PerceptualExpressions.audioFingerprint64(col(bytesCol)).as("sig")),
       "id", "sig", maxHamming, maxBucket)
-  }
+
+  /** [[perceptualOverflowReport]] for the audio fingerprint path —
+    * the over-cap class here is silence / constant tones. Returns
+    * (q, k, n_members, n_lost_pairs).
+    */
+  def audioOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      bytesCol: String,
+      maxBucket: Int = 1000
+  ): DataFrame =
+    graft.operators.DedupOps.hammingOverflowReport(
+      df.select(col(idCol).as("id"),
+        graft.functions.PerceptualExpressions.audioFingerprint64(col(bytesCol)).as("sig")),
+      "id", "sig", maxBucket)
 
   /** REAL video codec over the ISO-BMFF container structure
     * ([[Mp4]]): `[width, height, durationMs, frameCount, fps,

@@ -258,9 +258,28 @@ object DedupOps {
       idCol: String,
       textCol: String,
       maxBucket: Int = 1000
+  ): DataFrame =
+    hammingOverflowReport(
+      df.select(col(idCol).as("id"), HE.simhashText(col(textCol)).as("sig")),
+      "id", "sig", maxBucket)
+
+  /** Overflowed quarter-band buckets for [[hammingPairs64]]'s cap
+    * settings, generic over ANY precomputed 64-bit signature column
+    * (simhash, image dHash, audio fingerprint). A constant-signature
+    * class past `maxBucket` — a black-image or silent-audio cluster
+    * at scrape scale — is dropped wholesale by the capped pass; this
+    * surfaces it with exact counts (the "no silent caps" contract
+    * the text paths already honor via [[simhashOverflowReport]]).
+    * Returns (q, k, n_members, n_lost_pairs).
+    */
+  def hammingOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val quarters = df
-      .select(HE.simhashText(col(textCol)).as("sig"))
+      .select(col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
       .select(explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("b"))

@@ -114,4 +114,65 @@ class PerceptualDedupSpec extends SparkSpec {
     } yield (a, b, 0)).sorted
     assert(pairs === want)
   }
+
+  // ---- "no silent caps" for the hamming family ----
+
+  test("over-cap constant-signature class: pairs drop AND the overflow report names it") {
+    // class 0: 6 brightness-shifted copies (constant signature),
+    // class 1: 3 copies — with maxBucket=4 the class-0 quarter
+    // buckets (6 members each) are over cap
+    val df = ((0L to 5L).map(id => (id, MultimodalOps.classPatternPng(0, id.toInt))) ++
+      (10L to 12L).map(id => (id, MultimodalOps.classPatternPng(1, id.toInt)))).toDF("id", "content")
+    val pairs = MultimodalOps.perceptualDedup(df, "id", "content", maxBucket = 4)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // class-0 pairs silently dropped by the cap; class-1 pairs survive
+    assert(pairs === Seq((10L, 11L, 0), (10L, 12L, 0), (11L, 12L, 0)))
+    // ...and the report surfaces exactly the 4 over-cap quarter
+    // buckets of the dropped class with closed-form lost pairs
+    val rep = MultimodalOps.perceptualOverflowReport(df, "id", "content", maxBucket = 4)
+      .select("n_members", "n_lost_pairs").as[(Long, Long)].collect().toSeq
+    assert(rep === Seq.fill(4)((6L, 15L)))
+  }
+
+  test("audio overflow report: silent-class WAVs past the cap are surfaced") {
+    val df = (0L to 5L).map(id =>
+      (id, MultimodalOps.classPatternWav(3, 1.0 / (1 + id % 3)))).toDF("id", "content")
+    val rep = MultimodalOps.audioOverflowReport(df, "id", "content", maxBucket = 4)
+      .select("n_members", "n_lost_pairs").as[(Long, Long)].collect().toSeq
+    assert(rep === Seq.fill(4)((6L, 15L)))
+    // under-cap: empty report, nothing lost
+    assert(MultimodalOps.audioOverflowReport(df, "id", "content", maxBucket = 10).count() === 0L)
+  }
+
+  test("non-integral id columns are rejected loudly, not silently nulled") {
+    val df = Seq(("a", MultimodalOps.classPatternPng(0, 0))).toDF("id", "content")
+    assertThrows[IllegalArgumentException] {
+      MultimodalOps.perceptualDedup(df, "id", "content")
+    }
+    assertThrows[IllegalArgumentException] {
+      MultimodalOps.audioDedup(df, "id", "content")
+    }
+  }
+
+  // ---- codegen'd hash expressions (K-series discipline) ----
+
+  test("ImageDHash64/AudioFingerprint64 run with codegen fallback disabled") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val img = (0 until 4).map(c => Tuple1(MultimodalOps.classPatternPng(c, 1))).toDF("content")
+      val got = img.select(graft.functions.PerceptualExpressions.imageDHash64(col("content")).as("sig"))
+        .as[Long].collect().toSeq
+      assert(got === (0 until 4).map(expectedSig))
+      val wav = (0 until 4).map(c => Tuple1(MultimodalOps.classPatternWav(c, 0.5))).toDF("content")
+      val gotA = wav.select(graft.functions.PerceptualExpressions.audioFingerprint64(col("content")).as("sig"))
+        .as[Long].collect().toSeq
+      assert(gotA === (0 until 4).map(expectedAudioSig))
+      // null result path (undecodable bytes) through generated code
+      val junk = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("content")
+      assert(junk.select(graft.functions.PerceptualExpressions.imageDHash64(col("content")))
+        .collect().head.isNullAt(0))
+      assert(junk.select(graft.functions.PerceptualExpressions.audioFingerprint64(col("content")))
+        .collect().head.isNullAt(0))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
