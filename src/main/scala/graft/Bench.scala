@@ -50,16 +50,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmSharedPurchase FAILED: $e") }
     }
     val warmSecs = (System.nanoTime() - tW) / 1e9
-    // host-speed calibration: six queries whose code paths are
-    // frozen (picked in SCALEPROBE_r10.md §8 when an idle-VM window
-    // re-ran them 50-150% slower). Run discard + measured passes and
-    // report the measured sum as `_host_control` so every record
-    // self-documents how fast the host was when it was taken —
-    // records whose control diverges >~1.2x from the committed
-    // reference (see SCALEPROBE_r11.md) are not like-for-like.
-    // Excluded from `total`: it is a meter, not benchmarked work.
-    val controlKeys = Seq("q_stream_cms", "q_rules", "q_bm25_append",
-      "q_outliers", "q_profile", "q_stream_tdigest")
+    // host-speed calibration: six BATCH queries whose code paths
+    // have been stable for rounds (the SCALEPROBE_r10.md §8 idea —
+    // an idle-VM window re-ran untouched queries 50-150% slower —
+    // minus its two streaming members, whose harness is still being
+    // tuned and would conflate meter drift with harness work). Run
+    // discard + measured passes and report the measured sum as
+    // `_host_control` so every record self-documents how fast the
+    // host was when it was taken — records whose control diverges
+    // >~1.2x from the committed reference (see SCALEPROBE_r11.md)
+    // are not like-for-like. Excluded from `total`: it is a meter,
+    // not benchmarked work.
+    val controlKeys = Seq("q_rules", "q_bm25_append", "q_outliers",
+      "q_profile", "q_salted_join", "q_ngram_jaccard")
     def runControl(): Double = controlKeys.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }

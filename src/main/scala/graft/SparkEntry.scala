@@ -3879,6 +3879,27 @@ object SparkEntry {
     * the driver's batch-compare grade a genuine streaming
     * execution.
     */
+  /** Checkpoint base for the harness's throwaway streaming runs:
+    * tmpfs when the host has it. The offset WAL, commit log, and
+    * state-store delta/changelog files are pure harness overhead
+    * here (each query's checkpoint is fresh and discarded), and on
+    * tmpfs they cost ~0.3-0.4 s less per query (StreamFloorProbe
+    * shm variant: 2.02 → 1.70 s at sf0.1). Production deployments
+    * point checkpointLocation at durable storage — this path is the
+    * bench/verify harness only, never library code.
+    */
+  private lazy val shmCheckpointBase: Option[String] = {
+    val d = new java.io.File("/dev/shm")
+    if (d.isDirectory && d.canWrite) Some("/dev/shm/graft-ckpt") else None
+  }
+
+  private def deleteRecursively(path: java.io.File): Unit = {
+    val fs = path.listFiles()
+    if (fs != null) fs.foreach(deleteRecursively)
+    path.delete()
+    ()
+  }
+
   private def runStreamToMemory(
       df: DataFrame,
       prefix: String,
@@ -3895,10 +3916,11 @@ object SparkEntry {
     // sites still document which streams are stateless). Floor
     // measured in tools/StreamFloorProbe: ~2.1 s → ~1.6 s per
     // query steady-state at sf0.01.
-    val q = df.writeStream.format("memory").queryName(name)
+    val ckpt = shmCheckpointBase.map(b => s"$b/$name")
+    val w0 = df.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
     // bounded: a stream that fails to self-terminate (wedged source
     // or state store) must not hang a 248-query pass — the old
     // quiesce loop capped its wait the same way
@@ -3906,7 +3928,12 @@ object SparkEntry {
       if (!q.awaitTermination(120000L))
         throw new IllegalStateException(
           s"AvailableNow stream $name failed to terminate within 120s")
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // a named checkpoint is not auto-cleaned the way engine temp
+      // checkpoints are — reclaim the tmpfs
+      ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    }
     df.sparkSession.table(name)
   }
 

@@ -25,6 +25,18 @@ object StreamFloorProbe {
     for (pass <- 1 to 3) {
       availableNow(spark, dir, s"p$pass-availNow")
     }
+    // tmpfs checkpoint variant: how much of the floor is checkpoint
+    // file I/O (offset WAL, commit log, state delta files)?
+    for (pass <- 1 to 3) {
+      availableNow(spark, dir, s"p$pass-availNow-shm",
+        ckpt = Some(s"/dev/shm/graft-floorprobe-$pass"))
+    }
+    // state-partition sweep ON tmpfs: with the I/O latency gone, is
+    // the per-partition store/task overhead now visible?
+    for (sp <- Seq(1, 2, 4, 16); pass <- 1 to 2) {
+      availableNow(spark, dir, s"p$pass-shm-sp$sp",
+        ckpt = Some(s"/dev/shm/graft-floorprobe-sp$sp-$pass"), stateParts = sp)
+    }
     spark.stop()
   }
 
@@ -33,13 +45,14 @@ object StreamFloorProbe {
     * terminates — no quiesce heuristic. rows must match the
     * ProcessingTime variant (9115 = closed windows incl. eviction).
     */
-  def availableNow(spark: SparkSession, dir: String, pass: String): Unit = {
+  def availableNow(spark: SparkSession, dir: String, pass: String,
+      ckpt: Option[String] = None, stateParts: Int = 8): Unit = {
     val t0 = t()
     val ev = spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, session_hint STRING")
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select((col("ts") / 1000L).cast("timestamp").as("ts"), col("event_type"), col("user_id"))
-    val agg = graft.streaming.EventStreams.withStatePartitions(spark, 8) {
+    val agg = graft.streaming.EventStreams.withStatePartitions(spark, stateParts) {
       ev.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "3 days").as("w"), col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("nd"))
@@ -47,10 +60,14 @@ object StreamFloorProbe {
     }
     val name = "floorprobe" + java.lang.Long.toHexString(System.nanoTime())
     val t1 = t()
-    val q = agg.writeStream.format("memory").queryName(name)
+    val w0 = agg.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // start INSIDE the scope: the query captures shuffle partitions
+    // (= state partition count) at start, like the registry sites
+    val q = graft.streaming.EventStreams.withStatePartitions(spark, stateParts) {
+      ckpt.fold(w0)(c => w0.option("checkpointLocation", s"$c/$name")).start()
+    }
     val t2 = t()
     q.awaitTermination()
     val t3 = t()
