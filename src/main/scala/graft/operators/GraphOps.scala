@@ -282,6 +282,76 @@ object GraphOps {
     ranks
   }
 
+  /** Global [[pageRank]] AND [[personalizedPageRank]] fused into ONE
+    * power iteration over the same pre-materialized
+    * [[degreeEdgeFrame]]: the two vectors ride the same rank frame
+    * as two columns, so every round is ONE edge⋈rank join + ONE
+    * contribution aggregate + ONE dangling-mass aggregate instead of
+    * two of each — the join count (the per-round cost at any scale)
+    * halves when a pipeline wants both global centrality and
+    * seed-proximity over one graph.
+    *
+    * Per-column arithmetic is IDENTICAL to [[pageRankOn]] /
+    * [[personalizedPageRankOn]] (same snap points, same uniform vs
+    * seeded restart terms), so results are bit-equal to running the
+    * two separately — the fusion changes only float SUM ORDER inside
+    * each aggregate, which the per-round 1e-9 snap absorbs exactly
+    * as it does across partition-count changes.
+    *
+    * @return (node, rank, pprank) — `rank` the global damped
+    *         PageRank, `pprank` the seed-personalized one (0 for
+    *         nodes unreachable from the seeds)
+    */
+  def pageRankWithPersonalizedOn(
+      em: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val snap = (c: Column) => floor(c * 1e9 + lit(0.5)) / 1e9
+    val seedSet = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val nS = seedSet.count().toDouble
+    require(nS > 0, "need at least one seed node")
+    val nodes = em
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, snap(lit(1.0 / nS))).otherwise(lit(0.0)).as("p"))
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val small = n <= DegreeBroadcastMaxNodes
+    val dang = nodes.select(col("node"))
+      .join(em.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"),
+      snap(lit(1.0) / n).as("rank"), col("p").as("pprank"), col("p"))
+    for (_ <- 1 to iters) {
+      val contrib = em.join(nodeHint(small)(ranks), em("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("__cg"),
+          sum(col("pprank") / col("deg")).as("__cs"))
+      val dangling = ranks
+        .join(nodeHint(small)(dang), Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dmg"),
+          coalesce(sum(col("pprank")), lit(0.0)).as("__dms"))
+      ranks = nodes
+        .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(nodes("node"),
+          snap(lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__cg"), lit(0.0)) + col("__dmg") / n))
+            .as("rank"),
+          snap(lit(1.0 - damping) * nodes("p") +
+            lit(damping) * (coalesce(col("__cs"), lit(0.0)) + col("__dms") * nodes("p")))
+            .as("pprank"),
+          nodes("p"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"), col("pprank"))
+  }
+
   /** Per-node triangle counts on an undirected graph — the local
     * clustering signal of web/citation-graph curation (spam farms
     * and boilerplate rings are triangle-dense; bridges are

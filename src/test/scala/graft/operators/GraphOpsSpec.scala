@@ -227,6 +227,28 @@ class GraphOpsSpec extends SparkSpec {
       edges.toDF("src", "dst"), Seq.empty[String].toDF("node"), 2))
   }
 
+  test("pageRankWithPersonalizedOn: both columns bit-equal to the separate runs") {
+    // asymmetric graph with a dangling sink (d) and an unreachable
+    // island (x,y) — exercises dangling mass and the zero-rank path
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("x", "y"), ("y", "x")).toDF("src", "dst")
+    val em = GraphOps.degreeEdgeFrame(edges)
+    try {
+      val seeds = Seq("a").toDF("node")
+      val fused = GraphOps.pageRankWithPersonalizedOn(em, seeds, iters = 4)
+        .as[(String, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      val global = GraphOps.pageRankOn(em, iters = 4)
+        .as[(String, Double)].collect().toMap
+      val seeded = GraphOps.personalizedPageRankOn(em, seeds, iters = 4)
+        .as[(String, Double)].collect().toMap
+      assert(fused.keySet === global.keySet)
+      fused.foreach { case (n, (g, s)) =>
+        assert(g === global(n), s"global rank of $n")
+        assert(s === seeded(n), s"personalized rank of $n")
+      }
+    } finally em.unpersist()
+  }
+
   test("linkPrediction: known wedge scores, existing edges excluded, hub gate") {
     // square 1-2-3-4-1 plus a spoke 5-1: diagonals (1,3),(2,4) have
     // 2 common neighbors; (2,5),(4,5) share neighbor 1; (3,5) shares none
