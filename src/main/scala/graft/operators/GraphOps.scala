@@ -922,6 +922,131 @@ object GraphOps {
     LouvainResult(labels, superEdges, superSelf, superDeg, superLabels, m)
   }
 
+  /** Contract an already-WEIGHTED super graph by a refinement of its
+    * nodes — the generalization of the level-0→1 contraction in
+    * [[contractAndRefine]] that [[louvainLevels]] loops: cross
+    * weights fold by final community pair (the symmetric frame folds
+    * symmetric), internal weight = members' e_in + intra cross / 2
+    * (exact: every undirected intra pair appears twice in the
+    * symmetric frame), degrees fold by sum. All exact integers.
+    */
+  /** Checkpoint + drop inherited size stats — the level-boundary
+    * discipline of [[louvainLevels]]: stacking contraction levels
+    * compounds checkpoint-inherited join-size estimates until the
+    * driver spins in BigInteger stats arithmetic (see
+    * [[org.apache.spark.sql.graftbridge.ColumnBridge.dropInheritedStats]]).
+    */
+  private def freshCheckpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .dropInheritedStats(df.localCheckpoint(true))
+
+  private def contractWeighted(
+      superEdges: DataFrame,
+      superSelf: DataFrame,
+      superDeg: DataFrame,
+      labels: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val l = labels.select(col("node"), col("community"))
+    val folded = freshCheckpoint(superEdges
+      .join(l.select(col("node").as("src"), col("community").as("__fu")), "src")
+      .join(l.select(col("node").as("dst"), col("community").as("__fv")), "dst")
+      .groupBy(col("__fu"), col("__fv")).agg(sum(col("__w")).as("__w")))
+    val e2 = folded.filter(col("__fu") =!= col("__fv"))
+      .select(col("__fu").as("src"), col("__fv").as("dst"), col("__w"))
+    val selfOld = superSelf.select(col("community").as("node"), col("e_in"))
+      .join(l, "node")
+      .groupBy(col("community")).agg(sum(col("e_in")).as("__s1"))
+    val selfIntra = folded.filter(col("__fu") === col("__fv"))
+      .groupBy(col("__fu").as("community"))
+      .agg((sum(col("__w")) / lit(2)).cast("long").as("__s2"))
+    val self2 = freshCheckpoint(selfOld
+      .join(selfIntra, Seq("community"), "full_outer")
+      .select(col("community"),
+        (coalesce(col("__s1"), lit(0L)) + coalesce(col("__s2"), lit(0L))).as("e_in")))
+    val deg2 = freshCheckpoint(superDeg.join(l, "node")
+      .groupBy(col("community").as("node")).agg(sum(col("deg")).as("deg")))
+    (e2, self2, deg2)
+  }
+
+  /** Total snapped modularity of a [[LouvainResult]] — the
+    * [[modularityOfLouvain]] contributions summed to one double;
+    * the level-acceptance gate of [[louvainLevels]].
+    */
+  def modularityTotal(r: LouvainResult): Double =
+    modularityOfLouvain(r).agg(sum(col("q_contrib")))
+      .collect().headOption.flatMap(row => Option(row.get(0)))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+
+  /** FULL multi-level Louvain (Blondel et al. 2008 §2, the
+    * loop-until-no-gain form): seed the node-level partition, run
+    * one contraction + guarded refine ([[louvainRefine]]), then keep
+    * contracting the SUPER graph by its own refinement and refining
+    * again while total modularity strictly improves by more than
+    * `minGain` (bounded by `maxLevels` — each level's frames are
+    * community-sized, so iteration cost shrinks geometrically on
+    * real hierarchies). Every contraction stays exact-integer; the
+    * gate compares the 1e-9-snapped totals, so acceptance is
+    * deterministic and replayable.
+    *
+    * Level count is data-adaptive: hierarchical community structure
+    * (cliques inside modules inside super-modules) climbs one level
+    * per tier; a flat graph stops after the first contraction —
+    * exactly the published algorithm's termination rule, with the
+    * one-level [[louvainRefine]] as the degenerate case.
+    *
+    * @return the LAST ACCEPTED level's [[LouvainResult]]: `labels`
+    *         maps original nodes to final communities through every
+    *         level; the super frames are that level's contraction,
+    *         so [[modularityOfLouvain]] scores it directly
+    */
+  def louvainLevels(
+      g: SymGraph,
+      seed: DataFrame,
+      roundsPerLevel: Int = 4,
+      maxLevels: Int = 5,
+      minGain: Double = 0.0,
+      nodeCol: String = "node",
+      labelCol: String = "community"): LouvainResult = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    require(minGain >= 0.0, s"minGain must be >= 0, got $minGain")
+    var r = louvainRefine(g, seed, roundsPerLevel, nodeCol, labelCol)
+    var q = modularityTotal(r)
+    var lvl = 1
+    var improving = true
+    while (lvl < maxLevels && improving) {
+      val (e2, self2, deg2) =
+        contractWeighted(r.superEdges, r.superSelf, r.superDeg, r.superLabels)
+      // level boundary: the move rounds' internal checkpoints are
+      // bounded (roundsPerLevel), but their OUTPUT must not carry
+      // the compounded size estimate into the next level's joins
+      val labels2 = org.apache.spark.sql.graftbridge.ColumnBridge
+        .dropInheritedStats(contractedMoveRounds(e2, deg2, r.m, roundsPerLevel))
+      val cand = LouvainResult(
+        labels = freshCheckpoint(
+          r.labels.select(col("node"), col("community").as("__p"))
+            .join(labels2.select(col("node").as("__p"), col("community")), "__p")
+            .select(col("node"), col("community"))),
+        superEdges = e2, superSelf = self2, superDeg = deg2,
+        superLabels = labels2, m = r.m)
+      val q2 = modularityTotal(cand)
+      if (q2 > q + minGain) { r = cand; q = q2; lvl += 1 }
+      else improving = false
+    }
+    r
+  }
+
+  /** [[louvainLevels]] from a raw edge frame, seeded by one
+    * specialized node-level local-move round (the [[louvain]]
+    * default seeding).
+    */
+  def louvainLevels(
+      edges0: DataFrame,
+      roundsPerLevel: Int,
+      maxLevels: Int): LouvainResult = {
+    val g = canonicalize(edges0)
+    val l0 = weightedMoveRounds(g.e2.withColumn("__w", lit(1L)), g.deg, g.m, 1)
+    louvainLevels(g, l0, roundsPerLevel, maxLevels)
+  }
+
   /** Newman modularity of a [[louvain]] partition computed FROM THE
     * CONTRACTION — e_in and deg_sum per final community aggregate
     * the community-sized super frames (internal self-weights + intra

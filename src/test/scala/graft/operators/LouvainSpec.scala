@@ -114,4 +114,70 @@ class LouvainSpec extends SparkSpec {
     val b = GraphOps.louvainMoves(edges.repartition(7), rounds = 2).as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  // ---- multi-level (r11): loop-until-no-gain contraction ----
+
+  /** Ring of 10 triangles bridged by single edges — the classic
+    * resolution-limit fixture (Fortunato–Barthélemy 2007): for a
+    * ring of m K3-cliques, Q(single cliques) = 3/4 − 1/m and
+    * Q(adjacent pairs) = 7/8 − 2/m, so past m = 8 cliques PAIRING
+    * scores strictly more modularity than the per-clique partition —
+    * a correct level-2 contraction must climb past level-1's
+    * plateau.
+    */
+  private def cliqueRing: Seq[(Long, Long)] = {
+    val k = 10
+    val cliques = (0 until k).flatMap(c => clique((c * 10 + 1L) to (c * 10 + 3L)))
+    val bridges = (0 until k).map(c =>
+      (c * 10 + 3L, ((c + 1) % k) * 10 + 1L))
+    cliques ++ bridges
+  }
+
+  test("louvainLevels: level 2 strictly improves modularity over level 1") {
+    val g = GraphOps.canonicalize(cliqueRing.toDF("src", "dst"))
+    // identity seed: level 1's contracted rounds resolve the cliques;
+    // the ring of clique super-nodes then needs ANOTHER contraction
+    // to pair them — the multi-level loop's reason to exist
+    val seed = g.deg.select(col("node"), col("node").as("community"))
+    val one = GraphOps.louvainRefine(g, seed, level1Rounds = 4,
+      nodeCol = "node", labelCol = "community")
+    val multi = GraphOps.louvainLevels(g, seed, roundsPerLevel = 4, maxLevels = 5)
+    val q1 = GraphOps.modularityTotal(one)
+    val qN = GraphOps.modularityTotal(multi)
+    assert(qN > q1, s"multi-level Q $qN must beat single-level $q1")
+    // the final partition still covers every node exactly once
+    val labs = multi.labels.as[(Long, Long)].collect()
+    assert(labs.map(_._1).toSet.size === 30)
+    assert(labs.length === 30)
+    // and communities grew past single cliques
+    val sizes = labs.groupBy(_._2).map(_._2.length)
+    assert(sizes.max >= 6, s"expected paired cliques, sizes: ${sizes.toSeq.sorted}")
+  }
+
+  test("louvainLevels: optimal partition stops at level 1 (no-gain termination)") {
+    // two K5s + bridge, seeded with the KNOWN optimal partition
+    // (clique membership, Q = 2·(10/21 − (21/42)²) = 0.452380952):
+    // no contraction level can improve, so the loop must terminate
+    // after one rejected candidate with the seed's own result
+    val edges = (clique(1L to 5L) ++ clique(101L to 105L) :+ (5L, 101L)).toDF("src", "dst")
+    val g = GraphOps.canonicalize(edges)
+    val seed = g.deg.select(col("node"),
+      when(col("node") <= 5L, lit(1L)).otherwise(lit(101L)).as("community"))
+    val one = GraphOps.louvainRefine(g, seed, 4, "node", "community")
+    val multi = GraphOps.louvainLevels(g, seed, roundsPerLevel = 4, maxLevels = 5)
+    val qOne = GraphOps.modularityTotal(one)
+    assert(qOne === 0.452380952)
+    assert(GraphOps.modularityTotal(multi) === qOne)
+    assert(multi.labels.as[(Long, Long)].collect().toSet ===
+      one.labels.as[(Long, Long)].collect().toSet)
+  }
+
+  test("louvainLevels deterministic across repartitionings") {
+    val df = cliqueRing.toDF("src", "dst")
+    val a = GraphOps.louvainLevels(df, roundsPerLevel = 2, maxLevels = 3)
+      .labels.as[(Long, Long)].collect().toSet
+    val b = GraphOps.louvainLevels(df.repartition(7), roundsPerLevel = 2, maxLevels = 3)
+      .labels.as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
