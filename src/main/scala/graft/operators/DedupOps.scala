@@ -1159,6 +1159,14 @@ object DedupOps {
     * Identity is the 64-bit window hash (the minhash family's
     * convention); tokens are whitespace-split, so reconstruction
     * normalizes runs of whitespace to single spaces.
+    *
+    * CONTRACT: `idCol` must uniquely identify a row. The covered-
+    * index pass groups token positions BY ID — rows sharing an id
+    * would conflate their positions and scrub the wrong tokens in
+    * every such row (unlike [[decontaminate]], which tolerates
+    * duplicate ids by construction). Uniqueness is the caller's
+    * responsibility; a full distinct-count pre-pass per call would
+    * double the operator's shuffle bill at corpus scale.
     */
   def removeRepeatedNgrams(
       df: DataFrame,
@@ -1168,9 +1176,10 @@ object DedupOps {
       outputCol: String = "text_clean"
   ): DataFrame = {
     require(n >= 2, s"window size must be >= 2 tokens, got $n")
-    val reserved = Seq("__tk", "__cov", "__pos", "__h", "__c", "__f", "__i")
+    val reserved = Seq("__tk", "__cov", "__pos", "__h", "__c", "__f", "__i",
+      outputCol, "removed_tokens")
     require(!df.columns.exists(reserved.contains),
-      s"input columns collide with reserved working names ${reserved.mkString(", ")}")
+      s"input columns collide with reserved/output names ${reserved.mkString(", ")}")
     val sep = "\u0001"
     val base = df.withColumn("__tk",
       split(trim(coalesce(col(textCol), lit(""))), "\\s+"))

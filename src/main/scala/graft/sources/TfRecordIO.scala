@@ -182,6 +182,13 @@ object TfRecordIO {
 
   /** Write `df` as TFRecord shards `part-NNNNN.tfrecord` under
     * `path` — one shard per partition, one distributed pass.
+    *
+    * Stage-and-swap: shards land in a hidden staging dir first; the
+    * prior dataset is only deleted AFTER the write job succeeds
+    * (then staged shards rename in — metadata ops, not data
+    * rewrites). A failed job therefore leaves the previous dataset
+    * intact, and a re-write with fewer partitions still cannot
+    * leave stale shards for read() to silently merge in.
     */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
@@ -190,19 +197,32 @@ object TfRecordIO {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs0 = base.getFileSystem(conf.value)
     fs0.mkdirs(base)
-    // Re-writing with fewer partitions must not leave stale shards
-    // that read() would silently merge in: clear prior part-*.tfrecord.
-    fs0.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.tfrecord"))
-      .foreach(st => fs0.delete(st.getPath, false))
-    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.tfrecord")
-      val fs = p.getFileSystem(conf.value)
-      val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-      var n = 0L
-      try rows.foreach { r => frameRecord(out, exampleBytes(r, schema)); n += 1 }
-      finally out.close()
-      Iterator.single(n)
-    }.count()
+    val staging = new org.apache.hadoop.fs.Path(base,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs0.mkdirs(staging)
+    val stagingStr = staging.toString
+    try {
+      df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+        val p = new org.apache.hadoop.fs.Path(stagingStr, f"part-$idx%05d.tfrecord")
+        val fs = p.getFileSystem(conf.value)
+        val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+        var n = 0L
+        try rows.foreach { r => frameRecord(out, exampleBytes(r, schema)); n += 1 }
+        finally out.close()
+        Iterator.single(n)
+      }.count()
+      // job succeeded — swap: clear prior shards, move staged ones in
+      fs0.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.tfrecord"))
+        .foreach(st => fs0.delete(st.getPath, false))
+      fs0.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*.tfrecord"))
+        .foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(base, st.getPath.getName)
+          require(fs0.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+        }
+    } finally {
+      fs0.delete(staging, true)
+      ()
+    }
   }
 
   // ---- reader -------------------------------------------------------------

@@ -89,86 +89,96 @@ object WebDatasetIO {
     val base = new org.apache.hadoop.fs.Path(path)
     val baseFs = base.getFileSystem(conf.value)
     baseFs.mkdirs(base)
-    // Re-writing with fewer partitions must not leave stale shards
-    // that read() would silently merge in: clear prior part-*.tar.
-    baseFs.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.tar"))
-      .foreach(st => baseFs.delete(st.getPath, false))
-    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val p = new org.apache.hadoop.fs.Path(path, f"part-$idx%05d.tar")
-      val fs = p.getFileSystem(conf.value)
-      val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-      var n = 0L
-      try {
-        rows.foreach { r =>
-          val key = String.valueOf(r.get(keyIdx))
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (i != keyIdx && !r.isNullAt(i))
-              writeMember(out, s"$key.${f.name}", bytesOf(f.dataType, r.get(i)))
+    // stage-and-swap (same contract as TfRecordIO.write): the prior
+    // dataset is deleted only AFTER the write job succeeds, so a
+    // failed job cannot destroy it; stale-shard clearing still holds
+    val staging = new org.apache.hadoop.fs.Path(base,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    baseFs.mkdirs(staging)
+    val stagingStr = staging.toString
+    try {
+      df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+        val p = new org.apache.hadoop.fs.Path(stagingStr, f"part-$idx%05d.tar")
+        val fs = p.getFileSystem(conf.value)
+        val out = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+        var n = 0L
+        try {
+          rows.foreach { r =>
+            val key = String.valueOf(r.get(keyIdx))
+            schema.fields.zipWithIndex.foreach { case (f, i) =>
+              if (i != keyIdx && !r.isNullAt(i))
+                writeMember(out, s"$key.${f.name}", bytesOf(f.dataType, r.get(i)))
+            }
+            n += 1
           }
-          n += 1
+          out.write(new Array[Byte](2 * Block)) // end-of-archive
+        } finally out.close()
+        Iterator.single(n)
+      }.count()
+      baseFs.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.tar"))
+        .foreach(st => baseFs.delete(st.getPath, false))
+      baseFs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*.tar"))
+        .foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(base, st.getPath.getName)
+          require(baseFs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
         }
-        out.write(new Array[Byte](2 * Block)) // end-of-archive
-      } finally out.close()
-      Iterator.single(n)
-    }.count()
+    } finally {
+      baseFs.delete(staging, true)
+      ()
+    }
   }
 
-  /** Parse a tar shard's bytes into (memberName, content).
-    *
-    * Only REGULAR-file members are emitted: externally-produced
-    * shards (GNU/bsdtar) commonly carry PAX extended headers
-    * (typeflag 'x'/'g') and directory members ('5'); those are
-    * skipped - payload consumed and discarded - instead of failing,
-    * so loader-written archives ingest cleanly.
+  /** Parse a tar shard's bytes into (memberName, content) — the
+    * in-memory twin of [[streamTarMembers]] (same PAX/longname/
+    * prefix name resolution, same skip semantics).
     */
-  def parseTar(bytes: Array[Byte]): Iterator[(String, Array[Byte])] = new Iterator[(String, Array[Byte])] {
-    private var pos = 0
-    // (name, size, isRegularFile)
-    private def headerAt(p: Int): Option[(String, Int, Boolean)] = {
-      if (p + Block > bytes.length) return None
-      if (bytes(p) == 0) return None // end-of-archive zero block
-      val nameEnd = {
-        var e = p
-        while (e < p + 100 && bytes(e) != 0) e += 1
-        e
-      }
-      val name = new String(bytes, p, nameEnd - p, "UTF-8")
-      val sizeStr = new String(bytes, p + 124, 12, "US-ASCII").trim.stripSuffix("\u0000").trim
-      val size = java.lang.Long.parseLong(sizeStr.replace("\u0000", "").trim, 8).toInt
-      val tf = bytes(p + 156)
-      val regular = tf == '0'.toByte || tf == 0.toByte
-      Some((name, size, regular))
+  def parseTar(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
+    streamTarMembers(new java.io.ByteArrayInputStream(bytes), "<memory>")
+
+  /** A PAX extended header payload is a sequence of
+    * "len key=value\n" records; return the `path` override if the
+    * payload carries one (the record that restores member names
+    * past ustar's 100-char field).
+    */
+  private def paxPath(payload: Array[Byte]): Option[String] = {
+    var p = 0
+    while (p < payload.length) {
+      var sp = p
+      while (sp < payload.length && payload(sp) != ' '.toByte) sp += 1
+      if (sp >= payload.length) return None
+      val len =
+        try new String(payload, p, sp - p, "US-ASCII").trim.toInt
+        catch { case _: NumberFormatException => return None }
+      if (len <= 0 || p + len > payload.length) return None
+      val rec = new String(payload, sp + 1, p + len - sp - 2, "UTF-8") // drop trailing \n
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path") return Some(rec.substring(eq + 1))
+      p += len
     }
-    private var nextHeader = headerAt(0)
-    private def advancePast(size: Int): Unit = {
-      pos = pos + Block + size + ((Block - (size % Block)) % Block)
-      nextHeader = headerAt(pos)
-    }
-    private def skipNonRegular(): Unit =
-      while (nextHeader.exists(!_._3)) advancePast(nextHeader.get._2)
-    skipNonRegular()
-    override def hasNext: Boolean = nextHeader.isDefined
-    override def next(): (String, Array[Byte]) = {
-      val (name, size, _) = nextHeader.get
-      val dataOff = pos + Block
-      val content = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + size)
-      advancePast(size)
-      skipNonRegular()
-      (name, content)
-    }
+    None
   }
 
   /** Stream a tar's REGULAR-file members off an input stream —
     * one member of peak memory instead of the whole shard (the old
     * binaryFile read held every shard byte AND re-materialized all
-    * members, with a 2 GiB hard ceiling). PAX extended headers
-    * ('x'/'g') and directories skip exactly as in [[parseTar]];
-    * truncation mid-member throws. Closes `in` at end-of-archive.
+    * members, with a 2 GiB hard ceiling).
+    *
+    * Long member names resolve through all three mechanisms real
+    * tars use: a PAX extended header's `path` record (typeflag 'x'),
+    * a GNU longname member (typeflag 'L'), and the ustar `prefix`
+    * field (offset 345) — externally-produced shards with >100-char
+    * member names yield their FULL names instead of silently
+    * truncated keys. PAX global headers ('g') and directories skip
+    * (payload consumed and discarded); truncation mid-member throws.
+    * Closes `in` at end-of-archive.
     */
   def streamTarMembers(in: java.io.InputStream, shard: String): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var closed = false
       private var staged: (String, Array[Byte]) = _
+      // pending name override from a preceding 'x' PAX or 'L'
+      // longname member — applies to the NEXT real member only
+      private var nameOverride: Option[String] = None
       private def readFully(buf: Array[Byte], len: Int): Boolean = {
         var got = 0
         while (got < len) {
@@ -181,6 +191,11 @@ object WebDatasetIO {
         }
         true
       }
+      private def cString(h: Array[Byte], off: Int, max: Int): String = {
+        var end = off
+        while (end < off + max && h(end) != 0) end += 1
+        new String(h, off, end - off, "UTF-8")
+      }
       private def advance(): Unit = {
         staged = null
         val header = new Array[Byte](Block)
@@ -188,9 +203,7 @@ object WebDatasetIO {
           if (!readFully(header, Block) || header(0) == 0) {
             closed = true; in.close(); return
           }
-          var nameEnd = 0
-          while (nameEnd < 100 && header(nameEnd) != 0) nameEnd += 1
-          val name = new String(header, 0, nameEnd, "UTF-8")
+          val shortName = cString(header, 0, 100)
           val sizeStr = new String(header, 124, 12, "US-ASCII")
             .replace("\u0000", "").replace(" ", "").trim
           val size = java.lang.Long.parseLong(sizeStr, 8).toInt
@@ -199,13 +212,29 @@ object WebDatasetIO {
           val padded = size + ((Block - (size % Block)) % Block)
           if (regular) {
             val content = new Array[Byte](size)
-            require(readFully(content, size), s"truncated tar member $name in $shard")
+            require(readFully(content, size), s"truncated tar member $shortName in $shard")
             val pad = new Array[Byte](padded - size)
-            require(readFully(pad, pad.length), s"truncated tar padding after $name in $shard")
-            staged = (name, content)
+            require(readFully(pad, pad.length), s"truncated tar padding after $shortName in $shard")
+            // name precedence per the specs: explicit override beats
+            // ustar prefix+name beats the bare 100-char field
+            val prefix = cString(header, 345, 155)
+            val ustarName = if (prefix.isEmpty) shortName else s"$prefix/$shortName"
+            staged = (nameOverride.getOrElse(ustarName), content)
+            nameOverride = None
           } else {
-            val skip = new Array[Byte](padded)
-            require(readFully(skip, padded), s"truncated tar member $name in $shard")
+            val payload = new Array[Byte](padded)
+            require(readFully(payload, padded), s"truncated tar member $shortName in $shard")
+            if (tf == 'x'.toByte) {
+              // per-member PAX header: a 'path' record overrides the
+              // following member's name; other records are metadata
+              paxPath(java.util.Arrays.copyOf(payload, size)).foreach(p => nameOverride = Some(p))
+            } else if (tf == 'L'.toByte) {
+              // GNU longname: payload IS the next member's full name
+              var e = 0
+              while (e < size && payload(e) != 0) e += 1
+              nameOverride = Some(new String(payload, 0, e, "UTF-8"))
+            }
+            // 'g' global headers and directories: consumed, no override
           }
         }
       }

@@ -104,4 +104,20 @@ class SubstringDedupSpec extends SparkSpec {
     assert(rep.length === 1)
     assert(rep.head._2 === 2L)
   }
+
+  test("input columns named like the outputs are rejected, not silently overwritten") {
+    val base = Seq(1L -> "a b c d e f").toDF("id", "text")
+    assertThrows[IllegalArgumentException] {
+      DedupOps.removeRepeatedNgrams(
+        base.withColumn("text_clean", lit("x")), "id", "text")
+    }
+    assertThrows[IllegalArgumentException] {
+      DedupOps.removeRepeatedNgrams(
+        base.withColumn("removed_tokens", lit(0L)), "id", "text")
+    }
+    // a custom outputCol that collides is caught too
+    assertThrows[IllegalArgumentException] {
+      DedupOps.removeRepeatedNgrams(base, "id", "text", outputCol = "text")
+    }
+  }
 }

@@ -81,4 +81,24 @@ class TfRecordIOSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("write is stage-and-swap: a failing job leaves the previous dataset intact") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val tmp = java.nio.file.Files.createTempDirectory("tfr3").toString
+    val ok = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    TfRecordIO.write(ok, s"file:$tmp/d")
+    val boom = org.apache.spark.sql.functions.udf((s: String) =>
+      if (s != null) throw new RuntimeException("boom") else s)
+    intercept[Exception] {
+      TfRecordIO.write(ok.select($"id", boom($"text").as("text")), s"file:$tmp/d")
+    }
+    val back = TfRecordIO.read(spark, s"file:$tmp/d", schema)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(back == Seq((1L, "alpha"), (2L, "beta")), s"previous dataset lost: $back")
+    val leftovers = new java.io.File(s"$tmp/d").listFiles()
+      .map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging not cleaned: ${leftovers.toSeq}")
+  }
 }

@@ -102,6 +102,57 @@ class WebDatasetIOSpec extends SparkSpec {
     assert(ex.getMessage.contains("truncated"), s"got: ${ex.getMessage}")
   }
 
+  test(">100-char member names resolve through PAX path and GNU longname, not truncate") {
+    // a member name past ustar's 100-char field: PAX tars carry it in
+    // an 'x' header's path record, GNU tars in an 'L' longname member
+    val tmp = java.nio.file.Files.createTempDirectory("wds7").toFile
+    val deep = new java.io.File(tmp, ("d" * 40) + "/" + ("e" * 40) + "/" + ("f" * 40))
+    deep.mkdirs()
+    java.nio.file.Files.write(new java.io.File(deep, "k9.txt").toPath, "gamma".getBytes("UTF-8"))
+    val rel = deep.getAbsolutePath.stripPrefix(tmp.getAbsolutePath + "/") + "/k9.txt"
+    assert(rel.length > 100, s"fixture name must exceed the ustar field, got ${rel.length}")
+    for (fmt <- Seq("pax", "gnu")) {
+      val shard = new java.io.File(tmp, s"p-$fmt.tar")
+      val proc = new ProcessBuilder(
+        "tar", s"--format=$fmt", "-cf", shard.getAbsolutePath,
+        "-C", tmp.getAbsolutePath, rel).start()
+      assert(proc.waitFor() == 0, s"system tar --format=$fmt failed")
+      val raw = java.nio.file.Files.readAllBytes(shard.toPath)
+      val members = WebDatasetIO.parseTar(raw).toList
+      assert(members.map(_._1) == List(rel), s"$fmt surfaced ${members.map(_._1)}")
+      assert(new String(members.head._2, "UTF-8") == "gamma")
+    }
+    // plain ustar splits long names across prefix+name; system tar's
+    // ustar profile exercises the prefix field (name <= 100 after split)
+    val shard = new java.io.File(tmp, "p-ustar.tar")
+    val proc = new ProcessBuilder(
+      "tar", "--format=ustar", "-cf", shard.getAbsolutePath,
+      "-C", tmp.getAbsolutePath, rel).start()
+    assert(proc.waitFor() == 0, "system tar --format=ustar failed")
+    val raw = java.nio.file.Files.readAllBytes(shard.toPath)
+    val members = WebDatasetIO.parseTar(raw).toList
+    assert(members.map(_._1) == List(rel), s"ustar prefix surfaced ${members.map(_._1)}")
+  }
+
+  test("write is stage-and-swap: a failing job leaves the previous dataset intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("wds8").toFile.getAbsolutePath
+    val ok = Seq((0L, "alpha"), (1L, "beta")).toDF("k", "txt")
+    WebDatasetIO.write(ok, tmp, "k")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txt", org.apache.spark.sql.types.StringType)))
+    // a poisoned write job (task-side exception) must not destroy it
+    val bad = ok.select(col("k"), udf((s: String) =>
+      if (s != null) throw new RuntimeException("boom") else s).apply(col("txt")).as("txt"))
+    intercept[Exception] { WebDatasetIO.write(bad, tmp, "k") }
+    val back = WebDatasetIO.read(spark, tmp, schema, "k")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(back == Seq((0L, "alpha"), (1L, "beta")), s"previous dataset lost: $back")
+    // and no staging leftovers
+    val leftovers = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging not cleaned: ${leftovers.toSeq}")
+  }
+
   test("documents table round-trips at sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string").as("key"), col("text"), col("lang"))
