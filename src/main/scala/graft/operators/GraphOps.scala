@@ -717,7 +717,25 @@ object GraphOps {
     * SQL.
     */
   private def contractedMoveRounds(
-      e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame = {
+      e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame =
+    contractedMoveRounds(e2w, deg, m, rounds, alternate = false)
+
+  /** @param alternate gate movers per round on node-hash parity
+    *   (xxhash64(node) % 2 == round % 2). The plain downward rule is
+    *   oscillation-proof but SLIDES on cyclically label-ordered
+    *   structures: on a ring every super-node's smaller neighbor is
+    *   itself moving, so synchronous rounds rotate labels instead of
+    *   merging (found by the r11 scale probe: a 100k-clique ring
+    *   merged ~20 communities in 4 rounds). With parity alternation
+    *   ~half the nodes stand still each round and absorb their
+    *   moving neighbors — real merges form while determinism and
+    *   downward monotonicity (hence convergence) are preserved.
+    *   Used by the stacked [[louvainLevels]] rounds; the level-1
+    *   path keeps the plain rule its SQL oracle unrolls.
+    */
+  private def contractedMoveRounds(
+      e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int,
+      alternate: Boolean): DataFrame = {
     var labels = deg.select(col("node"), col("node").as("community"))
     var it = 0
     while (it < rounds) {
@@ -748,11 +766,14 @@ object GraphOps {
         .select(col("node"),
           (lit(2L) * lit(m) * coalesce(col("__k"), lit(0L)) -
             col("deg") * (col("__vol") - col("deg"))).as("__os"))
+      val mayMove =
+        if (alternate) pmod(xxhash64(col("node")), lit(2)) === lit(it % 2)
+        else lit(true)
       labels = labels
         .join(moved, Seq("node"), "left")
         .join(ownScore, "node")
         .select(col("node"),
-          when(col("__bs").isNotNull && col("__bs") > col("__os"),
+          when(mayMove && col("__bs").isNotNull && col("__bs") > col("__os"),
             col("__new")).otherwise(col("community")).as("community"))
         .localCheckpoint(true)
       it += 1
@@ -1019,7 +1040,8 @@ object GraphOps {
       // bounded (roundsPerLevel), but their OUTPUT must not carry
       // the compounded size estimate into the next level's joins
       val labels2 = org.apache.spark.sql.graftbridge.ColumnBridge
-        .dropInheritedStats(contractedMoveRounds(e2, deg2, r.m, roundsPerLevel))
+        .dropInheritedStats(
+          contractedMoveRounds(e2, deg2, r.m, roundsPerLevel, alternate = true))
       val cand = LouvainResult(
         labels = freshCheckpoint(
           r.labels.select(col("node"), col("community").as("__p"))
