@@ -3581,6 +3581,20 @@ object SparkEntry {
         .select("doc_id", "dedup_weight")
     }),
 
+    // ---- G14: DSIR importance weights (Xie et al. 2023) — raw =
+    //      the whole documents corpus, target = its English subset;
+    //      every doc scores log p_target − log p_raw under hashed
+    //      unigram+bigram models (portable md5-fold buckets, so the
+    //      whole pipeline — features, counts, smoothing, per-doc
+    //      fold — replays in ANSI SQL). The scoring pass itself is
+    //      zero-shuffle: the 512-entry log-ratio table rides into
+    //      the scan as a literal. ----
+    "q_dsir" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      MixOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 512, alpha = 0.5)
+    }),
+
     // ---- C43: time-to-convert per first-touch channel — latency
     //      stats with the exact distinct-value median; the speed
     //      companion of q_attribution. ----
@@ -8595,6 +8609,42 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN c2 ON d.doc_id = c2.member
         |LEFT JOIN sz ON c2.cluster_id = sz.cluster_id""".stripMargin,
+
+    // full DSIR replay: the identical tokenization, unigram+bigram
+    // grams, md5-fold-52 % 512 buckets, add-0.5-smoothed count
+    // models over both corpora, per-doc log-ratio sum, 1e-6 snap
+    "q_dsir" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') IF x <> ''] AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang, unnest(t) AS gr FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS gr
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |), fx AS (
+        |  SELECT doc_id, lang, CAST(($Fold13) % 512 AS INTEGER) AS f
+        |  FROM (SELECT doc_id, lang, md5(gr) AS h16 FROM g)
+        |), cs AS (
+        |  SELECT f, count(*) AS c FROM fx GROUP BY f
+        |), ct AS (
+        |  SELECT f, count(*) AS c FROM fx WHERE lang = 'en' GROUP BY f
+        |), ts AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cs),
+        |   tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ct),
+        |lam AS (
+        |  SELECT b.f,
+        |    ln((coalesce(ct.c, 0) + 0.5) / (tt.t + 0.5 * 512)) -
+        |    ln((coalesce(cs.c, 0) + 0.5) / (ts.t + 0.5 * 512)) AS l
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS f) b
+        |  LEFT JOIN cs ON b.f = cs.f
+        |  LEFT JOIN ct ON b.f = ct.f
+        |  CROSS JOIN ts CROSS JOIN tt
+        |)
+        |SELECT fx.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |  floor(sum(lam.l) * 1000000 + 0.5) / 1000000 AS dsir_weight
+        |FROM fx JOIN lam ON fx.f = lam.f
+        |GROUP BY fx.doc_id""".stripMargin,
 
     // first touch by (ts, id) window, floor-div second latencies,
     // the integer-count type-7 median per channel

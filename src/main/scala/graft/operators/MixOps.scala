@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -542,6 +542,92 @@ object MixOps {
     df.join(broadcast(rates), col(sourceCol) <=> col("__src"))
       .filter(u < col("__rate"))
       .drop("__src", "__rate")
+  }
+
+  // ---- DSIR importance weights -------------------------------------------
+
+  /** 52-bit md5 fold of a string column — the portable hash both
+    * engines compute identically (the KMV/HLL convention: fold the
+    * first 13 hex chars digit-by-digit).
+    */
+  private def h52str(c: Column): Column = {
+    val h = md5(c)
+    (1 to 13)
+      .map(i => (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long"))
+      .reduce((a, b) => a * 16 + b)
+  }
+
+  /** Hashed bag-of-ngrams features (word unigrams + bigrams folded
+    * into `buckets` via the portable md5 hash) — the DSIR feature
+    * space.
+    */
+  private def dsirFeatures(text: Column, buckets: Int): Column = {
+    val toks = graft.functions.TextFunctions.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), g => pmod(h52str(g), lit(buckets)).cast("int"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every
+    * raw-corpus document by how target-like its hashed-n-gram
+    * profile is — `log p_target(doc) − log p_raw(doc)` under
+    * add-alpha-smoothed bag-of-hashed-ngrams models fit on the two
+    * corpora. Downstream, resample raw docs with these log-weights
+    * (e.g. [[filterByQuantile]] on `dsir_weight`, or Gumbel-top-k)
+    * to shift a web-scale corpus toward a quality target set.
+    *
+    * Scale shape: the two model fits are ONE map-side-combinable
+    * feature-count aggregation each, collapsing to `buckets` rows
+    * (bounded driver collect, the IVF-centroid rule — buckets ≤
+    * 65536 enforced); the per-doc scoring pass is then ZERO-shuffle:
+    * the log-ratio table rides into the scan stage as an array
+    * literal and each doc folds its own features with `aggregate` —
+    * the 100 TB side is read once and never exchanged.
+    *
+    * Features hash through the portable md5 fold, so the weights
+    * replay exactly in ANSI SQL (the q_dsir oracle).
+    *
+    * @return one row per raw doc: (idCol, n_features, dsir_weight)
+    *         with the weight snapped to the 1e-6 grid
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 512,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536] (the ratio table broadcasts + collects), got $buckets")
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val arr = new Array[Long](buckets)
+      df.select(explode(dsirFeatures(col(textCol), buckets)).as("__f"))
+        .groupBy(col("__f")).agg(count(lit(1)).as("__c"))
+        .collect() // bounded: <= buckets rows
+        .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val cRaw = bucketCounts(raw)
+    val cTgt = bucketCounts(target)
+    val tRaw = cRaw.sum.toDouble
+    val tTgt = cTgt.sum.toDouble
+    val lam = Array.tabulate(buckets) { f =>
+      math.log((cTgt(f) + alpha) / (tTgt + alpha * buckets)) -
+        math.log((cRaw(f) + alpha) / (tRaw + alpha * buckets))
+    }
+    val lamLit = array(lam.map(lit(_)): _*)
+    raw
+      .withColumn("__fs", dsirFeatures(col(textCol), buckets))
+      .select(col(idCol),
+        size(col("__fs")).cast("long").as("n_features"),
+        (floor(aggregate(col("__fs"), lit(0.0),
+          (acc, f) => acc + element_at(lamLit, f + 1)) * 1e6 + lit(0.5)) / 1e6)
+          .as("dsir_weight"))
   }
 
 }

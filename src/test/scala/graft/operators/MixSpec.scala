@@ -210,6 +210,61 @@ class MixSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  // ---- DSIR importance weights (G14) ----
+
+  test("dsirWeights: target-vocabulary docs outweigh raw-only docs; local replay exact") {
+    // raw corpus: half the docs speak the target vocabulary
+    val raw = Seq(
+      (1L, "aa bb aa bb"), (2L, "aa bb cc"), // target-like
+      (3L, "xx yy xx yy"), (4L, "xx yy zz")  // raw-only
+    ).toDF("id", "text")
+    val target = Seq((10L, "aa bb aa"), (11L, "bb cc aa bb")).toDF("id", "text")
+    val B = 64
+    val got = MixOps.dsirWeights(raw, target, "id", "text", buckets = B)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // local replay: same grams, same md5-fold bucket, same smoothing
+    def bucket(g: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = h.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16))
+      (v % B).toInt
+    }
+    def grams(s: String): Seq[String] = {
+      val t = s.split("\\s+").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val cs = new Array[Long](B); val ct = new Array[Long](B)
+    Seq("aa bb aa bb", "aa bb cc", "xx yy xx yy", "xx yy zz")
+      .flatMap(grams).foreach(g => cs(bucket(g)) += 1)
+    Seq("aa bb aa", "bb cc aa bb").flatMap(grams).foreach(g => ct(bucket(g)) += 1)
+    val tS = cs.sum.toDouble; val tT = ct.sum.toDouble
+    def lam(f: Int): Double =
+      math.log((ct(f) + 0.5) / (tT + 0.5 * B)) - math.log((cs(f) + 0.5) / (tS + 0.5 * B))
+    def want(s: String): Double = {
+      val w = grams(s).map(g => lam(bucket(g))).sum
+      math.floor(w * 1e6 + 0.5) / 1e6
+    }
+    assert(got(1L) === ((7L, want("aa bb aa bb"))))
+    assert(got(3L)._2 === want("xx yy xx yy"))
+    // the point of the operator: target-vocab docs score strictly higher
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+    // guards
+    intercept[IllegalArgumentException](
+      MixOps.dsirWeights(raw, target, "id", "text", buckets = 1))
+    intercept[IllegalArgumentException](
+      MixOps.dsirWeights(raw, target, "id", "text", alpha = 0.0))
+  }
+
+  test("dsirWeights scoring pass is zero-shuffle (ratio table rides the scan)") {
+    val raw = (1L to 50L).map(i => (i, s"tok$i tok${i + 1} common")).toDF("id", "text")
+    val target = (1L to 10L).map(i => (i, "common words here")).toDF("id", "text")
+    val scored = MixOps.dsirWeights(raw, target, "id", "text", buckets = 32)
+    val p = scored.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"scoring pass must not shuffle:\n$p")
+    assert(scored.count() === 50L)
+  }
+
   test("BioLoader reads ORC (native Spark datasource)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
     Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.orc(s"$dir/data.orc")
