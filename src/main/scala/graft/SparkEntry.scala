@@ -3595,6 +3595,24 @@ object SparkEntry {
         "doc_id", "text", buckets = 512, alpha = 0.5)
     }),
 
+    // ---- G14b: the FULL DSIR selection step (the paper's pipeline:
+    //      importance weights → sample ∝ exp(weight) without
+    //      replacement) — per-source top-20 via the
+    //      Efraimidis-Spirakis portable-coin sampler, so weights,
+    //      exp, and the sample ranks all replay in one SQL. One
+    //      id-keyed join to re-attach source (at corpus scale the
+    //      weights frame is persisted anyway), one group shuffle
+    //      into the bounded TopK aggregate. ----
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val w = MixOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 512, alpha = 0.5)
+      val scored = docs.select("doc_id", "source").join(w, "doc_id")
+        .withColumn("sel_w", exp(col("dsir_weight")))
+      MixOps.weightedSamplePerGroup(scored, "source", "doc_id", "sel_w", k = 20)
+        .select("source", "rank", "doc_id")
+    }),
+
     // ---- C43: time-to-convert per first-touch channel — latency
     //      stats with the exact distinct-value median; the speed
     //      companion of q_attribution. ----
@@ -8645,6 +8663,50 @@ object SparkEntry {
         |  floor(sum(lam.l) * 1000000 + 0.5) / 1000000 AS dsir_weight
         |FROM fx JOIN lam ON fx.f = lam.f
         |GROUP BY fx.doc_id""".stripMargin,
+
+    // the q_dsir chain + exp + the portable-coin E-S replay
+    "q_dsir_select" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    [x FOR x IN string_split_regex(lower(text), '[^\\p{L}\\p{N}]+') IF x <> ''] AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang, unnest(t) AS gr FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS gr
+        |  FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |), fx AS (
+        |  SELECT doc_id, lang, CAST(($Fold13) % 512 AS INTEGER) AS f
+        |  FROM (SELECT doc_id, lang, md5(gr) AS h16 FROM g)
+        |), cs AS (
+        |  SELECT f, count(*) AS c FROM fx GROUP BY f
+        |), ct AS (
+        |  SELECT f, count(*) AS c FROM fx WHERE lang = 'en' GROUP BY f
+        |), ts AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cs),
+        |   tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM ct),
+        |lam AS (
+        |  SELECT b.f,
+        |    ln((coalesce(ct.c, 0) + 0.5) / (tt.t + 0.5 * 512)) -
+        |    ln((coalesce(cs.c, 0) + 0.5) / (ts.t + 0.5 * 512)) AS l
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS f) b
+        |  LEFT JOIN cs ON b.f = cs.f
+        |  LEFT JOIN ct ON b.f = ct.f
+        |  CROSS JOIN ts CROSS JOIN tt
+        |), w AS (
+        |  SELECT fx.doc_id,
+        |    floor(sum(lam.l) * 1000000 + 0.5) / 1000000 AS dw
+        |  FROM fx JOIN lam ON fx.f = lam.f
+        |  GROUP BY fx.doc_id
+        |), j AS (
+        |  SELECT d.source, w.doc_id, exp(w.dw) AS sw,
+        |    (((((w.doc_id % 999983 + 999983) % 999983) * 480879 % 999983) * 104729 % 999983) + 1)::DOUBLE / 999984.0 AS uu
+        |  FROM w JOIN documents d ON w.doc_id = d.doc_id
+        |)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ln(uu) / sw DESC, doc_id ASC) AS rk
+        |  FROM j)
+        |WHERE rk <= 20""".stripMargin,
 
     // first touch by (ts, id) window, floor-div second latencies,
     // the integer-count type-7 median per channel
