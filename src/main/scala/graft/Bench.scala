@@ -117,5 +117,19 @@ object Bench {
     // print LAST, after spark.stop's log chatter, so a tail capture
     // of stdout ends with the complete record
     println(line)
+    // the driver's stdout capture keeps only the final ~2000 chars —
+    // a 250-query record line can NEVER arrive whole (every BENCH_rN
+    // through r10 shows parsed=None with the record cut mid-line).
+    // Emit a compact summary AS THE LAST LINE: the same contract
+    // shape, `queries` limited to the slowest 20 plus the meta lines,
+    // with pointers to the full committed record. Guaranteed under
+    // the window, so a tail-side JSON parse succeeds.
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+    val compactQs = (slowest ++ Seq(
+      "_host_control" -> hostControl,
+      "_n_queries" -> results.count(_._1.startsWith("q_")).toDouble))
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","full_record":"$out"}""")
   }
 }
