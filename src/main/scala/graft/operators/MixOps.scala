@@ -546,29 +546,15 @@ object MixOps {
 
   // ---- DSIR importance weights -------------------------------------------
 
-  /** 52-bit md5 fold of a string column — the portable hash both
-    * engines compute identically (the KMV/HLL convention: fold the
-    * first 13 hex chars digit-by-digit).
-    */
-  private def h52str(c: Column): Column = {
-    val h = md5(c)
-    (1 to 13)
-      .map(i => (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long"))
-      .reduce((a, b) => a * 16 + b)
-  }
-
   /** Hashed bag-of-ngrams features (word unigrams + bigrams folded
-    * into `buckets` via the portable md5 hash) — the DSIR feature
-    * space.
+    * into `buckets` via the portable md5 fold) — the DSIR feature
+    * space, computed by the one-pass K-series kernel
+    * ([[graft.functions.DsirFeaturesExpression]]): the composed
+    * Column formulation materialized gram strings, hex strings, and
+    * ran 13 substring/instr evaluations per gram.
     */
-  private def dsirFeatures(text: Column, buckets: Int): Column = {
-    val toks = graft.functions.TextFunctions.tokens(text)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(toks, bigrams), g => pmod(h52str(g), lit(buckets)).cast("int"))
-  }
+  private def dsirFeatures(text: Column, buckets: Int): Column =
+    graft.functions.DsirFeaturesExpression.dsirFeatures(text, buckets)
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every

@@ -255,6 +255,24 @@ class MixSpec extends SparkSpec {
       MixOps.dsirWeights(raw, target, "id", "text", alpha = 0.0))
   }
 
+  test("DsirFeatures kernel: codegen-strict, matches tokens+md5-fold, empty/edge inputs") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq("Hello, World! 42", "one", "", "  ,,  ").toDF("text")
+      val got = df.select(
+        graft.functions.DsirFeaturesExpression.dsirFeatures(col("text"), 64).as("f"))
+        .as[Seq[Int]].collect()
+      def bucket(g: String): Int = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (h.take(13).foldLeft(0L)((a, c) => a * 16 + Character.digit(c, 16)) % 64).toInt
+      }
+      assert(got(0) === Seq("hello", "world", "42", "hello world", "world 42").map(bucket))
+      assert(got(1) === Seq(bucket("one")))
+      assert(got(2) === Seq.empty && got(3) === Seq.empty)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("dsirWeights scoring pass is zero-shuffle (ratio table rides the scan)") {
     val raw = (1L to 50L).map(i => (i, s"tok$i tok${i + 1} common")).toDF("id", "text")
     val target = (1L to 10L).map(i => (i, "common words here")).toDF("id", "text")
