@@ -269,11 +269,19 @@ object SketchOps {
   /** 52-bit integer hash of a value: the first 13 hex chars of its
     * md5, folded digit-by-digit — the same arithmetic any engine
     * replays, and small enough to be exact in a double.
+    *
+    * The md5 binds to a lambda variable through a 1-element
+    * transform: Catalyst expression trees DUPLICATE a subexpression
+    * per reference, so inlining `md5(...)` into the 13-digit fold
+    * ran the digest 13× per row (the DSIR-kernel lesson, r11).
     */
   private def h52(valueCol: String): Column =
-    (1 to 13)
-      .map(i => hexVal(substring(md5(col(valueCol).cast("string")), i, 1)).cast("long"))
-      .reduce((a, b) => a * 16 + b)
+    element_at(
+      transform(array(md5(col(valueCol).cast("string"))),
+        h => (1 to 13)
+          .map(i => hexVal(substring(h, i, 1)).cast("long"))
+          .reduce((a, b) => a * 16 + b)),
+      1)
 
   /** KMV (k-minimum-values, Bar-Yossef 2002) bottom-k distinct
     * sketch — the third leg of the sketch family: C19 HLL answers
