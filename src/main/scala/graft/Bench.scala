@@ -72,9 +72,18 @@ object Bench {
     // not benchmarked work.
     val controlKeys = Seq("q_rules", "q_bm25_append", "q_outliers",
       "q_profile", "q_salted_join", "q_ngram_jaccard")
+    // a fast-failing control member would silently deflate the meter
+    // and corrupt every like-for-like comparison made against it —
+    // log and count failures so a deflated meter is distinguishable
+    // from a fast host
+    var controlErrors = 0
     def runControl(): Double = controlKeys.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        controlErrors += 1
+        System.err.println(s"[bench] host-control query $name FAILED: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }.sum
     runControl() // discard: one-time codegen/page-cache costs
@@ -88,9 +97,13 @@ object Bench {
       }
     // the first post-idle pass pays one-time costs (whole-stage
     // codegen compiles, RocksDB instantiation, OS page cache) up to
-    // ~50% of its wall-clock; run it as a discard and report the
-    // second, steady-state pass
-    runAll()
+    // ~50% of its wall-clock. It used to be a silent discard; the r11
+    // verdict called that convention blind — a fresh session (and the
+    // driver) pays exactly the first pass. Record BOTH: `queries` /
+    // `total` stay the steady second pass (like-for-like with every
+    // prior round's record) and `queries_cold` / `total_cold` carry
+    // the first pass so cold-start costs are visible and triageable.
+    val coldResults = runAll()
     val warmLine: Map[String, Double] =
       if (wantsCoOrder || wantsPurchase) Map("_shared_graph_build" -> warmSecs) else Map.empty
     val results = runAll() ++ warmLine
@@ -101,10 +114,14 @@ object Bench {
     // total sums the benchmarked work (incl. the shared-build line);
     // the control meter rides in `queries` but not in `total`
     val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
-    val qs = (results + ("_host_control" -> hostControl))
-      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalCold = if (coldResults.nonEmpty) r3(coldResults.values.sum + warmSecs) else 0.0
+    def jsonMap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val qs = jsonMap(results +
+      ("_host_control" -> hostControl) +
+      ("_host_control_errors" -> controlErrors.toDouble))
+    val coldQs = jsonMap(coldResults ++ warmLine)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$coldQs,"sf":"$sfDir"}"""
     // land the record in a file first: stdout through the sbt runner
     // gets log-prefixed and has produced truncated records
     // a TARGETED run must never clobber the committed full-registry
@@ -130,6 +147,6 @@ object Bench {
       "_n_queries" -> results.count(_._1.startsWith("q_")).toDouble))
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir","full_record":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"total_cold":$totalCold,"sf":"$sfDir","full_record":"$out"}""")
   }
 }

@@ -216,8 +216,15 @@ object WebDatasetIO {
             val pad = new Array[Byte](padded - size)
             require(readFully(pad, pad.length), s"truncated tar padding after $shortName in $shard")
             // name precedence per the specs: explicit override beats
-            // ustar prefix+name beats the bare 100-char field
-            val prefix = cString(header, 345, 155)
+            // ustar prefix+name beats the bare 100-char field. The
+            // prefix field exists ONLY in POSIX ustar/PAX headers —
+            // GNU (oldgnu) stores atime/ctime at offsets 345/357, so
+            // honoring it unconditionally would prepend octal garbage
+            // to every GNU-archive member name. Gate on the magic.
+            val isUstar = header(257) == 'u'.toByte && header(258) == 's'.toByte &&
+              header(259) == 't'.toByte && header(260) == 'a'.toByte &&
+              header(261) == 'r'.toByte && header(262) == 0.toByte
+            val prefix = if (isUstar) cString(header, 345, 155) else ""
             val ustarName = if (prefix.isEmpty) shortName else s"$prefix/$shortName"
             staged = (nameOverride.getOrElse(ustarName), content)
             nameOverride = None
@@ -233,8 +240,14 @@ object WebDatasetIO {
               var e = 0
               while (e < size && payload(e) != 0) e += 1
               nameOverride = Some(new String(payload, 0, e, "UTF-8"))
+            } else {
+              // 'g' global headers, directories, links: consumed, no
+              // override — AND they consume any pending override (a
+              // PAX/longname header names its IMMEDIATE successor; a
+              // >100-char directory's override must not leak onto the
+              // next regular file).
+              nameOverride = None
             }
-            // 'g' global headers and directories: consumed, no override
           }
         }
       }

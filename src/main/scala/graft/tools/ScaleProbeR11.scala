@@ -8,7 +8,8 @@ import graft.operators.{DedupOps, GraphOps}
 /** Round-11 scale probes:
   *
   * 1. Multi-level Louvain on a planted hierarchy at graph scale — a
-  *    ring of 50k K4-cliques (~350k edges): level 1 (identity-seeded
+  *    ring of 100k K3 (triangle) cliques bridged into a cycle
+  *    (~400k edges): level 1 (identity-seeded
   *    refine) resolves cliques, the multi-level loop must merge
   *    adjacent cliques (the resolution-limit regime: m ≫ 8) and
   *    STRICTLY raise modularity, with bounded levels and no driver

@@ -134,6 +134,79 @@ class WebDatasetIOSpec extends SparkSpec {
     assert(members.map(_._1) == List(rel), s"ustar prefix surfaced ${members.map(_._1)}")
   }
 
+  // hand-craft a 512-byte tar header: the two regressions below need
+  // byte-exact control over fields system tar won't emit on demand
+  private def tarHeader(name: String, size: Int, typeflag: Byte,
+                        magic: Array[Byte], prefixField: Array[Byte]): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8"); System.arraycopy(nb, 0, h, 0, nb.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val p = ("0" * (len - 1 - s.length)) + s
+      System.arraycopy(p.getBytes("US-ASCII"), 0, h, off, len - 1)
+    }
+    oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8) // mode/uid/gid
+    oct(size.toLong, 124, 12); oct(0, 136, 12)       // size/mtime
+    h(156) = typeflag
+    System.arraycopy(magic, 0, h, 257, magic.length)
+    System.arraycopy(prefixField, 0, h, 345, math.min(prefixField.length, 155))
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)   // chksum spaces
+    var sum = 0L; var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    val csp = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csp.getBytes("US-ASCII"), 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    h
+  }
+  private def padded(content: Array[Byte]): Array[Byte] =
+    java.util.Arrays.copyOf(content, ((content.length + 511) / 512) * 512)
+  private val posixMagic = Array[Byte]('u', 's', 't', 'a', 'r', 0)
+  // oldgnu magic: "ustar  \0" — bytes 257..262 are NOT the POSIX magic
+  private val gnuMagic = Array[Byte]('u', 's', 't', 'a', 'r', ' ', ' ', 0)
+
+  test("GNU header's atime bytes at offset 345 are not misread as a ustar prefix") {
+    // oldgnu stores atime/ctime at 345/357 where POSIX puts `prefix`;
+    // the parser must gate the prefix read on the POSIX magic or
+    // every GNU member gains a garbage 'prefix/'
+    val content = "hello".getBytes("UTF-8")
+    val atimeOctal = "00000001234 ".getBytes("US-ASCII")
+    val tar = tarHeader("a.txt", content.length, '0'.toByte, gnuMagic, atimeOctal) ++
+      padded(content) ++ new Array[Byte](1024)
+    val members = WebDatasetIO.parseTar(tar).toList
+    assert(members.map(_._1) == List("a.txt"), s"GNU atime leaked into name: ${members.map(_._1)}")
+    assert(new String(members.head._2, "UTF-8") == "hello")
+    // and a genuine POSIX prefix still resolves
+    val pfx = "dir/sub".getBytes("UTF-8")
+    val tar2 = tarHeader("b.txt", content.length, '0'.toByte, posixMagic, pfx) ++
+      padded(content) ++ new Array[Byte](1024)
+    assert(WebDatasetIO.parseTar(tar2).toList.map(_._1) == List("dir/sub/b.txt"))
+  }
+
+  test("a PAX path override for a non-regular member does not leak onto the next file") {
+    // 'x' header naming a >100-char DIRECTORY, then the directory,
+    // then a regular file: the override belongs to the directory and
+    // must be consumed by it, not rename the file
+    val longDir = ("d" * 120) + "/"
+    val paxRec = {
+      // "len path=value\n" with len covering the whole record
+      def rec(l: Int) = s"$l path=$longDir\n"
+      var l = rec(1).length; while (rec(l).length != l) l = rec(l).length
+      rec(l).getBytes("UTF-8")
+    }
+    val content = "world".getBytes("UTF-8")
+    val tar =
+      tarHeader("PaxHeaders/dir", paxRec.length, 'x'.toByte, posixMagic, Array.emptyByteArray) ++
+        padded(paxRec) ++
+        tarHeader(longDir.take(100), 0, '5'.toByte, posixMagic, Array.emptyByteArray) ++
+        tarHeader("c.txt", content.length, '0'.toByte, posixMagic, Array.emptyByteArray) ++
+        padded(content) ++ new Array[Byte](1024)
+    val members = WebDatasetIO.parseTar(tar).toList
+    assert(members.map(_._1) == List("c.txt"),
+      s"directory's PAX override leaked: ${members.map(_._1)}")
+    assert(new String(members.head._2, "UTF-8") == "world")
+  }
+
   test("write is stage-and-swap: a failing job leaves the previous dataset intact") {
     val tmp = java.nio.file.Files.createTempDirectory("wds8").toFile.getAbsolutePath
     val ok = Seq((0L, "alpha"), (1L, "beta")).toDF("k", "txt")
