@@ -966,6 +966,34 @@ object SparkEntry {
       fold(img, "image").unionByName(fold(aud, "audio"))
     }),
 
+    // ---- D12c: radius-beyond-3 hamming pairs — the multi-index
+    //      probed banding (Norouzi 2012) that real perceptual dedup
+    //      needs (dHash/audio twins sit at r ≈ 5-7, where the old
+    //      quarter-banding refused). Planted signatures: 8 classes
+    //      ≥16 apart in the low 48 bits; within a class, variant v
+    //      flips a DISJOINT v-dependent block of the top bits
+    //      (0/3/5/7 bits), so within-class distances are exactly
+    //      {3,5,7} against v=0 and {8,10,12} between v≥1 — the
+    //      maxHamming=7 cut keeps precisely the v=0 pairs with a
+    //      closed-form distance, making the whole pair set (incl.
+    //      the planted radius-5 and radius-7 twins) oracle-exact. ----
+    "q_hamming_r7" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .select("doc_id").filter(col("doc_id") < 32)
+      val c = col("doc_id") % 8
+      val v = shiftright(col("doc_id"), 3)
+      val base = c.bitwiseAND(lit(1L)) * lit(65535L) +
+        shiftright(c, 1).bitwiseAND(lit(1L)) * lit(65535L << 16) +
+        shiftright(c, 2).bitwiseAND(lit(1L)) * lit(65535L << 32)
+      val mask = when(v === 1, lit(7L << 48))
+        .when(v === 2, lit(31L << 51))
+        .when(v === 3, lit(127L << 56))
+        .otherwise(lit(0L))
+      graft.operators.DedupOps.hammingPairs64(
+        d.select(col("doc_id").as("id"), base.bitwiseXOR(mask).as("sig")),
+        "id", "sig", maxHamming = 7)
+    }),
+
     // ---- C13: salted join for skewed keys — must be result-
     //      identical to the plain join (the oracle IS the plain
     //      join), while spreading each hot key over saltFactor
@@ -4747,6 +4775,17 @@ object SparkEntry {
         |       CAST(4 AS BIGINT) AS n_buckets,
         |       CAST(4 * (r * (r - 1) // 2) AS BIGINT) AS lost_pairs
         |FROM p WHERE r > 50""".stripMargin,
+
+    // closed-form replay of the planted variant distances: only the
+    // v=0 docs (doc_id < 8) pair within maxHamming 7, at exactly
+    // 3/5/7 bits against v = 1/2/3 — any banding incompleteness at
+    // radius 5-7 loses rows, any over-generation adds them
+    "q_hamming_r7" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 32)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(CASE b.doc_id // 8 WHEN 1 THEN 3 WHEN 2 THEN 5 ELSE 7 END AS INTEGER) AS hamming
+        |FROM d a JOIN d b ON a.doc_id % 8 = b.doc_id % 8
+        |  AND a.doc_id < 8 AND b.doc_id >= 8""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,

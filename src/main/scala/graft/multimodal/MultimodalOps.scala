@@ -260,12 +260,15 @@ object MultimodalOps {
       df: DataFrame,
       idCol: String,
       bytesCol: String,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      maxHamming: Int = 3
   ): DataFrame =
+    // maxHamming must match the dedup pass it diagnoses: the probed
+    // banding's buckets depend on it
     graft.operators.DedupOps.hammingOverflowReport(
       df.select(col(idCol).as("id"),
         graft.functions.PerceptualExpressions.imageDHash64(col(bytesCol)).as("sig")),
-      "id", "sig", maxBucket)
+      "id", "sig", maxBucket, maxHamming)
 
   /** REAL audio codec on the JDK's javax.sound.sampled WAV/AIFF/AU
     * parsers: decode → `[sampleRate, channels, durationMs, RMS,
@@ -436,12 +439,13 @@ object MultimodalOps {
       df: DataFrame,
       idCol: String,
       bytesCol: String,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      maxHamming: Int = 3
   ): DataFrame =
     graft.operators.DedupOps.hammingOverflowReport(
       df.select(col(idCol).as("id"),
         graft.functions.PerceptualExpressions.audioFingerprint64(col(bytesCol)).as("sig")),
-      "id", "sig", maxBucket)
+      "id", "sig", maxBucket, maxHamming)
 
   /** REAL video codec over the ISO-BMFF container structure
     * ([[Mp4]]): `[width, height, durationMs, frameCount, fps,

@@ -86,10 +86,10 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup: 64-bit fingerprints; candidates = equal
-    * 16-bit quarters (any doc pair within hamming distance 3 shares
-    * at least one of 4 quarters — pigeonhole); verify by full
-    * hamming distance ≤ maxHamming.
+  /** SimHash near-dup: 64-bit fingerprints; candidates via
+    * [[hammingPairs64]]'s multi-index banding (exact 16-bit quarters
+    * for maxHamming ≤ 3, probed quarters beyond — complete up to
+    * maxHamming 15); verify by full hamming distance ≤ maxHamming.
     */
   def simhash(
       df: DataFrame,
@@ -106,24 +106,73 @@ object DedupOps {
       "id", "sig", maxHamming, maxBucket)
   }
 
+  /** All XOR masks over `width` low bits with popcount ≤ `p` — the
+    * multi-index probe set (Norouzi et al. 2012, Fast Search in
+    * Hamming Space with Multi-Index Hashing). p=0 → just 0L.
+    */
+  private def flipMasks(width: Int, p: Int): Seq[Long] = {
+    def comb(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until width).flatMap(i => comb(i + 1, left - 1).map(_ | (1L << i)))
+    (0 to p).flatMap(k => comb(0, k))
+  }
+
+  /** The banding keys for a 64-bit signature as an array of
+    * (q, k) structs — `bands` substrings of 64/bands bits, each
+    * probed out to `probe` flipped bits. Shared by the pair pass
+    * and the overflow report so the two always agree on buckets.
+    */
+  private def hammingBandKeys(sig: Column, bands: Int, probe: Int): Column = {
+    val width = 64 / bands
+    val fieldMask = (1L << width) - 1
+    val masks = flipMasks(width, probe)
+    flatten(array((0 until bands).map { q =>
+      val base = shiftright(sig, q * width).bitwiseAND(lit(fieldMask))
+      if (masks.size == 1) array(struct(lit(q).as("q"), base.as("k")))
+      else transform(array(masks.map(lit): _*),
+        m => struct(lit(q).as("q"), base.bitwiseXOR(m).as("k")))
+    }: _*))
+  }
+
+  /** Per-band probe radius that makes `bands`-banding
+    * candidate-complete for `maxHamming`: by pigeonhole a pair at
+    * distance r has some band at distance ≤ ⌊r/bands⌋, and two keys
+    * at distance d ≤ p share a probed key (the nearer key itself).
+    */
+  private def probeRadius(maxHamming: Int, bands: Int): Int = maxHamming / bands
+
   /** Hamming-≤-`maxHamming` pairs over ANY precomputed 64-bit
-    * signature column (simhash, image dHash, audio fingerprints…):
-    * quarter-band the signature into 4 16-bit keys — by pigeonhole
-    * a pair within hamming 3 agrees on at least one quarter, so the
-    * banding is candidate-COMPLETE for maxHamming ≤ 3 (enforced) —
-    * then ONE groupBy(band) with capped member collection and the
+    * signature column (simhash, image dHash, audio fingerprints…),
+    * via multi-index banding (Norouzi et al. 2012): the signature
+    * splits into `bands` substrings of 64/bands bits, each probed
+    * out to ⌊maxHamming/bands⌋ flipped bits, so by pigeonhole ANY
+    * pair within `maxHamming` shares at least one probed band key —
+    * candidate-COMPLETE for every maxHamming ≤ 15 (enforced).
+    * Then ONE groupBy(band) with capped member collection and the
     * fused bucket-local hamming verify. Null signatures drop out
     * before bucketing. (id, sig) rows are all that shuffles.
+    *
+    * Cost shape: rows shuffled per doc = bands · Σ_{i≤p} C(64/bands, i)
+    * where p = ⌊maxHamming/bands⌋. With the default bands=4:
+    * r ≤ 3 → 4 rows (exact quarters, the classic plan), r ≤ 7 → 68,
+    * r ≤ 11 → 548, r ≤ 15 → 2788. `bands = 8` trades that
+    * amplification for key-space collapse (8-bit keys → ≤ 2048
+    * buckets total): 8 rows/doc up to r ≤ 7 but every bucket holds
+    * ~n/256 docs, so at corpus scale the cap (and the overflow
+    * report) dominates — prefer the default 16-bit probed quarters
+    * beyond toy sizes and keep bands=8 for small skewless sets.
     */
   def hammingPairs64(
       df: DataFrame,
       idCol: String,
       sigCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      bands: Int = 4
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"quarter-banding is candidate-complete only for maxHamming <= 3, got $maxHamming")
+    require(Set(2, 4, 8).contains(bands), s"bands must be 2, 4, or 8, got $bands")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] (probe-mask count grows C(64/bands, r/bands)), got $maxHamming")
     // fail fast on non-integral ids: cast('long') would turn e.g. a
     // string id column into silent nulls instead of pairs
     val idType = df.select(col(idCol)).schema.head.dataType
@@ -132,14 +181,10 @@ object DedupOps {
       s"$idCol must be an integral id column, got ${idType.typeName}")
     val sigs = df.select(col(idCol).cast("long").as("id"), col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
-    val quarters = sigs.select(
-      col("id"),
-      col("sig"),
-      explode(
-        array((0 until 4).map(q => struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)
-      ).as("bucket")
-    )
-    val keyed = quarters.select(col("bucket.q"), col("bucket.k"), struct(col("id"), col("sig")).as("member"))
+    val keyed = sigs.select(
+        col("id"), col("sig"),
+        explode(hammingBandKeys(col("sig"), bands, probeRadius(maxHamming, bands))).as("bucket"))
+      .select(col("bucket.q"), col("bucket.k"), struct(col("id"), col("sig")).as("member"))
     // one shuffle: bucket members collected (capped), pairs emitted
     // with the hamming verify fused into the bucket scan — only
     // survivors pay the distinct shuffle
@@ -276,13 +321,14 @@ object DedupOps {
       df: DataFrame,
       idCol: String,
       sigCol: String,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      maxHamming: Int = 3,
+      bands: Int = 4
   ): DataFrame = {
     val quarters = df
       .select(col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
-      .select(explode(array((0 until 4).map(q =>
-        struct(lit(q).as("q"), shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL)).as("k"))): _*)).as("b"))
+      .select(explode(hammingBandKeys(col("sig"), bands, probeRadius(maxHamming, bands))).as("b"))
       .select(col("b.q"), col("b.k"))
     overflowReport(quarters, Seq("q", "k"), maxBucket)
   }

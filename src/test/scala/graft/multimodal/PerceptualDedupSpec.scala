@@ -71,11 +71,83 @@ class PerceptualDedupSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L, 0)))
   }
 
-  test("hammingPairs64 rejects maxHamming above the banding guarantee") {
+  test("hammingPairs64 rejects maxHamming beyond the probed-banding ceiling") {
     val df = Seq((1L, 0L)).toDF("id", "sig")
     assertThrows[IllegalArgumentException] {
-      graft.operators.DedupOps.hammingPairs64(df, "id", "sig", maxHamming = 4)
+      graft.operators.DedupOps.hammingPairs64(df, "id", "sig", maxHamming = 16)
     }
+    assertThrows[IllegalArgumentException] {
+      graft.operators.DedupOps.hammingPairs64(df, "id", "sig", maxHamming = 3, bands = 5)
+    }
+  }
+
+  test("probed banding is candidate-complete at radius 5-11: banded == brute force") {
+    // clustered fixture: 12 random 64-bit centers, each with 5
+    // variants flipping 0/2/5/7/9 random bits — pair distances span
+    // the whole [0, 18]ish range, so an incomplete banding (the old
+    // quarter-exact plan capped at r <= 3) visibly loses pairs
+    val rnd2 = new scala.util.Random(7)
+    val centers = Array.fill(12)(rnd2.nextLong())
+    val flips = Array(0, 2, 5, 7, 9)
+    val sigs = for { c <- 0 until 12; v <- 0 until 5 } yield {
+      var s = centers(c)
+      val picked = scala.collection.mutable.Set.empty[Int]
+      while (picked.size < flips(v)) picked += rnd2.nextInt(64)
+      picked.foreach(b => s ^= 1L << b)
+      ((c * 5 + v).toLong, s)
+    }
+    val df = sigs.toDF("id", "sig")
+    for (r <- Seq(5, 7, 11); bands <- Seq(4, 8)) {
+      val got = graft.operators.DedupOps
+        .hammingPairs64(df, "id", "sig", maxHamming = r, bands = bands)
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val want = (for {
+        i <- sigs.indices; j <- (i + 1) until sigs.size
+        h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+        if h <= r
+      } yield {
+        val (a, b) = (sigs(i)._1, sigs(j)._1)
+        if (a < b) (a, b, h) else (b, a, h)
+      }).sorted
+      assert(got === want, s"radius $r bands $bands")
+    }
+  }
+
+  test("probed overflow report mirrors the probed buckets (bands x probe keys)") {
+    // a constant-signature class of 6 with maxBucket=4 at radius 7:
+    // probe radius 1 puts every member in 4 x (1 + 16) = 68 buckets,
+    // each over cap with the same closed-form lost pairs
+    val df = (0L to 5L).map(id => (id, 0x0123456789abcdefL)).toDF("id", "sig")
+    val rep = graft.operators.DedupOps
+      .hammingOverflowReport(df, "id", "sig", maxBucket = 4, maxHamming = 7)
+      .select("n_members", "n_lost_pairs").as[(Long, Long)].collect().toSeq
+    assert(rep === Seq.fill(68)((6L, 15L)))
+  }
+
+  test("perceptualDedup retrieves planted radius-5 and radius-7 image twins") {
+    // two images whose dHash differs in exactly 5 (resp. 7) bits:
+    // flip gradient cells of the class pattern. classPatternPng's
+    // hash IS the class bit pattern, so XOR-plant via distinct
+    // classes is not possible — plant on raw sigs through the public
+    // generic API instead, plus one real-PNG hamming-0 control pair
+    val imgs = Seq(
+      (1L, MultimodalOps.classPatternPng(3, 0)),
+      (2L, MultimodalOps.classPatternPng(3, 2))).toDF("id", "content")
+    val ctl = MultimodalOps.perceptualDedup(imgs, "id", "content", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(ctl === Seq((1L, 2L, 0)))
+    val base = 0x00ff00ff00ff00ffL
+    val df = Seq(
+      (10L, base),
+      (11L, base ^ 0x1fL),          // 5 bits
+      (12L, base ^ (0x7fL << 32)),  // 7 bits
+      (13L, base ^ -1L)             // 64 bits: out of range
+    ).toDF("id", "sig")
+    val got = graft.operators.DedupOps
+      .hammingPairs64(df, "id", "sig", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // (11, 12) sits at 12 bits — correctly outside the radius
+    assert(got === Seq((10L, 11L, 5), (10L, 12L, 7)))
   }
 
   // ---- audio fingerprint twin ----
