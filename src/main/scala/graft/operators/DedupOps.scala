@@ -1212,7 +1212,10 @@ object DedupOps {
     * every such row (unlike [[decontaminate]], which tolerates
     * duplicate ids by construction). Uniqueness is the caller's
     * responsibility; a full distinct-count pre-pass per call would
-    * double the operator's shuffle bill at corpus scale.
+    * double the operator's shuffle bill at corpus scale. Set
+    * `spark.graft.debug=true` to PAY that pre-pass during pipeline
+    * development: duplicate ids then fail loudly here instead of
+    * silently mis-scrubbing.
     */
   def removeRepeatedNgrams(
       df: DataFrame,
@@ -1222,6 +1225,14 @@ object DedupOps {
       outputCol: String = "text_clean"
   ): DataFrame = {
     require(n >= 2, s"window size must be >= 2 tokens, got $n")
+    if (df.sparkSession.conf.getOption("spark.graft.debug").exists(_.toBoolean)) {
+      val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(dups.isEmpty,
+        s"removeRepeatedNgrams contract violated: duplicate $idCol values ${dups.mkString(", ")}" +
+          " (detected because spark.graft.debug=true; the covered-index pass groups by id)")
+    }
     val reserved = Seq("__tk", "__cov", "__pos", "__h", "__c", "__f", "__i",
       outputCol, "removed_tokens")
     require(!df.columns.exists(reserved.contains),

@@ -120,4 +120,20 @@ class SubstringDedupSpec extends SparkSpec {
       DedupOps.removeRepeatedNgrams(base, "id", "text", outputCol = "text")
     }
   }
+
+  test("spark.graft.debug pays the id-uniqueness pre-pass; off by default") {
+    val dup = Seq(1L -> "a b c d e f", 1L -> "g h i j k l").toDF("id", "text")
+    // contract-only by default: no check, no throw (documented trade)
+    DedupOps.removeRepeatedNgrams(dup, "id", "text").count()
+    spark.conf.set("spark.graft.debug", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        DedupOps.removeRepeatedNgrams(dup, "id", "text")
+      }
+      assert(ex.getMessage.contains("duplicate id"), ex.getMessage)
+      // unique ids stay green under debug
+      val ok = Seq(1L -> "a b c d e f", 2L -> "g h i j k l").toDF("id", "text")
+      assert(DedupOps.removeRepeatedNgrams(ok, "id", "text").count() === 2L)
+    } finally spark.conf.unset("spark.graft.debug")
+  }
 }
