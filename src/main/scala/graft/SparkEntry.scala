@@ -95,15 +95,19 @@ object SparkEntry {
       GraphOps.canonicalizeDistinct(sharedCoOrderEdges(s, dir))
     }
 
-  /** 3-round LPA labels on the shared canonical graph — q_label_prop
+  /** 2-round LPA labels on the shared canonical graph — q_label_prop
     * emits them, and the Louvain refinement seeds from them (the
     * LPA-seed + guarded-merge hybrid measurably out-scores pure
-    * local-move seeding on this graph: Q 0.0367 vs 0.0246 at sf0.1).
+    * local-move seeding on this graph: Q 0.0377 vs 0.0246 at sf0.1).
+    * 2 rounds, not 3: the r12 probe measured the 2-round seed both
+    * FASTER (one LPA round ≈ 1.7 s off the shared-build critical
+    * path) and better after refinement (Q 0.0377 vs 0.0367 — the
+    * third synchronous round over-smooths toward the label wave).
     */
   private val lpaCache = new SessionCache[DataFrame]
   private[graft] def sharedLpa(s: SparkSession, dir: String): DataFrame =
     lpaCache.get(s, dir) {
-      GraphOps.labelPropagation(sharedSymGraph(s, dir), iters = 3)
+      GraphOps.labelPropagation(sharedSymGraph(s, dir), iters = 2)
     }
 
   /** Shared Louvain partition: contraction of the shared LPA seed +
@@ -225,10 +229,15 @@ object SparkEntry {
     ()
   }
 
-  /** Both halves — the full-registry warm path. */
+  /** Both halves — the full-registry warm path. The chains are
+    * independent job DAGs, so they run as concurrent Spark jobs:
+    * wall-clock = max(chains), not their sum.
+    */
   def warmShared(spark: SparkSession, dir: String): Unit = {
-    warmSharedCoOrder(spark, dir)
+    val a = new Thread(() => warmSharedCoOrder(spark, dir))
+    a.start()
     warmSharedPurchase(spark, dir)
+    a.join()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1629,13 +1638,13 @@ object SparkEntry {
       GraphOps.modularityOfLouvain(sharedLouvain(s, dir))
     }),
 
-    // ---- D7o: Louvain WITH single-level contraction — LPA(3)
+    // ---- D7o: Louvain WITH single-level contraction — LPA(2)
     //      seeds the partition, communities collapse to weighted
     //      super-nodes, 4 exact-integer downward-move refine rounds
     //      run on the contracted graph, labels map back
     //      (sharedLouvain = louvainRefine(sharedSymGraph, sharedLpa,
     //      level1Rounds = 4)); the oracle unrolls the identical
-    //      chain (LouvainChainSql: lp1..lp3 seed + RefineRounds = 4)
+    //      chain (LouvainChainSql: lp1..lp2 seed + RefineRounds = 4)
     //      with zero float arithmetic. ----
     "q_louvain" -> ((s, dir) => {
       sharedLouvain(s, dir).labels
@@ -1652,9 +1661,9 @@ object SparkEntry {
 
     // ---- D7e: synchronous label-propagation communities on the
     //      part co-order graph — deterministic variant (most
-    //      frequent neighbor label, ties to the smallest), 3 fixed
-    //      rounds, each ONE label-frame join + count + argmax
-    //      window. ----
+    //      frequent neighbor label, ties to the smallest), 2 fixed
+    //      rounds (see sharedLpa: faster AND refines better than 3),
+    //      each ONE label-frame join + count + argmax window. ----
     "q_label_prop" -> ((s, dir) => {
       sharedLpa(s, dir)
     }),
@@ -4381,7 +4390,7 @@ object SparkEntry {
       |FROM rec""".stripMargin
 
   /** Two-level Louvain oracle chain, shared by q_louvain and
-    * q_modularity: the 3-round LPA seed (lp1..lp3 — the identical
+    * q_modularity: the 2-round LPA seed (lp1..lp2 — the identical
     * integer chain the q_label_prop oracle uses), the contraction
     * (cross weights cw, super-degrees kdeg), then `RefineRounds`
     * guarded merge sweeps on the contracted graph: a super-node may
@@ -4452,24 +4461,18 @@ object SparkEntry {
       |  SELECT src AS node, label FROM (
       |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
       |  ) WHERE rn = 1
-      |), cn3 AS MATERIALIZED (
-      |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
-      |), lp3 AS MATERIALIZED (
-      |  SELECT src AS node, label FROM (
-      |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
-      |  ) WHERE rn = 1
       |), cw AS MATERIALIZED (
       |  SELECT lu.label AS src, lv.label AS dst, count(*) AS w
-      |  FROM e2 JOIN lp3 lu ON e2.src = lu.node JOIN lp3 lv ON e2.dst = lv.node
+      |  FROM e2 JOIN lp2 lu ON e2.src = lu.node JOIN lp2 lv ON e2.dst = lv.node
       |  WHERE lu.label <> lv.label GROUP BY 1, 2
       |), kdeg AS MATERIALIZED (
-      |  SELECT l.label AS node, sum(d.deg) AS deg FROM lp3 l JOIN deg d USING (node) GROUP BY 1
+      |  SELECT l.label AS node, sum(d.deg) AS deg FROM lp2 l JOIN deg d USING (node) GROUP BY 1
       |), s0 AS MATERIALIZED (
       |  SELECT node, node AS community FROM kdeg""".stripMargin
     + (1 to RefineRounds).map(r => refineRoundSql(r).stripMargin).mkString
     + s"""
       |), fin AS MATERIALIZED (
-      |  SELECT lp3.node, s$RefineRounds.community FROM lp3 JOIN s$RefineRounds ON lp3.label = s$RefineRounds.node
+      |  SELECT lp2.node, s$RefineRounds.community FROM lp2 JOIN s$RefineRounds ON lp2.label = s$RefineRounds.node
       |)""".stripMargin
   )
 
@@ -5559,14 +5562,8 @@ object SparkEntry {
         |  SELECT src AS node, label FROM (
         |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn2
         |  ) WHERE rn = 1
-        |), cn3 AS (
-        |  SELECT e2.src, l.label, count(*) AS c FROM e2 JOIN lp2 l ON e2.dst = l.node GROUP BY 1, 2
-        |), lp3 AS (
-        |  SELECT src AS node, label FROM (
-        |    SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn FROM cn3
-        |  ) WHERE rn = 1
         |)
-        |SELECT node, label FROM lp3""".stripMargin,
+        |SELECT node, label FROM lp2""".stripMargin,
 
     // the two-level Louvain chain, then Newman's terms re-derived
     // from the NODE-level final labels (the Spark side scores the
