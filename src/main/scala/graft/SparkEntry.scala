@@ -4004,15 +4004,29 @@ object SparkEntry {
     // batch, and TERMINATES. awaitTermination is then a complete-
     // output barrier by the trigger's own contract, replacing the
     // r9 harness's processAllAvailable + 400 ms batch-quiescence
-    // heuristic (the `quiesce` flag is now moot — kept so call
-    // sites still document which streams are stateless). Floor
-    // measured in tools/StreamFloorProbe: ~2.1 s → ~1.6 s per
-    // query steady-state at sf0.01.
+    // heuristic. Floor measured in tools/StreamFloorProbe: ~2.1 s
+    // → ~1.6 s per query steady-state at sf0.01.
+    //
+    // quiesce=false marks a STATELESS stream (stream-static join,
+    // broadcast-filter): nothing evicts and nothing emits on
+    // watermark close, so the trailing no-data batch is a full-plan
+    // re-run that produces zero rows by construction — skip it via
+    // the engine's own conf (captured at query start; restored
+    // immediately after). Stateful streams keep it: append-mode
+    // windows/timers emit their final output there.
     val ckpt = shmCheckpointBase.map(b => s"$b/$name")
     val w0 = df.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val q = ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+    val sess = df.sparkSession
+    val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = sess.conf.getOption(NoDataKey)
+    if (!quiesce) sess.conf.set(NoDataKey, "false")
+    val q =
+      try ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
+      finally if (!quiesce) {
+        prevNoData.fold(sess.conf.unset(NoDataKey))(v => sess.conf.set(NoDataKey, v))
+      }
     // bounded: a stream that fails to self-terminate (wedged source
     // or state store) must not hang a 248-query pass — the old
     // quiesce loop capped its wait the same way
