@@ -2017,7 +2017,16 @@ object SparkEntry {
     //      (min-id) cluster representative; the record-linkage
     //      pipeline as one composition. ----
     "q_entity_resolution" -> ((s, dir) => {
-      val rec = BioLoader.load(s, t(dir, "part")).filter(col("p_partkey") % 4 === 0)
+      // p_partkey < 80000 bounds the record set at big SFs (a no-op
+      // through sf0.1, where part tops out at 20k keys): the planted
+      // name space has CONSTANT cardinality (64 adj·noun pairs × 10
+      // digits), so an unbounded scan makes the >=0.95 match graph
+      // grow quadratically with sf — the r12 sf1 sweep OOMed here.
+      // Real corpora bound this with fuzzyJoinJaro's maxBlockSize;
+      // the fixture bounds the input so the oracle replay stays
+      // cap-free.
+      val rec = BioLoader.load(s, t(dir, "part"))
+        .filter(col("p_partkey") % 4 === 0 && col("p_partkey") < 80000)
         .select(col("p_partkey").as("id"),
           concat(col("p_name"), lit(" "), (col("p_partkey") % 10).cast("string")).as("name"))
       val pairs = FuzzyJoinOps.fuzzyJoinJaro(
@@ -2055,7 +2064,8 @@ object SparkEntry {
         val pushRole = struct(lit(PusherId).as("id"),
           lit("zq zq pusher").as("name"), t1.as("ts"))
         val stream = streamTable(s, dir, "part", PartSchema)
-          .filter(col("p_partkey") % 4 === 0)
+          // bounded like q_entity_resolution (see its note)
+          .filter(col("p_partkey") % 4 === 0 && col("p_partkey") < 80000)
           .select(explode(concat(array(recRole),
             slice(array(pushRole), lit(1),
               when(col("p_partkey") === 0, lit(1)).otherwise(lit(0))))).as("r"))
@@ -5827,7 +5837,7 @@ object SparkEntry {
     "q_stream_entity" ->
       """WITH RECURSIVE rec AS (
         |  SELECT p_partkey AS id, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name
-        |  FROM part WHERE p_partkey % 4 = 0
+        |  FROM part WHERE p_partkey % 4 = 0 AND p_partkey < 80000
         |), pr AS (
         |  SELECT a.id AS src, b.id AS dst FROM rec a JOIN rec b
         |  ON left(a.name, 2) = left(b.name, 2) AND a.id < b.id
@@ -5925,7 +5935,7 @@ object SparkEntry {
     "q_entity_resolution" ->
       """WITH RECURSIVE rec AS (
         |  SELECT p_partkey AS id, p_name || ' ' || CAST(p_partkey % 10 AS VARCHAR) AS name
-        |  FROM part WHERE p_partkey % 4 = 0
+        |  FROM part WHERE p_partkey % 4 = 0 AND p_partkey < 80000
         |), pr AS (
         |  SELECT a.id AS src, b.id AS dst FROM rec a JOIN rec b
         |  ON left(a.name, 2) = left(b.name, 2) AND a.id < b.id
