@@ -2408,7 +2408,7 @@ object SparkEntry {
         ev.unionByName(pusher), "ts", Seq("event_type"), "user_id",
         windowLen = "3 days", watermark = "1 hour", d = 4, w = 256)
       val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(cells, "m14cms")
+        runStreamToMemory(cells, "m14cms", mode = "update")
       }
       // exact windowed truth for a bounded probe set, batch side
       val batch = BioLoader.nanosToTimestamp(BioLoader.load(s, t(dir, "events")), "ts")
@@ -2442,7 +2442,7 @@ object SparkEntry {
         ev.unionByName(pusher), "ts", Seq("event_type"), "value",
         windowLen = "3 days", lo = 0.0, hi = 500.0, bins = 50, watermark = "1 hour")
       val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(cells, "m18qbins")
+        runStreamToMemory(cells, "m18qbins", mode = "update")
       }
       SketchOps.quantilesFromBins(
           sunk.filter(col("event_type") =!= "zz_pusher"),
@@ -2517,7 +2517,7 @@ object SparkEntry {
         ev.unionByName(pusher), "ts", Seq("event_type"), "event_id", "value",
         k = 256, windowLen = "3 days", watermark = "1 hour")
       val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(cells, "m24qs")
+        runStreamToMemory(cells, "m24qs", mode = "update")
       }
       SketchOps.quantileSampleQuantiles(
           sunk.filter(col("event_type") =!= "zz_pusher"),
@@ -2822,7 +2822,7 @@ object SparkEntry {
       // scope the knob to the stream START only — eager batch-side
       // prep (corpus blooms, band tables) keeps session parallelism
       graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup")
+        runStreamToMemory(kept.select("user_id", "event_type"), "m4dedup", quiesce = false)
       }
     }),
 
@@ -3225,8 +3225,10 @@ object SparkEntry {
     //      per cell is ≤ 2^p register rows regardless of event count,
     //      and the emitted registers stay max-mergeable downstream.
     //      The harmonic-sum estimate runs batch-side on the sink
-    //      (append mode allows one agg). Far-future pusher closes
-    //      every real window; its own window never emits. ----
+    //      (the streaming plan carries one agg). update-mode sink:
+    //      the single AvailableNow batch's emitted registers ARE
+    //      final, so no eviction batch runs; the pusher's window is
+    //      filtered on the sink. ----
     "q_stream_hll" -> ((s, dir) => {
       val ev = BioLoader.nanosToTimestamp(
           streamTable(s, dir, "events", EventsSchema), "ts")
@@ -3240,7 +3242,7 @@ object SparkEntry {
         ev.unionByName(pusher), "ts", Seq("event_type"), "user_id",
         windowLen = "3 days", watermark = "1 hour")
       val sunk = graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(regs, "m13hll")
+        runStreamToMemory(regs, "m13hll", mode = "update")
       }
       SketchOps.hllEstimateFromRegisters(
           sunk.filter(col("event_type") =!= "zz_pusher"),
@@ -3268,7 +3270,7 @@ object SparkEntry {
         purchases, "p_user", "purchase_ts",
         maxLag = "1 hour", watermark = "36500 days")
       graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(joined.select("view_id", "purchase_id", "v_user"), "m12join")
+        runStreamToMemory(joined.select("view_id", "purchase_id", "v_user"), "m12join", quiesce = false)
       }
     }),
 
@@ -3512,7 +3514,7 @@ object SparkEntry {
         Seq("user_id"), "ts", Seq("ts", "event_id"), "value",
         windowLen = "1 day", watermark = "1 hour")
       graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(bars, "m21bars").filter(col("user_id") =!= PusherId)
+        runStreamToMemory(bars, "m21bars", mode = "update").filter(col("user_id") =!= PusherId)
           .select(col("user_id"), col("bucket_start"), col("n"),
             hround(col("open"), 6).as("open"), hround(col("high"), 6).as("high"),
             hround(col("low"), 6).as("low"), hround(col("close"), 6).as("close"),
@@ -3690,7 +3692,7 @@ object SparkEntry {
         ev.unionByName(pusher), "ts", "is_purchase",
         windowLen = "1 day", watermark = "1 hour")
       graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(rates, "m23rate")
+        runStreamToMemory(rates, "m23rate", mode = "update")
           .filter(col("window_start") < lit("2024-06-01"))
       }
     }),
@@ -3742,6 +3744,38 @@ object SparkEntry {
         .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
         .withColumn("long_doc", (col("n_chars") >= 300).cast("int"))
       EvalOps.gainsChart(d, "long_doc", "score", "doc_id", n = 10)
+    }),
+
+    // ---- E16: isotonic (PAV) calibration of an exact-cents order
+    //      score against a deterministic noisy outcome whose base
+    //      rate rises with price — the bin table is ≤64 rows from
+    //      ONE groupBy(cell) collapse; the driver PAV's pooled
+    //      rates replay through the minimax identity in SQL (see
+    //      CalibrateOps: correct rounding is monotone, so the
+    //      max-min over double quotients IS the pooled mean). ----
+    "q_isotonic" -> ((s, dir) => {
+      val o = BioLoader.load(s, t(dir, "orders"))
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("y",
+          (((col("o_orderkey") * lit(48271L)) % lit(100000L)) * lit(60L) < col("cents"))
+            .cast("int"))
+      CalibrateOps.isotonicCalibrate(o, "cents", "y", bins = 64).table
+    }),
+
+    // ---- E17: split-conformal prediction interval per return flag
+    //      for a fixed unit-price regressor — finite-sample q_hat =
+    //      ⌈(n+1)(1−α)⌉-th smallest calibration residual off the
+    //      distinct-residual frame, empirical coverage on the
+    //      held-out split; the multiplicative hash bucket keeps the
+    //      split engine-replayable. ----
+    "q_conformal" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .withColumn("pred", col("l_quantity").cast("double") * lit(1800.0))
+        .withColumn("is_cal",
+          ((col("l_orderkey") * lit(7L) + col("l_linenumber")) * lit(48271L)) % lit(10000L)
+            < lit(2500L))
+      CalibrateOps.splitConformal(li, "l_returnflag", "l_extendedprice", "pred",
+        alpha = 0.1, isCalCol = "is_cal")
     }),
 
     // ---- E14: average precision per source — the q_calibration
@@ -3822,7 +3856,7 @@ object SparkEntry {
         QualityOps.InSet("event_type", Seq("view", "click", "purchase", "signup"))),
         windowLen = "1 day", watermark = "1 hour")
       graft.streaming.EventStreams.withStatePartitions(s, StreamStatePartitions) {
-        runStreamToMemory(monitored, "m22q")
+        runStreamToMemory(monitored, "m22q", mode = "update")
           .filter(col("window_start") < lit("2024-06-01"))
       }
     }),
@@ -4005,7 +4039,8 @@ object SparkEntry {
   private def runStreamToMemory(
       df: DataFrame,
       prefix: String,
-      quiesce: Boolean = true): DataFrame = {
+      quiesce: Boolean = true,
+      mode: String = "append"): DataFrame = {
     val name = prefix + java.lang.Long.toHexString(System.nanoTime())
     // Trigger.AvailableNow: the engine plans all available source
     // offsets AT START (so multi-source file listings cannot race
@@ -4024,17 +4059,32 @@ object SparkEntry {
     // the engine's own conf (captured at query start; restored
     // immediately after). Stateful streams keep it: append-mode
     // windows/timers emit their final output there.
+    //
+    // mode="update" is the r12 eviction-batch fusion for PURE
+    // windowed aggregations: in update mode the agg emits each
+    // (window, group)'s current value in the batch that updates it,
+    // so with AvailableNow's single planned data batch the emitted
+    // rows ARE the final values and the trailing no-data batch has
+    // nothing left to say — it is skipped like the stateless case.
+    // This is the production shape too (update stream → idempotent
+    // upsert sink); append+watermark stays for timers, session
+    // windows, and outer joins, whose FINAL output only exists on
+    // watermark close. Multi-batch input would emit a key twice, so
+    // the single-data-batch precondition is ASSERTED from the run's
+    // own progress, not assumed.
+    require(mode == "append" || mode == "update", s"mode must be append|update, got $mode")
+    val evict = quiesce && mode == "append"
     val ckpt = shmCheckpointBase.map(b => s"$b/$name")
     val w0 = df.writeStream.format("memory").queryName(name)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     val sess = df.sparkSession
     val NoDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = sess.conf.getOption(NoDataKey)
-    if (!quiesce) sess.conf.set(NoDataKey, "false")
+    if (!evict) sess.conf.set(NoDataKey, "false")
     val q =
       try ckpt.fold(w0)(c => w0.option("checkpointLocation", c)).start()
-      finally if (!quiesce) {
+      finally if (!evict) {
         prevNoData.fold(sess.conf.unset(NoDataKey))(v => sess.conf.set(NoDataKey, v))
       }
     // bounded: a stream that fails to self-terminate (wedged source
@@ -4044,6 +4094,15 @@ object SparkEntry {
       if (!q.awaitTermination(120000L))
         throw new IllegalStateException(
           s"AvailableNow stream $name failed to terminate within 120s")
+      if (mode == "update") {
+        // the finality precondition: exactly one batch carried rows,
+        // so every sunk (key) row is that key's LAST update
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        if (dataBatches > 1)
+          throw new IllegalStateException(
+            s"update-mode stream $name saw $dataBatches data batches — " +
+              "sunk rows are no longer final values; run it in append mode")
+      }
     } finally {
       q.stop()
       // a named checkpoint is not auto-cleaned the way engine temp
@@ -8939,6 +8998,78 @@ object SparkEntry {
         |      / (floor(CAST(tp AS DOUBLE) / tn * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9
         |  END AS cum_lift
         |FROM c""".stripMargin,
+
+    // PAV via the minimax identity iso(i) = max_{j<=i} min_{k>=i}
+    // mean(y[j..k]): prefix sums over the <=64-row bin frame, the
+    // triple join is 64^3/2 rows; every quotient divides the same
+    // exact longs the driver PAV pools, and correct rounding's
+    // monotonicity makes min/max commute with the division
+    "q_isotonic" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN ((o_orderkey * 48271) % 100000) * 60
+        |        < CAST(round(o_totalprice * 100) AS BIGINT)
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), bounds AS (
+        |  SELECT min(cents) AS lo, max(cents) AS hi FROM v
+        |), b AS (
+        |  SELECT ((v.cents - bounds.lo) * 64) // (bounds.hi - bounds.lo + 1) AS bin, v.y
+        |  FROM v, bounds
+        |), g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1
+        |), p AS (
+        |  SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+        |  FROM g
+        |), mm AS (
+        |  SELECT ibin AS bin, max(m) AS rate_iso FROM (
+        |    SELECT i.bin AS ibin, pj.bin AS jbin,
+        |      min((pk.cp - (pj.cp - pj.pos)) / CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE)) AS m
+        |    FROM g i
+        |    JOIN p pj ON pj.bin <= i.bin
+        |    JOIN p pk ON pk.bin >= i.bin
+        |    GROUP BY 1, 2
+        |  ) t GROUP BY 1
+        |)
+        |SELECT g.bin, g.n, g.pos, g.pos / CAST(g.n AS DOUBLE) AS rate_raw, mm.rate_iso
+        |FROM g JOIN mm ON g.bin = mm.bin""".stripMargin,
+
+    // k-th order statistic replayed as max(r) over the first k
+    // row_numbers (tie order is immaterial to the k-th VALUE);
+    // identical residual arithmetic, split bucket, and ceil(k)
+    "q_conformal" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |    abs(l_extendedprice - l_quantity * 1800.0) AS r,
+        |    ((l_orderkey * 7 + l_linenumber) * 48271) % 10000 < 2500 AS is_cal
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |), cal AS (
+        |  SELECT grp, r, row_number() OVER (PARTITION BY grp ORDER BY r) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n_cal
+        |  FROM v WHERE is_cal
+        |), q AS (
+        |  SELECT grp, CAST(max(n_cal) AS BIGINT) AS n_cal,
+        |    CAST(ceil((max(n_cal) + 1) * 0.9) AS BIGINT) AS k,
+        |    max(CASE WHEN rn <= CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) THEN r END) AS q_hat_raw
+        |  FROM cal GROUP BY grp
+        |), qq AS (
+        |  SELECT grp, n_cal, CASE WHEN k <= n_cal THEN q_hat_raw END AS q_hat FROM q
+        |), tst AS (
+        |  SELECT v.grp, CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN v.r <= qq.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM v JOIN qq ON v.grp = qq.grp
+        |  WHERE NOT v.is_cal
+        |  GROUP BY 1
+        |)
+        |SELECT qq.grp, qq.n_cal, qq.q_hat, tst.n_test,
+        |  CASE WHEN qq.q_hat IS NOT NULL THEN tst.covered END AS covered,
+        |  CASE WHEN qq.q_hat IS NOT NULL
+        |    THEN tst.covered / CAST(tst.n_test AS DOUBLE) END AS coverage
+        |FROM qq JOIN tst ON qq.grp = tst.grp""".stripMargin,
 
     // descending distinct-score blocks, snapped per-block terms,
     // snapped sum — sklearn's step AP
