@@ -5,7 +5,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.sketch.BloomFilter
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Corpus-curation expressions: Unicode normalization (Spark has no
@@ -25,7 +24,7 @@ object CurationExpressions {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 
-  def bloomKernel(bc: Broadcast[BloomFilter], h: Long): Boolean =
+  def bloomKernel(bc: Broadcast[SeededBloom], h: Long): Boolean =
     bc.value.mightContainLong(h)
 
   /** `java.text.Normalizer` as a Catalyst expression — NFC/NFD/
@@ -61,7 +60,7 @@ object CurationExpressions {
     * a `false` is a definitive miss, which is what lets callers
     * skip the exact-verify join for the non-matching majority.
     */
-  case class InBloom(child: Expression, bloom: Broadcast[BloomFilter])
+  case class InBloom(child: Expression, bloom: Broadcast[SeededBloom])
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "in_bloom"
@@ -85,7 +84,7 @@ object CurationExpressions {
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(c), form))
 
-  def inBloom(c: Column, bloom: Broadcast[BloomFilter]): Column =
+  def inBloom(c: Column, bloom: Broadcast[SeededBloom]): Column =
     ColumnBridge.column(InBloom(ColumnBridge.expression(c), bloom))
 
   /** xxhash64(seed 42) of one line — EXACTLY Spark's `xxhash64`

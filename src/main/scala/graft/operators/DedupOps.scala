@@ -641,14 +641,23 @@ object DedupOps {
     * instead of all landing on the driver, and the empty-input case
     * degrades to an all-miss filter instead of the NPE
     * `stat.bloomFilter` throws.
+    *
+    * The filter is [[graft.functions.SeededBloom]], NOT Spark's
+    * `util.sketch.BloomFilter`: the latter's double-hashed probe
+    * positions give it a false-positive FLOOR of ~nItems/m² that
+    * dwarfs a small requested fpp — the r12 sf1 sweep caught it
+    * dropping a clean document through a 1e-9 filter (see the
+    * SeededBloom scaladoc for the arithmetic). Probe-only callers
+    * (the streaming/saved-filter paths, where no exact verify join
+    * can follow) need the advertised fpp to be real.
     */
   private def bloomOf(
       keys: DataFrame,
       expectedItems: Long,
       fpp: Double
-  ): org.apache.spark.util.sketch.BloomFilter =
+  ): graft.functions.SeededBloom =
     keys.rdd.treeAggregate(
-      org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedItems, 1L), fpp))(
+      graft.functions.SeededBloom.create(math.max(expectedItems, 1L), fpp))(
       (f, row) => { if (!row.isNullAt(0)) f.putLong(row.getLong(0)); f },
       (a, b) => { a.mergeInPlace(b); a })
 
@@ -776,7 +785,7 @@ object DedupOps {
       n: Int,
       expectedEvalShingles: Long,
       fpp: Double
-  ): (DataFrame, org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
+  ): (DataFrame, org.apache.spark.broadcast.Broadcast[graft.functions.SeededBloom]) = {
     val evalShingles = evalSet
       .select(explode(HE.shingleHashesText(col(textCol), n)).as("__sh"))
       .distinct()
@@ -1151,11 +1160,11 @@ object DedupOps {
   def loadDecontaminationBloom(
       spark: org.apache.spark.sql.SparkSession,
       path: String
-  ): org.apache.spark.util.sketch.BloomFilter = {
+  ): graft.functions.SeededBloom = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    try graft.functions.SeededBloom.readFrom(in) finally in.close()
   }
 
   /** [[decontaminateStream]]'s probe against a SAVED filter — batch
