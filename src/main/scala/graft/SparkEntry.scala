@@ -4089,11 +4089,15 @@ object SparkEntry {
       }
     // bounded: a stream that fails to self-terminate (wedged source
     // or state store) must not hang a 248-query pass — the old
-    // quiesce loop capped its wait the same way
+    // quiesce loop capped its wait the same way. The cap scales
+    // with the data (a legitimate sf1 stream-static join measured
+    // past the old fixed 120 s): big-SF sweeps raise it via conf.
+    val timeoutMs = sess.conf.getOption("spark.graft.streamTimeoutMs")
+      .map(_.toLong).getOrElse(120000L)
     try {
-      if (!q.awaitTermination(120000L))
+      if (!q.awaitTermination(timeoutMs))
         throw new IllegalStateException(
-          s"AvailableNow stream $name failed to terminate within 120s")
+          s"AvailableNow stream $name failed to terminate within ${timeoutMs / 1000}s")
       if (mode == "update") {
         // the finality precondition: exactly one batch carried rows,
         // so every sunk (key) row is that key's LAST update
@@ -7380,30 +7384,41 @@ object SparkEntry {
 
     // pairwise-complete Pearson over users: per-user mean on the
     // grid, the five pair sums on the grid, then the closed form
+    // feature-wise [0,1] normalization (Pearson is affine-invariant;
+    // keeps every snapped MEAN a genuine grid point at any entity
+    // count — the sum-based form diverged at sf1) + means Pearson
     "q_corr_matrix" ->
       """WITH m AS (
         |  SELECT user_id, event_type, floor(avg(value) * 1e9 + 0.5) / 1e9 AS m
         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT event_type, min(m) AS lo, max(m) AS hi FROM m GROUP BY 1
+        |), nm AS (
+        |  SELECT m.user_id, m.event_type,
+        |    CASE WHEN b.hi > b.lo
+        |      THEN floor((m.m - b.lo) / (b.hi - b.lo) * 1e9 + 0.5) / 1e9
+        |      ELSE 0.0 END AS v
+        |  FROM m JOIN bounds b ON m.event_type = b.event_type
         |), p AS (
-        |  SELECT a.event_type AS f1, b.event_type AS f2, a.m AS x, b.m AS y
-        |  FROM m a JOIN m b ON a.user_id = b.user_id WHERE a.event_type < b.event_type
+        |  SELECT a.event_type AS f1, b.event_type AS f2, a.v AS x, b.v AS y
+        |  FROM nm a JOIN nm b ON a.user_id = b.user_id WHERE a.event_type < b.event_type
         |), agg AS (
         |  SELECT f1, f2, count(*) AS n_pairs,
-        |    floor(sum(x) * 1e9 + 0.5) / 1e9 AS sx, floor(sum(y) * 1e9 + 0.5) / 1e9 AS sy,
-        |    floor(sum(x * x) * 1e9 + 0.5) / 1e9 AS sxx,
-        |    floor(sum(y * y) * 1e9 + 0.5) / 1e9 AS syy,
-        |    floor(sum(x * y) * 1e9 + 0.5) / 1e9 AS sxy
+        |    floor(avg(x) * 1e9 + 0.5) / 1e9 AS mx, floor(avg(y) * 1e9 + 0.5) / 1e9 AS my,
+        |    floor(avg(x * x) * 1e9 + 0.5) / 1e9 AS mxx,
+        |    floor(avg(y * y) * 1e9 + 0.5) / 1e9 AS myy,
+        |    floor(avg(x * y) * 1e9 + 0.5) / 1e9 AS mxy
         |  FROM p GROUP BY 1, 2
         |), der AS (
         |  SELECT f1, f2, n_pairs,
-        |    floor((n_pairs * sxy - sx * sy) * 1e9 + 0.5) / 1e9 AS num,
-        |    floor((n_pairs * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS dx,
-        |    floor((n_pairs * syy - sy * sy) * 1e9 + 0.5) / 1e9 AS dy
+        |    floor((mxy - mx * my) * 1e9 + 0.5) / 1e9 AS cov,
+        |    floor((mxx - mx * mx) * 1e9 + 0.5) / 1e9 AS vx,
+        |    floor((myy - my * my) * 1e9 + 0.5) / 1e9 AS vy
         |  FROM agg
         |)
         |SELECT f1, f2, n_pairs,
-        |  CASE WHEN dx > 0 AND dy > 0
-        |    THEN floor(num / sqrt(dx * dy) * 1e9 + 0.5) / 1e9 END AS corr
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN floor(cov / sqrt(vx * vy) * 1e9 + 0.5) / 1e9 END AS corr
         |FROM der""".stripMargin,
 
     // the full PCA determinism contract replayed: grid covariance,

@@ -603,6 +603,18 @@ object StatsOps {
     * then ONE map-side-combinable groupBy(f1, f2). Entities with
     * one row per feature are assumed (pre-aggregate upstream).
     *
+    * Engine-determinism: Pearson is affine-invariant, so values
+    * first normalize per feature onto [0, 1] (one tiny groupBy
+    * (feature) min/max broadcast back) and SNAP there — the
+    * five-moment pass then aggregates snapped MEANS of products
+    * ≤ 1, which stay genuine 1e-9 grid points at any entity count.
+    * The r11 sum-based form snapped Σx², n·Σxy − Σx·Σy, … — at
+    * sf1 those cross ~10⁸·10⁹ > 2⁵³, the snap floor degenerates,
+    * and the cancellation in the small numerator amplified the two
+    * engines' summation-order difference to a 0.025 corr divergence
+    * (caught by the r12 sf1 sweep; the N36 Spearman overflow lesson
+    * again — its normalized-rank fix is exactly this one).
+    *
     * @return (f1, f2, n_pairs, corr) for f1 < f2; corr null when
     *         either side is constant over the complete pairs
     */
@@ -617,22 +629,31 @@ object StatsOps {
         col(valueCol).isNotNull)
       .select(col(entityCol).as("__e"), col(featureCol).as("__f"),
         col(valueCol).cast("double").as("__v"))
-    val a = base.select(col("__e"), col("__f").as("f1"), col("__v").as("__x"))
-    val b = base.select(col("__e"), col("__f").as("f2"), col("__v").as("__y"))
+    // per-feature affine normalization onto [0,1]; constant features
+    // map to 0.0 (their variance is 0 → corr NULL downstream either way)
+    val bounds = base.groupBy(col("__f"))
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val normed = base.join(broadcast(bounds), Seq("__f"))
+      .select(col("__e"), col("__f"),
+        when(col("__hi") > col("__lo"),
+          snap9((col("__v") - col("__lo")) / (col("__hi") - col("__lo"))))
+          .otherwise(lit(0.0)).as("__v"))
+    val a = normed.select(col("__e"), col("__f").as("f1"), col("__v").as("__x"))
+    val b = normed.select(col("__e"), col("__f").as("f2"), col("__v").as("__y"))
     val pairs = a.join(b, Seq("__e")).filter(col("f1") < col("f2"))
     pairs.groupBy(col("f1"), col("f2"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        snap9(sum(col("__x"))).as("__sx"), snap9(sum(col("__y"))).as("__sy"),
-        snap9(sum(col("__x") * col("__x"))).as("__sxx"),
-        snap9(sum(col("__y") * col("__y"))).as("__syy"),
-        snap9(sum(col("__x") * col("__y"))).as("__sxy"))
-      .withColumn("__num", snap9(col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")))
-      .withColumn("__dx", snap9(col("n_pairs") * col("__sxx") - col("__sx") * col("__sx")))
-      .withColumn("__dy", snap9(col("n_pairs") * col("__syy") - col("__sy") * col("__sy")))
+        snap9(avg(col("__x"))).as("__mx"), snap9(avg(col("__y"))).as("__my"),
+        snap9(avg(col("__x") * col("__x"))).as("__mxx"),
+        snap9(avg(col("__y") * col("__y"))).as("__myy"),
+        snap9(avg(col("__x") * col("__y"))).as("__mxy"))
+      .withColumn("__cov", snap9(col("__mxy") - col("__mx") * col("__my")))
+      .withColumn("__vx", snap9(col("__mxx") - col("__mx") * col("__mx")))
+      .withColumn("__vy", snap9(col("__myy") - col("__my") * col("__my")))
       .withColumn("corr",
-        when(col("__dx") > 0 && col("__dy") > 0,
-          snap9(col("__num") / sqrt(col("__dx") * col("__dy")))))
+        when(col("__vx") > 0 && col("__vy") > 0,
+          snap9(col("__cov") / sqrt(col("__vx") * col("__vy")))))
       .select(col("f1"), col("f2"), col("n_pairs"), col("corr"))
   }
 
