@@ -17,8 +17,19 @@ object Verify {
       // free pinned checkpoint/shuffle blocks between queries (see
       // Bench.scala) — a 245-query pass otherwise never driver-GCs
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // harness resilience at heavy local load: the r12 sf1 sweep
+      // died mid-pass when an 18-minute spill-bound query starved
+      // the in-process driver RPC long enough for 60 straight
+      // heartbeat failures (executor exit 56). Local mode has no
+      // network to detect failures on — relax the liveness knobs so
+      // a saturated box can't kill its own sweep.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // big-SF sweeps: let streams run past the default 120 s cap
+    sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+      .foreach(v => spark.conf.set("spark.graft.streamTimeoutMs", v))
     new java.io.File(outDir).mkdirs()
     // optional comma-separated name filter for fast local iteration
     // (the driver never sets it — all queries run)

@@ -458,19 +458,27 @@ object GraphOps {
     // threshold, fall back to the shuffle join (the 100 TB shape,
     // where m itself is too big to ship).
     val small = oriented.count() <= TriangleBroadcastMaxEdges
+    // Past the broadcast ceiling the close join must still be a HASH
+    // join with the EDGE list as build side: left to its size
+    // estimates Spark picks sort-merge here, and sorting the wedge
+    // side is sorting O(m^1.5) rows — at 10× the sf0.1 graph (12M
+    // edges, ~4·10⁸ wedges) the r12 sf1 sweep measured that plan at
+    // 18 minutes of sort spill, vs seconds for a shuffled hash join
+    // whose per-task build is only m/shuffle-partitions edge keys.
+    // The wedge side streams through the probe unsorted either way.
     val tri =
       if (packable) {
         val pk = lit(1L << 31)
         val closing = oriented
           .select((col("src").cast("long") * pk + col("dst").cast("long")).as("__bc"))
-        val closingSide = if (small) broadcast(closing) else closing
+        val closingSide = if (small) broadcast(closing) else closing.hint("shuffle_hash")
         wedges0
           .select(col("src").as("a"), col("b"), col("c"),
             (col("b").cast("long") * pk + col("c").cast("long")).as("__bc"))
           .join(closingSide, Seq("__bc"))
       } else {
         val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-        val closingSide = if (small) broadcast(closing) else closing
+        val closingSide = if (small) broadcast(closing) else closing.hint("shuffle_hash")
         wedges0.select(col("src").as("a"), col("b"), col("c"))
           .join(closingSide, Seq("b", "c"))
       }
