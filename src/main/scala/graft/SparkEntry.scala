@@ -1396,9 +1396,13 @@ object SparkEntry {
     //      anti-joined against the true 3-gram-jaccard ≥ 0.7 pair
     //      set computed over those survivors. ----
     "q_dedup_all" -> ((s, dir) => {
+      // 256 hashes (64 bands of 4): the exact-jaccard oracle needs
+      // candidate recall at the 0.70 boundary to be effectively 1
+      // (miss ≈ 0.7599^64 ≈ 2.4e-8/pair; the 16-band default's 1.2%
+      // realized one organic miss at sf1)
       graft.operators.DedupOps.dedupAll(
         BioLoader.load(s, t(dir, "documents")).select("doc_id", "text"),
-        "doc_id", "text", shingleSize = 3, threshold = 0.7)
+        "doc_id", "text", shingleSize = 3, threshold = 0.7, numHashes = 256)
         .select("doc_id")
     }),
 

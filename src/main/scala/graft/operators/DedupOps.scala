@@ -514,15 +514,26 @@ object DedupOps {
     *
     * Returns the surviving rows of `df`.
     */
+  /** @param numHashes minhash count = bands·rowsPerBand. Candidate
+    *   RECALL at the threshold boundary is 1 − (1 − s^r)^b — with
+    *   the 64-hash default (16 bands of 4) a pair at s = 0.70 is
+    *   missed with p ≈ 1.2%, which a big-enough corpus WILL realize
+    *   (the r12 sf1 sweep caught exactly one such organic pair).
+    *   Callers grading against an exact-jaccard oracle want 256
+    *   (64 bands → boundary miss ≈ 2.4e-8); production curation
+    *   trades bands for shuffle volume knowingly.
+    */
   def dedupAll(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleSize: Int = 5,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      numHashes: Int = 64
   ): DataFrame = {
     val exactSurvivors = exact(df, idCol, md5(col(textCol)))
-    val nearPairs = minhashLsh(exactSurvivors, idCol, textCol, shingleSize, threshold = threshold)
+    val nearPairs = minhashLsh(exactSurvivors, idCol, textCol, shingleSize,
+      numHashes = numHashes, threshold = threshold)
     val losers = nearPairs.select(col("id_b").as(idCol)).distinct()
     exactSurvivors.join(losers, Seq(idCol), "left_anti")
   }
