@@ -518,9 +518,14 @@ object SparkEntry {
         transform(col("embedding"), (x, i) => when(i === 0, x * lit(1.01f)).otherwise(x)).as("embedding"))
       // nProbe 2: a twin pair straddling a Voronoi boundary under
       // single assignment would never be compared — multi-probe
-      // makes the planted oracle robust to any quantizer fit
+      // makes the planted oracle robust to any quantizer fit.
+      // nClusters 128 (was 16): buckets must stay under the
+      // capped-collect maxBucket at every graded SF — sf1's 16k
+      // vectors over 16 clusters averaged exactly the cap and the
+      // drop silently lost half the planted twins (r12 sweep;
+      // semanticOverflowReport is the production-side signal)
       DedupOps.semanticDedup(emb.union(twins), "vec_id", "embedding",
-        threshold = 0.999, nClusters = 16, nProbe = 2)
+        threshold = 0.999, nClusters = 128, nProbe = 2)
         .filter(col("id_b") === col("id_a") + 100000L)
         .select(col("id_a"), col("id_b"), hround(col("cosine"), 3).as("cosine"))
     }),

@@ -998,6 +998,49 @@ object DedupOps {
       .distinct()
   }
 
+  /** Overflowed k-means buckets for [[semanticDedup]]'s cap settings
+    * — the "no silent caps" telemetry of the D12 family for the
+    * SemDeDup path: a bucket past `maxBucket` is dropped wholesale
+    * by the capped-collect pass, so this report is THE signal that
+    * `nClusters` is undersized for the corpus (the r12 sf1 sweep
+    * realized exactly that: a 16-cluster fixture at 4× the vectors
+    * averaged `maxBucket` members per bucket and silently lost half
+    * the planted twins). Returns (bkt, n_members, n_lost_pairs);
+    * re-fit with nClusters scaled to ~corpus/1000 when non-empty.
+    * Same seeded fit + assignment as the dedup pass, so the counts
+    * are the counts the dedup actually saw.
+    */
+  def semanticOverflowReport(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 256,
+      maxBucket: Int = 2000,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      maxSample: Int = 65536,
+      nProbe: Int = 1
+  ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sample = IvfKnnOps.sampleVectors(df, vecCol, maxSample)
+    val spark = df.sparkSession
+    if (sample.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bkt", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_members", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_lost_pairs", org.apache.spark.sql.types.LongType))))
+    }
+    val centers = IvfKnnOps.lloyds(sample, math.min(nClusters, sample.length), maxIter, seed)
+    val bkts = ColumnBridge.column(
+      IvfKnnOps.TopCentroids(ColumnBridge.expression(col(vecCol)), centers, nProbe))
+    val assigned = df.select(col(vecCol).as("v"), explode(bkts).as("bkt"))
+      .filter(col("v").isNotNull)
+    overflowReport(assigned, Seq("bkt"), maxBucket)
+  }
+
   // ---- D17: persisted cross-run near-dedup band index ---------------------
 
   private def bandArrOf(c: Column, shingleSize: Int, numHashes: Int, rowsPerBand: Int): Column =

@@ -150,6 +150,27 @@ class CurationSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("semanticOverflowReport surfaces the buckets the capped collect drops") {
+    // 6 vectors in one tight cluster; maxBucket 4 → the pair pass
+    // drops the whole bucket and finds NOTHING — the report must
+    // name it with exact counts (nProbe=1, nClusters=1 → one bucket)
+    val base = (1 to 6).map(i => (i.toLong, Array(1.0, i * 1e-4))).toDF("id", "vec")
+    val pairs = DedupOps.semanticDedup(base, "id", "vec",
+      threshold = 0.9, nClusters = 1, maxBucket = 4, maxSample = 100)
+    assert(pairs.count() == 0L)
+    val rep = DedupOps.semanticOverflowReport(base, "id", "vec",
+      nClusters = 1, maxBucket = 4, maxSample = 100).collect()
+    assert(rep.length == 1)
+    assert(rep.head.getAs[Long]("n_members") == 6L)
+    assert(rep.head.getAs[Long]("n_lost_pairs") == 15L)
+    // sized correctly, nothing overflows and the pairs come back
+    val ok = DedupOps.semanticDedup(base, "id", "vec",
+      threshold = 0.9, nClusters = 1, maxBucket = 10, maxSample = 100)
+    assert(ok.count() == 15L)
+    assert(DedupOps.semanticOverflowReport(base, "id", "vec",
+      nClusters = 1, maxBucket = 10, maxSample = 100).isEmpty)
+  }
+
   test("decontaminateStream: the bloom-only probe filters a live stream (stateless scan-stage filter)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
