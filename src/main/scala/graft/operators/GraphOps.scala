@@ -488,12 +488,17 @@ object GraphOps {
   }
 
   /** Edge-count ceiling for broadcasting the triangle close join's
-    * edge list (~16 B/edge → ≈64 MB hashed at the cap — a
-    * deliberate, algorithm-aware step past Spark's conservative
-    * 10 MB autoBroadcast default, still comfortable in executor
-    * memory on any real cluster).
+    * edge list (long-keyed relation ≈ 24 B/edge → ≈384 MB hashed at
+    * the cap — a deliberate, algorithm-aware step far past Spark's
+    * conservative 10 MB autoBroadcast default). The trade is
+    * asymmetric: the alternative shuffles the O(m^1.5) WEDGE frame
+    * (the r12 sf1 measurement: 12M edges → ~4·10⁸ wedge rows ≈
+    * 12 GB exchanged vs a one-shot ~300 MB broadcast shared per
+    * executor), so any executor with a few GB of memory prefers the
+    * broadcast well past the old 4M cap. Past this cap the
+    * shuffled-hash fallback (never sort-merge) is the 100 TB shape.
     */
-  private val TriangleBroadcastMaxEdges = 4000000L
+  private val TriangleBroadcastMaxEdges = 16000000L
 
   /** Node-count ceiling for broadcasting a degree table into the
     * edge-frame joins (~24 B/node → ≈100 MB hashed at the cap).
