@@ -562,16 +562,21 @@ object DedupOps {
   def dupClusters(
       pairs: DataFrame,
       maxIterations: Int = 20,
-      driverEdgeThreshold: Long = 2L * 1000 * 1000
+      driverEdgeThreshold: Long = -1L /* <0 → spark.graft.dedup.driverEdgeThreshold */
   ): DataFrame = {
     val spark = pairs.sparkSession
-    require(driverEdgeThreshold >= 0, "driverEdgeThreshold must be >= 0")
+    // negative = "use the session conf" (default 2M edges); an
+    // explicit 0 disables the driver union-find entirely.
+    val edgeThreshold =
+      if (driverEdgeThreshold >= 0) driverEdgeThreshold
+      else graft.GraftConf.dedupDriverEdgeThreshold(spark)
+    require(edgeThreshold >= 0, "driverEdgeThreshold must be >= 0")
 
     val idType = pairs.schema("id_a").dataType
-    if (idType == org.apache.spark.sql.types.LongType && driverEdgeThreshold > 0) {
+    if (idType == org.apache.spark.sql.types.LongType && edgeThreshold > 0) {
       // probe one row beyond the threshold; clamp so thresholds near
       // Long.MaxValue can't overflow the Int limit
-      val probeLimit = math.min(driverEdgeThreshold + 1, Int.MaxValue.toLong - 1).toInt
+      val probeLimit = math.min(edgeThreshold + 1, Int.MaxValue.toLong - 1).toInt
       val raw = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .limit(probeLimit)
         .collect()
@@ -959,7 +964,7 @@ object DedupOps {
       maxBucket: Int = 2000,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536,
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */,
       nProbe: Int = 1
   ): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
@@ -1018,7 +1023,7 @@ object DedupOps {
       maxBucket: Int = 2000,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536,
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */,
       nProbe: Int = 1
   ): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
@@ -1211,6 +1216,17 @@ object DedupOps {
     try existing.writeTo(out) finally out.close()
   }
 
+  /** Load a persisted decontamination filter (SBL1/SBL2 streams —
+    * see [[graft.functions.SeededBloom.readFrom]]).
+    *
+    * FORMAT NOTE: releases before the r12 double-hash fix persisted
+    * Spark `util.sketch.BloomFilter` streams. Those are detected by
+    * magic and rejected with an actionable error — they cannot be
+    * converted in place (the old geometry is exactly the fpp-floor
+    * defect the new filter fixes), so re-run
+    * [[saveDecontaminationBloom]] over the original eval set once;
+    * the rebuilt file is then stable across releases.
+    */
   def loadDecontaminationBloom(
       spark: org.apache.spark.sql.SparkSession,
       path: String

@@ -497,13 +497,21 @@ object GraphOps {
     * executor), so any executor with a few GB of memory prefers the
     * broadcast well past the old 4M cap. Past this cap the
     * shuffled-hash fallback (never sort-merge) is the 100 TB shape.
+    *
+    * Conf-tunable ([[graft.GraftConf.TriangleBroadcastMaxEdges]]):
+    * the default is sized for this build's 128 GiB reference box; a
+    * deployment with a small driver heap must lower it (the edge
+    * list transits the driver when broadcast).
     */
-  private val TriangleBroadcastMaxEdges = 16000000L
+  private def TriangleBroadcastMaxEdges: Long =
+    graft.GraftConf.triangleBroadcastMaxEdges(org.apache.spark.sql.SparkSession.active)
 
   /** Node-count ceiling for broadcasting a degree table into the
     * edge-frame joins (~24 B/node → ≈100 MB hashed at the cap).
+    * Conf-tunable ([[graft.GraftConf.DegreeBroadcastMaxNodes]]).
     */
-  private val DegreeBroadcastMaxNodes = 4000000L
+  private def DegreeBroadcastMaxNodes: Long =
+    graft.GraftConf.degreeBroadcastMaxNodes(org.apache.spark.sql.SparkSession.active)
 
   /** Broadcast-hint a node-sized frame when the owning graph is
     * under [[DegreeBroadcastMaxNodes]]: node-frame ⋈ edge-frame

@@ -235,11 +235,16 @@ object IvfKnnOps {
     * a pseudo-random shuffle — exactly what k-means init wants.
     */
   private[operators] def sampleVectors(df: DataFrame, vecCol: String, maxSample: Int): Array[Array[Double]] = {
+    // maxSample ≤ 0 = "use the session conf" (spark.graft.ann.fitMaxSample,
+    // default 65536) — every public fit entry point defaults through here.
+    val cap =
+      if (maxSample > 0) maxSample
+      else graft.GraftConf.annFitMaxSample(df.sparkSession)
     df.select(col(vecCol).cast("array<double>").as("__v"))
       .where(col("__v").isNotNull)
       .withColumn("__r", xxhash64(to_json(col("__v"))))
       .orderBy(col("__r"))
-      .limit(maxSample)
+      .limit(cap)
       .collect()
       .map(_.getSeq[Double](0).toArray)
   }
@@ -259,7 +264,7 @@ object IvfKnnOps {
       seed: Long = 42L,
       sampleFraction: Double = 1.0,
       maxIter: Int = 10,
-      maxSample: Int = 65536
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */
   ): IvfIndex = {
     val sampled = if (sampleFraction < 1.0) corpus.sample(sampleFraction, seed) else corpus
     val sample = sampleVectors(sampled, vecCol, maxSample)
@@ -414,7 +419,7 @@ object IvfKnnOps {
       nLists: Int,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */
   ): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -1225,7 +1230,7 @@ object IvfKnnOps {
       kPerSub: Int = 256,
       seed: Long = 42L,
       maxIter: Int = 10,
-      maxSample: Int = 65536,
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */,
       opq: Boolean = false,
       opqIters: Int = 0
   ): PqIndex = {

@@ -209,7 +209,16 @@ object MixOps {
           .select(col("__g"), col("__v"),
             sum(col("__c")).over(cum).as("__cum"),
             sum(col("__c")).over(grp).as("__n"))
-          .withColumn("__k", ceil(col("__n").cast("double") * lit(q)).cast("long"))
+          // nearest-rank k = ⌈n·q⌉ in EXACT decimal arithmetic: the
+          // double product can round just past an integer (n·q =
+          // k+1e-16 → selects the (k+1)-th order statistic), and SQL
+          // engines parse `0.8` as a decimal literal — so decimal is
+          // both the correct math and the oracle-faithful math.
+          // BigDecimal(q.toString) recovers the decimal the caller
+          // wrote, not the binary double it became.
+          .withColumn("__k",
+            ceil(col("__n").cast("decimal(20,0)") *
+              lit(new java.math.BigDecimal(q.toString))).cast("long"))
           .groupBy(col("__g"))
           .agg(min(when(col("__cum") >= col("__k"), col("__v"))).as("__thr"))
       } else {
