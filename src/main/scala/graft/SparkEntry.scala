@@ -579,6 +579,25 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S13: kNN GRAPH — every corpus vector's top-k neighbors in
+    //      one distributed pass (TopCentroids scan-stage probes +
+    //      ONE list_id shuffle-hash join; no broadcast of the n-row
+    //      query side, no n² pair scan). Oracle: 50 planted twins
+    //      must be each other's rank-1 at cosine 1.0 IN BOTH
+    //      DIRECTIONS — the graph property topK-with-a-query-subset
+    //      never exercises. ----
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val corpus = emb.union(twins)
+      IvfKnnOps.knnGraph(corpus, "vec_id", "embedding", k = 3, nLists = 16,
+        nProbe = 4, maxIter = 5)
+        .filter((col("query_id") < 50 ||
+          (col("query_id") >= 100000L && col("query_id") < 100050L)) &&
+          col("rank") === 1)
+    }),
+
     // ---- S11: STREAMING IVF index maintenance — the planted
     //      twins arrive as a STREAM through foreachBatch appends
     //      against the frozen quantizer; rank-1 retrieval from the
@@ -4775,6 +4794,16 @@ object SparkEntry {
     "q_knn_ivf" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // planted twins are each other's UNIQUE cosine-1.0 neighbor, so
+    // the graph's rank-1 edge set over the planted ids is closed-form
+    // in both directions
+    "q_knn_graph" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     // the drifted query IS the planted twin's vector, so its rank-1
     // is the twin at cosine 1.0 — through whatever index layout the

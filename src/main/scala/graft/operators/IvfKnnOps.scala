@@ -1523,4 +1523,73 @@ object IvfKnnOps {
       .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
     KnnOps.rankTopK(scored, k)
   }
+
+  /** kNN GRAPH: every corpus vector's top-k neighbors — the all-rows
+    * companion of [[topK]], and the primitive under SemDeDup cluster
+    * sizing, duplicate-cluster discovery, and graph analytics over a
+    * derived similarity graph (feed the edges straight into the
+    * `GraphOps` family: connected components for duplicate clusters,
+    * Louvain for topic communities, degree stats for outlier docs).
+    *
+    * Scale shape (the n² trap, and why this avoids it): when the
+    * query set IS the corpus, [[topK]]'s broadcast-the-probes plan
+    * would ship all n query vectors to every executor — correct only
+    * for small query frames. Here both sides stay distributed: probe
+    * lists come from the codegen'd [[TopCentroids]] expression
+    * (scan-stage, no crossJoin, no window sort), and candidate
+    * generation is ONE shuffle hash equi-join on `list_id` with both
+    * sides co-partitioned by list. Candidate volume is
+    * Σ_l |list_l|·|probers_l| ≈ n·nProbe·(n/nLists) — an
+    * nLists/nProbe-fold reduction vs brute force that the caller
+    * sizes via nLists (rule of thumb √n lists keeps per-list blocks
+    * flat as n grows); a hot list (skewed cluster) is split by AQE
+    * skew-join handling since both join inputs are exchanges, never
+    * a broadcast. Per-query output is bounded by [[KnnOps.rankTopK]]'s
+    * top-k aggregate: the final exchange carries n·k entries, never
+    * n·candidates. Rows with null vectors drop out naturally (null
+    * list_id never equi-joins).
+    */
+  def knnGraph(
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val centers = index.centroids.sortBy(_._1).map(_._2)
+    val probes = index.assigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(ColumnBridge.column(
+        TopCentroids(ColumnBridge.expression(col("qv")), centers, nProbe))).as("list_id"))
+    val cands = index.assigned
+      .select(col("list_id"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // shuffle-hash, never sort-merge: the probe side is n·nProbe rows
+    // and the candidate side n rows — hashing per-task list blocks
+    // beats sorting both (the r12 triangle-close lesson, same shape)
+    val scored = probes.join(cands.hint("shuffle_hash"), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
+    KnnOps.rankTopK(scored, k)
+  }
+
+  /** [[knnGraph]] convenience: fit the IVF index and build the graph
+    * in one call. Returns (query_id, neighbor_id, cosine, rank).
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      maxSample: Int = -1 /* ≤0 → spark.graft.ann.fitMaxSample */
+  ): DataFrame = {
+    val index = buildIndex(corpus, idCol, vecCol, nLists, seed = seed,
+      maxIter = maxIter, maxSample = maxSample)
+    knnGraph(index, idCol, vecCol, k, nProbe)
+  }
 }
