@@ -3916,6 +3916,59 @@ object SparkEntry {
           Seq("c_name", "c_acctbal", "c_mktsegment"))
         .select(col("cluster"), col("n_members"), col("c_name"),
           hround(col("c_acctbal"), 6).as("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // ---- C44: per-supplier shipment-coverage islands — explicit
+    //      [ship, ship + qty·day] intervals coalesced by overlap
+    //      (gaps-and-islands); the two windows and the final groupBy
+    //      share ONE supplier hash exchange. ----
+    "q_interval_merge" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .withColumn("start_s", expr("unix_micros(l_shipdate) div 1000000"))
+        .withColumn("end_s", col("start_s") + col("l_quantity").cast("long") * 86400L)
+      IntervalOps.mergeIntervals(li, "l_suppkey", "start_s", "end_s")
+    }),
+
+    // ---- E18: Brier + Murphy decomposition per source — the
+    //      calibration-quality roll-up of E4's bin frame (four
+    //      counters per (source, bin) cell, arithmetic after). ----
+    "q_brier" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.brierDecomposition(d, "is_en", "score", 10, Seq("source"))
+    }),
+
+    // ---- N45: Mann–Whitney U per linenumber — returned (R) vs
+    //      accepted (A) quantities; midranks from the KW window
+    //      machinery, tie-corrected z, rank-biserial effect. ----
+    "q_mann_whitney" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+      StatsOps.mannWhitneyU(li, "l_linenumber", "l_quantity", "l_returnflag", "R", "A")
+    }),
+
+    // ---- G16: length-sorted batch formation per source with the
+    //      padding bill — ONE group-axis window + one groupBy. ----
+    "q_length_buckets" -> ((s, dir) => {
+      val toks = TextOps.tokenCounts(BioLoader.load(s, t(dir, "documents")), "text")
+        .select(col("doc_id"), col("source"), col("n_tokens_ws").cast("long").as("n_tokens"))
+      MixOps.lengthBatches(toks, Seq("source"), "doc_id", "n_tokens", batchSize = 32)
+    }),
+
+    // ---- S14: mutual-kNN clusters over the planted-twin corpus —
+    //      knnGraph edges kept only when BOTH endpoints name each
+    //      other at cosine ≥ 0.999, closed by connected components;
+    //      each planted pair is an isolated 2-cluster whose id is
+    //      the original vec_id. ----
+    "q_knn_components" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val corpus = emb.union(twins)
+      IvfKnnOps.mutualKnnClusters(corpus, "vec_id", "embedding", k = 3,
+          minCosine = 0.999, nLists = 16, nProbe = 4, maxIter = 5)
+        .filter(col("member_id") < 50 ||
+          (col("member_id") >= 100000L && col("member_id") < 100050L))
     })
   )
 
@@ -9327,7 +9380,163 @@ object SparkEntry {
         |  floor(CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
         |    / (CASE WHEN source = 'src0' THEN 2.0 WHEN source = 'src1' THEN 1.0
         |            ELSE 0.5 END) * 1e9 + 0.5) / 1e9 AS vt
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // classic gaps-and-islands: island breaks where start > running
+    // max end over strictly-preceding rows (order by (s, e)); the
+    // break flag depends only on the sort-key VALUES, so duplicate
+    // (s, e) rows grade deterministically in both engines
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, epoch_us(l_shipdate) // 1000000 AS s,
+        |    epoch_us(l_shipdate) // 1000000 + CAST(l_quantity AS BIGINT) * 86400 AS e
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), f AS (
+        |  SELECT l_suppkey, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nf FROM o
+        |), g AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(nf) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island FROM f
+        |)
+        |SELECT l_suppkey, min(s) AS merged_start, max(e) AS merged_end,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  max(e) - min(s) AS covered
+        |FROM g GROUP BY l_suppkey, island""".stripMargin,
+
+    // the E4 bin frame rolled up: per-bin means/rates snapped first
+    // (replay order), then each Murphy term snapped; resolution via
+    // the algebraic expansion Σn_k·ō_k²/n − 2ō·(Σn_k·ō_k/n) + ō²
+    // exactly as the operator computes it
+    "q_brier" ->
+      """WITH d AS (
+        |  SELECT source, ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+        |    CASE WHEN lang IS NULL THEN NULL WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, CAST(least(greatest(floor(score * 10), 0), 9) AS INTEGER) AS bin,
+        |    score, is_en
+        |  FROM d WHERE score IS NOT NULL AND is_en IS NOT NULL
+        |), pb AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS nk,
+        |    CAST(sum(is_en) AS BIGINT) AS posk,
+        |    floor(avg(score) * 1e9 + 0.5) / 1e9 AS pbark,
+        |    sum((score - is_en) * (score - is_en)) AS sqk
+        |  FROM b GROUP BY 1, 2
+        |), pb2 AS (
+        |  SELECT *, floor(CAST(posk AS DOUBLE) / nk * 1e9 + 0.5) / 1e9 AS obark FROM pb
+        |), gg AS (
+        |  SELECT source, CAST(sum(nk) AS BIGINT) AS n, CAST(sum(posk) AS BIGINT) AS pos,
+        |    sum(sqk) AS sq,
+        |    sum(nk * (pbark - obark) * (pbark - obark)) AS rel,
+        |    sum(nk * obark) AS so, sum(nk * obark * obark) AS so2
+        |  FROM pb2 GROUP BY 1
+        |), r AS (
+        |  SELECT source, n, CAST(n AS DOUBLE) AS nd,
+        |    floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5) / 1e9 AS obar,
+        |    sq, rel, so, so2
+        |  FROM gg
+        |), r2 AS (
+        |  SELECT source, n,
+        |    floor(sq / nd * 1e9 + 0.5) / 1e9 AS brier,
+        |    floor(rel / nd * 1e9 + 0.5) / 1e9 AS reliability,
+        |    floor((so2 / nd - 2.0 * obar * (so / nd) + obar * obar) * 1e9 + 0.5) / 1e9 AS resolution,
+        |    floor(obar * (1.0 - obar) * 1e9 + 0.5) / 1e9 AS uncertainty
+        |  FROM r
+        |)
+        |SELECT source, n, brier, reliability, resolution, uncertainty,
+        |  floor((brier - reliability + resolution - uncertainty) * 1e9 + 0.5) / 1e9 AS decomp_gap
+        |FROM r2""".stripMargin,
+
+    // midranks via rank() + (tie count − 1)/2, tie-corrected σ², the
+    // same A&S erfc chain as the t/χ² replays, every emitted value
+    // snapped at 1e-9 in operator order
+    "q_mann_whitney" ->
+      """WITH f AS (
+        |  SELECT l_linenumber AS feature, l_returnflag AS g, l_quantity AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+        |), rk AS (
+        |  SELECT feature, g,
+        |    rank() OVER (PARTITION BY feature ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY feature, v) - 1) / 2.0 AS r
+        |  FROM f
+        |), pg AS (
+        |  SELECT feature,
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN g = 'R' THEN r ELSE 0.0 END) AS ra
+        |  FROM rk GROUP BY 1
+        |  HAVING sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) > 0
+        |     AND sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) > 0
+        |), tt AS (
+        |  SELECT feature, CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM (
+        |    SELECT feature, v, CAST(count(*) AS BIGINT) AS t FROM f GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT pg.feature, n_a, n_b, ra, tsum,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM pg JOIN tt USING (feature)
+        |), u AS (
+        |  SELECT *, na + nb AS n,
+        |    ra - na * (na + 1.0) / 2.0 AS u_a,
+        |    na * nb / 12.0 * ((na + nb + 1.0)
+        |      - CAST(tsum AS DOUBLE) / ((na + nb) * (na + nb - 1.0))) AS sigma2
+        |  FROM c
+        |), zz AS (
+        |  SELECT *, CASE WHEN sigma2 > 0 THEN
+        |    floor((u_a - na * nb / 2.0) / sqrt(sigma2) * 1e9 + 0.5) / 1e9 END AS z
+        |  FROM u
+        |), pz AS (
+        |  SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS sf,
+        |    abs(z) / sqrt(2.0) AS zn
+        |  FROM zz
+        |)
+        |SELECT feature AS l_linenumber, n_a, n_b, u_a, na * nb - u_a AS u_b, z,
+        |  CASE WHEN z IS NOT NULL THEN
+        |    floor(sf * (0.254829592 + sf * (-0.284496736 + sf * (1.421413741
+        |      + sf * (-1.453152027 + sf * 1.061405429)))) * exp(-zn * zn)
+        |      * 1e9 + 0.5) / 1e9 END AS p_value,
+        |  floor((2.0 * u_a / (na * nb) - 1.0) * 1e9 + 0.5) / 1e9 AS r_rank_biserial
+        |FROM pz""".stripMargin,
+
+    // deterministic total order (n_tokens desc, doc_id), cut every
+    // 32 docs; the short final batch bills only its actual rows
+    "q_length_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len([x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> '']) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), rn AS (
+        |  SELECT source, n_tokens,
+        |    (row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) - 1) // 32 AS batch_id
+        |  FROM toks
+        |), agg AS (
+        |  SELECT source, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM rn GROUP BY 1, 2
+        |)
+        |SELECT source, batch_id, n_docs, max_tokens, sum_tokens,
+        |  n_docs * max_tokens - sum_tokens AS padding,
+        |  CASE WHEN n_docs * max_tokens > 0 THEN
+        |    floor(CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+        |      / (n_docs * max_tokens) * 1e9 + 0.5) / 1e9
+        |    ELSE 0.0 END AS pad_frac
+        |FROM agg""".stripMargin,
+
+    // planted twins are each other's UNIQUE cosine-1.0 neighbor and
+    // nothing else clears minCosine = 0.999, so each mutual-kNN
+    // cluster is exactly {v, v+100000} with min-id label v
+    "q_knn_components" ->
+      """SELECT vec_id AS member_id, vec_id AS cluster_id
+        |FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT vec_id + 100000 AS member_id, vec_id AS cluster_id
+        |FROM embeddings WHERE vec_id < 50""".stripMargin
   )
 
   /** Morton interleave replay: bit i of column j lands at position

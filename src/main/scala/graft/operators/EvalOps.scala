@@ -693,4 +693,79 @@ object EvalOps {
         snap9(lit(2.0) * col("precision") * col("recall") /
           (col("precision") + col("recall")))))
   }
+
+  /** Brier score with the Murphy (1973) decomposition over binned
+    * forecasts — the one-row "is this score a probability" read-out
+    * that [[calibrationCurve]]'s per-bin frame rolls up to:
+    * `brier = reliability − resolution + uncertainty + gap`, where
+    * the gap carries the two terms binning hides — within-bin
+    * forecast variance minus twice the within-bin forecast/outcome
+    * covariance (Stephenson–Coelho–Jolliffe 2008); exactly 0 when
+    * forecasts take only one value per bin, and NOT sign-definite
+    * in general.
+    * Pairs with [[graft.operators.CalibrateOps.isotonicCalibrate]]:
+    * reliability is the number isotonic recalibration drives toward
+    * 0; resolution is the ranking skill it cannot change.
+    *
+    * Scale shape: ONE map-side-combinable `groupBy(groups, bin)`
+    * collapses any row count to ≤ `bins` rows per group (four
+    * counters per cell: n, positives, Σscore, Σ(score−label)²);
+    * the decomposition is arithmetic over that bounded frame.
+    * No window, no second pass over the rows.
+    *
+    * Snap discipline: per-bin means and rates snap to the 1e-9 grid
+    * in replay order (the [[calibrationCurve]] convention), then
+    * every decomposition term snaps — the oracle replays the same
+    * floor points.
+    *
+    * @return one row per group: `n, brier, reliability, resolution,
+    *         uncertainty, decomp_gap`
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val bin = least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int")
+    val gs = groupCols.map(col)
+    val perBin = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(gs :+ bin.as("__bin"): _*)
+      .agg(
+        count(lit(1)).as("__nk"),
+        sum(y.cast("long")).as("__posk"),
+        snap9(avg(s)).as("__pbark"),
+        sum(pow(s - y, 2)).as("__sqk"))
+      .withColumn("__obark", snap9(col("__posk").cast("double") / col("__nk")))
+    val n = col("__n").cast("double")
+    val obar = snap9(col("__pos").cast("double") / n)
+    perBin
+      .groupBy(gs: _*)
+      .agg(
+        sum(col("__nk")).as("__n"),
+        sum(col("__posk")).as("__pos"),
+        sum(col("__sqk")).as("__sq"),
+        // Σ n_k (p̄_k − ō_k)²: both factors already snapped, so the
+        // per-bin term is deterministic; the ≤bins-row sum snaps once
+        sum(col("__nk") * pow(col("__pbark") - col("__obark"), 2)).as("__rel"),
+        // resolution needs the GLOBAL ō, which only exists after
+        // this agg — carry Σ n_k·ō_k and Σ n_k·ō_k² and expand the
+        // square algebraically below
+        sum(col("__nk") * col("__obark")).as("__so"),
+        sum(col("__nk") * pow(col("__obark"), 2)).as("__so2"))
+      .withColumn("brier", snap9(col("__sq") / n))
+      .withColumn("reliability", snap9(col("__rel") / n))
+      // Σ n_k (ō_k − ō)²/n = Σ n_k ō_k²/n − 2ō·Σ n_k ō_k/n + ō²
+      .withColumn("resolution",
+        snap9(col("__so2") / n - lit(2.0) * obar * (col("__so") / n) + obar * obar))
+      .withColumn("uncertainty", snap9(obar * (lit(1.0) - obar)))
+      .withColumn("decomp_gap",
+        snap9(col("brier") - col("reliability") + col("resolution") - col("uncertainty")))
+      .select(gs ++ Seq(col("__n").as("n"), col("brier"), col("reliability"),
+        col("resolution"), col("uncertainty"), col("decomp_gap")): _*)
+  }
 }

@@ -1592,4 +1592,53 @@ object IvfKnnOps {
       maxIter = maxIter, maxSample = maxSample)
     knnGraph(index, idCol, vecCol, k, nProbe)
   }
+
+  /** Mutual-kNN clusters (S14): near-duplicate / tight-community
+    * groups from the [[knnGraph]] — keep an edge only when BOTH
+    * endpoints name each other in their top-k at `cosine ≥
+    * minCosine`, then close the mutual edge set with
+    * [[graft.operators.GraphOps.connectedComponents]]. Mutuality is
+    * the standard asymmetry filter (a hub's one-way fans don't
+    * chain); the result is the cluster frame SemDeDup-style
+    * semantic dedup keeps one representative per.
+    *
+    * Scale shape: the graph build is [[knnGraph]]'s bounded n·k
+    * edge frame; mutuality is ONE map-side-combinable groupBy on
+    * the canonical (lo, hi) pair (an edge present in both
+    * directions counts 2 — no self-join); the closure is the
+    * O(log n) star-contraction CC. Nothing here rescans the vector
+    * column.
+    *
+    * @return (member_id, cluster_id) for every vector on ≥1 mutual
+    *         edge — singletons are NOT emitted (the dedup-family
+    *         convention: only rows that collided with something).
+    */
+  def mutualKnnClusters(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCosine: Double,
+      nLists: Int,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      maxIter: Int = 10
+  ): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val g = knnGraph(corpus, idCol, vecCol, k, nLists, nProbe, seed, maxIter)
+      .filter(col("cosine") >= minCosine)
+    val mutual = g
+      .select(least(col("query_id"), col("neighbor_id")).as("lo"),
+        greatest(col("query_id"), col("neighbor_id")).as("hi"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(count(lit(1)).as("__dir"))
+      // 2 = both directions (knnGraph emits each directed edge once:
+      // per-query ranks are distinct, so a pair can appear at most
+      // twice — once from each endpoint)
+      .filter(col("__dir") >= 2)
+      .select(col("lo").as("src"), col("hi").as("dst"))
+    graft.operators.GraphOps.connectedComponents(mutual)
+      .select(col("id").as("member_id"), col("component").as("cluster_id"))
+  }
 }

@@ -365,6 +365,58 @@ object MixOps {
     df.withColumn(bucketCol, ntile(n).over(w))
   }
 
+  /** Length-sorted batch formation with the padding bill — the
+    * PADDED-training complement of [[packSequences]] (which
+    * concatenates docs into fixed token budgets): sort each group's
+    * docs by token count descending, cut every `batchSize` docs,
+    * and report what padding-to-batch-max costs. Length-adjacent
+    * batching is the standard padding-overhead fix (a shuffled
+    * batch pads every doc to the batch max; sorted batches make
+    * neighbors similar-length), and the per-batch report is the
+    * measurement that justifies it.
+    *
+    * Scale shape: the GROUP axis is the parallel axis (the
+    * [[ntileBuckets]] contract — partition by source/shard, never a
+    * global single-partition window): ONE window shuffle on
+    * `groupCols` for the within-group row_number, then a
+    * map-side-combinable groupBy over (group, batch). Deterministic
+    * total order: (n_tokens desc, id) — ties never reshuffle
+    * between runs.
+    *
+    * Output: one row per batch —
+    * (groups*, batch_id, n_docs, max_tokens, sum_tokens, padding,
+    * pad_frac) where `padding = n_docs·max_tokens − sum_tokens`
+    * (the short final batch bills only its actual rows) and
+    * `pad_frac = padding / (n_docs·max_tokens)` on the 1e-9 grid.
+    */
+  def lengthBatches(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      tokenCol: String,
+      batchSize: Int
+  ): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val gs = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*)
+      .orderBy(col(tokenCol).desc, col(idCol))
+    val toks = col(tokenCol).cast("long")
+    df.filter(toks.isNotNull && col(idCol).isNotNull)
+      .withColumn("__batch", ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(gs :+ col("__batch").as("batch_id"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(toks).as("max_tokens"),
+        sum(toks).as("sum_tokens"))
+      .withColumn("padding", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .withColumn("pad_frac",
+        when(col("n_docs") * col("max_tokens") > 0,
+          floor(col("padding").cast("double") / (col("n_docs") * col("max_tokens"))
+            * 1e9 + 0.5) / 1e9)
+          .otherwise(lit(0.0)))
+  }
+
   /** Stride-scheduled source interleaving (Waldspurger's stride
     * scheduling applied to corpus order): every row gets a virtual
     * time `vt = rank_within_source / weight`, and reading rows in

@@ -193,6 +193,76 @@ object StatsOps {
       .select(col(featureCol), col("n_total"), col("h_stat"), col("p_value"), col("bh_rank"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) per feature — the k=2
+    * workhorse the [[kruskalWallis]] family specializes to, with
+    * the pieces KW's H statistic cannot give back: the U statistic
+    * itself, a DIRECTIONAL z (which group is stochastically
+    * larger), and the rank-biserial effect size
+    * `r = 2·U_A/(n_A·n_B) − 1` — the "how big, not just how
+    * unlikely" read-out a filter-threshold decision needs.
+    *
+    * Identical scale shape to KW: ranks from ONE hash exchange on
+    * `featureCol` (in-partition sort; average ranks via the tie
+    * window, so ties get the textbook midrank), a map-side-
+    * combinable per-(feature, group) rollup, and the tie-correction
+    * frame `Σ(t³−t)` from a second bounded aggregate. The normal
+    * approximation uses the tie-corrected variance
+    * `σ² = n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`; features where
+    * σ² = 0 (all values identical) emit null z/p. Rank sums are
+    * exact in double (midranks are half-integer), so U is exact;
+    * z/p/r snap to the 1e-9 grid in replay order. No continuity
+    * correction (documented; the oracle replays the same formula).
+    *
+    * @return one row per feature with both groups present:
+    *         (feature, n_a, n_b, u_a, u_b, z, p_value,
+    *         r_rank_biserial)
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      featureCol: String,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String
+  ): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val filtered = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(valueCol).isNotNull)
+      .select(col(featureCol), col(groupCol), col(valueCol))
+    val wOrd = Window.partitionBy(featureCol).orderBy(col(valueCol))
+    val wTie = Window.partitionBy(col(featureCol), col(valueCol))
+    val ranked = filtered
+      .withColumn("__r", rank().over(wOrd) + (count(lit(1)).over(wTie) - 1) / 2.0)
+    val perGroup = ranked
+      .groupBy(col(featureCol))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(groupCol) === groupA, col("__r")).otherwise(lit(0.0))).as("__ra"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val ties = filtered
+      .groupBy(col(featureCol), col(valueCol)).agg(count(lit(1)).as("__t"))
+      .groupBy(col(featureCol))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tsum"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val uA = col("__ra") - nA * (nA + lit(1.0)) / lit(2.0)
+    val mu = nA * nB / lit(2.0)
+    val sigma2 = nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - col("__tsum").cast("double") / (n * (n - lit(1.0))))
+    val z = (col("u_a") - mu) / sqrt(sigma2)
+    perGroup.join(ties, Seq(featureCol))
+      .withColumn("u_a", uA)
+      .withColumn("u_b", nA * nB - col("u_a"))
+      .withColumn("z", when(sigma2 > 0, snap9(z)))
+      .withColumn("p_value", when(col("z").isNotNull, snap9(normalTwoSided(col("z")))))
+      .withColumn("r_rank_biserial", snap9(lit(2.0) * col("u_a") / (nA * nB) - lit(1.0)))
+      .select(col(featureCol), col("n_a"), col("n_b"), col("u_a"), col("u_b"),
+        col("z"), col("p_value"), col("r_rank_biserial"))
+  }
+
   /** Pearson chi-squared test of independence between two
     * categorical columns, per group — the categorical complement of
     * the Welch-t/Kruskal–Wallis family (is `source` independent of
