@@ -3955,6 +3955,13 @@ object SparkEntry {
       MixOps.lengthBatches(toks, Seq("source"), "doc_id", "n_tokens", batchSize = 32)
     }),
 
+    // ---- X25: per-doc unigram Shannon entropy — the evenness
+    //      quality signal; doc-axis-parallel counts, MI-convention
+    //      snapped natural-log terms. ----
+    "q_entropy" -> ((s, dir) => {
+      TextOps.tokenEntropy(BioLoader.load(s, t(dir, "documents")), "doc_id", "text")
+    }),
+
     // ---- S14: mutual-kNN clusters over the planted-twin corpus —
     //      knnGraph edges kept only when BOTH endpoints name each
     //      other at cosine ≥ 0.999, closed by connected components;
@@ -9527,6 +9534,36 @@ object SparkEntry {
         |      / (n_docs * max_tokens) * 1e9 + 0.5) / 1e9
         |    ELSE 0.0 END AS pad_frac
         |FROM agg""".stripMargin,
+
+    // per-(doc, token) counts, snapped -p·ln(p) terms, snapped sum,
+    // then the bits / normalized conversions at the operator's snap
+    // points (ln2 = the double literal both engines parse exactly)
+    "q_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1
+        |), h AS (
+        |  SELECT c.doc_id,
+        |    floor(sum(floor(-(CAST(c AS DOUBLE) / CAST(T AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(T AS DOUBLE)) * 1e9 + 0.5) / 1e9)
+        |      * 1e9 + 0.5) / 1e9 AS hn
+        |  FROM c JOIN tt USING (doc_id) GROUP BY 1
+        |), eb AS (
+        |  SELECT h.doc_id, T AS n_tokens, n_types,
+        |    floor(hn / 0.6931471805599453 * 1e9 + 0.5) / 1e9 AS entropy_bits
+        |  FROM h JOIN tt USING (doc_id)
+        |)
+        |SELECT doc_id, n_tokens, n_types, entropy_bits,
+        |  CASE WHEN n_types > 1 THEN
+        |    floor(entropy_bits / (floor(ln(CAST(n_types AS DOUBLE)) / 0.6931471805599453
+        |      * 1e9 + 0.5) / 1e9) * 1e9 + 0.5) / 1e9 END AS norm_entropy
+        |FROM eb""".stripMargin,
 
     // planted twins are each other's UNIQUE cosine-1.0 neighbor and
     // nothing else clears minCosine = 0.999, so each mutual-kNN

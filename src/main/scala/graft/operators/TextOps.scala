@@ -447,6 +447,61 @@ object TextOps {
         s9(col("n_tokens").cast("double") / col("n_types")).as("mean_term_freq")): _*)
   }
 
+  /** Shannon entropy of each document's unigram distribution — the
+    * "how templated is this text" quality signal ([[lexicalDiversity]]'s
+    * information-theoretic sharpening: TTR says how many types, the
+    * entropy says how EVENLY they are used; boilerplate and keyword
+    * stuffing crater it long before the type count moves). Emitted
+    * in bits plus the [0, 1] normalization against log2(n_types) —
+    * the gate-threshold form (1 = perfectly even usage).
+    *
+    * Scale shape: the DOC axis is the parallel axis — one explode +
+    * map-side-combinable groupBy(id, token), then two id-keyed hops
+    * (totals join + final rollup) that all share the id hash
+    * partitioning. Per-doc state is its type count, never the
+    * corpus vocabulary. Same tokenizer contract as
+    * TF-IDF/collocations (lowercase, split non-letter/digit runs);
+    * docs with zero tokens drop (no distribution to score).
+    *
+    * Log discipline: the [[graft.operators.StatsOps.mutualInformation]]
+    * convention — natural-log terms snapped at 1e-9, snapped sum,
+    * then the bits/normalized conversions snap in replay order.
+    *
+    * @return (idCol, n_tokens, n_types, entropy_bits, norm_entropy)
+    *         — norm_entropy null when n_types = 1 (log2(1) = 0)
+    */
+  def tokenEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val s9 = (c: Column) => floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val ln2 = lit(math.log(2.0))
+    val counts = df
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    // per-doc total via an id-partitioned window: shares the final
+    // rollup's id hash partitioning (no totals self-join, whose
+    // shared lineage Spark flags ambiguous anyway)
+    val withT = counts.withColumn("__T",
+      sum(col("__c")).over(Window.partitionBy(col(idCol))))
+    val p = col("__c").cast("double") / col("__T").cast("double")
+    withT
+      .groupBy(col(idCol))
+      .agg(
+        first(col("__T")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        s9(sum(s9(-p * log(p)))).as("__hn"))
+      .withColumn("entropy_bits", s9(col("__hn") / ln2))
+      .withColumn("norm_entropy",
+        when(col("n_types") > 1,
+          s9(col("entropy_bits") / s9(log(col("n_types").cast("double")) / ln2))))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        col("entropy_bits"), col("norm_entropy"))
+  }
+
   /** Canonical URL form for URL-keyed dedup — the scrape-pipeline
     * normalization pass that runs BEFORE content dedup (the same
     * page arrives as `HTTP://Site.com:80/p#x`, `http://www.site.com/p/`
