@@ -8727,10 +8727,15 @@ object SparkEntry {
         |), d AS (
         |  SELECT *, value - trend AS detr FROM b
         |), p AS (
-        |  SELECT user_id, phase, floor(avg(detr) * 1e9 + 0.5) / 1e9 AS raw
+        |  SELECT user_id, phase,
+        |    floor(CAST(sum(CAST(floor(detr * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / count(*) + 0.5) / 1e9 AS raw
         |  FROM d WHERE detr IS NOT NULL GROUP BY 1, 2
         |), ctr AS (
-        |  SELECT user_id, floor(avg(raw) * 1e9 + 0.5) / 1e9 AS adj FROM p GROUP BY 1
+        |  SELECT user_id,
+        |    floor(CAST(sum(CAST(floor(raw * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / count(*) + 0.5) / 1e9 AS adj
+        |  FROM p GROUP BY 1
         |), s AS (
         |  SELECT p.user_id, phase, floor((raw - adj) * 1e9 + 0.5) / 1e9 AS seasonal
         |  FROM p JOIN ctr USING (user_id)

@@ -586,10 +586,32 @@ object DriftOps {
       .withColumn("trend",
         when(count(lit(1)).over(maW) === (2 * h + 1), s9(avg(x).over(maW))))
       .withColumn("__detr", x - col("trend"))
+    // Phase means via exact integer nano-sums, NOT float avg+snap:
+    // detrended values sit on the 1e-9 grid (value − grid trend), so
+    // a phase mean is (Σ nano-ints)/n — which lands EXACTLY on
+    // half-grid points whenever n divides 2Σ, and there the two
+    // engines' float-summation ulp decides the floor: the r13 sf1
+    // sweep measured 4% of rows flipping by one grid step. Integer
+    // sums make the quotient correctly-rounded-identical in both
+    // engines, and exact halves floor deterministically (k+0.5 is
+    // representable). The corr-matrix/Spearman overflow lesson's
+    // sibling: means of GRID values must aggregate on the integer
+    // grid. |nano| ≤ ~1e11 · group rows — overflow at ≥ 9·10⁷ rows
+    // per (key, phase) × unit scale, far past any phase frame.
     val prof = base.filter(col("__detr").isNotNull)
+      .withColumn("__dn", floor(col("__detr") * lit(1e9) + lit(0.5)).cast("long"))
       .groupBy(ks :+ col("phase"): _*)
-      .agg(s9(avg(col("__detr"))).as("__raw"))
-    val center = prof.groupBy(ks: _*).agg(s9(avg(col("__raw"))).as("__adj"))
+      .agg(sum(col("__dn")).as("__sn"), count(lit(1)).as("__cn"))
+      .withColumn("__raw",
+        floor(col("__sn").cast("double") / col("__cn") + lit(0.5)) / lit(1e9))
+      .drop("__sn", "__cn")
+    val center = prof
+      .withColumn("__rn", floor(col("__raw") * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(ks: _*)
+      .agg(sum(col("__rn")).as("__cs"), count(lit(1)).as("__cp"))
+      .withColumn("__adj",
+        floor(col("__cs").cast("double") / col("__cp") + lit(0.5)) / lit(1e9))
+      .drop("__cs", "__cp")
     val seasonal = prof.join(center, keyCols)
       .withColumn("seasonal", s9(col("__raw") - col("__adj")))
       .select(ks ++ Seq(col("phase"), col("seasonal")): _*)

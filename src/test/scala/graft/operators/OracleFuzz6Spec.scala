@@ -56,12 +56,17 @@ class OracleFuzz6Spec extends SparkSpec {
         else None
       }
       val detr = xs.indices.map(i => trend(i).map(t => xs(i) - t))
+      // integer nano-sum phase means (the sf1 half-grid fix): exact
+      // long sums, correctly rounded quotient, floor(+0.5) to nanos
+      def nanoMean(nanos: Seq[Long]): Double =
+        math.floor(nanos.sum.toDouble / nanos.size + 0.5) / 1e9
       val raw = (0 until m).map { p =>
         val vs = xs.indices.filter(i => i % m == p).flatMap(detr)
-        p -> (if (vs.nonEmpty) Some(snap9(vs.sum / vs.size)) else None)
+          .map(d => math.floor(d * 1e9 + 0.5).toLong)
+        p -> (if (vs.nonEmpty) Some(nanoMean(vs)) else None)
       }.toMap
       val present = raw.values.flatten.toSeq
-      val adj = snap9(present.sum / present.size)
+      val adj = nanoMean(present.map(r0 => math.floor(r0 * 1e9 + 0.5).toLong))
       xs.indices.foreach { i =>
         val (p, t, s) = got(i)
         assert(p == i % m && t == trend(i), s"trial $trial m=$m i=$i trend")
