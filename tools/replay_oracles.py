@@ -297,6 +297,29 @@ def replay_dedup_minhash(con, sf_dir, out_dir):
                           "q_dedup_minhash")
 
 
+def replay_dedup_all(con, sf_dir, out_dir):
+    """q_dedup_all = exact-dup survivors minus near-dup losers.
+
+    The oracle SQL embeds the FULL all-pairs 3-gram jaccard over the
+    survivor set (~200M brute pairs at 20k docs — DuckDB times out at
+    sf1); the survivor pair set is exactly the cached prefix-filtered
+    pair set restricted to survivor x survivor, because survivors are
+    a subset of documents with unchanged texts/shingles.
+    """
+    surv = {int(r[0]) for r in con.execute(
+        "SELECT min(doc_id) FROM documents GROUP BY md5(text)").fetchall()}
+    pairs, ncand = _cached_jaccard(con)
+    dropped = {b for a, b, _ in pairs if a in surv and b in surv}
+    want = surv - dropped
+    got = {int(x) for x in _spark_df(out_dir, "q_dedup_all")["doc_id"]}
+    if got == want:
+        return True, (f"q_dedup_all: ok (exact-dup survivors {len(surv)} minus "
+                      f"{len(dropped)} near-dup losers via the prefix-filtered "
+                      f"pair set, {ncand} candidates)")
+    return False, (f"q_dedup_all: spark-only={len(got - want)} "
+                   f"replay-only={len(want - got)}")
+
+
 REPLAYS = {
     "q_pagerank": replay_pagerank,
     "q_ppr": replay_ppr,
@@ -305,4 +328,5 @@ REPLAYS = {
     "q_stream_entity": replay_stream_entity,
     "q_ngram_jaccard": replay_ngram_jaccard,
     "q_dedup_minhash": replay_dedup_minhash,
+    "q_dedup_all": replay_dedup_all,
 }
