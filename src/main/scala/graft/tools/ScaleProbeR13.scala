@@ -57,21 +57,29 @@ object ScaleProbeR13 {
       // dropped by canonicalize, avg degree ~10 after symmetrization
       val n = 6000000L
       val m = 30000000L
+      // hashed endpoints: (A·id + c) % n endpoints ALIAS — ids 6M
+      // apart map to the identical (src, dst), so 30M tuples
+      // collapse to 6M canonical edges (measured by this probe's
+      // first run)
       val raw = spark.range(0, m).select(
-        (col("id") % n).as("src"),
-        ((col("id") * 2654435761L + 1234567L) % n).as("dst"))
+        pmod(xxhash64(col("id"), lit(0)), lit(n)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("dst"))
       val g = GraphOps.canonicalize(raw)
       val edgeCount = g.m
       println(s"[r13probe] tri: canonical edges = $edgeCount")
 
+      def totalTris(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(sum("triangles")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       // fallback path (default ceiling 16M < edges): shuffled-hash
       val triShuffle = timed("tri 30M edges, shuffled-hash fallback") {
-        GraphOps.triangleCounts(g).agg(sum("triangles")).head().getLong(0)
+        totalTris(GraphOps.triangleCounts(g))
       }
       // broadcast path: raise the ceiling past the edge count
       spark.conf.set(GraftConf.TriangleBroadcastMaxEdges, (edgeCount + 1).toString)
       val triBroadcast = timed("tri 30M edges, broadcast (ceiling raised)") {
-        GraphOps.triangleCounts(g).agg(sum("triangles")).head().getLong(0)
+        totalTris(GraphOps.triangleCounts(g))
       }
       spark.conf.unset(GraftConf.TriangleBroadcastMaxEdges)
       require(triShuffle == triBroadcast,
@@ -103,16 +111,29 @@ object ScaleProbeR13 {
       // at 5001 copies (> maxBucket 1000 in every band)
       val words = (0 until 64).map(i => s"w$i")
       val dict = typedLit(words)
+      // word index from a REAL hash of (id, j) — affine-mod folds
+      // collapse: (id·k + f(j)) % 64 depends only on id mod 64 (64
+      // distinct texts), and even a prime-modulus pre-fold left only
+      // 2421 distinct sequences out of 20k (coincident wrap
+      // patterns). Both measured by this probe's own first runs.
       val distinctDocs = spark.range(0, 20000).select(col("id"),
         concat_ws(" ", transform(sequence(lit(0), lit(39)),
-          j => element_at(dict, ((col("id") * 37 + j * 31 + j * j) % 64 + 1).cast("int")))).as("text"))
+          j => element_at(dict, (pmod(xxhash64(col("id"), j), lit(64)) + 1).cast("int")))).as("text"))
       val copies = distinctDocs
         .select(explode(sequence(lit(0), lit(19))).as("c"), col("id"), col("text"))
         .select((col("id") * 100 + col("c")).as("doc_id"), col("text"))
       val hot = spark.range(0, 5001).select(
         (col("id") + 10000000L).as("doc_id"),
         lit(words.take(40).mkString(" ")).as("text"))
-      val corpus = copies.unionByName(hot).repartition(32)
+      // land the corpus in parquet and read it back: a range-derived
+      // frame carries toy size estimates that bait the planner into
+      // broadcasting the 200 MB shingled side (measured: 1.3 GB of
+      // driver-collected task results, maxResultSize abort) — the
+      // production shape is a scan with honest stats
+      val path = "/tmp/graft-r13probe-docs"
+      copies.unionByName(hot).repartition(32)
+        .write.mode("overwrite").parquet(path)
+      val corpus = spark.read.parquet(path)
       println(s"[r13probe] dedup corpus: ${corpus.count()} docs")
 
       val pairs = timed("minhashLsh 405k docs, 20x duplication") {
@@ -120,7 +141,10 @@ object ScaleProbeR13 {
       }
       // each 20-copy clique yields 190 pairs; the hot template must
       // NOT contribute its 12.5M pairs (bucket cap) — so the pair
-      // count stays at the clique total
+      // count stays at the clique total. The overflow report counts
+      // the hot bucket once PER BAND (16 bands share the member
+      // set), so lost-pair telemetry over-counts by the band factor
+      // — by design: each row names a band bucket, not a pair set.
       println(s"[r13probe] dedup pairs = $pairs (expected ~ ${20000L * 190})")
       val overflow = timed("minhashOverflowReport") {
         DedupOps.minhashOverflowReport(corpus, "doc_id", "text")
