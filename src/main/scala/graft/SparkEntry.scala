@@ -3955,6 +3955,48 @@ object SparkEntry {
       MixOps.lengthBatches(toks, Seq("source"), "doc_id", "n_tokens", batchSize = 32)
     }),
 
+    // ---- E20: expected/maximum calibration error per source — the
+    //      L1/L-inf companions of E18's reliability, same bin frame. ----
+    "q_ece" -> ((s, dir) => {
+      val d = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("score", (col("doc_id") * 2654435761L % 1000L).cast("double") / 1000.0)
+        .withColumn("is_en", (col("lang") === "en").cast("int"))
+      EvalOps.calibrationError(d, "is_en", "score", 10, Seq("source"))
+    }),
+
+    // ---- C47: uncovered gaps between shipment-coverage islands —
+    //      the inverse read-out of C44, lead window on the island
+    //      frame's key partitioning. ----
+    "q_interval_gaps" -> ((s, dir) => {
+      val li = BioLoader.load(s, t(dir, "lineitem"))
+        .withColumn("start_s", expr("unix_micros(l_shipdate) div 1000000"))
+        .withColumn("end_s", col("start_s") + col("l_quantity").cast("long") * 86400L)
+      IntervalOps.gaps(li, "l_suppkey", "start_s", "end_s")
+    }),
+
+    // ---- S15: k-NN classification by retrieval — each planted twin
+    //      query votes from its rank-1 corpus neighbor (itself), so
+    //      the predicted label is the base vector's label exactly. ----
+    "q_knn_classify" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings"))
+      val index = IvfKnnOps.buildIndex(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", nLists = 16, maxIter = 5)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      IvfKnnOps.classify(queries, index, "vec_id", "embedding",
+        emb.select(col("vec_id"), col("label")), "label", k = 1, nProbe = 4)
+    }),
+
+    // ---- N48: Poisson-bootstrap CI for mean balance per segment —
+    //      the distributed bootstrap (per-row hash-coin Poisson(1)
+    //      multiplicities, exact integer resample sums). ----
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val cust = BioLoader.load(s, t(dir, "customer"))
+        .withColumn("cents", floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      StatsOps.bootstrapMeanCi(cust, Seq("c_mktsegment"), "c_custkey", "cents",
+        b = 200, alpha = 0.05, seed = 42L)
+    }),
+
     // ---- X25: per-doc unigram Shannon entropy — the evenness
     //      quality signal; doc-axis-parallel counts, MI-convention
     //      snapped natural-log terms. ----
@@ -9539,6 +9581,109 @@ object SparkEntry {
         |      / (n_docs * max_tokens) * 1e9 + 0.5) / 1e9
         |    ELSE 0.0 END AS pad_frac
         |FROM agg""".stripMargin,
+
+    // the calibration bin frame rolled to L1/L-inf: per-bin snapped
+    // mean/rate, |gap| over deterministic operands, weighted sum and
+    // max snapped once over the <=bins frame
+    "q_ece" ->
+      """WITH d AS (
+        |  SELECT source, ((doc_id * 2654435761) % 1000) / 1000.0 AS score,
+        |    CASE WHEN lang IS NULL THEN NULL WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, CAST(least(greatest(floor(score * 10), 0), 9) AS INTEGER) AS bin,
+        |    score, is_en
+        |  FROM d WHERE score IS NOT NULL AND is_en IS NOT NULL
+        |), pb AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS nk,
+        |    CAST(sum(is_en) AS BIGINT) AS posk,
+        |    floor(avg(score) * 1e9 + 0.5) / 1e9 AS pbark
+        |  FROM b GROUP BY 1, 2
+        |), pg AS (
+        |  SELECT *, abs(pbark - floor(CAST(posk AS DOUBLE) / nk * 1e9 + 0.5) / 1e9) AS gap
+        |  FROM pb
+        |)
+        |SELECT source, CAST(sum(nk) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+        |  floor(sum(nk * gap) / CAST(sum(nk) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ece,
+        |  floor(max(gap) * 1e9 + 0.5) / 1e9 AS mce
+        |FROM pg GROUP BY 1""".stripMargin,
+
+    // the C44 island chain + one lead window: gap rows between
+    // consecutive islands, single-island keys emit nothing
+    "q_interval_gaps" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey, epoch_us(l_shipdate) // 1000000 AS s,
+        |    epoch_us(l_shipdate) // 1000000 + CAST(l_quantity AS BIGINT) * 86400 AS e
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv
+        |), f AS (
+        |  SELECT l_suppkey, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS nf FROM o
+        |), g AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(nf) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS island FROM f
+        |), mg AS (
+        |  SELECT l_suppkey, min(s) AS ms, max(e) AS me
+        |  FROM g GROUP BY l_suppkey, island
+        |), nx AS (
+        |  SELECT l_suppkey, me AS gap_start,
+        |    lead(ms, 1) OVER (PARTITION BY l_suppkey ORDER BY ms) AS gap_end
+        |  FROM mg
+        |)
+        |SELECT l_suppkey, gap_start, gap_end, gap_end - gap_start AS gap
+        |FROM nx WHERE gap_end IS NOT NULL""".stripMargin,
+
+    // rank-1 of each planted twin is its base vector (cosine 1.0,
+    // unique), so the vote is unanimous: the base label, 1 of 1
+    "q_knn_classify" ->
+      """SELECT vec_id + 100000 AS query_id, label,
+        |  CAST(1 AS BIGINT) AS votes, CAST(1 AS BIGINT) AS k_found
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
+    // full replay: portable-LCG coin vs integer Poisson(1) CDF
+    // thresholds, exact long resample sums, snapped means, exact
+    // decimal nearest-rank indices over the realized B'
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey AS id,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        |), reps AS (
+        |  SELECT seg, id, v, r FROM base CROSS JOIN (SELECT unnest(range(0, 200)) AS r)
+        |), mm AS (
+        |  SELECT seg, r, v,
+        |    CASE WHEN h < 367873 THEN 0 WHEN h < 735746 THEN 1 WHEN h < 919682 THEN 2
+        |         WHEN h < 980995 THEN 3 WHEN h < 996323 THEN 4 WHEN h < 999388 THEN 5
+        |         WHEN h < 999899 THEN 6 WHEN h < 999972 THEN 7 ELSE 8 END AS m
+        |  FROM (SELECT seg, r, v,
+        |    ((id * 480879 + r * 104729 + 42) % 999983 + 999983) % 999983 AS h FROM reps)
+        |), agg AS (
+        |  SELECT seg, r, CAST(sum(m * v) AS BIGINT) AS S, CAST(sum(m) AS BIGINT) AS C
+        |  FROM mm GROUP BY 1, 2 HAVING sum(m) > 0
+        |), means AS (
+        |  SELECT seg, r, floor(CAST(S AS DOUBLE) / C * 1e9 + 0.5) / 1e9 AS mn FROM agg
+        |), rk AS (
+        |  SELECT seg, r, mn, row_number() OVER (PARTITION BY seg ORDER BY mn, r) AS rn,
+        |    count(*) OVER (PARTITION BY seg) AS B
+        |  FROM means
+        |), ci AS (
+        |  SELECT seg,
+        |    min(CASE WHEN rn = greatest(CAST(ceil(0.05 / 2 * B) AS BIGINT), 1) THEN mn END) AS ci_lo,
+        |    min(CASE WHEN rn = CAST(ceil((1 - 0.05 / 2) * B) AS BIGINT) THEN mn END) AS ci_hi,
+        |    CAST(min(B) AS BIGINT) AS b_effective
+        |  FROM rk GROUP BY 1
+        |), pt AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    floor(CAST(sum(v) AS DOUBLE) / count(*) * 1e9 + 0.5) / 1e9 AS mean
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT pt.seg AS c_mktsegment, n, mean, ci_lo, ci_hi, b_effective
+        |FROM pt JOIN ci USING (seg)""".stripMargin,
 
     // per-(doc, token) counts, snapped -p·ln(p) terms, snapped sum,
     // then the bits / normalized conversions at the operator's snap

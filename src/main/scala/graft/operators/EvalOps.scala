@@ -694,6 +694,46 @@ object EvalOps {
           (col("precision") + col("recall")))))
   }
 
+  /** Expected / maximum calibration error over the [[calibrationCurve]]
+    * bin frame — the two dashboard numbers of score trustworthiness:
+    * `ece = Σ n_k/n · |p̄_k − ō_k|` (population-weighted gap) and
+    * `mce = max_k |p̄_k − ō_k|` (worst bin). The threshold companion
+    * of [[brierDecomposition]]'s reliability (same gaps, L1/L∞
+    * instead of weighted L2). Same scale shape: ONE map-side-
+    * combinable groupBy(groups, bin), arithmetic over ≤bins rows,
+    * per-bin values snapped in replay order.
+    *
+    * @return one row per group: (groupCols*, n, n_bins, ece, mce)
+    */
+  def calibrationError(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      bins: Int = 10,
+      groupCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = col(scoreCol).cast("double")
+    val lbl = col(labelCol).cast("boolean")
+    val bin = least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int")
+    val gs = groupCols.map(col)
+    val perBin = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(gs :+ bin.as("__bin"): _*)
+      .agg(
+        count(lit(1)).as("__nk"),
+        sum(when(lbl, 1L).otherwise(0L)).as("__posk"),
+        snap9(avg(s)).as("__pbark"))
+      .withColumn("__gap",
+        abs(col("__pbark") - snap9(col("__posk").cast("double") / col("__nk"))))
+    perBin.groupBy(gs: _*)
+      .agg(
+        sum(col("__nk")).as("n"),
+        count(lit(1)).as("n_bins"),
+        snap9(sum(col("__nk") * col("__gap")) /
+          sum(col("__nk")).cast("double")).as("ece"),
+        snap9(max(col("__gap"))).as("mce"))
+  }
+
   /** Brier score with the Murphy (1973) decomposition over binned
     * forecasts — the one-row "is this score a probability" read-out
     * that [[calibrationCurve]]'s per-bin frame rolls up to:

@@ -85,6 +85,35 @@ object IntervalOps {
       .drop("__island")
   }
 
+  /** Uncovered gaps between a key's merged islands — the inverse
+    * read-out of [[mergeIntervals]] ("where is this entity NOT
+    * covered"): one row per gap between consecutive islands, with
+    * the gap's span in the same numeric domain. Keys with a single
+    * island emit nothing (no interior gap; the open-ended before/
+    * after spans have no defined bounds). Same single-exchange
+    * shape — the lead window rides the island frame's key
+    * partitioning.
+    *
+    * @return (key, gap_start, gap_end, gap) with
+    *         `gap_start = island's merged_end`,
+    *         `gap_end = next island's merged_start`
+    */
+  def gaps(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String
+  ): DataFrame = {
+    val islands = mergeIntervals(df, keyCol, startCol, endCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("merged_start"))
+    islands
+      .withColumn("__next", lead(col("merged_start"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(keyCol), col("merged_end").as("gap_start"),
+        col("__next").as("gap_end"),
+        (col("__next") - col("merged_end")).as("gap"))
+  }
+
   /** Per-key coverage summary over the merged islands: how much of
     * the domain the key's intervals cover once overlaps collapse.
     * `n_islands`, `n_intervals`, `covered_total` (sum of island

@@ -1593,6 +1593,49 @@ object IvfKnnOps {
     knnGraph(index, idCol, vecCol, k, nProbe)
   }
 
+  /** k-NN classification by retrieval (S15): label each query by
+    * majority vote over its top-k neighbors from the IVF index —
+    * the classify-by-example read-out every labeled embedding
+    * corpus supports for free (domain tagging, quality-tier
+    * propagation, weak labeling of new docs from a curated seed
+    * set). Deterministic vote: most votes, ties to the smallest
+    * label (stated, replayable).
+    *
+    * Scale shape: [[topK]]'s probe plan (|Q|·k result rows), one
+    * shuffle join of those rows to the corpus label frame on
+    * neighbor id, one map-side-combinable groupBy(query, label),
+    * and a k-bounded row_number window per query. The label frame
+    * is corpus-sized — it hash-joins, never broadcasts.
+    *
+    * @param labels (id, label) — one row per corpus vector
+    * @return (query_id, label, votes, k_found) — `k_found` ≤ k is
+    *         the realized neighbor count (probes can undershoot)
+    */
+  def classify(
+      queries: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val nn = topK(queries, index, idCol, vecCol, k, nProbe)
+    val lab = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("label"))
+    val votes = nn.join(lab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+    val ord = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("k_found", sum(col("votes")).over(w))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("label"), col("votes"), col("k_found"))
+  }
+
   /** Mutual-kNN clusters (S14): near-duplicate / tight-community
     * groups from the [[knnGraph]] — keep an edge only when BOTH
     * endpoints name each other in their top-k at `cosine ≥

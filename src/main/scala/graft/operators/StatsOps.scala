@@ -193,6 +193,97 @@ object StatsOps {
       .select(col(featureCol), col("n_total"), col("h_stat"), col("p_value"), col("bh_rank"))
   }
 
+  /** Poisson bootstrap confidence interval for a per-group mean —
+    * THE distributed bootstrap (resample multiplicities drawn
+    * independently per row as Poisson(1), so no pass ever needs the
+    * group's row count up front; the standard method for bootstrap
+    * at map-reduce scale, e.g. Chamandy et al. 2012): each row
+    * contributes a deterministic hash-coin multiplicity m ∈ [0, 8]
+    * to each of `b` resamples, resample means are exact integer
+    * ratios, and the interval is the nearest-rank (α/2, 1−α/2)
+    * envelope of the b means.
+    *
+    * Scale shape: ONE b-way explode in the scan stage collapsed
+    * immediately by a map-side-combinable groupBy(groups, replica) —
+    * the exchange carries b rows per task, never n·b; then window
+    * ranks over the |groups|·b frame. No driver state, no second
+    * pass over the rows.
+    *
+    * Determinism/replay: the coin is the house portable-LCG
+    * (`(id·480879 + replica·104729 + seed) mod 999983`) compared
+    * against INTEGER Poisson(1) CDF thresholds — engine-exact; sums
+    * are exact longs (the value column must arrive in INTEGER metric
+    * units — pre-scale decimals, e.g. cents); resample means snap at
+    * 1e-9; the rank indices use exact decimal arithmetic
+    * (`ceil(α/2 · B')` via Spark Decimal — the float-product
+    * off-by-one trap documented on filterByQuantilePerGroup).
+    * Multiplicities cap at 8 (truncates ~1.1e-6 of the Poisson mass
+    * — the standard capped form). Resamples that draw zero rows
+    * (probability ≈ e^(−n)) drop, and ranks recompute over the
+    * realized B′.
+    *
+    * @param idCol    row identity feeding the coin (must be integral
+    *                 and unique per row for independent draws)
+    * @param valueCol integer metric units (cast to long)
+    * @return (groupCols*, n, mean, ci_lo, ci_hi, b_effective)
+    */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      b: Int = 200,
+      alpha: Double = 0.05,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(b >= 10, s"b must be >= 10, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (for a global interval pass a literal group)")
+    val gs = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val base = df.filter(v.isNotNull && col(idCol).isNotNull)
+      .select(gs :+ col(idCol).cast("long").as("__id") :+ v.as("__v"): _*)
+    // Poisson(1) inverse CDF on the integer coin grid (mod 999983):
+    // thresholds floor(cdf_k * 999983), k = 0..8
+    val thresholds = Seq(367873L, 735746L, 919682L, 980995L, 996323L,
+      999388L, 999899L, 999972L, 999981L)
+    val coin = pmod(col("__id") * lit(480879L) + col("__b") * lit(104729L) + lit(seed),
+      lit(999983L))
+    val m = thresholds.zipWithIndex.foldRight(lit(9): Column) {
+      case ((t, k), rest) => when(coin < t, k).otherwise(rest)
+    }.cast("long")
+    val boots = base
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__m", least(m, lit(8L)))
+      .groupBy(gs :+ col("__b"): _*)
+      .agg(sum(col("__m") * col("__v")).as("__S"), sum(col("__m")).as("__C"))
+      .filter(col("__C") > 0)
+      .withColumn("__mean", snap9(col("__S").cast("double") / col("__C")))
+    // nearest-rank envelope over the realized B' resamples, rank
+    // indices in exact decimal (alpha's shortest decimal repr)
+    val aDec = lit(new java.math.BigDecimal(java.lang.Double.toString(alpha)))
+    val wOrd = Window.partitionBy(gs: _*).orderBy(col("__mean"), col("__b"))
+    val wAll = Window.partitionBy(gs: _*)
+    val ranked = boots
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__B", count(lit(1)).over(wAll))
+      .withColumn("__lo", greatest(ceil(aDec / 2 * col("__B")).cast("long"), lit(1L)))
+      .withColumn("__hi", ceil((lit(1) - aDec / 2) * col("__B")).cast("long"))
+    val ci = ranked
+      .groupBy(gs: _*)
+      .agg(
+        min(when(col("__rn") === col("__lo"), col("__mean"))).as("ci_lo"),
+        min(when(col("__rn") === col("__hi"), col("__mean"))).as("ci_hi"),
+        first(col("__B")).as("b_effective"))
+    val point = base.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n"),
+        snap9(sum(col("__v")).cast("double") / count(lit(1))).as("mean"))
+    point.join(ci, groupCols)
+      .select(gs ++ Seq(col("n"), col("mean"), col("ci_lo"), col("ci_hi"),
+        col("b_effective")): _*)
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) per feature — the k=2
     * workhorse the [[kruskalWallis]] family specializes to, with
     * the pieces KW's H statistic cannot give back: the U statistic
