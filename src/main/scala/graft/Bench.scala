@@ -99,13 +99,41 @@ object Bench {
     }.sum
     runControl() // discard: one-time codegen/page-cache costs
     val hostControl = runControl()
-    def runAll(): Map[String, Double] = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // segment probe: a 2-member subset of the control (~3s) re-run
+    // every `segmentEvery` queries of the MEASURED pass. The r12/r13
+    // rounds each lost a full bench window to monotonic host drift
+    // (control 16.9 -> 23.9 across hours) that only a manual re-run
+    // of the opening control could see — by then the window was
+    // spent. Per-segment meters make drift visible IN the record and
+    // let the tool fail the window itself instead of a human
+    // triaging stale numbers. Probe members are the two cheapest
+    // stable control queries; probe time is metering, not
+    // benchmarked work — excluded from `total` like `_host_control`.
+    val segmentProbeKeys = Seq("q_outliers", "q_ngram_jaccard")
+    val segmentEvery = sys.env.getOrElse("SPARK_GRAFT_SEGMENT_EVERY", "25").toInt
+    def runSegmentProbe(): Double = segmentProbeKeys.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        controlErrors += 1
+        System.err.println(s"[bench] segment probe $name FAILED: $e")
       }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
+    def runAll(probes: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): Map[String, Double] = {
+      var i = 0
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          probes.foreach { buf =>
+            if (i % segmentEvery == 0) buf += runSegmentProbe()
+            i += 1
+          }
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+    }
     // the first post-idle pass pays one-time costs (whole-stage
     // codegen compiles, RocksDB instantiation, OS page cache) up to
     // ~50% of its wall-clock. It used to be a silent discard; the r11
@@ -117,7 +145,22 @@ object Bench {
     val coldResults = runAll()
     val warmLine: Map[String, Double] =
       if (wantsCoOrder || wantsPurchase) Map("_shared_graph_build" -> warmSecs) else Map.empty
-    val results = runAll() ++ warmLine
+    val segmentProbes = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = runAll(Some(segmentProbes)) ++ warmLine
+    // closing full control: start/end pair bounds total window drift
+    // even if the per-segment probes are too coarse to localize it
+    val hostControlEnd = runControl()
+    // drift verdict: the window is only like-for-like with itself if
+    // the host ran at one speed throughout. Flag when the slowest
+    // segment probe exceeds the fastest by >1.5x, or the closing
+    // control exceeds the opening by >1.3x (the r13 discarded
+    // windows showed 1.4x end-over-start). A flagged record should
+    // be re-run, not compared.
+    val segMax = if (segmentProbes.nonEmpty) segmentProbes.max else 0.0
+    val segMin = if (segmentProbes.nonEmpty) segmentProbes.min else 1.0
+    val segRatio = if (segMin > 0) segMax / segMin else 0.0
+    val endRatio = if (hostControl > 0) hostControlEnd / hostControl else 0.0
+    val drifting = (segmentProbes.nonEmpty && segRatio > 1.5) || endRatio > 1.3
     // millisecond precision keeps the record line ~5 KB — full
     // double reprs tripled it and the driver's stdout tail-capture
     // truncated the r7/r8 records into unparseable fragments
@@ -128,11 +171,18 @@ object Bench {
     val totalCold = if (coldResults.nonEmpty) r3(coldResults.values.sum + warmSecs) else 0.0
     def jsonMap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val qs = jsonMap(results +
+    val segLines = segmentProbes.zipWithIndex.map { case (v, i) =>
+      f"_seg_control_$i%03d" -> v
+    }.toMap
+    val qs = jsonMap(results ++ segLines +
       ("_host_control" -> hostControl) +
+      ("_host_control_end" -> hostControlEnd) +
       ("_host_control_errors" -> controlErrors.toDouble))
     val coldQs = jsonMap(coldResults ++ warmLine)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$coldQs,"sf":"$sfDir"}"""
+    val driftField = if (drifting) "DRIFTING" else "ok"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$coldQs,"drift":"$driftField","drift_seg_ratio":${r3(segRatio)},"drift_end_ratio":${r3(endRatio)},"sf":"$sfDir"}"""
+    if (drifting) System.err.println(
+      f"[bench] WINDOW DRIFT: segment max/min $segRatio%.2f, end/start control $endRatio%.2f — re-run this window before comparing")
     // land the record in a file first: stdout through the sbt runner
     // gets log-prefixed and has produced truncated records
     // a TARGETED run must never clobber the committed full-registry
@@ -158,6 +208,6 @@ object Bench {
       "_n_queries" -> results.count(_._1.startsWith("q_")).toDouble))
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"total_cold":$totalCold,"sf":"$sfDir","full_record":"$out"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compactQs,"total_cold":$totalCold,"drift":"$driftField","sf":"$sfDir","full_record":"$out"}""")
   }
 }

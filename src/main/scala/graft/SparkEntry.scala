@@ -579,6 +579,30 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S16: FILTERED ANN — predicate-constrained top-k. Each
+    //      query gets TWO planted exact twins (cosine 1.0): the
+    //      EXCLUDED one at +100000 ('de') and the INCLUDED one at
+    //      +200000 ('en'). The top-k tiebreak is (cosine desc, id
+    //      asc), so a broken/no-op filter returns +100000 — the
+    //      oracle demands +200000, making the predicate itself the
+    //      thing under test, not just the ranking. Base corpus rows
+    //      carry a parity tag for realistic partial selectivity. ----
+    "q_knn_filtered" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 20)
+      val tagged = emb.withColumn("tag",
+        when(col("vec_id") % 2 === 0, "en").otherwise("de"))
+      val twinDe = queries.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"), lit("de").as("tag"))
+      val twinEn = queries.select((col("vec_id") + 200000L).as("vec_id"),
+        col("embedding"), lit("en").as("tag"))
+      val corpus = tagged.union(twinDe).union(twinEn)
+      val index = IvfKnnOps.buildIndex(corpus, "vec_id", "embedding", nLists = 16, maxIter = 5)
+      IvfKnnOps.topKFiltered(queries, index, "vec_id", "embedding", 5, nProbe = 4,
+        predicate = col("tag") === "en")
+        .filter(col("rank") === 1)
+    }),
+
     // ---- S13: kNN GRAPH — every corpus vector's top-k neighbors in
     //      one distributed pass (TopCentroids scan-stage probes +
     //      ONE list_id shuffle-hash join; no broadcast of the n-row
@@ -4896,6 +4920,12 @@ object SparkEntry {
     "q_knn_ivf" ->
       """SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // the predicate-passing twin (+200000) must beat the closer-by-
+    // tiebreak excluded twin (+100000): rank-1 proves the filter ran
+    "q_knn_filtered" ->
+      """SELECT vec_id AS query_id, vec_id + 200000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // planted twins are each other's UNIQUE cosine-1.0 neighbor, so
     // the graph's rank-1 edge set over the planted ids is closed-form

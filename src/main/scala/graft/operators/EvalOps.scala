@@ -758,6 +758,11 @@ object EvalOps {
     * every decomposition term snaps — the oracle replays the same
     * floor points.
     *
+    * Labels MUST be binary {0, 1} — the decomposition's climatology
+    * terms are positive RATES, undefined for soft labels. Non-binary
+    * labels fail with a row-addressed scan-stage error (the same
+    * contract [[calibrationError]] states via its boolean cast).
+    *
     * @return one row per group: `n, brier, reliability, resolution,
     *         uncertainty, decomp_gap`
     */
@@ -770,7 +775,16 @@ object EvalOps {
   ): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val s = col(scoreCol).cast("double")
-    val y = col(labelCol).cast("double")
+    // the Murphy decomposition is defined for BINARY outcomes: the
+    // per-bin climatology ō_k is a positive RATE. A fractional (soft)
+    // label would silently truncate in the positives sum while still
+    // feeding (s−y)² — an internally inconsistent decomposition —
+    // so non-{0,1} labels fail loudly in the scan stage instead.
+    val yRaw = col(labelCol).cast("double")
+    val y = when(yRaw =!= 0.0 && yRaw =!= 1.0,
+      raise_error(concat(lit(s"brierDecomposition: $labelCol must be binary (0/1), got "),
+        yRaw.cast("string"))))
+      .otherwise(yRaw)
     val bin = least(greatest(floor(s * bins), lit(0)), lit(bins - 1)).cast("int")
     val gs = groupCols.map(col)
     val perBin = df.filter(s.isNotNull && col(labelCol).isNotNull)

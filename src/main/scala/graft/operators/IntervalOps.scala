@@ -43,6 +43,16 @@ object IntervalOps {
     * interval without both endpoints has no coalescing semantics);
     * inverted intervals (`end < start`) fail loudly rather than
     * silently producing negative coverage.
+    *
+    * Zero-length intervals under `closedEnds = false`: a point
+    * interval `[s, s]` always breaks against its own duplicates
+    * (`s >= pmax` holds even when `pmax == s`), so k identical
+    * point intervals emit k separate `covered = 0` islands at the
+    * same instant — the literal half-open reading (`[s, s)` is
+    * empty, and empty sets don't coalesce). Under the default
+    * closed reading they merge into one island with
+    * `n_intervals = k`. Callers who want half-open semantics but
+    * coalesced instants should dedupe exact-duplicate rows first.
     */
   def mergeIntervals(
       df: DataFrame,

@@ -1524,6 +1524,67 @@ object IvfKnnOps {
     KnnOps.rankTopK(scored, k)
   }
 
+  /** FILTERED ANN search (S16): top-k among corpus rows matching a
+    * predicate — "nearest English documents", "nearest rows newer
+    * than T" — the one retrieval primitive every production vector
+    * deployment hits the week after launch. PRE-filtering: the
+    * predicate is applied to the inverted file BEFORE any distance
+    * arithmetic, so the index scan prices at selectivity·(probed
+    * list volume), never post-hoc discards of an already-ranked
+    * top-k (post-filtering returns < k rows whenever the unfiltered
+    * top-k wasn't predicate-dense — the classic filtered-ANN
+    * mistake).
+    *
+    * Scale shape: identical to [[topK]] — probes broadcast, the
+    * corpus scan streams through the bounded top-k aggregate — with
+    * the predicate fused INTO the scan stage: on a [[loadIndex]]-
+    * backed index the filter reaches the parquet reader as a pushed
+    * predicate alongside `list_id` partition pruning, so a
+    * selective filter makes the query CHEAPER, not just smaller.
+    *
+    * Recall trade (documented, caller-controlled): filtering does
+    * not widen the probe set, so the realized neighbor count is
+    * bounded by the predicate survivors inside the nProbe probed
+    * lists — expected ≈ selectivity · nProbe/nLists · n. Under a
+    * selective predicate raise `nProbe` so selectivity composes
+    * with probe width (rule of thumb: nProbe' = nProbe /
+    * selectivity, capped at nLists, at which point the search is a
+    * filtered brute-force scan — the correct degenerate plan).
+    *
+    * @param predicate boolean [[Column]] over the CORPUS columns
+    *                  (any column of the frame the index was built
+    *                  from; probes/queries are not filterable here)
+    */
+  def topKFiltered(
+      queries: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      predicate: Column
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = index.centroids.toSeq.toDF("list_id", "centroid")
+    val qc = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", VF.l2Distance(col("qv"), col("centroid")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cdist"), col("list_id"))
+    val probes = qc.withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "list_id")
+    val scored = index.assigned
+      // filter FIRST, while the corpus columns are still in scope —
+      // Catalyst pushes it through the select into the scan
+      .filter(predicate)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("list_id"))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
+    KnnOps.rankTopK(scored, k)
+  }
+
   /** kNN GRAPH: every corpus vector's top-k neighbors — the all-rows
     * companion of [[topK]], and the primitive under SemDeDup cluster
     * sizing, duplicate-cluster discovery, and graph analytics over a
@@ -1607,9 +1668,16 @@ object IvfKnnOps {
     * and a k-bounded row_number window per query. The label frame
     * is corpus-sized — it hash-joins, never broadcasts.
     *
-    * @param labels (id, label) — one row per corpus vector
+    * @param labels (id, label) — one row per corpus vector; the
+    *               label frame may be PARTIAL (a curated seed set)
     * @return (query_id, label, votes, k_found) — `k_found` ≤ k is
-    *         the realized neighbor count (probes can undershoot)
+    *         the realized LABELED neighbor count (probes can
+    *         undershoot, and unlabeled neighbors don't vote). A
+    *         query whose neighbors are all unlabeled still emits a
+    *         row, with `label = null, votes = 0, k_found = 0`, so
+    *         callers can tell "unlabeled" from "not retrieved";
+    *         only queries that retrieve ZERO neighbors under tight
+    *         probes are absent from the output.
     */
   def classify(
       queries: DataFrame,
@@ -1623,17 +1691,26 @@ object IvfKnnOps {
   ): DataFrame = {
     val nn = topK(queries, index, idCol, vecCol, k, nProbe)
     val lab = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("label"))
-    val votes = nn.join(lab, Seq("neighbor_id"))
+    // LEFT join: a query whose retrieved neighbors all lack label
+    // rows must not vanish (the r13 ADVICE drop) — it surfaces as a
+    // (label=null, votes=0, k_found=0) row instead. Unlabeled
+    // neighbors collapse to one null-label group that never
+    // outranks a real label (isNotNull leads the vote order) and
+    // contributes nothing to k_found.
+    val votes = nn.join(lab, Seq("neighbor_id"), "left")
       .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(col("query_id"))
     val ord = Window.partitionBy(col("query_id"))
-      .orderBy(col("votes").desc, col("label"))
+      .orderBy(col("label").isNotNull.desc, col("votes").desc, col("label"))
     votes
-      .withColumn("k_found", sum(col("votes")).over(w))
+      .withColumn("k_found",
+        sum(when(col("label").isNotNull, col("votes")).otherwise(0L)).over(w))
       .withColumn("__rn", row_number().over(ord))
       .filter(col("__rn") === 1)
-      .select(col("query_id"), col("label"), col("votes"), col("k_found"))
+      .select(col("query_id"), col("label"),
+        when(col("label").isNotNull, col("votes")).otherwise(0L).as("votes"),
+        col("k_found"))
   }
 
   /** Mutual-kNN clusters (S14): near-duplicate / tight-community

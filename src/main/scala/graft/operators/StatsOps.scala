@@ -222,8 +222,14 @@ object StatsOps {
     * (probability ≈ e^(−n)) drop, and ranks recompute over the
     * realized B′.
     *
-    * @param idCol    row identity feeding the coin (must be integral
-    *                 and unique per row for independent draws)
+    * @param idCol    row identity feeding the coin (must be integral,
+    *                 unique per row for independent draws, and
+    *                 |id| < 2^44 — the coin product id·480879 must
+    *                 stay inside checked-arithmetic Long range on
+    *                 EVERY replay engine: Spark wraps silently past
+    *                 2^63 but DuckDB raises, so oversized ids would
+    *                 diverge from the documented engine-exact replay.
+    *                 Enforced with a row-addressed scan-stage error.)
     * @param valueCol integer metric units (cast to long)
     * @return (groupCols*, n, mean, ci_lo, ci_hi, b_effective)
     */
@@ -242,8 +248,16 @@ object StatsOps {
       "groupCols must be non-empty (for a global interval pass a literal group)")
     val gs = groupCols.map(col)
     val v = col(valueCol).cast("long")
+    // |id| < 2^44 keeps id·480879 + b·104729 + seed within ±2^63 on
+    // checked-arithmetic replay engines (2^44·480879 ≈ 2^62.8) —
+    // fail row-addressed in the scan stage rather than replay-diverge
+    val idBound = 1L << 44
+    val idChecked = when(abs(col(idCol).cast("long")) >= idBound,
+      raise_error(concat(lit(s"bootstrapMeanCi: |$idCol| must be < 2^44 for the "
+        + "engine-portable coin, got "), col(idCol).cast("string"))))
+      .otherwise(col(idCol).cast("long"))
     val base = df.filter(v.isNotNull && col(idCol).isNotNull)
-      .select(gs :+ col(idCol).cast("long").as("__id") :+ v.as("__v"): _*)
+      .select(gs :+ idChecked.as("__id") :+ v.as("__v"): _*)
     // Poisson(1) inverse CDF on the integer coin grid (mod 999983):
     // thresholds floor(cdf_k * 999983), k = 0..8
     val thresholds = Seq(367873L, 735746L, 919682L, 980995L, 996323L,
