@@ -110,6 +110,8 @@ object Bench {
     // stable control queries; probe time is metering, not
     // benchmarked work — excluded from `total` like `_host_control`.
     val segmentProbeKeys = Seq("q_outliers", "q_ngram_jaccard")
+    // ≤ 0 disables the interleaved probes (A/B hygiene: lets an
+    // experiment measure query times with the EXACT r13 pass shape)
     val segmentEvery = sys.env.getOrElse("SPARK_GRAFT_SEGMENT_EVERY", "25").toInt
     def runSegmentProbe(): Double = segmentProbeKeys.map { name =>
       val t0 = System.nanoTime()
@@ -126,7 +128,7 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           probes.foreach { buf =>
-            if (i % segmentEvery == 0) buf += runSegmentProbe()
+            if (segmentEvery > 0 && i % segmentEvery == 0) buf += runSegmentProbe()
             i += 1
           }
           val t0 = System.nanoTime()

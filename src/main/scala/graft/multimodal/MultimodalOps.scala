@@ -24,6 +24,18 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // `read(InputStream)` spills the (already in-memory) bytes to a
+  // temp FILE before decoding — 500 temp-file create/write/delete
+  // cycles per image query, invisible when the disk is idle and a
+  // multi-× degradation when a concurrent pass (shuffle spill,
+  // ContextCleaner, checkpoint I/O) contends for it (the r13
+  // q_image_dedup 0.48→1.46 s full-window anomaly; targeted A/B
+  // windows showed no code regression). Blobs here are always
+  // ByteArrayInputStreams — force the in-memory cache, JVM-wide,
+  // before any decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("content", BinaryType, nullable = true),
