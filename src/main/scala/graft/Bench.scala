@@ -16,6 +16,10 @@ object Bench {
       // the default 30min periodic GC never fires inside a bench
       // pass, so late queries measured block-starved executors.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // bounded-buffer object aggregates must keep the hash path at
+      // high group cardinality (8.9x on the kNN graph — rationale in
+      // GraftSession.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/FS once so per-query numbers measure the

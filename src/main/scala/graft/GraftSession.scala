@@ -23,6 +23,18 @@ object GraftSession {
       // read as UTC instants (see BioLoader.normalizeNtz)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // Every graft TypedImperativeAggregate carries BOUNDED
+      // per-group state (k-entry TopK heaps, capped sets,
+      // fixed-width sketches), so ObjectHashAggregate's 128-key
+      // sort-based fallback — sized for unbounded collect_list
+      // buffers — is pure pathology here: a million-group top-k
+      // (the kNN graph) degenerates into a full sort of the
+      // candidate stream. Measured at 1M vectors / 2.9e8 candidates:
+      // 344 s -> 38.6 s (8.9x) with the hash path held
+      // (SCALEPROBE_r14 §2). 1M keys × ~200 B bounded buffers ≈
+      // 200 MB/task ceiling — safe at executor sizes that could run
+      // the aggregation at all.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()

@@ -25,6 +25,10 @@ object Verify {
       // a saturated box can't kill its own sweep.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "1200s")
+      // bounded-buffer object aggregates must keep the hash path at
+      // high group cardinality (8.9x on the kNN graph — rationale in
+      // GraftSession.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // big-SF sweeps: let streams run past the default 120 s cap
