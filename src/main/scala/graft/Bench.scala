@@ -117,15 +117,31 @@ object Bench {
     // ≤ 0 disables the interleaved probes (A/B hygiene: lets an
     // experiment measure query times with the EXACT r13 pass shape)
     val segmentEvery = sys.env.getOrElse("SPARK_GRAFT_SEGMENT_EVERY", "25").toInt
-    def runSegmentProbe(): Double = segmentProbeKeys.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        controlErrors += 1
-        System.err.println(s"[bench] segment probe $name FAILED: $e")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }.sum
+    // probe failures are a QUERY bug, not host drift: a fast-failing
+    // probe would collapse segMin and flag the window DRIFTING for
+    // the wrong reason. Failed probe samples are recorded NEGATIVE
+    // (visible in the record), excluded from the drift min/max, and
+    // counted separately from host-control failures.
+    var segProbeErrors = 0
+    def runSegmentProbe(): Double = {
+      var ok = true
+      val secs = segmentProbeKeys.map { name =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          segProbeErrors += 1
+          ok = false
+          System.err.println(s"[bench] segment probe $name FAILED: $e")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sum
+      if (ok) secs else -secs
+    }
+    // a failed query is recorded as the NEGATIVE of its elapsed time
+    // (never a silent fast-pass masquerading as an improvement),
+    // excluded from `total`, and counted in `_failed_count`;
+    // tools/check_regression.py refuses records containing failures
+    val failedNames = scala.collection.mutable.ArrayBuffer[String]()
     def runAll(probes: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): Map[String, Double] = {
       var i = 0
       SparkEntry.queries
@@ -136,8 +152,15 @@ object Bench {
             i += 1
           }
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              if (probes.isDefined) failedNames += name
+              System.err.println(s"[bench] query $name FAILED: $e")
+              false
+            }
+          val el = (System.nanoTime() - t0) / 1e9
+          name -> (if (ok) el else -el)
         }
     }
     // the first post-idle pass pays one-time costs (whole-stage
@@ -162,19 +185,22 @@ object Bench {
     // control exceeds the opening by >1.3x (the r13 discarded
     // windows showed 1.4x end-over-start). A flagged record should
     // be re-run, not compared.
-    val segMax = if (segmentProbes.nonEmpty) segmentProbes.max else 0.0
-    val segMin = if (segmentProbes.nonEmpty) segmentProbes.min else 1.0
+    val validProbes = segmentProbes.filter(_ > 0) // failed probes carry negative markers
+    val segMax = if (validProbes.nonEmpty) validProbes.max else 0.0
+    val segMin = if (validProbes.nonEmpty) validProbes.min else 1.0
     val segRatio = if (segMin > 0) segMax / segMin else 0.0
     val endRatio = if (hostControl > 0) hostControlEnd / hostControl else 0.0
-    val drifting = (segmentProbes.nonEmpty && segRatio > 1.5) || endRatio > 1.3
+    val drifting = (validProbes.nonEmpty && segRatio > 1.5) || endRatio > 1.3
     // millisecond precision keeps the record line ~5 KB — full
     // double reprs tripled it and the driver's stdout tail-capture
     // truncated the r7/r8 records into unparseable fragments
     def r3(v: Double): Double = math.floor(v * 1e3 + 0.5) / 1e3
     // total sums the benchmarked work (incl. the shared-build line);
-    // the control meter rides in `queries` but not in `total`
-    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
-    val totalCold = if (coldResults.nonEmpty) r3(coldResults.values.sum + warmSecs) else 0.0
+    // the control meter rides in `queries` but not in `total`;
+    // failed queries (negative markers) are excluded so a crash can
+    // never read as an improvement
+    val total = if (results.nonEmpty) r3(results.values.filter(_ > 0).sum) else 0.0
+    val totalCold = if (coldResults.nonEmpty) r3(coldResults.values.filter(_ > 0).sum + warmSecs) else 0.0
     def jsonMap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val segLines = segmentProbes.zipWithIndex.map { case (v, i) =>
@@ -183,7 +209,11 @@ object Bench {
     val qs = jsonMap(results ++ segLines +
       ("_host_control" -> hostControl) +
       ("_host_control_end" -> hostControlEnd) +
-      ("_host_control_errors" -> controlErrors.toDouble))
+      ("_host_control_errors" -> controlErrors.toDouble) +
+      ("_seg_probe_errors" -> segProbeErrors.toDouble) +
+      ("_failed_count" -> failedNames.size.toDouble))
+    if (failedNames.nonEmpty) System.err.println(
+      s"[bench] ${failedNames.size} queries FAILED in the measured pass: ${failedNames.mkString(", ")}")
     val coldQs = jsonMap(coldResults ++ warmLine)
     val driftField = if (drifting) "DRIFTING" else "ok"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$coldQs,"drift":"$driftField","drift_seg_ratio":${r3(segRatio)},"drift_end_ratio":${r3(endRatio)},"sf":"$sfDir"}"""

@@ -2781,9 +2781,7 @@ object SparkEntry {
           val rgb = (gray << 16) | (gray << 8) | gray
           var y = 0
           while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          graft.multimodal.MultimodalOps.writeImageInMemory(img, "jpg")
         }
         val w = (64 + id % 32).toInt
         val h = (48 + id % 16).toInt
@@ -2854,9 +2852,7 @@ object SparkEntry {
           val rgb = (gray << 16) | (gray << 8) | gray
           var y = 0
           while (y < 32) { var x = 0; while (x < 48) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          graft.multimodal.MultimodalOps.writeImageInMemory(img, "jpg")
         }
         val frames = (0 until 3).map(f => jpeg((8 + 16 * ((id + 5 * f) % 16)).toInt))
         org.apache.spark.sql.Row(id, graft.multimodal.Mp4.synthMjpeg(

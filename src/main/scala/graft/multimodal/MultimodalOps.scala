@@ -25,16 +25,32 @@ import org.apache.spark.sql.types._
 object MultimodalOps {
 
   // ImageIO's default stream cache is DISK-backed: every
-  // `read(InputStream)` spills the (already in-memory) bytes to a
-  // temp FILE before decoding — 500 temp-file create/write/delete
-  // cycles per image query, invisible when the disk is idle and a
-  // multi-× degradation when a concurrent pass (shuffle spill,
-  // ContextCleaner, checkpoint I/O) contends for it (the r13
-  // q_image_dedup 0.48→1.46 s full-window anomaly; targeted A/B
-  // windows showed no code regression). Blobs here are always
-  // ByteArrayInputStreams — force the in-memory cache, JVM-wide,
-  // before any decode.
-  javax.imageio.ImageIO.setUseCache(false)
+  // `read(InputStream)` / `write(_, _, OutputStream)` spills the
+  // (already in-memory) bytes to a temp FILE — 500 temp-file
+  // create/write/delete cycles per image query, invisible when the
+  // disk is idle and a multi-× degradation when a concurrent pass
+  // (shuffle spill, ContextCleaner, checkpoint I/O) contends for it
+  // (the r13 q_image_dedup 0.48→1.46 s full-window anomaly; targeted
+  // A/B windows showed no code regression). Earlier rounds flipped
+  // `ImageIO.setUseCache(false)` JVM-wide; that silently changed
+  // ImageIO behavior for any co-resident code embedding this library
+  // (r14 ADVICE). Instead graft's OWN codec paths hand ImageIO an
+  // explicit Memory-cache image stream — per-call, no global state.
+  private def readImageInMemory(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+
+  /** Encode through an in-memory ImageIO stream (see cache note
+    * above); `fmt` is an ImageIO format name ("png", "jpg"). */
+  def writeImageInMemory(img: java.awt.image.RenderedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      javax.imageio.ImageIO.write(img, fmt, ios)
+      ios.flush()
+    } finally ios.close()
+    bos.toByteArray
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -96,7 +112,7 @@ object MultimodalOps {
     */
   def imageDecode(dim: Int = 8): Array[Byte] => Array[Float] = bytes => {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImageInMemory(bytes)
       if (img == null) null
       else {
         val w = img.getWidth
@@ -132,7 +148,7 @@ object MultimodalOps {
     */
   def imageResize(width: Int, height: Int): Array[Byte] => Array[Byte] = bytes => {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImageInMemory(bytes)
       if (img == null) null
       else {
         val out = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -142,9 +158,7 @@ object MultimodalOps {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g2.drawImage(img, 0, 0, width, height, null)
         } finally g2.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        writeImageInMemory(out, "png")
       }
     } catch { case scala.util.control.NonFatal(_) => null }
   }
@@ -169,7 +183,7 @@ object MultimodalOps {
     */
   def imageDHashKernel(bytes: Array[Byte]): java.lang.Long = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = readImageInMemory(bytes)
       if (img == null) null
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -234,9 +248,7 @@ object MultimodalOps {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writeImageInMemory(img, "png")
   }
 
   /** Perceptual near-dup pairs over an image bytes column: [[imageDHash]]

@@ -250,9 +250,13 @@ object StatsOps {
     val v = col(valueCol).cast("long")
     // |id| < 2^44 keeps id·480879 + b·104729 + seed within ±2^63 on
     // checked-arithmetic replay engines (2^44·480879 ≈ 2^62.8) —
-    // fail row-addressed in the scan stage rather than replay-diverge
+    // fail row-addressed in the scan stage rather than replay-diverge.
+    // Two-sided explicit bound, NOT abs(): non-ANSI abs(Long.MinValue)
+    // wraps negative, so the one id the guard most needs to catch
+    // would otherwise slip through it.
     val idBound = 1L << 44
-    val idChecked = when(abs(col(idCol).cast("long")) >= idBound,
+    val idLong = col(idCol).cast("long")
+    val idChecked = when(idLong >= idBound || idLong <= -idBound,
       raise_error(concat(lit(s"bootstrapMeanCi: |$idCol| must be < 2^44 for the "
         + "engine-portable coin, got "), col(idCol).cast("string"))))
       .otherwise(col(idCol).cast("long"))

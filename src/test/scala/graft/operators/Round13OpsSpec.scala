@@ -100,6 +100,18 @@ class Round13OpsSpec extends SparkSpec {
       s"replay ${means(loK - 1)}..${means(hiK - 1)} vs $lo..$hi")
   }
 
+  test("bootstrapMeanCi: out-of-range ids raise — including Long.MinValue, where abs() wraps") {
+    for (bad <- Seq(1L << 44, -(1L << 44), Long.MinValue, Long.MaxValue)) {
+      val df = Seq(("g", bad, 1L), ("g", 1L, 2L)).toDF("g", "id", "v")
+      val e = intercept[Exception] {
+        StatsOps.bootstrapMeanCi(df, Seq("g"), "id", "v", b = 10).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("2^44")), s"id=$bad: ${e.getMessage}")
+    }
+  }
+
   test("bootstrapMeanCi: narrower interval at larger n (root-n sanity)") {
     def width(n: Int): Double = {
       val rows = (0L until n.toLong).map(i => ("g", i, (i * 7919 % 1000).toLong))

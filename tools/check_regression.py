@@ -50,6 +50,17 @@ def main():
         if rec.get("drift") == "DRIFTING":
             sys.exit(f"{name} record is flagged DRIFTING (seg ratio "
                      f"{rec.get('drift_seg_ratio')}, end ratio {rec.get('drift_end_ratio')}) — re-run it")
+        # Bench records failed queries as NEGATIVE elapsed times (and
+        # counts them in _failed_count). A record containing failures
+        # is not a performance record — a fast-crashing query would
+        # otherwise read as a large improvement and the gate would
+        # exit 0, the exact silent-pass this tool exists to prevent.
+        failed = [q for q, v in rec["queries"].items()
+                  if not q.startswith("_") and isinstance(v, (int, float)) and v < 0]
+        if failed or rec["queries"].get("_failed_count", 0) > 0:
+            sys.exit(f"{name} record contains FAILED queries "
+                     f"({rec['queries'].get('_failed_count', len(failed))}: "
+                     f"{' '.join(failed) or 'see _failed_count'}) — fix the queries and re-run")
     bf, cf = norm_factor(base), norm_factor(cur)
     print(f"base control {base['queries']['_host_control']:.2f} (x{bf:.3f}), "
           f"cur control {cur['queries']['_host_control']:.2f} (x{cf:.3f})")
