@@ -1337,14 +1337,29 @@ object DedupOps {
       .select(col("__h"), col("__f"))
     val dupSites = sites.join(dupWins, Seq("__h"))
       .filter(!(col(idCol) === col("__f.d") && col("__pos") === col("__f.p")))
+    // per-doc covered-index sets are unbounded state (up to the
+    // doc's token count) — build them through a window collect_set
+    // (one doc buffered at a time, spillable) instead of a groupBy
+    // on the hot ObjectHashAggregate hash path (FunnelOps.funnel has
+    // the full rationale)
+    val wId = Window.partitionBy(col(idCol))
     val covered = dupSites
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__i"))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("__i")).as("__cov"))
+      .withColumn("__cov", collect_set(col("__i")).over(wId))
+      .withColumn("__rn", row_number().over(wId.orderBy(col("__i"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__cov"))
+    // kept tokens via array_except over the index range — a hash-set
+    // build over __cov then a linear walk, O(tokens + covered); the
+    // per-token array_contains lambda this replaces rescanned the
+    // covered array for every token, O(tokens · covered) on
+    // boilerplate-heavy docs (the r14 verdict's measured bottleneck)
     base.join(covered, Seq(idCol), "left")
       .withColumn(outputCol,
-        concat_ws(" ", filter(col("__tk"),
-          (_, i) => col("__cov").isNull || !array_contains(col("__cov"), i))))
+        when(col("__cov").isNull, concat_ws(" ", col("__tk")))
+          .otherwise(concat_ws(" ", transform(
+            array_except(sequence(lit(0), size(col("__tk")) - 1), col("__cov")),
+            i => element_at(col("__tk"), i + 1)))))
       .withColumn("removed_tokens",
         when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov"))))
       .drop("__tk", "__cov")

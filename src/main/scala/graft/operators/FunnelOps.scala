@@ -44,14 +44,26 @@ object FunnelOps {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"steps must be distinct, got $steps")
     require(maxSpanSeconds.forall(_ > 0), s"maxSpanSeconds must be positive: $maxSpanSeconds")
+    // per-user step-timestamp lists are UNBOUNDED state (a user's
+    // event count), so they must not ride the ObjectHashAggregate
+    // hash path the session keeps hot for bounded aggregates
+    // (GraftSession fallbackThreshold note): a task would hold every
+    // user's full lists in its hash map at once. Window-function
+    // collect_list over an unbounded frame computes the identical
+    // arrays but WindowExec buffers ONE user at a time in a
+    // spillable array — memory safety is structural, shuffle volume
+    // unchanged (collect partials don't combine anyway).
+    val wUser = Window.partitionBy(col(userCol))
     val aggd = events
       .filter(col(typeCol).isin(steps: _*))
-      .groupBy(col(userCol))
-      .agg(
-        collect_list(when(col(typeCol) === steps.head, col(tsCol))).as("__s0"),
-        steps.tail.zipWithIndex.map { case (s, i) =>
-          collect_list(when(col(typeCol) === s, col(tsCol))).as(s"__s${i + 1}")
-        }: _*)
+      .select(
+        col(userCol) +:
+          steps.zipWithIndex.map { case (s, i) =>
+            collect_list(when(col(typeCol) === s, col(tsCol))).over(wUser).as(s"__s$i")
+          } :+
+          row_number().over(wUser.orderBy(col(tsCol))).as("__rn"): _*)
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     // optional conversion deadline: step i counts only within
     // maxSpan of t_0 — the "converted within 7 days" form every
     // funnel report actually publishes. The bound rides inside the

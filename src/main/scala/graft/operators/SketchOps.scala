@@ -551,12 +551,20 @@ object SketchOps {
 
   /** Merge shard sketches ([[quantileSampleSketch]] frames keyed by
     * group + any shard column upstream) back to one sketch per
-    * group: concat the sample arrays, re-sort by (r, v), keep the k
-    * smallest, sum the exact counts. Union-then-merge across
-    * days/shards/engines never touches raw rows, and because
+    * group: explode the sample entries and re-run the same bounded
+    * bottom-k aggregate the build uses (k-entry buffer, ties by
+    * value), summing the exact counts once per shard row. Because
     * bottom-k is a semilattice the result is IDENTICAL to a global
     * single-pass build — pinned by the oracle, which computes the
     * global bottom-k directly.
+    *
+    * Deliberately NOT `collect_list` + flatten + sort + slice: that
+    * holds every shard's full array in the aggregation buffer —
+    * unbounded per-group state on the ObjectHashAggregate hash path
+    * the session keeps hot for bounded aggregates (GraftSession
+    * fallbackThreshold note). The bounded aggregate caps every
+    * partial at k entries, so per-group memory is k·16 B no matter
+    * how many shards merge.
     */
   def quantileSampleMerge(
       sketches: DataFrame,
@@ -566,9 +574,14 @@ object SketchOps {
     require(k >= 2, s"k must be >= 2, got $k")
     val gs = groupCols.map(col)
     sketches
+      .select(gs :+ col("n") :+ posexplode_outer(col("qs")).as(Seq("__p", "__e")): _*)
       .groupBy(gs: _*)
-      .agg(flatten(collect_list(col("qs"))).as("__all"), sum(col("n")).as("n"))
-      .select(gs :+ slice(array_sort(col("__all")), 1, k).as("qs") :+ col("n"): _*)
+      .agg(
+        graft.functions.QuantileSampleAggregate
+          .bottomKSample(col("__e.r"), col("__e.v"), k).as("qs"),
+        // each shard row's exact count rides its first exploded
+        // entry (or its single outer-null row when qs is empty)
+        sum(when(col("__p").isNull || col("__p") === 0, col("n")).otherwise(0L)).as("n"))
   }
 
   /** Read quantile estimates off a [[quantileSampleSketch]] /

@@ -400,10 +400,17 @@ object TextOps {
     val kept = lines.join(counted.select((gCols :+ col("__line")) :+ lit(1).as("__bp"): _*),
         groupCols :+ "__line", "left")
       .filter(col("__bp").isNull)
-    val rebuilt = kept.groupBy(col("__id"))
-      .agg(concat_ws("\n",
-        expr("transform(array_sort(collect_list(struct(__idx, __line))), x -> x.__line)"))
-        .as(outCol))
+    // per-doc line lists are unbounded state — rebuild through a
+    // window collect_list (one doc buffered at a time, spillable)
+    // instead of a groupBy on the hot ObjectHashAggregate hash path
+    // (FunnelOps.funnel has the full rationale)
+    val wId = Window.partitionBy(col("__id"))
+    val rebuilt = kept
+      .withColumn("__all", collect_list(struct(col("__idx"), col("__line"))).over(wId))
+      .withColumn("__rn", row_number().over(wId.orderBy(col("__idx"))))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), concat_ws("\n",
+        expr("transform(array_sort(__all), x -> x.__line)")).as(outCol))
     df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
       .withColumn(outCol, coalesce(col(outCol), lit("")))
       .drop("__id")

@@ -246,6 +246,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("unbounded per-group collects run through spillable WindowExec, never ObjectHashAggregate") {
+    // the session holds the ObjectHashAggregate hash path to 1M keys
+    // for BOUNDED aggregate buffers (GraftSession fallbackThreshold
+    // note); operators whose per-group state is unbounded (a user's
+    // events, a doc's lines, a doc's covered token indices) must
+    // therefore aggregate through window functions, whose one-group-
+    // at-a-time buffer spills. This pins the plan shape.
+    for (name <- Seq("q_funnel", "q_boilerplate", "q_substring_dedup")) {
+      val p = planOf(q(name))
+      assert(p.contains("Window"), s"$name lost its window rewrite:\n$p")
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$name has an unbounded collect on the hash-aggregate path:\n$p")
+    }
+  }
+
   test("BPE scoring-side queries stay zero-shuffle scan projections (encode/decode/chunk inline)") {
     // q_bpe is a pure per-row projection; q_bpe_chunk's only
     // exchange is the reassembly harness groupBy, not the chunker
