@@ -25,7 +25,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       // Every graft TypedImperativeAggregate carries BOUNDED
       // per-group state (k-entry TopK heaps, capped sets,
-      // fixed-width sketches), so ObjectHashAggregate's 128-key
+      // fixed-width sketches) — operators that genuinely need an
+      // unbounded per-group collect (funnel step lists, doc-line
+      // rebuilds, covered-index sets) aggregate through spillable
+      // window functions instead, never groupBy+collect_* (pinned
+      // by PlanQualitySpec) — so ObjectHashAggregate's 128-key
       // sort-based fallback — sized for unbounded collect_list
       // buffers — is pure pathology here: a million-group top-k
       // (the kNN graph) degenerates into a full sort of the

@@ -603,6 +603,46 @@ object SparkEntry {
         .filter(col("rank") === 1)
     }),
 
+    // ---- S16b: ADAPTIVE filtered ANN — the selectivity-widening
+    //      rule (nProbe' = nProbe/selectivity, capped at nLists)
+    //      made code, with a fixture the FIXED width provably fails:
+    //      hand-placed one-hot centroids; every predicate survivor
+    //      ('rare') lives on axis 7 — the LAST list in every query's
+    //      probe order — so nProbe=4 of 8 reaches zero survivors
+    //      (fixed_rows = 0), while the measured ~0.1% selectivity
+    //      widens the probe to the nLists cap (= filtered brute
+    //      force) and must return each query's own signature twin:
+    //      cosine = cos(θ_i−θ_j)/101, maximized at j=i → 1/101 →
+    //      0.009901 on the 1e-6 grid, closed form for the oracle. ----
+    "q_knn_adaptive" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id")
+      val queries = emb.filter(col("vec_id") < 20).select(col("vec_id"),
+        expr("cast(array(10.0d, cos(vec_id * pi()/40), sin(vec_id * pi()/40)," +
+          " 0d, 0d, 0d, 0d, 0d) as array<float>)").as("vec"))
+      val common = emb.select(col("vec_id"),
+        expr("transform(sequence(0, 7), j -> cast(if(j = vec_id % 7, 10.0d, 0.0d) as float))")
+          .as("vec"),
+        (col("vec_id") % 7).cast("int").as("list_id"), lit("common").as("tag"))
+      val rare = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 300000L).as("vec_id"),
+        expr("cast(array(0d, cos(vec_id * pi()/40), sin(vec_id * pi()/40)," +
+          " 0d, 0d, 0d, 0d, 10.0d) as array<float>)").as("vec"),
+        lit(7).as("list_id"), lit("rare").as("tag"))
+      val index = IvfKnnOps.IvfIndex(
+        Array.tabulate(8)(j => (j, Array.tabulate(8)(i => if (i == j) 10.0 else 0.0))),
+        common.union(rare))
+      val pred = col("tag") === "rare"
+      val fixedCnt = IvfKnnOps
+        .topKFiltered(queries, index, "vec_id", "vec", 5, nProbe = 4, predicate = pred)
+        .groupBy(col("query_id")).agg(count(lit(1)).as("fixed_rows"))
+      IvfKnnOps
+        .topKFilteredAdaptive(queries, index, "vec_id", "vec", 5, nProbe = 4, predicate = pred)
+        .filter(col("rank") === 1)
+        .join(fixedCnt, Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
+          coalesce(col("fixed_rows"), lit(0L)).as("fixed_rows"))
+    }),
+
     // ---- S13: kNN GRAPH — every corpus vector's top-k neighbors in
     //      one distributed pass (TopCentroids scan-stage probes +
     //      ONE list_id shuffle-hash join; no broadcast of the n-row
@@ -4921,6 +4961,14 @@ object SparkEntry {
     // tiebreak excluded twin (+100000): rank-1 proves the filter ran
     "q_knn_filtered" ->
       """SELECT vec_id AS query_id, vec_id + 200000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // fixed nProbe=4/8 provably reaches zero predicate survivors
+    // (fixed_rows = 0); the adaptive widening must find each query's
+    // own signature twin at cos(0)/101 = 0.009901 on the 1e-6 grid
+    "q_knn_adaptive" ->
+      """SELECT vec_id AS query_id, vec_id + 300000 AS neighbor_id, 0.009901 AS cosine,
+        |       CAST(1 AS INTEGER) AS rank, CAST(0 AS BIGINT) AS fixed_rows
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // planted twins are each other's UNIQUE cosine-1.0 neighbor, so

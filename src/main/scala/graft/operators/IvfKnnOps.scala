@@ -1550,6 +1550,8 @@ object IvfKnnOps {
     * with probe width (rule of thumb: nProbe' = nProbe /
     * selectivity, capped at nLists, at which point the search is a
     * filtered brute-force scan — the correct degenerate plan).
+    * [[topKFilteredAdaptive]] applies that rule automatically from
+    * the measured selectivity.
     *
     * @param predicate boolean [[Column]] over the CORPUS columns
     *                  (any column of the frame the index was built
@@ -1583,6 +1585,50 @@ object IvfKnnOps {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.hround(HE.cosineSim(col("qv"), col("cv")), 6))
     KnnOps.rankTopK(scored, k)
+  }
+
+  /** [[topKFiltered]] with the documented recall rule made CODE:
+    * `nProbe' = nProbe / selectivity`, capped at nLists. A fixed
+    * probe width composes multiplicatively with the predicate — the
+    * expected survivor count inside the probed lists is
+    * selectivity·nProbe/nLists·n, so a 1% predicate over a 4/16
+    * probe leaves ~0.25% of the corpus reachable and most queries
+    * return fewer than k rows (or the wrong rows) while the TRUE
+    * filtered neighbors sit in unprobed lists. Widening by measured
+    * selectivity restores the UNFILTERED probe volume; at full
+    * widening (nProbe' = nLists) the search degenerates to the
+    * correct plan — a filtered brute-force scan.
+    *
+    * Cost of the measurement: ONE map-side-combinable count
+    * aggregate over the index frame, reading only the predicate's
+    * columns (column-pruned at the scan; the vectors are never
+    * touched). That is strictly cheaper than even a single-probe
+    * search pass, and the measured value is exact, not a sampled
+    * estimate — a skew-safe property when the predicate correlates
+    * with list assignment (language/topic predicates usually do).
+    *
+    * @param nProbe the BASE probe width — what the caller would use
+    *               unfiltered; the effective width is derived
+    */
+  def topKFilteredAdaptive(
+      queries: DataFrame,
+      index: IvfIndex,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      predicate: Column
+  ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val nLists = index.centroids.length
+    val sel = index.assigned
+      .agg(count(lit(1)).as("n"), count(when(predicate, 1)).as("m"))
+      .head()
+    val (n, m) = (sel.getLong(0), sel.getLong(1))
+    val widened =
+      if (m <= 0 || n <= 0) nLists // nothing survives: cheapest correct plan is the full (empty) scan
+      else math.min(nLists.toLong, (nProbe.toLong * n + m - 1) / m).toInt
+    topKFiltered(queries, index, idCol, vecCol, k, widened, predicate)
   }
 
   /** kNN GRAPH: every corpus vector's top-k neighbors — the all-rows

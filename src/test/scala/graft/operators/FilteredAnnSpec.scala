@@ -75,6 +75,46 @@ class FilteredAnnSpec extends SparkSpec {
     }
   }
 
+  test("adaptive widening recovers survivors the fixed probe width provably misses") {
+    // all 'rare' survivors live on axis 7 — the LAST list in every
+    // query's probe order — so a fixed nProbe=4 of 8 returns ZERO
+    // rows while the measured selectivity widens to the nLists cap
+    // and must find each query's own signature twin (cos θ match)
+    val nQ = 6
+    val queries = (0 until nQ).map { i =>
+      val th = i * math.Pi / 40
+      (i.toLong, Seq(10f, math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("id", "vec")
+    val common = (0L until 400L).map { i =>
+      (i + 1000L, Seq.tabulate(8)(j => if (j == (i % 7).toInt) 10f else 0f), (i % 7).toInt, "common")
+    }.toDF("id", "vec", "list_id", "tag")
+    val rare = (0 until nQ).map { i =>
+      val th = i * math.Pi / 40
+      (i + 300000L, Seq(0f, math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f, 0f, 0f, 10f), 7, "rare")
+    }.toDF("id", "vec", "list_id", "tag")
+    val index = IvfKnnOps.IvfIndex(
+      Array.tabulate(8)(j => (j, Array.tabulate(8)(i => if (i == j) 10.0 else 0.0))),
+      common.union(rare))
+    val pred = col("tag") === "rare"
+    val fixed = IvfKnnOps.topKFiltered(queries, index, "id", "vec",
+      k = 3, nProbe = 4, predicate = pred)
+    assert(fixed.count() == 0L, "fixed probe width must miss the axis-7 survivors")
+    val adaptive = IvfKnnOps.topKFilteredAdaptive(queries, index, "id", "vec",
+      k = 3, nProbe = 4, predicate = pred)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    (0 until nQ).foreach { i =>
+      assert(adaptive(i.toLong) == (i + 300000L, 0.009901),
+        s"query $i rank-1 = ${adaptive.get(i.toLong)}, want (${i + 300000L}, 0.009901)")
+    }
+    // empty survivor set degenerates to the full (empty) scan, not a crash
+    val none = IvfKnnOps.topKFilteredAdaptive(queries, index, "id", "vec",
+      k = 3, nProbe = 4, predicate = col("tag") === "absent")
+    assert(none.count() == 0L)
+  }
+
   test("classify keeps queries whose neighbors are all unlabeled") {
     // labels cover cluster-0 ids only; a cluster-1 query's neighbors
     // are unlabeled → it must emit (null, 0, 0), not vanish
