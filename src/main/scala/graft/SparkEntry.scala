@@ -3129,6 +3129,22 @@ object SparkEntry {
         Seq("vector", "hash", "stream", "window"), k = 20)
     }),
 
+    // ---- X26: BM25 hot-term telemetry — the D12-style overflow
+    //      report for the inverted index. A planted stopword-grade
+    //      term ('zzhotterm' in EVERY doc) must surface with
+    //      df = n_docs / df_frac = 1.0 exactly; the 10%-planted
+    //      'zzrareterm' must stay below the 50% gate. The graded
+    //      projection is the DuckDB-replayable part (df / corpus
+    //      fractions); bucket shares ride the ungraded columns. ----
+    "q_bm25_overflow" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat(col("text"), lit(" zzhotterm"),
+          when(col("doc_id") % 10 === 0, lit(" zzrareterm")).otherwise(lit(""))))
+      val post = RetrievalOps.postings(docs, "text", "doc_id")
+      RetrievalOps.hotTermReport(post, docs.count(), nBuckets = 64, minDfFrac = 0.5)
+        .select(col("term"), col("df"), col("df_frac"), col("postings_share"))
+    }),
+
     // ---- X13: sublinear TF-IDF retrieval — the lexical baseline
     //      next to q_bm25 (same query, same scale shape, smoothed
     //      non-negative idf). ----
@@ -7987,6 +8003,26 @@ object SparkEntry {
       """SELECT doc_id AS id, doc_id - doc_id % 8 AS component FROM documents""".stripMargin,
 
     "q_bm25" -> Bm25OracleSql,
+
+    // df per term over the planted corpus, replayed with the same
+    // tokenizer; postings = DISTINCT (term, doc) pairs, so df and
+    // the corpus fractions are exact
+    "q_bm25_overflow" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' zzhotterm' || (CASE WHEN doc_id % 10 = 0 THEN ' zzrareterm' ELSE '' END) AS text
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(lower(text), '[^\p{L}\p{N}]+') IF x <> ''] AS toks FROM d
+        |), post AS (
+        |  SELECT DISTINCT doc_id, unnest(toks) AS term FROM f
+        |), stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents
+        |), tot AS (SELECT count(*)::DOUBLE AS total FROM post
+        |), dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+        |SELECT term, df,
+        |  floor(df / s.n_docs * 1000000 + 0.5) / 1000000 AS df_frac,
+        |  floor(df / t.total * 1000000 + 0.5) / 1000000 AS postings_share
+        |FROM dfreq CROSS JOIN stats s CROSS JOIN tot t
+        |WHERE df >= 0.5 * s.n_docs""".stripMargin,
 
     // same postings/df/stats machinery as BM25 with the sublinear
     // smoothed-idf weight replayed term by term

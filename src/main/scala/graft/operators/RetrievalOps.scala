@@ -90,22 +90,110 @@ object RetrievalOps {
     scoreAndRank(post, corpusStats(df, textCol), k, k1, b)
   }
 
+  /** Hot-term telemetry for a postings frame — the D12-style
+    * overflow report for the inverted-index layout. A stopword-grade
+    * term (df ≈ n_docs) makes its posting list corpus-sized: the
+    * bucket holding it is no longer prunable to "small", and ANY
+    * query containing the term scans df rows at score time. This
+    * report makes that skew queryable data instead of a latent
+    * cliff: one row per term whose document frequency exceeds
+    * `minDfFrac` of the corpus, with its share of total postings and
+    * of its hash bucket.
+    *
+    * Scale shape: df is ONE map-side-combinable `groupBy(term)` over
+    * the postings (the same aggregate every BM25 build already
+    * runs); bucket totals are a second tiny aggregate over the
+    * per-term frame (vocabulary-sized, not corpus-sized). Fractions
+    * snap to the 1e-6 grid.
+    *
+    * @return (term, df, df_frac, postings_share, bkt,
+    *         bucket_postings, bucket_share) sorted by df desc, term
+    */
+  def hotTermReport(
+      post: DataFrame,
+      nDocs: Long,
+      nBuckets: Int = 64,
+      minDfFrac: Double = 0.05
+  ): DataFrame = {
+    require(nDocs > 0, s"nDocs must be positive, got $nDocs")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(minDfFrac > 0 && minDfFrac <= 1, s"minDfFrac must be in (0,1], got $minDfFrac")
+    val snap6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / 1e6
+    val perTerm = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    val perBucket = perTerm.groupBy("bkt").agg(sum(col("df")).as("bucket_postings"))
+    val total = perTerm.agg(sum(col("df")).as("total_postings"))
+    perTerm
+      .filter(col("df") >= lit(minDfFrac) * lit(nDocs.toDouble))
+      .join(broadcast(perBucket), Seq("bkt"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("term"), col("df"),
+        snap6(col("df") / lit(nDocs.toDouble)).as("df_frac"),
+        snap6(col("df") / col("total_postings")).as("postings_share"),
+        col("bkt"), col("bucket_postings"),
+        snap6(col("df") / col("bucket_postings")).as("bucket_share"))
+      .orderBy(col("df").desc, col("term"))
+  }
+
+  /** [[hotTermReport]] over a persisted index — reads only the
+    * postings' (term) column (column-pruned scan) plus the 1-row
+    * stats sidecar. */
+  def indexHotTermReport(
+      spark: SparkSession,
+      path: String,
+      minDfFrac: Double = 0.05
+  ): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats").select("n_docs", "n_buckets").head()
+    hotTermReport(
+      spark.read.parquet(s"$path/postings"),
+      stats.getDouble(0).toLong, stats.getInt(1), minDfFrac)
+  }
+
   /** Build and persist an inverted index: postings partitioned by a
     * stable term-hash bucket (query-time partition pruning), plus a
     * 1-row corpus-stats sidecar. Layout:
     * `path/postings/bkt=N/...parquet`, `path/stats/...parquet`.
+    *
+    * `maxDfFrac < 1` gates stopword-grade terms OUT of the postings
+    * at build time (the Lucene stopword discipline applied by
+    * MEASURED df, not a fixed word list): a term in more than
+    * `maxDfFrac` of documents carries ~zero BM25 idf yet dominates
+    * both index size and query-time scan cost — its posting list is
+    * corpus-sized. Gated terms are never silent: they land in a
+    * `path/dropped_terms` sidecar (term, df), so "what did the gate
+    * eat" is a query, not a guess ([[hotTermReport]] is the
+    * pre-build advisory form). Contract: [[searchIndex]] scores a
+    * gated query term as ABSENT (contributes 0 to every doc's
+    * score), exactly as if the query had omitted it; `stats`
+    * (n_docs, avgdl) keep the full corpus so ungated terms score
+    * identically to an ungated build.
     */
   def saveIndex(
       df: DataFrame,
       textCol: String,
       idCol: String,
       path: String,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      maxDfFrac: Double = 1.0
   ): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    postings(df, textCol, idCol)
+    require(maxDfFrac > 0 && maxDfFrac <= 1, s"maxDfFrac must be in (0,1], got $maxDfFrac")
+    val post = postings(df, textCol, idCol)
       .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings")
+    val gated =
+      if (maxDfFrac >= 1.0) post
+      else {
+        val nDocs = df.count()
+        val dropped = post.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") > lit(maxDfFrac) * lit(nDocs.toDouble))
+        dropped.write.mode("overwrite").parquet(s"$path/dropped_terms")
+        // broadcast anti join: Σ df = total postings bounds the
+        // dropped set at (avg distinct terms per doc)/maxDfFrac
+        // terms — doc-vocabulary-sized, never corpus-sized
+        post.join(broadcast(dropped.select("term")), Seq("term"), "left_anti")
+      }
+    gated.write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings")
     corpusStats(df, textCol)
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$path/stats")

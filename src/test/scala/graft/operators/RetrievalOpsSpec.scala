@@ -78,6 +78,42 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(sf == sg)
   }
 
+  test("hotTermReport surfaces the stopword-grade term with exact df and shares") {
+    // 'banana' in 3 of 4 docs (75%), 'apple' in 2 (50%); total
+    // postings = distinct (term, doc) pairs = 11
+    val post = RetrievalOps.postings(docs, "text", "doc_id")
+    val got = RetrievalOps.hotTermReport(post, nDocs = 4, nBuckets = 8, minDfFrac = 0.6)
+      .select("term", "df", "df_frac", "postings_share", "bucket_share")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toList
+    assert(got == List(("banana", 3L, 0.75, 0.272727)), got.toString)
+    // lower gate pulls in the 50% term too, sorted df desc
+    val both = RetrievalOps.hotTermReport(post, nDocs = 4, nBuckets = 8, minDfFrac = 0.5)
+      .select("term").as[String].collect().toList
+    assert(both == List("banana", "apple", "cherry"), both.toString) // cherry: also 2 of 4
+  }
+
+  test("maxDfFrac gates hot terms out of the build, visibly, and search scores them as absent") {
+    val base = java.nio.file.Files.createTempDirectory("bm25gate").toString
+    val gatedPath = base + "/gated"
+    RetrievalOps.saveIndex(docs, "text", "doc_id", gatedPath, nBuckets = 8, maxDfFrac = 0.6)
+    // the dropped sidecar names exactly the gated term with its df
+    val dropped = spark.read.parquet(s"$gatedPath/dropped_terms")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(dropped == List(("banana", 3L)), dropped.toString)
+    // no gated postings on disk; ungated terms score EXACTLY as if
+    // the query had omitted the gated term (stats keep full corpus)
+    val viaGated = RetrievalOps.searchIndex(spark, gatedPath, Seq("banana", "apple"), k = 10)
+      .collect().map(_.toSeq).toList
+    val fresh = base + "/fresh"
+    RetrievalOps.saveIndex(docs, "text", "doc_id", fresh, nBuckets = 8)
+    val appleOnly = RetrievalOps.searchIndex(spark, fresh, Seq("apple"), k = 10)
+      .collect().map(_.toSeq).toList
+    assert(viaGated == appleOnly, s"$viaGated vs $appleOnly")
+    // maxDfFrac = 1.0 (default) writes no sidecar and gates nothing
+    assert(!new java.io.File(s"$fresh/dropped_terms").exists())
+  }
+
   test("input validation") {
     intercept[IllegalArgumentException](
       RetrievalOps.bm25TopK(docs, "text", "doc_id", Nil, k = 5))
