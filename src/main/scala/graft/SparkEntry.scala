@@ -1202,6 +1202,26 @@ object SparkEntry {
         octet_length(col("text")).cast("long").as("n_bytes"))
     }),
 
+    // ---- X8c: HF tokenizer.json interop — the trained codec is
+    //      serialized in the PUBLIC huggingface/tokenizers byte-level
+    //      BPE layout, re-imported, and must re-encode every document
+    //      to BYTE-IDENTICAL token ids (ids_match) and decode back to
+    //      the exact text (rt_md5 vs DuckDB's md5). Any alphabet-
+    //      mapping, merge-order, or id-remap bug breaks one of the
+    //      two gates. ----
+    "q_bpe_interop" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+      val codec = graft.operators.TokenizerOps.trainBpe(docs, "text", vocabSize = 512)
+      val reimported = graft.operators.BpeInterop.importTokenizerJson(
+        graft.operators.BpeInterop.exportTokenizerJson(codec))
+      docs.select(col("doc_id"),
+        md5(graft.operators.TokenizerOps.decode(
+          graft.operators.TokenizerOps.encode(col("text"), reimported), reimported))
+          .as("rt_md5"),
+        (graft.operators.TokenizerOps.encode(col("text"), codec) ===
+          graft.operators.TokenizerOps.encode(col("text"), reimported)).as("ids_match"))
+    }),
+
     // ---- X8b: token-boundary chunking. overlap = 0 chunks must
     //      reassemble into the document byte-for-byte (byte-level
     //      BPE is lossless), so the oracle is md5-of-reassembly vs
@@ -5406,6 +5426,10 @@ object SparkEntry {
 
     "q_bpe" ->
       """SELECT doc_id, md5(text) AS rt_md5, strlen(text)::BIGINT AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_bpe_interop" ->
+      """SELECT doc_id, md5(text) AS rt_md5, TRUE AS ids_match
         |FROM documents""".stripMargin,
 
     "q_bpe_chunk" ->

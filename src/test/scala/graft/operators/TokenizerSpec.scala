@@ -172,6 +172,51 @@ class TokenizerSpec extends SparkSpec {
     assert((out.length - 1) * 12 + 16 >= fullIds.length)
   }
 
+  test("tokenizer.json round trip reproduces the codec exactly — arrays and encode ids") {
+    val json = BpeInterop.exportTokenizerJson(codec)
+    // the serialized form is the public HF layout
+    assert(json.contains("\"type\" : \"BPE\"") && json.contains("\"merges\""), json.take(400))
+    val back = BpeInterop.importTokenizerJson(json)
+    assert(back.vocab.length === codec.vocab.length)
+    assert(back.vocab.zip(codec.vocab).forall { case (a, b) => a.sameElements(b) })
+    assert(back.mergePairs.toSeq === codec.mergePairs.toSeq)
+    assert(back.mergeIds.toSeq === codec.mergeIds.toSeq)
+    val texts = Seq("the quick brown fox number 7", "café 你好 😀", "", "   spaced   out ")
+    texts.foreach { s =>
+      assert(back.encode(s).toSeq === codec.encode(s).toSeq, s"ids diverged on: $s")
+      assert(back.decode(back.encode(s)) === s)
+    }
+  }
+
+  test("foreign tokenizer.json: shuffled base ids and special tokens import with preserved boundaries") {
+    // a hand-written byte-level file the way HF writes GPT-2-style
+    // tokenizers: base tokens NOT at ids 0..255, one merge-built
+    // token, one added special no merge produces, array-form merges
+    // (built through Jackson — byte tokens include '"' and '\\',
+    // which need real JSON escaping)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val model = root.putObject("model")
+    model.put("type", "BPE")
+    val vocab = model.putObject("vocab")
+    (0 until 256).foreach(b => vocab.put(BpeInterop.byteToChar(b).toString, 1000 + b))
+    vocab.put("ab", 5)
+    vocab.put("<|endoftext|>", 6)
+    val mergeArr = model.putArray("merges").addArray()
+    mergeArr.add("a")
+    mergeArr.add("b")
+    val c = BpeInterop.importTokenizerJson(mapper.writeValueAsString(root))
+    // internal layout: bytes at 0..255, merged 'ab' at 256, special appended
+    assert(c.encode("ab abx").toSeq === Seq(256, 32, 256, 'x'.toInt))
+    assert(c.decode(c.encode("ab abx")) === "ab abx")
+    assert(c.tokenString(257) === "<|endoftext|>")
+    // non-byte-level files fail loudly
+    val bad = """{"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}"""
+    intercept[IllegalArgumentException](BpeInterop.importTokenizerJson(bad))
+    intercept[IllegalArgumentException](
+      BpeInterop.importTokenizerJson("""{"model":{"type":"WordPiece","vocab":{},"merges":[]}}"""))
+  }
+
   test("vocabSize caps merges; exhausted pair space stops early instead of looping") {
     val tiny = Seq((1L, "aa")).toDF("id", "text")
     val c = TokenizerOps.trainBpe(tiny, "text", vocabSize = 1000)
