@@ -56,7 +56,13 @@ object GraphOps {
     var prevCount = edges.count()
     var converged = prevCount == 0
     var iter = 0
+    // per-round telemetry for scale probes (spark.graft.graph.ccLog):
+    // round wall × edge count is the number that decides whether CC
+    // is the pipeline bottleneck at a given graph size
+    val ccLog = edges0.sparkSession.conf
+      .getOption("spark.graft.graph.ccLog").exists(_.toBoolean)
     while (!converged && iter < maxIter) {
+      val tRound = System.nanoTime()
       // ---- large-star over the symmetrized neighborhood ----
       // min-maps are node-sized (one row per endpoint): broadcast
       // them under the ceiling so the edge-sized sides never shuffle
@@ -82,8 +88,15 @@ object GraphOps {
       // fixpoint: the edge set is stable (both sides are distinct
       // canonical sets, so count-equal + one-sided except = equality)
       val nextCount = next.count()
+      val tCheck = System.nanoTime()
       converged = nextCount == prevCount &&
         next.exceptAll(edges).limit(1).isEmpty
+      if (ccLog) {
+        val tEnd = System.nanoTime()
+        println(f"[ccLog] round $iter%d: edges $prevCount%d -> $nextCount%d, " +
+          f"stars+checkpoint ${(tCheck - tRound) / 1e9}%.1f s, " +
+          f"fixpoint check ${(tEnd - tCheck) / 1e9}%.1f s")
+      }
       edges = next
       prevCount = nextCount
       iter += 1

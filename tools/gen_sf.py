@@ -4,9 +4,10 @@ Mirrors the schema and value distributions of the driver-generated
 /root/testdata/sf* tables (inspected, not copied): TPC-H-ish star
 schema + events + documents + embeddings. Used for the r12 sf1 sweep
 (the driver only ships sf0.001/0.01/0.1). Relational tables and
-events scale 10x over sf0.1; documents/embeddings scale 4x so the
-quadratic DuckDB oracles (all-pairs jaccard/radius ground truth)
-stay tractable.
+events scale 10x over sf0.1; documents/embeddings scale 10x too
+(raised from 4x in r15 — the scale-critical family deserves the same
+axis; quadratic DuckDB oracles route through the prefix-filtered
+replays in replay_oracles.py when needed).
 
 Usage: python3 tools/gen_sf.py <outdir> [relational_scale] [doc_scale]
 (scales are multipliers over the sf0.1 row counts)
@@ -20,7 +21,7 @@ import pyarrow.parquet as pq
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/tmp/sf1"
 rs = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-ds = float(sys.argv[3]) if len(sys.argv) > 3 else 4.0
+ds = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
 os.makedirs(out, exist_ok=True)
 rng = np.random.default_rng(4242)
 

@@ -15,7 +15,7 @@ this makes the whole loop reproducible:
 Options:
     --round N        record round number (required for the output name)
     --sf-dir DIR     data dir (default /root/repo/tmp/sf1; generated
-                     via gen_sf.py 10x relational / 4x docs if absent)
+                     via gen_sf.py 10x relational / 10x docs if absent)
     --out DIR        verify output dir (default /root/repo/tmp/verify_sf1)
     --skip-verify    grade an existing verify dump without re-running
     --only a,b,c     grade a subset (replays/oracles still pick per-query)
@@ -48,8 +48,8 @@ def ensure_data(sf_dir):
     if all(os.path.exists(f"{sf_dir}/{t}.parquet") for t in TABLES):
         print(f"[scalecheck] data present: {sf_dir}")
         return
-    print(f"[scalecheck] generating {sf_dir} (gen_sf.py 10 4)...")
-    subprocess.run([sys.executable, f"{HERE}/gen_sf.py", sf_dir, "10", "4"],
+    print(f"[scalecheck] generating {sf_dir} (gen_sf.py 10 10)...")
+    subprocess.run([sys.executable, f"{HERE}/gen_sf.py", sf_dir, "10", "10"],
                    check=True)
 
 
@@ -194,7 +194,7 @@ def main():
     record = {
         "round": a.round,
         "sf": ("1.0 (tools/gen_sf.py deterministic data: 10x relational / "
-               "4x documents over sf0.1)"),
+               "10x documents over sf0.1)"),
         "n_queries": len(oracle),
         "n_pass": sum(1 for v in results.values() if v["ok"]),
         "n_fail": len(bad),
