@@ -456,7 +456,16 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = BioLoader.load(s, t(dir, "documents")).select("doc_id", "text")
       val twins = docs.select((col("doc_id") + 100000L).as("doc_id"), upper(col("text")).as("text"))
-      DedupOps.simhash(docs.union(twins), "doc_id", "text", maxHamming = 3)
+      // maxBucket retuned from the overflow telemetry at the r15
+      // 10x doc axis (the cap's documented workflow): the 30-word
+      // synthetic vocabulary concentrates signatures until 30
+      // quarter-buckets exceed the 1000 default (max 6742 members at
+      // 100k rows), and 36 twin pairs had ALL FOUR quarters dropped.
+      // 8192 clears the measured max with headroom; Σm² over the
+      // big buckets ≈ 1.3e8 fused comparisons — seconds, not a skew
+      // cliff. Real corpora keep the 1000 default + q_hamming_overflow.
+      DedupOps.simhash(docs.union(twins), "doc_id", "text", maxHamming = 3,
+        maxBucket = 8192)
         .filter(col("id_b") === col("id_a") + 100000L)
         .orderBy("id_a")
     }),
