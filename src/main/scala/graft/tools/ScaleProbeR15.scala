@@ -207,9 +207,12 @@ object ScaleProbeR15 {
   }
 
   private def docs10m(spark: SparkSession, base: String): Unit = {
-    val n = 10000000L
+    // the 10M scrub needs ~90 GB of concurrent shuffle scratch
+    // (measured: exhausted this box's 75 GB twice); the env knob
+    // lets the pipeline probe run at the largest size that fits
+    val n = sys.env.getOrElse("SPARK_GRAFT_DOCS_N", "10000000").toLong
     val vocab = 50000
-    val path = s"$base/docs10m"
+    val path = s"$base/docs10m_$n"
     timed(s"docs10m: land $n ZIPFIAN docs in parquet") {
       // same band structure as r14 (8% exact dups from a 400k-seed
       // pool, 0.1% hot template, 5% near dups), but token ranks are
@@ -234,18 +237,29 @@ object ScaleProbeR15 {
         .write.mode("overwrite").parquet(path)
     }
     val docs = spark.read.parquet(path)
-    val survivors = timed("docs10m: dedupAll (exact + minhash-LSH)") {
-      val s = DedupOps.dedupAll(docs, "id", "text").localCheckpoint()
-      println(s"[r15probe] docs10m: survivors = ${s.count()} of $n")
-      s
+    // stage outputs land in parquet, not checkpoint blocks: the 10M
+    // run spills tens of GB of shuffle per stage, and pinned block
+    // storage on top of that exhausted the box's disk on the first
+    // attempt — parquet is compressed, freed-by-stage, and resumable
+    val survPath = s"$base/docs10m_surv_$n"
+    if (!new java.io.File(s"$survPath/_SUCCESS").exists()) {
+      timed("docs10m: dedupAll (exact + minhash-LSH)") {
+        DedupOps.dedupAll(docs, "id", "text")
+          .write.mode("overwrite").parquet(survPath)
+      }
     }
-    val cleaned = timed("docs10m: removeRepeatedNgrams(n=5)") {
-      val c = DedupOps.removeRepeatedNgrams(survivors, "id", "text")
-        .localCheckpoint()
-      println(s"[r15probe] docs10m: removed tokens total = " +
-        s"${c.agg(sum(col("removed_tokens"))).head().getLong(0)}")
-      c
+    val survivors = spark.read.parquet(survPath)
+    println(s"[r15probe] docs10m: survivors = ${survivors.count()} of $n")
+    val cleanPath = s"$base/docs10m_clean_$n"
+    if (!new java.io.File(s"$cleanPath/_SUCCESS").exists()) {
+      timed("docs10m: removeRepeatedNgrams(n=5)") {
+        DedupOps.removeRepeatedNgrams(survivors, "id", "text")
+          .write.mode("overwrite").parquet(cleanPath)
+      }
     }
+    val cleaned = spark.read.parquet(cleanPath)
+    println(s"[r15probe] docs10m: removed tokens total = " +
+      s"${cleaned.agg(sum(col("removed_tokens"))).head().getLong(0)}")
     timed("docs10m: hotTermReport (df >= 5% of corpus)") {
       val nDocs = cleaned.count()
       val rep = RetrievalOps.hotTermReport(
@@ -255,9 +269,9 @@ object ScaleProbeR15 {
     }
     timed("docs10m: BM25 saveIndex with maxDfFrac=0.5 (gated Zipf head)") {
       RetrievalOps.saveIndex(cleaned.withColumnRenamed("text_clean", "body"),
-        "body", "id", s"$base/bm25_10m", nBuckets = 64, maxDfFrac = 0.5)
+        "body", "id", s"$base/bm25_$n", nBuckets = 64, maxDfFrac = 0.5)
       println(s"[r15probe] docs10m: gated terms = " +
-        s"${spark.read.parquet(s"$base/bm25_10m/dropped_terms").count()}")
+        s"${spark.read.parquet(s"$base/bm25_$n/dropped_terms").count()}")
     }
   }
 }
