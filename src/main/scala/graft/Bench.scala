@@ -142,8 +142,14 @@ object Bench {
     // excluded from `total`, and counted in `_failed_count`;
     // tools/check_regression.py refuses records containing failures
     val failedNames = scala.collection.mutable.ArrayBuffer[String]()
+    // cold-pass failures get their own ledger: a query that crashes
+    // only cold would otherwise leave a negative marker in
+    // queries_cold that total_cold silently excludes (reading as an
+    // improvement) with no counter for the gate to scan
+    val coldFailedNames = scala.collection.mutable.ArrayBuffer[String]()
     def runAll(probes: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): Map[String, Double] = {
       var i = 0
+      val failBuf = if (probes.isDefined) failedNames else coldFailedNames
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -155,7 +161,7 @@ object Bench {
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
-              if (probes.isDefined) failedNames += name
+              failBuf += name
               System.err.println(s"[bench] query $name FAILED: $e")
               false
             }
@@ -214,7 +220,10 @@ object Bench {
       ("_failed_count" -> failedNames.size.toDouble))
     if (failedNames.nonEmpty) System.err.println(
       s"[bench] ${failedNames.size} queries FAILED in the measured pass: ${failedNames.mkString(", ")}")
-    val coldQs = jsonMap(coldResults ++ warmLine)
+    if (coldFailedNames.nonEmpty) System.err.println(
+      s"[bench] ${coldFailedNames.size} queries FAILED in the cold pass: ${coldFailedNames.mkString(", ")}")
+    val coldQs = jsonMap(coldResults ++ warmLine +
+      ("_failed_count_cold" -> coldFailedNames.size.toDouble))
     val driftField = if (drifting) "DRIFTING" else "ok"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$coldQs,"drift":"$driftField","drift_seg_ratio":${r3(segRatio)},"drift_end_ratio":${r3(endRatio)},"sf":"$sfDir"}"""
     if (drifting) System.err.println(

@@ -652,6 +652,32 @@ object SparkEntry {
           coalesce(col("fixed_rows"), lit(0L)).as("fixed_rows"))
     }),
 
+    // ---- S17: FILTERED ANN over the PERSISTED index — the serving
+    //      path: save → load → predicate probe. Same planted-twin
+    //      fixture as q_knn_filtered (excluded 'de' twin wins any
+    //      broken filter by tiebreak; included 'en' twin is the
+    //      demanded rank-1), but the inverted file now lives on disk,
+    //      so the predicate reaches the parquet reader as a PUSHED
+    //      filter and the probed lists prune partitions (the plan
+    //      guard in IvfKnnPersistSpec pins both). ----
+    "q_knn_filtered_persist" -> ((s, dir) => {
+      val emb = BioLoader.load(s, t(dir, "embeddings")).select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 20)
+      val tagged = emb.withColumn("tag",
+        when(col("vec_id") % 2 === 0, "en").otherwise("de"))
+      val twinDe = queries.select((col("vec_id") + 100000L).as("vec_id"),
+        col("embedding"), lit("de").as("tag"))
+      val twinEn = queries.select((col("vec_id") + 200000L).as("vec_id"),
+        col("embedding"), lit("en").as("tag"))
+      val corpus = tagged.union(twinDe).union(twinEn)
+      val path = tmpDir(s, "graft-ivf-fp") + "/idx"
+      IvfKnnOps.saveIndex(
+        IvfKnnOps.buildIndex(corpus, "vec_id", "embedding", nLists = 16, maxIter = 5), path)
+      IvfKnnOps.topKFiltered(queries, IvfKnnOps.loadIndex(s, path),
+        "vec_id", "embedding", 5, nProbe = 4, predicate = col("tag") === "en")
+        .filter(col("rank") === 1)
+    }),
+
     // ---- S13: kNN GRAPH — every corpus vector's top-k neighbors in
     //      one distributed pass (TopCentroids scan-stage probes +
     //      ONE list_id shuffle-hash join; no broadcast of the n-row
@@ -3213,6 +3239,37 @@ object SparkEntry {
       RetrievalOps.searchIndex(s, path, Seq("vector", "hash", "stream", "window"), k = 20)
     }),
 
+    // ---- X27: BM25 compaction re-gate — an APPEND can push a term
+    //      past the build-time df gate (appends are deliberately
+    //      gate-free); compactIndex re-measures df over the postings
+    //      on disk and re-applies the gate via a staged swap. The
+    //      corpus is truncated to each doc's first 6 words (natural
+    //      df_frac ≲ 0.23, measured at sf0.01/sf0.1 — safely under
+    //      the 0.3 gate, which in turn sits under the planted 0.5
+    //      crossing with margin on both sides) with TWO
+    //      planted leaks: 'zzhotterm' in EVERY doc (gated at build;
+    //      the append re-leaks its odd-doc postings) and 'zzgrowterm'
+    //      in ODD docs only (df 0 at build, ~0.5 after append — the
+    //      exact after-the-fact crossing). Compact must drop both, so
+    //      searching all six terms scores ONLY the four natural ones
+    //      — bit-identical to a fresh gated build over the union
+    //      corpus (the spec pins that equality; the oracle replays
+    //      the fresh-build scores). ----
+    "q_bm25_compact" -> ((s, dir) => {
+      val docs = BioLoader.load(s, t(dir, "documents"))
+        .withColumn("text", concat(
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)),
+          lit(" zzhotterm"),
+          when(col("doc_id") % 2 === 1, lit(" zzgrowterm")).otherwise(lit(""))))
+      val path = tmpDir(s, "graft-bm25c") + "/idx"
+      RetrievalOps.saveIndex(docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", path,
+        nBuckets = 16, maxDfFrac = 0.3)
+      RetrievalOps.appendToIndex(s, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", path)
+      RetrievalOps.compactIndex(s, path, maxDfFrac = 0.3)
+      RetrievalOps.searchIndex(s, path,
+        Seq("vector", "hash", "stream", "window", "zzhotterm", "zzgrowterm"), k = 20)
+    }),
+
     // ---- Bigram-LM quality scoring (CCNet-style): train on the
     //      corpus, score the corpus. Every probability is a ratio
     //      of integer counts, so the oracle replays the model
@@ -5014,6 +5071,12 @@ object SparkEntry {
     "q_knn_adaptive" ->
       """SELECT vec_id AS query_id, vec_id + 300000 AS neighbor_id, 0.009901 AS cosine,
         |       CAST(1 AS INTEGER) AS rank, CAST(0 AS BIGINT) AS fixed_rows
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // identical contract to q_knn_filtered — the save/load round-trip
+    // must not change which twin wins (the 'en' twin at +200000)
+    "q_knn_filtered_persist" ->
+      """SELECT vec_id AS query_id, vec_id + 200000 AS neighbor_id, 1.0 AS cosine, CAST(1 AS INTEGER) AS rank
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     // planted twins are each other's UNIQUE cosine-1.0 neighbor, so
@@ -8113,6 +8176,39 @@ object SparkEntry {
     "q_bm25_persist" -> Bm25OracleSql,
 
     "q_bm25_append" -> Bm25OracleSql,
+
+    // fresh-gated-build replay over the truncated+planted corpus:
+    // both planted leak terms are gated out (they contribute NOTHING
+    // to any score — the query includes them and must not see them),
+    // but their tokens still count toward dl/avgdl because `stats`
+    // keep the full corpus
+    "q_bm25_compact" ->
+      """WITH f AS (
+        |  SELECT doc_id, [x FOR x IN string_split_regex(
+        |    lower(array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+        |      || ' zzhotterm' || CASE WHEN doc_id % 2 = 1 THEN ' zzgrowterm' ELSE '' END),
+        |    '[^\p{L}\p{N}]+') IF x <> ''] AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl FROM f
+        |), post AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM f
+        |), tf AS (
+        |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM post
+        |  WHERE term IN ('vector', 'hash', 'stream', 'window') GROUP BY doc_id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      ln(1.0 + (s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+        |    ) * 1000000 + 0.5) / 1000000 AS score
+        |  FROM tf JOIN dfreq d ON tf.term = d.term CROSS JOIN stats s
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_zorder" -> ZorderOracleSql,
 

@@ -100,9 +100,20 @@ object BpeInterop {
     model.put("fuse_unk", false)
     model.put("byte_fallback", false)
     val vocabNode = model.putObject("vocab")
+    // the vocab serializes as a JSON object keyed by token STRING —
+    // two ids with identical byte sequences (possible in BPE when
+    // distinct merge pairs yield the same concatenation, e.g. (a,bc)
+    // and (ab,c)) would silently collapse to one key and break the
+    // documented exact round-trip; fail loudly at export time instead
+    val seen = new java.util.HashSet[String](codec.vocab.length * 2)
     var id = 0
     while (id < codec.vocab.length) {
-      vocabNode.put(tokenToString(codec.vocab(id)), id)
+      val tok = tokenToString(codec.vocab(id))
+      require(seen.add(tok),
+        s"vocab ids ${codec.vocab.indexWhere(java.util.Arrays.equals(_, codec.vocab(id)))} and $id " +
+          s"share the token string '$tok' — a JSON-object vocab cannot represent duplicate " +
+          "byte sequences; this codec does not round-trip through tokenizer.json")
+      vocabNode.put(tok, id)
       id += 1
     }
     val mergesNode = model.putArray("merges")

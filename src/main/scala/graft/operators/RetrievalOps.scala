@@ -182,8 +182,21 @@ object RetrievalOps {
     val post = postings(df, textCol, idCol)
       .withColumn("bkt", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     val gated =
-      if (maxDfFrac >= 1.0) post
-      else {
+      if (maxDfFrac >= 1.0) {
+        // an UNGATED build must still overwrite the sidecar: a
+        // rebuild at a path that previously held a gated index would
+        // otherwise leave a stale dropped_terms misdescribing the new
+        // postings (the sidecar's contract is "what is absent from
+        // the postings on disk", which for an ungated build is empty)
+        val spark = df.sparkSession
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType))))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/dropped_terms")
+        post
+      } else {
         val nDocs = df.count()
         val dropped = post.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") > lit(maxDfFrac) * lit(nDocs.toDouble))
@@ -231,6 +244,75 @@ object RetrievalOps {
     Seq((nDocs, dlSum / nDocs, dlSum, nBuckets))
       .toDF("n_docs", "avgdl", "dl_sum", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Re-apply the measured-df stopword gate over a GROWN index —
+    * the maintenance pass [[appendToIndex]] makes necessary: appends
+    * are deliberately gate-free (an incremental batch cannot know
+    * corpus-wide df), so a term can cross `maxDfFrac` AFTER build
+    * and its corpus-sized posting list re-enters the index through
+    * the back door. Compaction measures df over the postings
+    * actually on disk, drops every term past the gate, and rewrites
+    * the inverted file via the same staged swap the PQ index
+    * compaction uses (write to `postings_staging`, rename-swap, the
+    * live index stays readable until the instant of the swap).
+    *
+    * The `dropped_terms` sidecar stays a LEDGER of what the gate has
+    * eaten: rows from prior gated builds/compactions are kept and
+    * df sums per term (append-only doc ids mean a term re-dropped
+    * after an append contributes disjoint postings each time), so
+    * `Σ df` over the sidecar is the total posting count ever removed.
+    *
+    * Contract: compacting an index that was built AND appended
+    * ungated yields bit-identical scores to a fresh
+    * `saveIndex(..., maxDfFrac)` over the union corpus (df measured
+    * on full postings = corpus df; `stats` keep the full corpus
+    * either way). A gated BUILD followed by appends then compact can
+    * only drop MORE than the fresh build (build-dropped postings are
+    * unrecoverable) — the gate is one-directional by design.
+    */
+  def compactIndex(spark: SparkSession, path: String, maxDfFrac: Double): Unit = {
+    require(maxDfFrac > 0 && maxDfFrac < 1, s"maxDfFrac must be in (0,1), got $maxDfFrac")
+    val nDocs = spark.read.parquet(s"$path/stats").select("n_docs").head().getDouble(0)
+    val post = spark.read.parquet(s"$path/postings")
+    val dropped = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(maxDfFrac) * lit(nDocs))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val droppedPath = new org.apache.hadoop.fs.Path(s"$path/dropped_terms")
+    // merge the ledger FIRST (both inputs still read live data) into
+    // a staging dir — writing postings below must not re-evaluate it
+    val ledger =
+      if (fs.exists(droppedPath))
+        spark.read.parquet(s"$path/dropped_terms").unionByName(dropped)
+          .groupBy("term").agg(sum(col("df")).as("df"))
+      else dropped
+    ledger.coalesce(1).write.mode("overwrite").parquet(s"$path/dropped_terms_staging")
+    // rewrite the inverted file without the gated terms, same
+    // bucket-partitioned layout (bkt rides each row already)
+    post.join(broadcast(dropped.select("term")), Seq("term"), "left_anti")
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/postings_staging")
+    stageSwap(fs, path, "postings")
+    stageSwap(fs, path, "dropped_terms")
+  }
+
+  /** Swap `$path/${name}_staging` into `$path/$name` with rollback —
+    * the index stays readable up to the rename instant. */
+  private def stageSwap(fs: org.apache.hadoop.fs.FileSystem, path: String, name: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/${name}_staging")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${name}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"compact swap: cannot stage out $live")
+    }
+    if (!fs.rename(staging, live)) { // roll back, keep the index usable
+      if (fs.exists(old)) fs.rename(old, live)
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"compact swap: cannot swap $staging into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Query a persisted index. The `bkt` predicate prunes partitions

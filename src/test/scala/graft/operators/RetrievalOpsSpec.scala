@@ -110,8 +110,64 @@ class RetrievalOpsSpec extends SparkSpec {
     val appleOnly = RetrievalOps.searchIndex(spark, fresh, Seq("apple"), k = 10)
       .collect().map(_.toSeq).toList
     assert(viaGated == appleOnly, s"$viaGated vs $appleOnly")
-    // maxDfFrac = 1.0 (default) writes no sidecar and gates nothing
-    assert(!new java.io.File(s"$fresh/dropped_terms").exists())
+    // maxDfFrac = 1.0 (default) gates nothing but still writes an
+    // EMPTY sidecar — the sidecar always describes the postings
+    val ungatedSidecar = spark.read.parquet(s"$fresh/dropped_terms")
+    assert(ungatedSidecar.columns.toList == List("term", "df"))
+    assert(ungatedSidecar.count() == 0)
+    // rebuilding UNGATED at a previously-gated path must clear the
+    // stale sidecar (the r15 advice scenario)
+    RetrievalOps.saveIndex(docs, "text", "doc_id", gatedPath, nBuckets = 8)
+    assert(spark.read.parquet(s"$gatedPath/dropped_terms").count() == 0)
+  }
+
+  test("compactIndex re-gates after appends and matches a fresh gated build") {
+    // 10 docs: 'hot' everywhere, 'grow' in odd docs only, query
+    // terms well under the 0.4 gate, one unique filler per doc.
+    // Build gated on evens (drops hot), append odds gate-FREE (hot
+    // re-leaks, grow crosses the gate after the fact), compact.
+    val all = (0L to 9L).map { i =>
+      val words = Seq("hot") ++
+        (if (i % 2 == 1) Seq("grow") else Nil) ++
+        (if (i <= 2) Seq("apple") else Nil) ++
+        (if (i == 4 || i == 5) Seq("cherry") else Nil) ++
+        Seq(s"w$i")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    val grown = base + "/grown"
+    val fresh = base + "/fresh"
+    RetrievalOps.saveIndex(all.filter($"doc_id" % 2 === 0), "text", "doc_id", grown,
+      nBuckets = 8, maxDfFrac = 0.4)
+    RetrievalOps.appendToIndex(spark, all.filter($"doc_id" % 2 === 1), "text", "doc_id", grown)
+    // the leak is real before compaction: 'hot' scores via its
+    // appended odd-doc postings
+    val leaked = RetrievalOps.searchIndex(spark, grown, Seq("hot"), k = 10).count()
+    assert(leaked > 0, "fixture must exhibit the post-append leak")
+    RetrievalOps.compactIndex(spark, grown, maxDfFrac = 0.4)
+    RetrievalOps.saveIndex(all, "text", "doc_id", fresh, nBuckets = 8, maxDfFrac = 0.4)
+    val q = Seq("apple", "cherry", "hot", "grow")
+    val a = RetrievalOps.searchIndex(spark, fresh, q, 10).collect().map(_.toSeq).toList
+    val b = RetrievalOps.searchIndex(spark, grown, q, 10).collect().map(_.toSeq).toList
+    assert(a == b, s"$a vs $b")
+    assert(a.nonEmpty) // the ungated query terms must actually score
+    // the ledger sums postings ever removed: hot = 5 (build, evens)
+    // + 5 (compact, the appended odds); grow = 5 (compact)
+    val ledger = spark.read.parquet(s"$grown/dropped_terms")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ledger == Map("hot" -> 10L, "grow" -> 5L), ledger.toString)
+    // staged-swap hygiene: no staging/old leftovers
+    for (n <- Seq("postings_staging", "postings_old", "dropped_terms_staging", "dropped_terms_old"))
+      assert(!new java.io.File(s"$grown/$n").exists(), n)
+    // compacting an UNGATED build+append equals the same fresh gated
+    // build too (df measured on full postings = corpus df)
+    val ungated = base + "/ungated"
+    RetrievalOps.saveIndex(all.filter($"doc_id" % 2 === 0), "text", "doc_id", ungated, nBuckets = 8)
+    RetrievalOps.appendToIndex(spark, all.filter($"doc_id" % 2 === 1), "text", "doc_id", ungated)
+    RetrievalOps.compactIndex(spark, ungated, maxDfFrac = 0.4)
+    val c = RetrievalOps.searchIndex(spark, ungated, q, 10).collect().map(_.toSeq).toList
+    assert(c == a, s"$c vs $a")
+    intercept[IllegalArgumentException](RetrievalOps.compactIndex(spark, ungated, 1.0))
   }
 
   test("input validation") {

@@ -217,6 +217,45 @@ class TokenizerSpec extends SparkSpec {
       BpeInterop.importTokenizerJson("""{"model":{"type":"WordPiece","vocab":{},"merges":[]}}"""))
   }
 
+  test("committed GPT-2-layout tokenizer.json fixture: real-world geometry imports intact") {
+    // src/test/resources/gpt2_mini_tokenizer.json reproduces the
+    // REAL GPT-2 file layout (public HF serialization): byte tokens
+    // at codepoint-sorted ids ("t"=83, "Ġ"=220 — not graft's byte
+    // order), the first ten real GPT-2 merges at 256..265 in rank
+    // order ("Ġ t" … "a t", incl. the chained "Ġt he" → "Ġthe" at
+    // 262), and <|endoftext|> as an added special at 266.
+    val json = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/gpt2_mini_tokenizer.json").toURI)), java.nio.charset.StandardCharsets.UTF_8)
+    val c = BpeInterop.importTokenizerJson(json)
+    assert(c.vocab.length === 267)
+    // internal remap: bytes at 0..255, merged tokens in merge-rank
+    // order — byte SEQUENCES preserved exactly
+    assert(c.tokenString(256) === " t") // "Ġ t", merge rank 0
+    assert(c.tokenString(262) === " the") // the "Ġt he" chain product
+    assert(c.tokenString(266) === "<|endoftext|>")
+    // encode under graft's whitespace-run segmentation: merges that
+    // cross a space boundary (Ġt, Ġthe) import fine (decodable, byte
+    // sequences intact) but never fire at encode time — " the"
+    // splits into a space segment + "the", which the in-word merge
+    // "h e" compresses to t+he
+    assert(c.encode(" the").toSeq === Seq(' '.toInt, 't'.toInt, 258))
+    assert(c.encode("the").toSeq === Seq('t'.toInt, 258))
+    // decode identity on text the mini-merge table only partly covers
+    val s = "in the rain at noon: the theory"
+    assert(c.decode(c.encode(s)) === s)
+    // re-export (graft layout) → re-import is id-exact
+    val back = BpeInterop.importTokenizerJson(BpeInterop.exportTokenizerJson(c))
+    assert(back.encode(s).toSeq === c.encode(s).toSeq)
+  }
+
+  test("export fails loudly on duplicate token byte sequences (JSON-object vocab cannot hold them)") {
+    val dupVocab = Array.tabulate(256)(i => Array(i.toByte)) ++
+      Array("ab".getBytes("UTF-8"), "ab".getBytes("UTF-8"))
+    val dup = new TokenizerOps.BpeCodec(dupVocab, Array.empty[Long], Array.empty[Int])
+    val e = intercept[IllegalArgumentException](BpeInterop.exportTokenizerJson(dup))
+    assert(e.getMessage.contains("duplicate") || e.getMessage.contains("share the token string"))
+  }
+
   test("vocabSize caps merges; exhausted pair space stops early instead of looping") {
     val tiny = Seq((1L, "aa")).toDF("id", "text")
     val c = TokenizerOps.trainBpe(tiny, "text", vocabSize = 1000)

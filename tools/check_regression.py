@@ -55,12 +55,19 @@ def main():
         # is not a performance record — a fast-crashing query would
         # otherwise read as a large improvement and the gate would
         # exit 0, the exact silent-pass this tool exists to prevent.
-        failed = [q for q, v in rec["queries"].items()
+        # Scan BOTH passes: a cold-only crash leaves its negative
+        # marker in queries_cold (and is excluded from total_cold,
+        # reading as an improvement) while the measured pass looks
+        # clean.
+        failed = [q for qmap in (rec.get("queries", {}), rec.get("queries_cold", {}))
+                  for q, v in qmap.items()
                   if not q.startswith("_") and isinstance(v, (int, float)) and v < 0]
-        if failed or rec["queries"].get("_failed_count", 0) > 0:
+        failed_count = (rec["queries"].get("_failed_count", 0)
+                        + rec.get("queries_cold", {}).get("_failed_count_cold", 0))
+        if failed or failed_count > 0:
             sys.exit(f"{name} record contains FAILED queries "
-                     f"({rec['queries'].get('_failed_count', len(failed))}: "
-                     f"{' '.join(failed) or 'see _failed_count'}) — fix the queries and re-run")
+                     f"({failed_count or len(failed)}: "
+                     f"{' '.join(sorted(set(failed))) or 'see _failed_count'}) — fix the queries and re-run")
     bf, cf = norm_factor(base), norm_factor(cur)
     print(f"base control {base['queries']['_host_control']:.2f} (x{bf:.3f}), "
           f"cur control {cur['queries']['_host_control']:.2f} (x{cf:.3f})")

@@ -174,11 +174,19 @@ write("documents", {
                ("lang", pa.string()), ("source", pa.string()),
                ("n_chars", pa.int64())]))
 
-# embeddings: 10 unit-norm cluster centers + noise, renormalized
+# embeddings: 10 unit-norm cluster centers + noise, renormalized.
+# Cluster mass is ZIPF-skewed (p_k ∝ 1/(k+1): hot cluster ~34%, tail
+# ~3%) and the hot cluster is DENSER (0.15 noise vs 0.25) — the
+# SCALEPROBE_r14 skewed-corpus shape promoted into the standing sf1
+# gate so IVF/PQ/kNN-graph run under quantizer skew every round, not
+# just in one-off probes (r15 verdict task 6).
 centers = rng.normal(size=(10, 64))
 centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-label = rng.integers(0, 10, N_EMB)
-vecs = centers[label] + 0.25 * rng.normal(size=(N_EMB, 64))
+zipf_p = 1.0 / np.arange(1, 11)
+zipf_p /= zipf_p.sum()
+label = rng.choice(10, N_EMB, p=zipf_p)
+noise = np.where(label == 0, 0.15, 0.25)[:, None]
+vecs = centers[label] + noise * rng.normal(size=(N_EMB, 64))
 vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
 write("embeddings", {
     "vec_id": np.arange(N_EMB, dtype=np.int64),
