@@ -1338,23 +1338,43 @@ object DedupOps {
     val dupSites = sites.join(dupWins, Seq("__h"))
       .filter(!(col(idCol) === col("__f.d") && col("__pos") === col("__f.p")))
     // per-doc covered-index sets are unbounded state (up to the
-    // doc's token count) — build them through a window collect_set
-    // (one doc buffered at a time, spillable) instead of a groupBy
-    // on the hot ObjectHashAggregate hash path (FunnelOps.funnel has
-    // the full rationale)
+    // doc's token count) — the collect must stay OFF the hot
+    // ObjectHashAggregate hash path (FunnelOps.funnel has the full
+    // rationale). Collect the dup SITES (one row per site, not the
+    // n-exploded positions: n× fewer window rows and a sites-sized
+    // array materialized per row instead of a covered-sized one)
+    // through a window collect_set — WindowExec buffers one doc at a
+    // time, spillable — then reduce to one row per doc with
+    // first(): a DeclarativeAggregate over an array buffer plans as
+    // SortAggregate, which streams one already-sorted group at a
+    // time (the window's doc_id sort satisfies its ordering, so no
+    // new sort or exchange), holding a single prebuilt array —
+    // never an unbounded growing buffer on a hash path. The keyed
+    // Aggregate also restores the unique-join-key property the
+    // row_number()=1 filter it replaces hid from the optimizer: a
+    // downstream count/exists over the scrub can eliminate the left
+    // join again (it could through r14's groupBy, and lost that
+    // through r15's window+filter — a measured 0.2 s → 2.5 s cliff
+    // on count-shaped actions at sf0.1).
     val wId = Window.partitionBy(col(idCol))
     val covered = dupSites
-      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__i"))
-      .withColumn("__cov", collect_set(col("__i")).over(wId))
-      .withColumn("__rn", row_number().over(wId.orderBy(col("__i"))))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__cov"))
+      .select(col(idCol), col("__pos"))
+      .withColumn("__sites", collect_set(col("__pos")).over(wId))
+      .groupBy(col(idCol))
+      .agg(first(col("__sites")).as("__sites"))
     // kept tokens via array_except over the index range — a hash-set
     // build over __cov then a linear walk, O(tokens + covered); the
     // per-token array_contains lambda this replaces rescanned the
     // covered array for every token, O(tokens · covered) on
-    // boilerplate-heavy docs (the r14 verdict's measured bottleneck)
+    // boilerplate-heavy docs (the r14 verdict's measured bottleneck).
+    // __cov (the distinct covered positions) expands from the sites
+    // array AFTER the join, doc-locally — same set as the exploded
+    // collect it replaces, never shuffled.
     base.join(covered, Seq(idCol), "left")
+      .withColumn("__cov",
+        when(col("__sites").isNull, lit(null).cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("__sites"),
+            p => sequence(p, p + lit(n - 1)))))))
       .withColumn(outputCol,
         when(col("__cov").isNull, concat_ws(" ", col("__tk")))
           .otherwise(concat_ws(" ", transform(
@@ -1362,7 +1382,7 @@ object DedupOps {
             i => element_at(col("__tk"), i + 1)))))
       .withColumn("removed_tokens",
         when(col("__cov").isNull, lit(0)).otherwise(size(col("__cov"))))
-      .drop("__tk", "__cov")
+      .drop("__tk", "__cov", "__sites")
   }
 
   /** Corpus-level telemetry for [[removeRepeatedNgrams]]: one row

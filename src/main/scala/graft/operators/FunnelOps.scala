@@ -53,6 +53,12 @@ object FunnelOps {
     // arrays but WindowExec buffers ONE user at a time in a
     // spillable array — memory safety is structural, shuffle volume
     // unchanged (collect partials don't combine anyway).
+    // The one-row-per-user reduction is first() — a SortAggregate
+    // streaming the window's already-sorted groups (no new sort or
+    // exchange, one prebuilt array list held at a time), NOT
+    // row_number()=1, whose filter hides the key uniqueness from
+    // the optimizer (see DedupOps.removeRepeatedNgrams) and costs a
+    // second window pass.
     val wUser = Window.partitionBy(col(userCol))
     val aggd = events
       .filter(col(typeCol).isin(steps: _*))
@@ -60,10 +66,10 @@ object FunnelOps {
         col(userCol) +:
           steps.zipWithIndex.map { case (s, i) =>
             collect_list(when(col(typeCol) === s, col(tsCol))).over(wUser).as(s"__s$i")
-          } :+
-          row_number().over(wUser.orderBy(col(tsCol))).as("__rn"): _*)
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+          }: _*)
+      .groupBy(col(userCol))
+      .agg(first(col("__s0")).as("__s0"),
+        steps.indices.tail.map(i => first(col(s"__s$i")).as(s"__s$i")): _*)
     // optional conversion deadline: step i counts only within
     // maxSpan of t_0 — the "converted within 7 days" form every
     // funnel report actually publishes. The bound rides inside the

@@ -403,17 +403,24 @@ object TextOps {
     // per-doc line lists are unbounded state — rebuild through a
     // window collect_list (one doc buffered at a time, spillable)
     // instead of a groupBy on the hot ObjectHashAggregate hash path
-    // (FunnelOps.funnel has the full rationale)
+    // (FunnelOps.funnel has the full rationale). The one-row-per-doc
+    // reduction is first() — a SortAggregate streaming the window's
+    // already-sorted groups (no new sort/exchange, one prebuilt
+    // array held at a time), NOT row_number()=1: the keyed Aggregate
+    // keeps __id provably unique so a count-shaped action downstream
+    // can still eliminate the left join (see
+    // DedupOps.removeRepeatedNgrams for the measured cliff).
     val wId = Window.partitionBy(col("__id"))
     val rebuilt = kept
       .withColumn("__all", collect_list(struct(col("__idx"), col("__line"))).over(wId))
-      .withColumn("__rn", row_number().over(wId.orderBy(col("__idx"))))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), concat_ws("\n",
-        expr("transform(array_sort(__all), x -> x.__line)")).as(outCol))
+      .groupBy(col("__id"))
+      .agg(first(col("__all")).as("__all"))
     df.join(rebuilt, df(idCol) === rebuilt("__id"), "left")
-      .withColumn(outCol, coalesce(col(outCol), lit("")))
-      .drop("__id")
+      .withColumn(outCol,
+        when(col("__all").isNull, lit(""))
+          .otherwise(concat_ws("\n",
+            expr("transform(array_sort(__all), x -> x.__line)"))))
+      .drop("__id", "__all")
   }
 
   /** Lexical diversity per group — type-token ratio, hapax fraction

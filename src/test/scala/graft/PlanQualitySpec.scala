@@ -258,6 +258,24 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("Window"), s"$name lost its window rewrite:\n$p")
       assert(!p.contains("ObjectHashAggregate"),
         s"$name has an unbounded collect on the hash-aggregate path:\n$p")
+      // the one-row-per-group reduction over the window output is a
+      // keyed first() that plans as a STREAMING SortAggregate (one
+      // prebuilt array held at a time), never a second window pass
+      assert(p.contains("SortAggregate"), s"$name lost its streaming reduction:\n$p")
+    }
+  }
+
+  test("scrub/boilerplate rebuild joins are eliminable under count-shaped actions") {
+    // the covered/rebuilt side ends in a KEYED Aggregate, so its
+    // join keys are provably unique and a count over the operator
+    // (the r14-r16 bench action shape) eliminates the left join and
+    // the whole scrub subtree — the row_number()=1 filter this
+    // replaced hid the uniqueness and cost a measured 0.2 s → 2.5 s
+    // cliff at sf0.1 (OPTIMIZATION_r16.md)
+    import org.apache.spark.sql.functions.{count, lit}
+    for (name <- Seq("q_substring_dedup", "q_boilerplate")) {
+      val p = q(name).agg(count(lit(1))).queryExecution.optimizedPlan.toString
+      assert(!p.contains("Join"), s"$name count no longer eliminates its left join:\n$p")
     }
   }
 
