@@ -52,7 +52,7 @@ object EntityResolution {
 
   final case class ErIn(blk: String, id: Long, name: String, ts: java.sql.Timestamp)
   final case class ErOut(id: Long, name: String, label: Long, overflow: Int, ts: java.sql.Timestamp)
-  private final case class ErMember(id: Long, name: String, label: Long)
+  private[streaming] final case class ErMember(id: Long, name: String, label: Long)
 
   /** Per-block incremental union-find state machine. */
   private class BlockErProcessor(minSim: Double, maxBlockSize: Int, stateTtlMs: Long)

@@ -436,7 +436,12 @@ object EventStreams {
   }
 
   final case class ChartIn(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Option[Double])
-  private final case class ChartState(b: Double, w: Double, cnt: Long, s1: Double, s2: Double)
+  // state case classes are qualified-private, NOT `private`: plain
+  // `private` stamps ACC_PRIVATE into the InnerClasses attribute,
+  // which Janino honors — every encoder UnsafeProjection for the
+  // class then fails to compile and falls back to the interpreter
+  // on each task (measured: ~220 fallbacks per 5-query bench pass)
+  private[streaming] final case class ChartState(b: Double, w: Double, cnt: Long, s1: Double, s2: Double)
   final case class ChartOut(event_id: Long, user_id: Long, ewma: Option[Double], is_anomaly: Option[Int])
 
   /** Per-key EWMA control-chart state machine for
@@ -529,7 +534,7 @@ object EventStreams {
 
   final case class CusumOut(event_id: Long, user_id: Long,
       s_pos: Option[Double], s_neg: Option[Double], alarm: Option[Int])
-  private final case class CusumState(sp: Double, sn: Double)
+  private[streaming] final case class CusumState(sp: Double, sn: Double)
 
   /** Per-key tabular-CUSUM state machine for [[streamingCusum]] —
     * the same buffer-until-watermark / replay-in-event-time-order
@@ -676,7 +681,7 @@ object EventStreams {
 
   final case class ForecastOut(event_id: Long, user_id: Long,
       s1: Double, s2: Double, level: Double, trend: Double, forecast: Double)
-  private final case class BrownState(b1: Double, w1: Double, b2: Double, w2: Double)
+  private[streaming] final case class BrownState(b1: Double, w1: Double, b2: Double, w2: Double)
 
   /** Per-key Brown double-smoothing state machine for
     * [[streamingBrownForecast]] — the same buffer-until-watermark /
@@ -794,7 +799,7 @@ object EventStreams {
 
   final case class HwOut(event_id: Long, user_id: Long, level: Double,
       trend: Double, seasonal: Double, forecast: Option[Double])
-  private final case class HwState(started: Boolean, l: Double, b: Double,
+  private[streaming] final case class HwState(started: Boolean, l: Double, b: Double,
       i: Long, s: Seq[Double])
 
   /** Per-key Holt–Winters state machine for [[streamingHoltWinters]]
