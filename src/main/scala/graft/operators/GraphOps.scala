@@ -1291,13 +1291,20 @@ object GraphOps {
     */
   def linkPrediction(edges0: DataFrame, maxDegree: Int = 10000): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    // und feeds the symmetric expansion (twice) AND the final
+    // anti-join; an aggregate-built edge frame (coOccurrenceEdges —
+    // a join + capped collect at q_link_pred) would replay per use:
+    // the r16 plan audit counted the capped-collect subtree executed
+    // 4x. Same eager-checkpoint discipline as triangleCounts.
     val und = edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val sym = und.select(col("u").as("a"), col("v").as("z"))
       .union(und.select(col("v").as("a"), col("u").as("z")))
     val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDegree && col("deg") >= 2)
+      .localCheckpoint(true)
     val spokes = sym.join(deg, "z")
     val wedges = spokes.select(col("z"), col("a"), col("deg"))
       .join(spokes.select(col("z"), col("a").as("b")), Seq("z"))

@@ -46,12 +46,25 @@ object MiningOps {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(minConfidence > 0 && minConfidence <= 1,
       s"minConfidence in (0,1], got $minConfidence")
+    // the basket-membership frame feeds THREE consumers (totals,
+    // supports, pairs — and pairs twice through the direction
+    // union): without materialization each replays the caller's
+    // basket-building lineage (a join at q_rules scale) — the r16
+    // plan audit counted the base subtree executed 5x. Eager
+    // localCheckpoint computes it once (MEMORY_AND_DISK, spills;
+    // blocks freed by the ContextCleaner — the triangleCounts /
+    // connectedComponents discipline).
     val items = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
       .distinct()
+      .localCheckpoint(true)
     val totals = items.agg(countDistinct(col("__g")).as("__nb"))
+    // item-sized, consumed by BOTH direction joins — materialize
     val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+      .localCheckpoint(true)
+    // pair-sized after the minSupport cut, consumed by both union
+    // branches — materialize so the collect+generate pass runs once
     val pairs = items
       .groupBy(col("__g"))
       .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
@@ -60,6 +73,7 @@ object MiningOps {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
+      .localCheckpoint(true)
     val directed = pairs.select(col("id_a").as("antecedent"), col("id_b").as("consequent"), col("n_pair"))
       .unionAll(pairs.select(col("id_b").as("antecedent"), col("id_a").as("consequent"), col("n_pair")))
     val joined = directed
@@ -102,11 +116,15 @@ object MiningOps {
       maxBasketSize: Int = 1000
   ): DataFrame = {
     require(minCo >= 1, s"minCo must be >= 1, got $minCo")
+    // same multi-consumer materialization as [[associationRules]]:
+    // items feeds counts AND pairs; counts feeds both cosine joins
     val items = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
       .distinct()
+      .localCheckpoint(true)
     val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val pairs = items
       .groupBy(col("__g"))
       .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
