@@ -440,10 +440,38 @@ object GraphOps {
       when(lowIsU, col("v")).otherwise(col("u")).as("dst"),
       when(lowIsU, col("dv")).otherwise(col("du")).as("ddeg"))
       .localCheckpoint(true)
-    val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
-    val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
-    val wedges0 = e1.join(e2, Seq("src"))
-      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    // Wedge self-join variant switch (r16 A/B instrumentation —
+    // graft.tools.TriWedgeProbe alternates the three shapes in one
+    // JVM, the only A/B this host's 2-3x oscillation cannot
+    // corrupt). Probe verdict: all three are equivalent in clean
+    // rounds (wall 2.4-2.8 s, the struct-compare over the 82M
+    // wedge candidates dominates every variant); "e1e2" read
+    // lowest CPU (19.5/21.6 s vs 24-25.5) and is the default —
+    // the exchange saved by "self"'s ReuseExchange and the sorts
+    // saved by "selfhash" are both noise next to the wedge scan.
+    //  "self"     — both sides the bare `oriented` frame (one
+    //               reused exchange, sort-merge)
+    //  "selfhash" — "self" + shuffle_hash hint
+    //  "e1e2"     — projections below the join, two exchanges,
+    //               sort-merge (the long-standing shape)
+    val wedgeVariant = e.sparkSession.conf
+      .getOption("spark.graft.graph.triWedgeVariant").getOrElse("e1e2")
+    val wedges0 = wedgeVariant match {
+      case "e1e2" =>
+        val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+        val e2 = oriented.select(col("src"), col("dst").as("c"), col("ddeg").as("dc"))
+        e1.join(e2, Seq("src"))
+          .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+          .select(col("src"), col("b"), col("c"))
+      case v =>
+        val wr = if (v == "selfhash") oriented.as("wr").hint("shuffle_hash")
+                 else oriented.as("wr")
+        oriented.as("wl")
+          .join(wr,
+            col("wl.src") === col("wr.src") &&
+              struct(col("wl.ddeg"), col("wl.dst")) < struct(col("wr.ddeg"), col("wr.dst")))
+          .select(col("wl.src").as("src"), col("wl.dst").as("b"), col("wr.dst").as("c"))
+    }
     // Close-key representation: when node ids are integral and in
     // [0, 2³¹) — checked against the ACTUAL min/max over the
     // node-sized degree table, one cheap aggregate — pack (b, c)
