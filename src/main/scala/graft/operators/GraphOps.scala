@@ -1323,16 +1323,22 @@ object GraphOps {
     // anti-join; an aggregate-built edge frame (coOccurrenceEdges —
     // a join + capped collect at q_link_pred) would replay per use:
     // the r16 plan audit counted the capped-collect subtree executed
-    // 4x. Same eager-checkpoint discipline as triangleCounts.
-    val und = edges0.filter(col("src") =!= col("dst"))
+    // 4x. Default ON by the same-JVM alternating probe
+    // (graft.tools.MatProbe: materialized wall 1.74-2.17 s vs
+    // recompute 2.07-2.62 s, consistent across all 4 rounds — the
+    // replayed capped-collect here is genuinely expensive, unlike
+    // MiningOps' cheap distinct, whose gate defaults OFF).
+    val matOn = edges0.sparkSession.conf
+      .getOption("spark.graft.graph.linkPredMaterialize").forall(_.toBoolean)
+    def mat(df: DataFrame): DataFrame =
+      if (matOn) df.localCheckpoint(true) else df
+    val und = mat(edges0.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val sym = und.select(col("u").as("a"), col("v").as("z"))
       .union(und.select(col("v").as("a"), col("u").as("z")))
-    val deg = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") <= maxDegree && col("deg") >= 2)
-      .localCheckpoint(true)
+    val deg = mat(sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree && col("deg") >= 2))
     val spokes = sym.join(deg, "z")
     val wedges = spokes.select(col("z"), col("a"), col("deg"))
       .join(spokes.select(col("z"), col("a").as("b")), Seq("z"))

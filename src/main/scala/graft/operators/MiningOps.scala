@@ -13,6 +13,24 @@ object MiningOps {
   private def snap9(c: Column): Column =
     floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
 
+  /** Eager materialization of a multi-consumer sub-frame, conf-
+    * gated (`spark.graft.mining.materialize`). Default OFF: the
+    * same-JVM alternating probe (graft.tools.MatProbe, r16 —
+    * cross-run A/Bs are invalid on the oscillating reference host)
+    * measured recompute-from-lineage FASTER at bench scale
+    * (q_item_sim wall ~2.9 vs ~3.8 s, q_rules a wash): each replay
+    * is column-pruned, AQE-coalesced and page-cached, while eager
+    * checkpoints serialize the query into extra sequential jobs.
+    * Turn ON for corpus-scale inputs, where the replays re-shuffle
+    * corpus-sized bytes once per consumer (items feeds 3-5
+    * consumers) and the page cache no longer hides the re-scan.
+    */
+  private def mat(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.mining.materialize").exists(_.toBoolean))
+      df.localCheckpoint(true)
+    else df
+
   /** Pairwise association rules `antecedent → consequent` with
     * support, confidence and lift. Items are numeric ids
     * (dictionary-encode strings upstream with
@@ -49,31 +67,26 @@ object MiningOps {
     // the basket-membership frame feeds THREE consumers (totals,
     // supports, pairs — and pairs twice through the direction
     // union): without materialization each replays the caller's
-    // basket-building lineage (a join at q_rules scale) — the r16
-    // plan audit counted the base subtree executed 5x. Eager
-    // localCheckpoint computes it once (MEMORY_AND_DISK, spills;
-    // blocks freed by the ContextCleaner — the triangleCounts /
-    // connectedComponents discipline).
-    val items = df
+    // basket-building lineage — the r16 plan audit counted the base
+    // subtree executed 5x (no AQE reuse). See [[mat]] for why the
+    // gate still defaults OFF at bench scale.
+    val items = mat(df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val totals = items.agg(countDistinct(col("__g")).as("__nb"))
     // item-sized, consumed by BOTH direction joins — materialize
-    val supports = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
-      .localCheckpoint(true)
+    val supports = mat(items.groupBy(col("__i")).agg(count(lit(1)).as("__ni")))
     // pair-sized after the minSupport cut, consumed by both union
     // branches — materialize so the collect+generate pass runs once
-    val pairs = items
+    val pairs = mat(items
       .groupBy(col("__g"))
       .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
       .filter(size(col("__m")) <= maxBasketSize)
       .select(graft.functions.PairGenerators.idPairs(col("__m")).as(Seq("id_a", "id_b")))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_pair"))
-      .filter(col("n_pair") >= minSupport)
-      .localCheckpoint(true)
+      .filter(col("n_pair") >= minSupport))
     val directed = pairs.select(col("id_a").as("antecedent"), col("id_b").as("consequent"), col("n_pair"))
       .unionAll(pairs.select(col("id_b").as("antecedent"), col("id_a").as("consequent"), col("n_pair")))
     val joined = directed
@@ -118,13 +131,11 @@ object MiningOps {
     require(minCo >= 1, s"minCo must be >= 1, got $minCo")
     // same multi-consumer materialization as [[associationRules]]:
     // items feeds counts AND pairs; counts feeds both cosine joins
-    val items = df
+    val items = mat(df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__g"), col(itemCol).cast("long").as("__i"))
-      .distinct()
-      .localCheckpoint(true)
-    val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+      .distinct())
+    val counts = mat(items.groupBy(col("__i")).agg(count(lit(1)).as("__n")))
     val pairs = items
       .groupBy(col("__g"))
       .agg(graft.functions.PairGenerators.cappedCollectSet(col("__i"), maxBasketSize + 1).as("__m"))
