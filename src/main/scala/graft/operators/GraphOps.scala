@@ -643,8 +643,18 @@ object GraphOps {
     // symmetric edge frame never shuffles (one cheap count over the
     // checkpointed degree frame decides)
     val nb = nodeHint(g.deg.count() <= DegreeBroadcastMaxNodes) _
-    var labels = g.deg.select(col("node"), col("node").as("label"))
-    var it = 0
+    // ROUND 1 SPECIALIZED (the louvainMoves round-1 trick): labels
+    // start as identities, so each neighbor contributes its own id
+    // exactly once (e2 is distinct) — every label ties at count 1
+    // and most-frequent-tie-min degenerates to min(neighbor id).
+    // One map-side-combinable agg replaces the label join + the
+    // (src, label) count + the argmax: strictly a subset of the
+    // generic round's work, bit-identical output by construction.
+    var labels = e.groupBy(col("src"))
+      .agg(min(col("dst")).as("label"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(true)
+    var it = 1
     while (it < iters) {
       // argmax fused into ONE aggregation: minimizing (-cnt, label)
       // IS max-count-tie-min-label, and the key is unique per
