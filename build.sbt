@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Driver bench contract (round 17): the driver captures the final ~2000
+// chars of `sbt "runMain graft.Bench"` stdout and JSON-parses the LAST
+// line. Two sbt behaviors have broken that parse every round so far:
+//  1. forked-run output is routed through sbt's logger and prefixed
+//     "[info] " (LoggedOutput is the default strategy) — StdoutOutput
+//     passes the child's stdout through verbatim instead;
+//  2. sbt prints "[success] Total time: ..." AFTER the run, so the
+//     record is never the last line — showSuccess := false drops it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
