@@ -1,5 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Optional in-bench work meter (additions-only harness
+  * instrumentation, round 17): when `SPARK_GRAFT_METER_OUT` is set
+  * (the driver never sets it), every timed query execution also
+  * lands one JSONL line of task-level counters — executor CPU/run
+  * time, JVM GC time, spill, shuffle and input bytes, task count —
+  * plus the block-manager storage footprint (persisted RDD count,
+  * memory/disk bytes) sampled AFTER the action. Listener accounting
+  * is async and the storage sample runs outside the timed region,
+  * so `queries`/`total` semantics are unchanged. Purpose: attribute
+  * in-bench-context anomalies (q_triangles, q_ivf_refit — VERDICT
+  * r16 item 3) to CPU vs GC vs spill vs accumulated checkpoint
+  * blocks, which a fresh-session probe cannot see.
+  */
+private final class BenchMeter(spark: SparkSession, path: String) {
+  import java.util.concurrent.atomic.LongAdder
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+  private val cpu, run, gc, spillM, spillD, shR, shW, in, tasks = new LongAdder
+  private val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+  spark.sparkContext.addSparkListener(new SparkListener {
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        cpu.add(m.executorCpuTime); run.add(m.executorRunTime); gc.add(m.jvmGCTime)
+        spillM.add(m.memoryBytesSpilled); spillD.add(m.diskBytesSpilled)
+        shR.add(m.shuffleReadMetrics.totalBytesRead)
+        shW.add(m.shuffleWriteMetrics.bytesWritten)
+        in.add(m.inputMetrics.bytesRead); tasks.add(1L)
+      }
+    }
+  })
+  def reset(): Unit =
+    Seq(cpu, run, gc, spillM, spillD, shR, shW, in, tasks).foreach(_.reset())
+  def record(name: String, pass: String, wallSecs: Double): Unit = {
+    val st = spark.sparkContext.getRDDStorageInfo
+    def mb(v: Long): Double = math.floor(v / 1e4) / 100.0
+    // executorCpuTime is nanoseconds; executorRunTime/jvmGCTime are ms
+    def ns3(v: Long): Double = math.floor(v / 1e6) / 1000.0
+    def ms3(v: Long): Double = v / 1000.0
+    w.write(s"""{"q":"$name","pass":"$pass","wall":${math.floor(wallSecs * 1e3) / 1e3}""" +
+      s""","cpu":${ns3(cpu.sum)},"run":${ms3(run.sum)},"gc":${ms3(gc.sum)}""" +
+      s""","spill_mem_mb":${mb(spillM.sum)},"spill_disk_mb":${mb(spillD.sum)}""" +
+      s""","shuf_r_mb":${mb(shR.sum)},"shuf_w_mb":${mb(shW.sum)},"input_mb":${mb(in.sum)}""" +
+      s""","tasks":${tasks.sum},"rdds_persisted":${st.length}""" +
+      s""","storage_mem_mb":${mb(st.map(_.memSize).sum)},"storage_disk_mb":${mb(st.map(_.diskSize).sum)}}""" + "\n")
+    w.flush()
+  }
+  def close(): Unit = w.close()
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,9 +197,26 @@ object Bench {
     // queries_cold that total_cold silently excludes (reading as an
     // improvement) with no counter for the gate to scan
     val coldFailedNames = scala.collection.mutable.ArrayBuffer[String]()
+    // see [[BenchMeter]] — off unless SPARK_GRAFT_METER_OUT is set
+    val meter = sys.env.get("SPARK_GRAFT_METER_OUT").map(new BenchMeter(spark, _))
+    // Between-queries checkpoint sweep (round 17, default ON;
+    // SPARK_GRAFT_SWEEP=0 restores the r16 behavior for A/Bs): each
+    // completed query leaves its eager localCheckpoint blocks pinned
+    // until the next periodic driver GC; across ~490 sequential
+    // query executions the accumulated blocks evict the session-
+    // shared graph frames to disk and the late-pass queries measure
+    // a block-starved session (the r16 q_triangles in-bench anomaly:
+    // 34-90 s in-window vs 2.4-2.8 s fresh-session, same code).
+    // Sweeping DEAD blocks between queries runs outside every timed
+    // region and unpersists only RDDs no future plan can reference
+    // (shared artifacts are registered and protected — see
+    // SparkEntry.sweepUnsharedRdds).
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0"
+    def sweep(): Unit = if (sweepOn) SparkEntry.sweepUnsharedRdds(spark)
     def runAll(probes: Option[scala.collection.mutable.ArrayBuffer[Double]] = None): Map[String, Double] = {
       var i = 0
       val failBuf = if (probes.isDefined) failedNames else coldFailedNames
+      val passLabel = if (probes.isDefined) "warm" else "cold"
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -157,6 +224,7 @@ object Bench {
             if (segmentEvery > 0 && i % segmentEvery == 0) buf += runSegmentProbe()
             i += 1
           }
+          meter.foreach(_.reset())
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -166,6 +234,8 @@ object Bench {
               false
             }
           val el = (System.nanoTime() - t0) / 1e9
+          meter.foreach(_.record(name, passLabel, el))
+          sweep()
           name -> (if (ok) el else -el)
         }
     }
@@ -236,6 +306,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LOCAL.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    meter.foreach(_.close())
     spark.stop()
     // print LAST, after spark.stop's log chatter, so a tail capture
     // of stdout ends with the complete record

@@ -23,8 +23,32 @@ object SparkEntry {
     * hook, repeated bench/verify passes accumulate orphaned index
     * copies under /tmp until the disk fills.
     */
+  /** Scratch root for the index-lifecycle queries' save/append/
+    * reload round-trips: tmpfs when the host has it (the same
+    * disclosed harness discipline as the streaming checkpoints'
+    * shmCheckpointBase — these directories are throwaway fixture
+    * state, deleted on exit, never durable index storage; production
+    * deployments pass real storage paths to the save/load APIs
+    * directly). /dev/shm keeps the 13 lifecycle queries measuring
+    * the index computation instead of the sandbox's one shared
+    * spinning-metal root. Override with SPARK_GRAFT_SCRATCH;
+    * SPARK_GRAFT_SCRATCH=/tmp restores the r16 behavior for A/Bs.
+    */
+  private lazy val scratchBase: Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)).orElse {
+      val d = new java.io.File("/dev/shm")
+      if (d.isDirectory && d.canWrite) Some(java.nio.file.Paths.get("/dev/shm")) else None
+    }.map { base =>
+      val p = base.resolve("graft-scratch")
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+
   private def tmpDir(s: SparkSession, prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    val d = scratchBase
+      .map(b => java.nio.file.Files.createTempDirectory(b, prefix))
+      .getOrElse(java.nio.file.Files.createTempDirectory(prefix))
+      .toString
     val p = new org.apache.hadoop.fs.Path(d)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     d
@@ -54,9 +78,44 @@ object SparkEntry {
         perSession = scala.collection.mutable.Map.empty
         cache.put(s, perSession)
       }
-      perSession.getOrElseUpdate(dir, build)
+      perSession.getOrElseUpdate(dir, {
+        // register every persistent RDD the build creates (persists
+        // AND eager localCheckpoints, including transient per-round
+        // ones — over-protection is bounded and safe, unprotection
+        // of a lineage-truncated checkpoint is not) so a session
+        // harness sweeping dead query-local checkpoint blocks
+        // ([[sweepUnsharedRdds]]) can never destroy a shared
+        // artifact another query still consumes
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val built = build
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(id => sharedRddIds.add(Int.box(id)))
+        built
+      })
     }
   }
+
+  /** RDD ids backing session-shared artifacts — see [[SessionCache]]. */
+  private val sharedRddIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+
+  /** Unpersist every persistent RDD that does NOT back a session-
+    * shared artifact (guide §5: unpersist when done). Query paths
+    * end rounds in eager localCheckpoints whose blocks stay pinned
+    * until a driver GC lets the ContextCleaner run; a long session
+    * running hundreds of queries (the bench; any multi-query
+    * production session) accumulates block-manager pressure that
+    * evicts the shared frames hot queries actually reuse. Callers
+    * (the bench harness, between timed queries; long-lived services,
+    * between requests) invoke this ONLY at points where no query is
+    * in flight: blocks of completed queries are dead by definition
+    * (localCheckpoint lineage is truncated — nothing rebuilds them,
+    * and nothing re-reads them once the owning action returned).
+    */
+  def sweepUnsharedRdds(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!sharedRddIds.contains(Int.box(id))) rdd.unpersist(blocking = false)
+    }
 
   /** Shared part co-order edge frame — the graph-family queries
     * (q_triangles, q_cooccur, q_assortativity, q_clustering,

@@ -97,6 +97,9 @@ object GraphOps {
           f"stars+checkpoint ${(tCheck - tRound) / 1e9}%.1f s, " +
           f"fixpoint check ${(tEnd - tCheck) / 1e9}%.1f s")
       }
+      // round N's blocks are dead once round N+1 is materialized and
+      // the fixpoint check above has read them
+      dropSupersededCheckpoint(edges)
       edges = next
       prevCount = nextCount
       iter += 1
@@ -204,6 +207,7 @@ object GraphOps {
         val dangling = ranks
           .join(nodeHint(small)(dang), Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        val prevRanks = ranks
         ranks = nodes
           .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
           .crossJoin(broadcast(dangling))
@@ -212,6 +216,7 @@ object GraphOps {
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") / n))
               .as("rank"))
           .localCheckpoint(true)
+        dropSupersededCheckpoint(prevRanks)
       }
     }
     ranks
@@ -282,6 +287,7 @@ object GraphOps {
         val dangling = ranks
           .join(nodeHint(small)(dang), Seq("node"), "left_semi")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+        val prevRanks = ranks
         ranks = nodes
           .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
           .crossJoin(broadcast(dangling))
@@ -290,6 +296,7 @@ object GraphOps {
               lit(damping) * (coalesce(col("contrib"), lit(0.0)) + col("dm") * col("p")))
               .as("rank"))
           .localCheckpoint(true)
+        dropSupersededCheckpoint(prevRanks)
       }
     }
     ranks
@@ -349,6 +356,7 @@ object GraphOps {
         .join(nodeHint(small)(dang), Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dmg"),
           coalesce(sum(col("pprank")), lit(0.0)).as("__dms"))
+      val prevRanks = ranks
       ranks = nodes
         .join(nodeHint(small)(contrib), nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
@@ -361,6 +369,7 @@ object GraphOps {
             .as("pprank"),
           nodes("p"))
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevRanks)
     }
     ranks.select(col("node"), col("rank"), col("pprank"))
   }
@@ -454,8 +463,7 @@ object GraphOps {
     //  "selfhash" — "self" + shuffle_hash hint
     //  "e1e2"     — projections below the join, two exchanges,
     //               sort-merge (the long-standing shape)
-    val wedgeVariant = e.sparkSession.conf
-      .getOption("spark.graft.graph.triWedgeVariant").getOrElse("e1e2")
+    val wedgeVariant = graft.GraftConf.triWedgeVariant(e.sparkSession)
     val wedges0 = wedgeVariant match {
       case "e1e2" =>
         val e1 = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
@@ -463,7 +471,7 @@ object GraphOps {
         e1.join(e2, Seq("src"))
           .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
           .select(col("src"), col("b"), col("c"))
-      case v =>
+      case v => // "self" | "selfhash" — validated by the conf reader
         val wr = if (v == "selfhash") oriented.as("wr").hint("shuffle_hash")
                  else oriented.as("wr")
         oriented.as("wl")
@@ -560,6 +568,27 @@ object GraphOps {
     */
   private def nodeHint(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
+
+  /** Eagerly release the checkpoint blocks behind a SUPERSEDED
+    * iteration frame (guide §5: cached data competes with execution
+    * memory — unpersist when done). Every iterative operator here
+    * ends each round in `localCheckpoint(true)`; without this, a
+    * 50-round convergence holds 50 rounds of blocks until the
+    * driver's periodic GC lets the ContextCleaner run, and a long
+    * multi-query session (the bench; any 100 TB pipeline session)
+    * accumulates block-manager pressure that evicts the frames
+    * later queries actually reuse. Callers may ONLY pass a frame
+    * whose blocks no future plan can touch (the round-N frame after
+    * round N+1 has materialized — localCheckpoint truncates lineage,
+    * so round N+1 never re-reads round N). Non-checkpoint frames
+    * (e.g. a round-0 projection that was never checkpointed) no-op
+    * through the match.
+    */
+  private[operators] def dropSupersededCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Co-occurrence edges: items sharing a group become an undirected
     * edge (market baskets → part pairs, docs → term pairs, sessions
@@ -661,6 +690,7 @@ object GraphOps {
       // (src, label) row so min_by is deterministic — replaces the
       // max + join-back + filter + min re-aggregation (two extra
       // shuffles and a recompute) the unfused form paid per round
+      val prevLabels = labels
       labels = e.join(nb(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
@@ -669,6 +699,7 @@ object GraphOps {
           struct((-col("__cnt")).as("nc"), col("label").as("lb"))).as("label"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevLabels)
       it += 1
     }
     labels
@@ -765,10 +796,12 @@ object GraphOps {
         .agg(min_by(col("__c"),
           struct((-col("__score")).as("ns"), col("__c").as("c"))).as("__new"))
         .withColumnRenamed("src", "node")
+      val prevLabels = labels
       labels = labels.join(moved, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("community")).as("community"))
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevLabels)
       it += 1
     }
     labels
@@ -790,7 +823,8 @@ object GraphOps {
     */
   private def contractedMoveRounds(
       e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int): DataFrame =
-    contractedMoveRounds(e2w, deg, m, rounds, alternate = false)
+    contractedMoveRounds(e2w, deg, m, rounds, alternate = false,
+      uniquePairsNoSelf = false)
 
   /** @param alternate gate movers per round on node-hash parity
     *   (xxhash64(node) % 2 == round % 2). The plain downward rule is
@@ -805,11 +839,51 @@ object GraphOps {
     *   Used by the stacked [[louvainLevels]] rounds; the level-1
     *   path keeps the plain rule its SQL oracle unrolls.
     */
+  /** @param uniquePairsNoSelf caller ASSERTS e2w holds exactly one
+    *   row per (src, dst) pair and no self-loops (true for the
+    *   `groupBy(src, dst)`-folded [[contractAndRefine]] superEdges).
+    *   Under that shape round 1 runs the identity-label
+    *   specialization below; the generic rounds are unaffected.
+    */
   private def contractedMoveRounds(
       e2w: DataFrame, deg: DataFrame, m: Long, rounds: Int,
-      alternate: Boolean): DataFrame = {
+      alternate: Boolean, uniquePairsNoSelf: Boolean = false): DataFrame = {
     var labels = deg.select(col("node"), col("node").as("community"))
     var it = 0
+    if (rounds > 0 && uniquePairsNoSelf) {
+      // ROUND 1 SPECIALIZED (the weightedMoveRounds round-1 trick,
+      // extended to the downward-move rule): labels start as
+      // identities, so for each unique (src, dst) row the neighbor
+      // community IS dst, k_{i,{dst}} IS __w, the target volume IS
+      // deg(dst), the downward gate __c < __own IS dst < src, and
+      // the staying score is exactly 0 (own-community k is the self
+      // weight — none exist — and vol − deg vanishes under
+      // identities). The generic round's label join, the vol and k
+      // aggregations, and the ownScore join chain collapse into two
+      // node-sized degree joins + one fused argmax — bit-identical
+      // integers, same min_by tie order.
+      val cand0 = e2w.filter(col("dst") < col("src"))
+        .join(deg.select(col("node").as("src"), col("deg").as("__d")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("__vol")), "dst")
+        .withColumn("__score",
+          lit(2L) * lit(m) * col("__w") - col("__d") * col("__vol"))
+      val moved0 = cand0
+        .groupBy(col("src"))
+        .agg(min_by(col("dst"),
+          struct((-col("__score")).as("ns"), col("dst").as("c"))).as("__new"),
+          max(col("__score")).as("__bs"))
+        .withColumnRenamed("src", "node")
+      val mayMove0 =
+        if (alternate) pmod(xxhash64(col("node")), lit(2)) === lit(0)
+        else lit(true)
+      labels = labels
+        .join(moved0, Seq("node"), "left")
+        .select(col("node"),
+          when(mayMove0 && col("__bs").isNotNull && col("__bs") > lit(0L),
+            col("__new")).otherwise(col("community")).as("community"))
+        .localCheckpoint(true)
+      it = 1
+    }
     while (it < rounds) {
       val vol = labels.join(deg, "node")
         .groupBy(col("community")).agg(sum(col("deg")).as("__vol"))
@@ -841,6 +915,7 @@ object GraphOps {
       val mayMove =
         if (alternate) pmod(xxhash64(col("node")), lit(2)) === lit(it % 2)
         else lit(true)
+      val prevLabels = labels
       labels = labels
         .join(moved, Seq("node"), "left")
         .join(ownScore, "node")
@@ -848,6 +923,7 @@ object GraphOps {
           when(mayMove && col("__bs").isNotNull && col("__bs") > col("__os"),
             col("__new")).otherwise(col("community")).as("community"))
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevLabels)
       it += 1
     }
     labels
@@ -1007,7 +1083,8 @@ object GraphOps {
       .localCheckpoint(true)
     val superLabels =
       if (level1Rounds == 0) superDeg.select(col("node"), col("node").as("community"))
-      else contractedMoveRounds(superEdges, superDeg, m, level1Rounds)
+      else contractedMoveRounds(superEdges, superDeg, m, level1Rounds,
+        alternate = false, uniquePairsNoSelf = true)
     val labels = l0.select(col("node"), col("community").as("__c0"))
       .join(superLabels.select(col("node").as("__c0"), col("community")), "__c0")
       .select(col("node"), col("community"))
@@ -1090,9 +1167,11 @@ object GraphOps {
         .select(col("__from").as("community"), least(col("__from"), col("__to")).as("__new"))
         .union(accepted
           .select(col("__to").as("community"), least(col("__from"), col("__to")).as("__new")))
+      val prevLabels = labels
       labels = labels.join(relabel, Seq("community"), "left")
         .select(col("node"), coalesce(col("__new"), col("community")).as("community"))
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevLabels)
       it += 1
     }
     labels
@@ -1294,6 +1373,9 @@ object GraphOps {
     var settled = sources.select(col("node")).distinct()
       .withColumn("hops", lit(0)).localCheckpoint(true)
     var frontier = settled.select(col("node"))
+    // round h-1's frontier checkpoint, dead once round h's expansion
+    // has materialized (settled already folded its rows in)
+    var prevFrontierCp: DataFrame = null
     var h = 1
     while (h <= maxHops && !frontier.isEmpty) {
       val next = e.join(nodeHint(small)(frontier.withColumnRenamed("node", "src")), "src")
@@ -1301,7 +1383,11 @@ object GraphOps {
         .join(nodeHint(small)(settled), Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
+      val prevSettled = settled
       settled = settled.union(next).localCheckpoint(true)
+      dropSupersededCheckpoint(prevSettled)
+      if (prevFrontierCp != null) dropSupersededCheckpoint(prevFrontierCp)
+      prevFrontierCp = next
       frontier = next.select(col("node"))
       h += 1
     }
@@ -1338,8 +1424,7 @@ object GraphOps {
     // recompute 2.07-2.62 s, consistent across all 4 rounds — the
     // replayed capped-collect here is genuinely expensive, unlike
     // MiningOps' cheap distinct, whose gate defaults OFF).
-    val matOn = edges0.sparkSession.conf
-      .getOption("spark.graft.graph.linkPredMaterialize").forall(_.toBoolean)
+    val matOn = graft.GraftConf.linkPredMaterialize(edges0.sparkSession)
     def mat(df: DataFrame): DataFrame =
       if (matOn) df.localCheckpoint(true) else df
     val und = mat(edges0.filter(col("src") =!= col("dst"))
@@ -1440,6 +1525,7 @@ object GraphOps {
         val rawAuth = emSrc.join(nodeHint(small)(hub), emSrc("src") === hub("node"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
         val ta = rawAuth.agg(coalesce(sum(col("__a")), lit(0.0)).as("__t"))
+        val prevAuth = auth
         auth = nodes
           .join(nodeHint(small)(rawAuth), nodes("node") === rawAuth("dst"), "left")
           .crossJoin(broadcast(ta))
@@ -1448,9 +1534,11 @@ object GraphOps {
               snap(coalesce(col("__a"), lit(0.0)) / col("__t")))
               .otherwise(lit(0.0)).as("auth"))
           .localCheckpoint(true)
+        dropSupersededCheckpoint(prevAuth)
         val rawHub = emDst.join(nodeHint(small)(auth), emDst("dst") === auth("node"))
           .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
         val th = rawHub.agg(coalesce(sum(col("__h")), lit(0.0)).as("__t"))
+        val prevHub = hub
         hub = nodes
           .join(nodeHint(small)(rawHub), nodes("node") === rawHub("src"), "left")
           .crossJoin(broadcast(th))
@@ -1459,6 +1547,7 @@ object GraphOps {
               snap(coalesce(col("__h"), lit(0.0)) / col("__t")))
               .otherwise(lit(0.0)).as("hub"))
           .localCheckpoint(true)
+        dropSupersededCheckpoint(prevHub)
       }
     } finally { if (!small) emDst.unpersist() }
     hub.join(nodeHint(small)(auth), Seq("node"))
@@ -1515,10 +1604,12 @@ object GraphOps {
       // ceiling so the edge frame rides both peel joins map-side
       val nb = nodeHint(cur * 2 <= DegreeBroadcastMaxNodes) _
       val alive = degrees(edges).filter(col("degree") >= k).select("node")
+      val prevEdges = edges
       edges = edges
         .join(nb(alive.withColumnRenamed("node", "hi")), Seq("hi"))
         .join(nb(alive.withColumnRenamed("node", "lo")), Seq("lo"))
         .localCheckpoint(true)
+      dropSupersededCheckpoint(prevEdges)
       cur = edges.count()
       round += 1
     }

@@ -13,23 +13,29 @@ object MiningOps {
   private def snap9(c: Column): Column =
     floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
 
-  /** Eager materialization of a multi-consumer sub-frame, conf-
-    * gated (`spark.graft.mining.materialize`). Default OFF: the
-    * same-JVM alternating probe (graft.tools.MatProbe, r16 —
-    * cross-run A/Bs are invalid on the oscillating reference host)
-    * measured recompute-from-lineage FASTER at bench scale
-    * (q_item_sim wall ~2.9 vs ~3.8 s, q_rules a wash): each replay
-    * is column-pruned, AQE-coalesced and page-cached, while eager
-    * checkpoints serialize the query into extra sequential jobs.
-    * Turn ON for corpus-scale inputs, where the replays re-shuffle
-    * corpus-sized bytes once per consumer (items feeds 3-5
-    * consumers) and the page cache no longer hides the re-scan.
+  /** Eager materialization of a multi-consumer sub-frame. Forced
+    * via `spark.graft.mining.materialize`; when unset, AUTO-decided
+    * from the frame's optimizer size estimate vs
+    * `spark.graft.mining.materializeAutoBytes` (default 1 GiB) —
+    * so the decision scales with the input instead of riding a
+    * static default that is only right at one scale (the r16
+    * verdict's "decide from input stats, not a conf"). Below the
+    * threshold recompute-from-lineage wins — the r16 same-JVM
+    * alternating probe (graft.tools.MatProbe) measured it FASTER at
+    * bench scale (q_item_sim wall ~2.9 vs ~3.8 s, q_rules a wash):
+    * each replay is column-pruned, AQE-coalesced and page-cached,
+    * while eager checkpoints serialize the query into extra
+    * sequential jobs. Above it (corpus-scale inputs) the replays
+    * re-shuffle corpus-sized bytes once per consumer (items feeds
+    * 3-5 consumers) and the page cache no longer hides the re-scan.
     */
-  private def mat(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .getOption("spark.graft.mining.materialize").exists(_.toBoolean))
-      df.localCheckpoint(true)
-    else df
+  private def mat(df: DataFrame): DataFrame = {
+    val on = graft.GraftConf.miningMaterialize(df.sparkSession).getOrElse {
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(graft.GraftConf.miningMaterializeAutoBytes(df.sparkSession))
+    }
+    if (on) df.localCheckpoint(true) else df
+  }
 
   /** Pairwise association rules `antecedent → consequent` with
     * support, confidence and lift. Items are numeric ids

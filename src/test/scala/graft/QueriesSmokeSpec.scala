@@ -3,8 +3,16 @@ package graft
 /** Runs every driver query against sf0.001 — catches regressions in
   * any `SparkEntry.queries` entry without waiting for the driver's
   * verify round. Every query must plan, execute, and return rows.
+  *
+  * Sharded 4 ways by query-name hash (stable `String.hashCode`, so
+  * the shards partition the registry deterministically and their
+  * union is exactly the full registry): the single-suite form was
+  * the longest-running suite in the tree (~157 s of the 828 s
+  * sequential total) and a ScalaTest suite is the unit of the
+  * build's parallel test grouping — four shards let four JVMs run
+  * it concurrently.
   */
-class QueriesSmokeSpec extends SparkSpec {
+abstract class QueriesSmokeShard(shard: Int, numShards: Int) extends SparkSpec {
 
   /** BNLJ build sides a query may legitimately broadcast: 1-row
     * scalar gates (thresholds, corpus totals), bounded query/centroid
@@ -24,7 +32,9 @@ class QueriesSmokeSpec extends SparkSpec {
     case _ => p +: p.children.flatMap(flattenPlan)
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filter { case (name, _) => math.floorMod(name.hashCode, numShards) == shard }
+    .foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.explainString(
@@ -57,11 +67,23 @@ class QueriesSmokeSpec extends SparkSpec {
       }
     }
   }
+}
 
+class QueriesSmokeSpec extends QueriesSmokeShard(0, 4) {
   test("every query key has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"oracles without queries: $stale")
   }
+
+  test("smoke shards partition the full registry") {
+    val shards = (0 until 4).map(s =>
+      SparkEntry.queries.keySet.filter(n => math.floorMod(n.hashCode, 4) == s))
+    assert(shards.map(_.size).sum == SparkEntry.queries.size)
+    assert(shards.reduce(_ ++ _) == SparkEntry.queries.keySet)
+  }
 }
+class QueriesSmokeSpecB extends QueriesSmokeShard(1, 4)
+class QueriesSmokeSpecC extends QueriesSmokeShard(2, 4)
+class QueriesSmokeSpecD extends QueriesSmokeShard(3, 4)
